@@ -1,0 +1,181 @@
+"""Triple extraction from conversation transcripts.
+
+Semantics mirror Jena's construction path: a parser/extractor emits
+triples into a Graph with per-document-scope deterministic blank nodes
+(``jena-arq/.../riot/lang/BlankNodeAllocatorHash.java:31-46``,
+``LabelToNode.java:49``) and set semantics on add
+(``jena-core/.../graph/Graph.java:84``). The exact rule set is
+documented in :mod:`jena_spark.oracle.ref_pipeline` — oracle and this
+module MUST stay in lock-step.
+
+Spark-first design notes (100 TB posture):
+
+* Turn-structure triples are generated in ONE scan: each transcript row
+  becomes an array of (s,p,o) structs that is exploded — no N-way
+  self-union, no shuffle at all (narrow transform; dedup happens once,
+  downstream at materialize).
+* Mention detection is the only Python step and runs as an
+  Arrow-batched pandas UDF (``str.findall`` with one compiled
+  longest-first alternation) — the gazetteer regex is built once per
+  executor, never per row.
+* Entity linking (surface → canonical) is a broadcast join against the
+  tiny alias dimension.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jena_spark import terms as TM
+from jena_spark.gazetteer import DEFAULT_GAZETTEER, mention_pattern, surface_to_canonical
+
+def _null_s():
+    return F.lit(None).cast("string")
+
+
+def _term_struct(p: str, o_kind, o_val, o_datatype=None, o_lang=None):
+    return F.struct(
+        F.lit(p).alias("p_val"),
+        (F.lit(o_kind) if isinstance(o_kind, str) else o_kind).alias("o_kind"),
+        o_val.alias("o_val"),
+        (F.lit(o_datatype).cast("string") if o_datatype is None or isinstance(o_datatype, str)
+         else o_datatype).alias("o_datatype"),
+        (F.lit(o_lang).cast("string") if o_lang is None or isinstance(o_lang, str)
+         else o_lang).alias("o_lang"),
+    )
+
+
+def turn_structure_triples(transcripts: DataFrame) -> DataFrame:
+    """Per-turn structural triples, single-scan explode (no shuffle).
+
+    Emits (cf. ref_pipeline rule table): conv→hasTurn→turn_bnode and
+    turn→{turnIndex,role,text,tool,timestamp}→literal.
+    """
+    turn_bnode = TM.skolem_col(
+        F.col("conv_id"), F.concat(F.lit("turn-"), F.col("turn_idx").cast("string"))
+    )
+    conv = TM.conv_iri_col(F.col("conv_id"))
+
+    # each element: (s_kind, s_val, p_val, o_kind, o_val, o_datatype, o_lang)
+    def with_subject(s_kind, s_val, inner):
+        return F.struct(
+            F.lit(s_kind).alias("s_kind"), s_val.alias("s_val"),
+            inner.p_val.alias("p_val"), inner.o_kind.alias("o_kind"),
+            inner.o_val.alias("o_val"), inner.o_datatype.alias("o_datatype"),
+            inner.o_lang.alias("o_lang"),
+        )
+
+    elems = F.array(
+        with_subject("iri", conv,
+                     _term_struct(TM.P_HAS_TURN, "bnode", turn_bnode)),
+        with_subject("bnode", turn_bnode,
+                     _term_struct(TM.P_TURN_INDEX, "literal",
+                                  TM.canon_integer_col(F.col("turn_idx")), TM.XSD_INTEGER)),
+        with_subject("bnode", turn_bnode,
+                     _term_struct(TM.P_ROLE, "literal", F.col("role"))),
+        with_subject("bnode", turn_bnode,
+                     _term_struct(TM.P_TEXT, "literal", F.col("text"))),
+        with_subject("bnode", turn_bnode,
+                     F.when(F.col("tool").isNotNull(),
+                            _term_struct(TM.P_TOOL, "literal", F.col("tool")))),
+        with_subject("bnode", turn_bnode,
+                     _term_struct(TM.P_TS, "literal",
+                                  TM.canon_datetime_col(F.col("ts")), TM.XSD_DATETIME)),
+    )
+    exploded = transcripts.select(F.col("conv_id"), F.explode(elems).alias("t"))
+    return (
+        exploded.where(F.col("t").isNotNull() & F.col("t.o_val").isNotNull())
+        .select(
+            "t.s_kind", "t.s_val", "t.p_val", "t.o_kind", "t.o_val",
+            "t.o_datatype", "t.o_lang",
+            _null_s().alias("graph"), F.col("conv_id"),
+        )
+    )
+
+
+def mentions_udf(gazetteer: dict | None = None):
+    """Arrow-batched mention extractor: text -> array of matched surfaces."""
+    gazetteer = gazetteer or DEFAULT_GAZETTEER
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def extract(texts: pd.Series) -> pd.Series:
+        pat = mention_pattern(gazetteer)  # compiled once per batch-iterator
+        return texts.str.findall(pat)
+
+    return extract
+
+
+def extract_mentions(transcripts: DataFrame, gazetteer: dict | None = None) -> DataFrame:
+    """Distinct (conv_id, turn_idx, surface) mention rows."""
+    udf = mentions_udf(gazetteer)
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", F.explode(udf(F.col("text"))).alias("surface")
+        )
+        .distinct()
+    )
+
+
+def alias_dim(spark: SparkSession, gazetteer: dict | None = None) -> DataFrame:
+    """Tiny (surface, canonical) dimension — always broadcast."""
+    gazetteer = gazetteer or DEFAULT_GAZETTEER
+    rows = [(s, c) for s, c in surface_to_canonical(gazetteer).items()]
+    return spark.createDataFrame(rows, "surface string, canonical string")
+
+
+def mention_triples(
+    transcripts: DataFrame, gazetteer: dict | None = None
+) -> DataFrame:
+    """Mention, label and sameAs triples (pre-canonicalization).
+
+    turn --mentions--> surface_iri ; surface_iri --label--> "surface" ;
+    surface_iri --sameAs--> canonical_iri (when the IRIs differ).
+    """
+    spark = transcripts.sparkSession
+    mentions = extract_mentions(transcripts, gazetteer)
+    dim = alias_dim(spark, gazetteer)
+    linked = mentions.join(F.broadcast(dim), "surface")
+
+    turn_bnode = TM.skolem_col(
+        F.col("conv_id"), F.concat(F.lit("turn-"), F.col("turn_idx").cast("string"))
+    )
+    s_iri = TM.entity_iri_col(F.col("surface"))
+    c_iri = TM.entity_iri_col(F.col("canonical"))
+
+    elems = F.array(
+        F.struct(F.lit("bnode").alias("s_kind"), turn_bnode.alias("s_val"),
+                 F.lit(TM.P_MENTIONS).alias("p_val"),
+                 F.lit("iri").alias("o_kind"), s_iri.alias("o_val"),
+                 _null_s().alias("o_datatype"), _null_s().alias("o_lang")),
+        F.struct(F.lit("iri").alias("s_kind"), s_iri.alias("s_val"),
+                 F.lit(TM.RDFS_LABEL).alias("p_val"),
+                 F.lit("literal").alias("o_kind"), F.col("surface").alias("o_val"),
+                 _null_s().alias("o_datatype"), _null_s().alias("o_lang")),
+        F.when(s_iri != c_iri,
+               F.struct(F.lit("iri").alias("s_kind"), s_iri.alias("s_val"),
+                        F.lit(TM.OWL_SAMEAS).alias("p_val"),
+                        F.lit("iri").alias("o_kind"), c_iri.alias("o_val"),
+                        _null_s().alias("o_datatype"), _null_s().alias("o_lang"))),
+    )
+    exploded = linked.select(F.col("conv_id"), F.explode(elems).alias("t"))
+    return (
+        exploded.where(F.col("t").isNotNull())
+        .select("t.s_kind", "t.s_val", "t.p_val", "t.o_kind", "t.o_val",
+                "t.o_datatype", "t.o_lang", _null_s().alias("graph"), F.col("conv_id"))
+    )
+
+
+def raw_triples(transcripts: DataFrame, gazetteer: dict | None = None) -> DataFrame:
+    """Full pre-canonicalization triple set (turn structure + mentions).
+
+    Set semantics (Graph.add no-op on duplicate, ``Graph.java:84``) are
+    applied via dropDuplicates on the 7 term columns — one shuffle,
+    done once here rather than per-stage.
+    """
+    t = turn_structure_triples(transcripts).unionByName(
+        mention_triples(transcripts, gazetteer)
+    )
+    return t.dropDuplicates(TM.TERM_COLS)

@@ -1,0 +1,51 @@
+"""Connected-components unit tests vs a union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from jena_spark.oracle.ref_pipeline import _components
+from jena_spark.pipeline.canonicalize import connected_components
+
+
+def _run(spark, pairs):
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        (r["node"], r["component"]) for r in connected_components(e).collect()
+    }
+    want_map = _components(pairs)
+    want = {(n, c) for n, c in want_map.items() if n != c}
+    return got, want
+
+
+def test_cc_star(spark):
+    pairs = [("b", "a"), ("c", "a"), ("d", "a")]
+    got, want = _run(spark, pairs)
+    assert got == want
+
+
+def test_cc_chain(spark):
+    # long chain — the case naive label propagation handles slowly
+    nodes = [f"n{i:03d}" for i in range(60)]
+    pairs = list(zip(nodes[1:], nodes[:-1]))
+    got, want = _run(spark, pairs)
+    assert got == want
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"x{i:02d}" for i in range(40)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(50)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got, want = _run(spark, pairs)
+    assert got == want
+
+
+def test_cc_two_components(spark):
+    pairs = [("b", "a"), ("c", "b"), ("z", "y")]
+    got, want = _run(spark, pairs)
+    assert got == want
+    comp = dict(got)
+    assert comp["c"] == "a" and comp["z"] == "y"
