@@ -1,0 +1,187 @@
+"""Materialization with per-partition lineage, counters, and exact resume.
+
+Reference precedent: the TDB bulk loader reports per-batch and running
+throughput (``jena-tdb/.../store/bulkloader/LoadMonitor.java:151``) and
+builds indexes as separate passes
+(``BuilderSecondaryIndexesParallel.java``). Our Spark analog:
+
+* the triple table is hash-bucketed by ``conv_id`` into ``part_id``
+  (``pmod(xxhash64(conv_id), n_buckets)``) and written
+  ``partitionBy("part_id")`` — conversation-aligned partitioning means
+  resume, lineage and reprocessing are all per-bucket;
+* every stage writes a JSON manifest (counters + completed bucket list);
+* resume = recompute ONLY the missing buckets (filter on ``part_id``
+  prunes at the source scan) and append them.
+
+At cluster scale the same layout maps 1:1 to an Iceberg table with a
+bucket partition transform; parquet is the sandbox stand-in (Iceberg
+jars are not in this image — gated behind import-try in sources/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jena_spark.terms import TERM_COLS
+
+MANIFEST = "_lineage_manifest.json"
+
+
+@dataclass
+class StageResult:
+    stage: str
+    out_path: str
+    counters: dict = field(default_factory=dict)
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "conv_id") -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _manifest_path(out_path: str) -> str:
+    return os.path.join(out_path, MANIFEST)
+
+
+def read_manifest(out_path: str) -> dict | None:
+    p = _manifest_path(out_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_manifest(out_path: str, manifest: dict) -> None:
+    os.makedirs(out_path, exist_ok=True)
+    tmp = _manifest_path(out_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_path))
+
+
+def write_stage(
+    df: DataFrame,
+    out_path: str,
+    stage: str,
+    n_buckets: int = 16,
+    only_buckets: list[int] | None = None,
+    key: str = "conv_id",
+) -> StageResult:
+    """Write one stage's output, bucketed, with lineage manifest.
+
+    ``only_buckets`` restricts computation to missing buckets (resume
+    path) — the filter happens BEFORE the heavy plan runs, so pruning
+    is real, not post-hoc. The heavy plan executes exactly once (the
+    write); per-bucket counters are read back from the committed
+    parquet footers, which is a metadata-only scan. Spark's output
+    committer publishes files only on job commit, so a crashed write
+    leaves no committed rows and the manifest stays behind — re-running
+    is safe (exactly-once per bucket).
+    """
+    t0 = time.time()
+    bucketed = with_bucket(df, n_buckets, key=key)
+    if only_buckets is not None:
+        bucketed = bucketed.where(F.col("part_id").isin(only_buckets))
+    bucketed.write.mode("append").partitionBy("part_id").parquet(out_path)
+    wall = time.time() - t0
+
+    spark = df.sparkSession
+    back = spark.read.parquet(out_path)
+    if only_buckets is not None:
+        back = back.where(F.col("part_id").isin(only_buckets))
+    per_part = [
+        (r["part_id"], r["n"])
+        for r in back.groupBy("part_id").agg(F.count("*").alias("n")).collect()
+    ]
+
+    prev = read_manifest(out_path) or {
+        "stage": stage, "n_buckets": n_buckets, "completed": [], "rows_per_bucket": {},
+        "counters": {"rows_out": 0, "wall_sec": 0.0},
+    }
+    done = set(prev["completed"])
+    rows_out = prev["counters"]["rows_out"]
+    for pid, n in per_part:
+        if pid not in done:
+            rows_out += n
+        done.add(pid)
+        prev["rows_per_bucket"][str(pid)] = n
+    prev["completed"] = sorted(done)
+    prev["counters"] = {
+        "rows_out": rows_out,
+        "wall_sec": prev["counters"]["wall_sec"] + wall,
+        "rows_per_sec": rows_out / max(prev["counters"]["wall_sec"] + wall, 1e-9),
+    }
+    write_manifest(out_path, prev)
+    return StageResult(stage, out_path, prev["counters"])
+
+
+def missing_buckets(out_path: str, n_buckets: int) -> list[int]:
+    m = read_manifest(out_path)
+    done = set(m["completed"]) if m else set()
+    return [b for b in range(n_buckets) if b not in done]
+
+
+def resume_or_write(
+    df: DataFrame, out_path: str, stage: str, n_buckets: int = 16,
+    key: str = "conv_id",
+) -> StageResult:
+    """Exact resume: compute and append only buckets absent from the
+    manifest; a complete manifest makes this a no-op."""
+    todo = missing_buckets(out_path, n_buckets)
+    if not todo:
+        m = read_manifest(out_path)
+        return StageResult(stage, out_path, m["counters"])
+    return write_stage(df, out_path, stage, n_buckets, only_buckets=todo, key=key)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    gazetteer: dict | None = None,
+) -> dict[str, StageResult]:
+    """transcripts → raw triples → canonical triples → nodes/edges,
+    each stage resumable independently."""
+    from jena_spark.pipeline.canonicalize import canonicalize_triples
+    from jena_spark.pipeline.extract import raw_triples
+
+    results: dict[str, StageResult] = {}
+    raw_path = os.path.join(out_dir, "raw_triples")
+    results["raw_triples"] = resume_or_write(
+        raw_triples(transcripts, gazetteer), raw_path, "raw_triples", n_buckets
+    )
+    raw = spark.read.parquet(raw_path)
+
+    canon_path = os.path.join(out_dir, "triples")
+    results["triples"] = resume_or_write(
+        canonicalize_triples(raw), canon_path, "triples", n_buckets
+    )
+    canon = spark.read.parquet(canon_path)
+
+    nodes_path = os.path.join(out_dir, "nodes")
+    nodes = (
+        canon.select(F.col("s_kind").alias("kind"), F.col("s_val").alias("val"),
+                     F.lit(None).cast("string").alias("datatype"),
+                     F.lit(None).cast("string").alias("lang"),
+                     F.col("conv_id"))
+        .unionByName(
+            canon.select(F.col("o_kind").alias("kind"), F.col("o_val").alias("val"),
+                         F.col("o_datatype").alias("datatype"),
+                         F.col("o_lang").alias("lang"), F.col("conv_id"))
+        )
+        .dropDuplicates(["kind", "val", "datatype", "lang"])
+    )
+    results["nodes"] = resume_or_write(nodes, nodes_path, "nodes", n_buckets, key="val")
+    return results
+
+
+def triple_set(df: DataFrame) -> set[tuple]:
+    return {tuple(r[c] for c in TERM_COLS) for r in df.select(*TERM_COLS).collect()}

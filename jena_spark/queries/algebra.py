@@ -1,0 +1,237 @@
+"""SPARQL-algebra operators compiled to DataFrame plans.
+
+The reference compiles SPARQL to an ``Op`` tree
+(``jena-arq/.../sparql/algebra/op/``, executed by
+``engine/main/OpExecutor.java:62``). We expose the same algebra as
+Python combinators that build a Catalyst logical plan — Catalyst then
+plays the role of ``OptimizerStd`` (``algebra/optimize/OptimizerStd.java:45``):
+predicate pushdown ≙ TransformFilterPlacement, TakeOrderedAndProject ≙
+TransformTopN, AQE join selection ≙ TransformJoinStrategy (SURVEY.md §4.1).
+
+Binding model: a solution (``Binding``,
+``jena-arq/.../sparql/engine/binding/Binding.java:28``) is a DataFrame
+row; each SPARQL variable is ONE struct column
+``(kind, val, datatype, lang)`` so join equality is whole-term (node)
+equality, exactly ``Node.equals`` (``Node.java:247-248``). Null
+datatype/lang are normalized to '' inside the structs so plain column
+equality works; :func:`flatten` de-normalizes for output.
+
+Operator mapping (exec dispatch lines in OpExecutor.java):
+  OpBGP ``:127`` → :func:`bgp` (chain of filtered scans joined on
+  shared vars); OpFilter ``:300`` → :func:`filter_`;
+  OpProject ``:387`` → :func:`project`; OpExtend ``:444`` →
+  :func:`extend`; OpJoin ``:205`` → :func:`join`; OpLeftJoin ``:238``
+  → :func:`left_join`; OpMinus ``:257`` → :func:`minus`;
+  OpUnion ``:275`` → :func:`union_`; OpDistinct ``:415`` →
+  ``df.distinct()``; OpOrder ``:364`` / OpSlice ``:403`` / OpTopN
+  ``:370`` → :func:`order_by` / :func:`slice_` (Catalyst fuses
+  order+limit into TakeOrderedAndProject); OpTable (VALUES) ``:325``
+  → :func:`values`; E_Exists/E_NotExists → :func:`exists` /
+  :func:`not_exists` (left_semi / left_anti).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jena_spark.queries.graph import TermSpec, _normalize, pattern_predicate
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+Pattern = tuple  # (s, p, o), each Var or TermSpec const
+
+
+def _empty_str(c: Column) -> Column:
+    return F.coalesce(c, F.lit(""))
+
+
+def _var_struct_for(position: str) -> Column:
+    """Bind a variable to the term at an s/p/o position as one struct."""
+    if position == "s":
+        return F.struct(
+            F.col("s_kind").alias("kind"), F.col("s_val").alias("val"),
+            F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        )
+    if position == "p":
+        return F.struct(
+            F.lit("iri").alias("kind"), F.col("p_val").alias("val"),
+            F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        )
+    return F.struct(
+        F.col("o_kind").alias("kind"), F.col("o_val").alias("val"),
+        _empty_str(F.col("o_datatype")).alias("datatype"),
+        _empty_str(F.col("o_lang")).alias("lang"),
+    )
+
+
+def triple_pattern(triples: DataFrame, pattern: Pattern) -> DataFrame:
+    """One triple pattern -> bindings DataFrame (one struct col per var)."""
+    s, p, o = pattern
+    consts = [t if not isinstance(t, Var) else None for t in (s, p, o)]
+    df = triples.where(pattern_predicate(*consts))
+    cols: dict[str, Column] = {}
+    for pos, term in zip(("s", "p", "o"), (s, p, o)):
+        if isinstance(term, Var):
+            expr = _var_struct_for(pos)
+            if term.name in cols:  # repeated var within one pattern
+                df = df.where(cols[term.name] == expr)
+            else:
+                cols[term.name] = expr
+    return df.select(*[c.alias(n) for n, c in cols.items()])
+
+
+def join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OpJoin: natural join on shared vars; cross join when disjoint
+    (``engine/join/QueryIterNestedLoopJoin.java`` is the reference's
+    no-shared-vars fallback — Spark plans a cartesian product)."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left.crossJoin(right)
+    return left.join(right, shared, "inner")
+
+
+def bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
+    """Basic graph pattern: conjunctive self-joins over the triple table
+    (OpBGP, ``OpExecutor.java:127``; stage generator
+    ``engine/main/StageGeneratorGeneric.java:37``). AQE/CBO own the
+    join order — the analog of TDB's ReorderFixed/StatsMatcher."""
+    out = None
+    for p in patterns:
+        step = triple_pattern(triples, p)
+        out = step if out is None else join(out, step)
+    assert out is not None, "empty BGP"
+    return out
+
+
+# --- accessors for filter/extend expressions --------------------------------
+
+def v(name: str) -> Column:
+    """The variable's lexical value (E_Str semantics)."""
+    return F.col(name).getField("val")
+
+
+def v_kind(name: str) -> Column:
+    return F.col(name).getField("kind")
+
+
+def v_datatype(name: str) -> Column:
+    return F.nullif(F.col(name).getField("datatype"), F.lit(""))
+
+
+def v_lang(name: str) -> Column:
+    return F.nullif(F.col(name).getField("lang"), F.lit(""))
+
+
+def v_num(name: str) -> Column:
+    """Typed numeric shadow (NodeValue promotion, decimal space)."""
+    return v(name).cast("decimal(38,18)")
+
+
+def filter_(df: DataFrame, cond: Column) -> DataFrame:
+    return df.where(cond)
+
+
+def extend(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    return df.withColumn(name, expr)
+
+
+def project(df: DataFrame, *names: str) -> DataFrame:
+    return df.select(*names)
+
+
+def union_(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OpUnion — bag union of compatible bindings; missing vars -> null."""
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+def left_join(left: DataFrame, right: DataFrame, cond: Column | None = None) -> DataFrame:
+    """OpLeftJoin (OPTIONAL): left outer on shared vars, the optional
+    filter condition folded into the join expression
+    (``OpExecutor.java:238``)."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if cond is None and shared:
+        return left.join(right, shared, "left")
+    lft, rgt = left.alias("l"), right.alias("r")
+    join_cond = F.lit(True)
+    for s in shared:
+        join_cond = join_cond & (F.col(f"l.{s}") == F.col(f"r.{s}"))
+    if cond is not None:
+        join_cond = join_cond & cond
+    out = lft.join(rgt, join_cond, "left")
+    keep = [F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c) if c in shared
+            else F.col(f"l.{c}") for c in left.columns]
+    keep += [F.col(f"r.{c}").alias(c) for c in right.columns if c not in shared]
+    return out.select(*keep)
+
+
+def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OpMinus (``OpExecutor.java:257``, ``QueryIterMinus.java``):
+    remove left rows for which some right row is *compatible* AND the
+    shared domain is non-empty. Unbound (null) vars are compatible with
+    anything — hence the null-tolerant condition rather than plain
+    equality."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left  # disjoint domains: keep everything
+    lft, rgt = left.alias("l"), right.alias("r")
+    compat = F.lit(True)
+    overlap = F.lit(False)
+    for s in shared:
+        lc, rc = F.col(f"l.{s}"), F.col(f"r.{s}")
+        compat = compat & (lc.isNull() | rc.isNull() | (lc == rc))
+        overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+    return lft.join(rgt, compat & overlap, "left_anti")
+
+
+def exists(left: DataFrame, right: DataFrame) -> DataFrame:
+    """FILTER EXISTS — left_semi on shared vars (E_Exists)."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left if not right.isEmpty() else left.limit(0)
+    return left.join(right, shared, "left_semi")
+
+
+def not_exists(left: DataFrame, right: DataFrame) -> DataFrame:
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left if right.isEmpty() else left.limit(0)
+    return left.join(right, shared, "left_anti")
+
+
+def values(spark: SparkSession, names: list[str], rows: list[list[TermSpec]]) -> DataFrame:
+    """OpTable (VALUES): inline bindings table (``OpExecutor.java:325``)."""
+    data = []
+    for row in rows:
+        rec = []
+        for t in row:
+            n = _normalize(t)
+            rec.append((n[0], n[1], n[2] or "", n[3] or "") if n else None)
+        data.append(rec)
+    schema_parts = [
+        f"{name} struct<kind:string,val:string,datatype:string,lang:string>"
+        for name in names
+    ]
+    return spark.createDataFrame(data, ", ".join(schema_parts))
+
+
+def order_by(df: DataFrame, *cols: Column) -> DataFrame:
+    return df.orderBy(*cols)
+
+
+def slice_(df: DataFrame, offset: int = 0, limit: int | None = None) -> DataFrame:
+    out = df.offset(offset) if offset else df
+    return out.limit(limit) if limit is not None else out
+
+
+def flatten(df: DataFrame, names: list[str] | None = None) -> DataFrame:
+    """Var structs -> plain lexical-value string columns (for output /
+    oracle comparison). '' normalization is undone to real nulls."""
+    names = names or df.columns
+    return df.select(*[F.col(n).getField("val").alias(n) for n in names])

@@ -1,0 +1,118 @@
+"""Property paths (SPARQL 1.1) over the triple table.
+
+Reference: path classes ``jena-arq/.../sparql/path/P_*.java`` evaluated
+by ``path/PathLib.java`` via ``OpPath`` (``OpExecutor.java:187``).
+Fixed-length constructs compile to joins/unions of edge DataFrames (the
+analog of ``TransformPathFlattern.java`` flattening paths into BGPs);
+unbounded closure (``P_ZeroOrMore``/``P_OneOrMore``) is a driver-side
+semi-naive iteration — the one operator family Catalyst cannot express
+as a single plan (SURVEY.md §4.3), implemented the way GraphFrames does.
+
+Edge representation: a DataFrame ``(src..., dst...)`` of node pairs,
+each node a (kind, val) pair — predicates link terms, not just IRIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAIR_COLS = ["src_kind", "src_val", "dst_kind", "dst_val"]
+
+
+def link(triples: DataFrame, pred: str) -> DataFrame:
+    """P_Link: one predicate step s -> o."""
+    return triples.where(F.col("p_val") == pred).select(
+        F.col("s_kind").alias("src_kind"), F.col("s_val").alias("src_val"),
+        F.col("o_kind").alias("dst_kind"), F.col("o_val").alias("dst_val"),
+    )
+
+
+def inverse(pairs: DataFrame) -> DataFrame:
+    """P_Inverse (^p): swap endpoints."""
+    return pairs.select(
+        F.col("dst_kind").alias("src_kind"), F.col("dst_val").alias("src_val"),
+        F.col("src_kind").alias("dst_kind"), F.col("src_val").alias("dst_val"),
+    )
+
+
+def seq(left: DataFrame, right: DataFrame) -> DataFrame:
+    """P_Seq (p1/p2): relational composition."""
+    l, r = left.alias("l"), right.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.dst_kind") == F.col("r.src_kind"))
+            & (F.col("l.dst_val") == F.col("r.src_val")),
+        )
+        .select(
+            F.col("l.src_kind").alias("src_kind"), F.col("l.src_val").alias("src_val"),
+            F.col("r.dst_kind").alias("dst_kind"), F.col("r.dst_val").alias("dst_val"),
+        )
+        .distinct()
+    )
+
+
+def alt(left: DataFrame, right: DataFrame) -> DataFrame:
+    """P_Alt (p1|p2): union."""
+    return left.unionByName(right).distinct()
+
+
+def neg_prop_set(triples: DataFrame, preds: list[str]) -> DataFrame:
+    """P_NegPropSet (!(p1|p2|...)): any predicate except the set."""
+    return triples.where(~F.col("p_val").isin(preds)).select(
+        F.col("s_kind").alias("src_kind"), F.col("s_val").alias("src_val"),
+        F.col("o_kind").alias("dst_kind"), F.col("o_val").alias("dst_val"),
+    )
+
+
+def fixed_length(pairs: DataFrame, n: int) -> DataFrame:
+    """P_FixedLength (p{n}): n-fold composition."""
+    assert n >= 1
+    out = pairs
+    for _ in range(n - 1):
+        out = seq(out, pairs)
+    return out
+
+
+def one_or_more(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """P_OneOrMore (p+): transitive closure, semi-naive iteration.
+
+    frontier_{k+1} = (frontier_k ∘ edges) − reached; each round is one
+    join + one anti-join, localCheckpoint'ed to cut lineage. Rounds =
+    O(longest simple path); for the O(log n) variant use
+    :func:`jena_spark.pipeline.canonicalize.connected_components`-style
+    doubling — kept simple here because SPARQL closure must preserve
+    (src, dst) pairs, not just components.
+    """
+    edges = pairs.select(*PAIR_COLS).distinct().localCheckpoint(eager=True)
+    reached = edges
+    frontier = edges
+    for _ in range(max_iter):
+        nxt = seq(frontier, edges)
+        new = nxt.join(reached, PAIR_COLS, "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return reached
+
+
+def zero_or_more(pairs: DataFrame, domain: DataFrame) -> DataFrame:
+    """P_ZeroOrMore (p*): closure plus the identity over ``domain``
+    (a (kind,val) node DataFrame — SPARQL evaluates x p* x for all
+    terms in the graph)."""
+    ident = domain.select(
+        F.col("kind").alias("src_kind"), F.col("val").alias("src_val"),
+        F.col("kind").alias("dst_kind"), F.col("val").alias("dst_val"),
+    ).distinct()
+    return one_or_more(pairs).unionByName(ident).distinct()
+
+
+def zero_or_one(pairs: DataFrame, domain: DataFrame) -> DataFrame:
+    """P_ZeroOrOne (p?)."""
+    ident = domain.select(
+        F.col("kind").alias("src_kind"), F.col("val").alias("src_val"),
+        F.col("kind").alias("dst_kind"), F.col("val").alias("dst_val"),
+    ).distinct()
+    return pairs.select(*PAIR_COLS).unionByName(ident).distinct()
