@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`brute_topk` — exact cosine top-k; the correctness baseline.
+  For a single query vector this is a scan + TakeOrderedAndProject
+  (no shuffle of the corpus).
+* :func:`lsh_topk` — random-hyperplane LSH bucketing: candidates are
+  corpus vectors sharing a hash bucket (multi-probe over tables), then
+  exact re-rank. This is the scale path: the corpus is bucketed ONCE
+  (write-time at 100 TB), queries touch only their buckets.
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF-style coarse quantizer:
+  assign vectors to the nearest of k seed centroids (deterministic
+  seeds = first k vectors by id), probe the closest n_probe cells.
+
+Randomness is derived from numpy with a fixed seed so plans are
+deterministic and resumable (Date/Math.random-free, like everything
+else in the engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jena_spark.data.dedup import cosine
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def brute_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (JVM-side arithmetic)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(_as_double(vec_col), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit bucket id for one table of hyperplanes (JVM arithmetic:
+    the plane matrix unrolls into literal arrays — fine for <=32 planes)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(_as_double(vec_col), p, lambda x, y: x * y),
+            F.lit(0.0), lambda s, x: s + x,
+        )
+        bits.append(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_assign(
+    embeddings: DataFrame, n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side bucketing: (id, table, bucket). At scale this is the
+    write-time index (bucket = Iceberg partition key)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    out = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        part = embeddings.select(
+            F.col(id_col).alias("id"), F.lit(t).alias("table"),
+            lsh_bucket_expr(vec_col, planes).alias("bucket"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: union of the query's buckets across tables, exact re-rank."""
+    assigns = lsh_assign(embeddings, n_planes, n_tables, seed, id_col, vec_col)
+    qrow = [(list(map(float, query)),)]
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(qrow, "embedding array<double>")
+    q_assign = lsh_assign(qdf.withColumn("vec_id", F.lit(-1)), n_planes, n_tables, seed)
+    cand_ids = (
+        assigns.join(
+            F.broadcast(q_assign.select("table", "bucket")), ["table", "bucket"]
+        )
+        .select("id").distinct()
+    )
+    cands = embeddings.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col
+    )
+    return brute_topk(cands, query, k, id_col, vec_col)
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign each vector to its nearest seed centroid (centroids =
+    first n_cells vectors by id — deterministic; real system would
+    k-means, same plumbing)."""
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(n_cells).collect()
+    ]
+    best_cell = F.lit(0)
+    best_cos = F.lit(-2.0)
+    for ci, c in enumerate(seeds):
+        cc = F.array(*[F.lit(x) for x in c])
+        cos_c = cosine(_as_double(vec_col), cc)
+        better = cos_c > best_cos
+        best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
+        best_cos = F.when(better, cos_c).otherwise(best_cos)
+    return (
+        embeddings.select(F.col(id_col).alias("id"), best_cell.alias("cell")),
+        seeds,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10, n_cells: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    assigned, seeds = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    qv = np.array(query, dtype=float)
+
+    def cos_np(c):
+        c = np.array(c)
+        return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv) + 1e-12))
+
+    probe = sorted(range(len(seeds)), key=lambda i: -cos_np(seeds[i]))[:n_probe]
+    cand = assigned.where(F.col("cell").isin(probe)).select("id")
+    cands = embeddings.join(cand.withColumnRenamed("id", id_col), id_col)
+    return brute_topk(cands, query, k, id_col, vec_col)

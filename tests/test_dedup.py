@@ -1,0 +1,83 @@
+"""Dedup operator tests on planted near/exact duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_spark.data import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+    (3, "completely different content about spark shuffles"),
+    (4, "spark shuffles completely different content about"),  # same token set as 3
+    (5, "unrelated tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_groups(docs)
+    dup = groups.where(F.col("n_docs") > 1).collect()
+    assert len(dup) == 1 and dup[0]["rep_id"] == 0 and dup[0]["n_docs"] == 2
+    kept = D.drop_exact_dups(docs)
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert pairs[(3, 4)] == 1.0          # same token set, different order
+    assert 0.5 <= pairs[(0, 2)] < 1.0    # near dup
+    assert (0, 5) not in pairs and (3, 5) not in pairs
+
+
+def test_jaccard_ngram_stricter(spark, docs):
+    # 3-gram shingles: word order matters — (3,4) no longer identical
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             D.jaccard_pairs(docs, threshold=0.9, ngram=3).collect()}
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_recall_and_verify(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           D.minhash_dedup_pairs(docs, threshold=0.5, k=32, bands=16).collect()}
+    true = {(r["doc_a"], r["doc_b"]) for r in
+            D.jaccard_pairs(docs, threshold=0.5).collect()}
+    # verified candidates are a subset of true pairs (precision 1 by
+    # construction); with 16 bands of 2 rows recall on >=0.8-sim pairs
+    # should be total on this tiny set
+    assert got <= true
+    assert (0, 1) in got and (3, 4) in got
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = {r["doc"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical fingerprint
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             D.simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 4)] == 0  # token-set equal -> same fingerprint
+    assert (0, 2) in pairs     # near dup within hamming 16
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_near_dups(e, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,119 @@
+"""Text analysis + multimodal plumbing + scalar function tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jena_spark.data import multimodal as MM
+from jena_spark.data import text as TX
+from jena_spark.functions.scalar import SPARQL_FUNCTIONS, sha224_udf
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is on the mat"), (1, ""), (2, "x!!!???...")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("tc"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.punct_ratio(F.col("text")).alias("pr"),
+    ).collect()}
+    assert rows[0]["tc"] == 6 and rows[1]["tc"] == 0
+    assert rows[0]["q"] > rows[2]["q"]  # stopwordy prose beats punctuation soup
+    assert rows[2]["pr"] > 0.5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is happy"),
+            (1, "le chat est dans la maison et il est content"),
+            (2, "der Hund ist in dem Haus und er ist mit"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "und"}
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "e d c b a"), (3, "xy")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert len(got[3]) == 32  # <3 words falls back to md5(text)
+
+
+def test_multimodal_features(spark):
+    media = MM.synthetic_media(spark, n=30)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["n_bytes"] > 0 and 0 <= r["mean_intensity"] <= 255 for r in rows)
+    # deterministic: same input -> same feature hash
+    again = {r["media_id"]: r["feature_hash"] for r in MM.extract_features(media).collect()}
+    first = {r["media_id"]: r["feature_hash"] for r in rows}
+    assert first == again
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = MM.synthetic_media(spark, n=30)
+    thumbs = MM.resize_images(media, out_w=8, out_h=8).collect()
+    assert all(len(bytes(t["thumb"])) == 64 for t in thumbs)
+    assert len(thumbs) == 10  # every 3rd is an image
+    frames = MM.frame_sample(media, every_ms=500)
+    one = frames.where(F.col("media_id") == 2).collect()  # video, duration 1020ms
+    assert [r["frame_ts_ms"] for r in one] == [0, 500, 1000]
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame([("Hello World", "2026-03-01 10:20:30")],
+                               "s string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    fns = SPARQL_FUNCTIONS
+    row = df.select(
+        fns["strlen"](F.col("s")).alias("len"),
+        fns["ucase"](F.col("s")).alias("up"),
+        fns["substr"](F.col("s"), 1, 5).alias("sub"),
+        fns["strbefore"](F.col("s"), " ").alias("before"),
+        fns["strafter"](F.col("s"), " ").alias("after"),
+        fns["strbefore"](F.col("s"), "zzz").alias("before_missing"),
+        fns["sha256"](F.col("s")).alias("h"),
+        fns["year"](F.col("ts")).alias("y"),
+        fns["if"](F.lit(True), F.lit("a"), F.lit("b")).alias("iff"),
+        fns["langmatches"](F.lit("fr-CA"), "fr").alias("lm"),
+    ).collect()[0]
+    assert row["len"] == 11 and row["up"] == "HELLO WORLD" and row["sub"] == "Hello"
+    assert row["before"] == "Hello" and row["after"] == "World"
+    assert row["before_missing"] == ""
+    assert len(row["h"]) == 64 and row["y"] == 2026 and row["iff"] == "a" and row["lm"]
+    sha224 = sha224_udf()
+    out = df.select(sha224(F.col("s")).alias("h224")).collect()[0]["h224"]
+    import hashlib
+    assert out == hashlib.sha224(b"Hello World").hexdigest()
+
+
+def test_streaming_ingest(spark, transcripts_pdf, tmp_path):
+    from jena_spark.schemas import TRANSCRIPTS_SCHEMA
+    from jena_spark.streaming.ingest import start_ingest
+    from jena_spark.pipeline.extract import raw_triples
+    from jena_spark.pipeline.materialize import triple_set
+
+    tdf, _ = transcripts_pdf
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(tdf.head(60), TRANSCRIPTS_SCHEMA).write.parquet(inp)
+    out = str(tmp_path / "out")
+    q = start_ingest(spark, inp, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = triple_set(spark.read.parquet(out))
+    want = triple_set(raw_triples(
+        spark.createDataFrame(tdf.head(60), TRANSCRIPTS_SCHEMA)))
+    assert got == want
