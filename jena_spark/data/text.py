@@ -64,6 +64,33 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * len_term + 0.3 * punct_term + 0.3 * stop_term, 6)
 
 
+def quality_score_bp(text: Column) -> Column:
+    """Integer-exact quality in basis points [0, 10000] — the same
+    shape as :func:`quality_score` but computed entirely in integer
+    arithmetic (floor division), so any engine reproduces it
+    bit-for-bit with no float-rounding boundary cases:
+
+    ``4*min(2*len, 1000) + 3*(1000 - min(5000*punct div len, 1000))
+    + 3*min(5000*stop_hits div n_tokens, 1000)``
+    """
+    n = F.length(text).cast("long")
+    p = F.length(
+        F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")
+    ).cast("long")
+    sw = LANG_STOPWORDS["en"]
+    pat = r"\b(" + "|".join(sw) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))).cast("long")
+    tc = token_count(text).cast("long")
+    len_term = F.least(F.lit(2) * n, F.lit(1000))
+    punct_term = F.lit(1000) - F.when(n == 0, F.lit(0)).otherwise(
+        F.least(F.lit(5000) * p - ((F.lit(5000) * p) % n), F.lit(1000) * n) / n
+    ).cast("long")
+    stop_term = F.when(tc == 0, F.lit(0)).otherwise(
+        F.least(F.lit(5000) * hits - ((F.lit(5000) * hits) % tc), F.lit(1000) * tc) / tc
+    ).cast("long")
+    return (F.lit(4) * len_term + F.lit(3) * punct_term + F.lit(3) * stop_term).cast("long")
+
+
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
     out = []
     for lang in sorted(LANG_STOPWORDS):

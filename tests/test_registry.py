@@ -1,0 +1,43 @@
+"""Driver-contract guard: every registry query must run and, where an
+oracle exists, match DuckDB row-for-row at sf0.001 (the driver runs the
+same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not Path(SF_DIR).exists(), reason="driver testdata not present"
+)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "s_kind", "s_val", "p_val", "o_kind", "o_val", "o_datatype", "o_lang"
+    }
+
+
+def test_oracle_keys_subset():
+    import __spark_entry__ as E
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    # the vast majority of queries must be oracle-checked, not rows-only
+    assert len(os_) >= len(qs) - 5
+
+
+def test_all_queries_match_oracle():
+    from tools.check_oracle import compare
+
+    assert compare(SF_DIR)
