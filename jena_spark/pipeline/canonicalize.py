@@ -71,20 +71,64 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return (row["n"], row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _unionfind(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find, representative = lexicographic min member
+    (identical semantics to the distributed path and the oracle)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """edges(src,dst) -> mapping(node, component) with component = min member.
 
+    Hybrid execution: after dedup, an edge set that fits comfortably on
+    the driver (``<= driver_threshold`` edges — the entity-equivalence
+    graph is orders of magnitude smaller than the triple set) is solved
+    with a single collect + union-find, avoiding O(log n) whole-cluster
+    rounds for a tiny graph. Above the threshold, the alternating
+    large-star/small-star iteration runs fully distributed. Both paths
+    produce the identical mapping (min-member representative).
+
     Only nodes that appear in an edge are returned (isolated nodes map
-    to themselves implicitly). Each round is localCheckpoint'ed to cut
-    lineage — at cluster scale this would be ``df.checkpoint()`` to a
-    reliable store, which is also the per-round resume point.
+    to themselves implicitly). Each distributed round is
+    localCheckpoint'ed to cut lineage — at cluster scale this would be
+    ``df.checkpoint()`` to a reliable store, which is also the
+    per-round resume point.
     """
+    spark = edges.sparkSession
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "node string, component string")
+    if n_edges <= driver_threshold:
+        mapping = _unionfind([(r["src"], r["dst"]) for r in e.collect()])
+        return spark.createDataFrame(
+            sorted(mapping.items()), "node string, component string"
+        )
+    # NOTE: the distributed path below also self-maps representatives
+    # (rep -> rep) before returning, matching the driver path — the
+    # rewrite in canonicalize_triples relies on "mapping hit" meaning
+    # "this IRI belongs to some equivalence component".
     sig = _signature(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -92,8 +136,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
-    # fixpoint: every edge is (node -> component root)
-    return e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # fixpoint: every edge is (node -> component root); add rep self-maps
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(roots)
+        .distinct()
+    )
 
 
 def sameas_edges(triples: DataFrame) -> DataFrame:
@@ -115,6 +164,17 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
     in equivalences — orders of magnitude smaller than the triple set.
     Self-referential sameAs triples vanish after rewriting (closure
     semantics, cf. oracle).
+
+    Shuffle design (input contract: ``triples`` is already a set, which
+    :func:`jena_spark.pipeline.extract.raw_triples` guarantees by
+    construction): rewriting can only create duplicates among rows that
+    touch an equivalence component — i.e. rows whose subject or object
+    IRI has a mapping entry (the mapping self-maps representatives, so
+    "hit" ⇔ "in some component"). Untouched rows cannot equal a
+    rewritten row (rewritten rows carry a component IRI in the rewritten
+    position; untouched rows by definition contain none), so only the
+    touched fraction is dedup-shuffled and the bulk of the table streams
+    through with no shuffle at all.
     """
     if mapping is None:
         mapping = connected_components(sameas_edges(triples))
@@ -122,7 +182,7 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
                         .withColumnRenamed("component", "s_canon"))
     o_map = F.broadcast(mapping.withColumnRenamed("node", "o_val")
                         .withColumnRenamed("component", "o_canon"))
-    out = (
+    joined = (
         triples.join(s_map, ["s_val"], "left")
         .join(o_map, ["o_val"], "left")
         .select(
@@ -134,7 +194,16 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
             F.when(F.col("o_kind") == "iri", F.coalesce("o_canon", "o_val"))
             .otherwise(F.col("o_val")).alias("o_val"),
             F.col("o_datatype"), F.col("o_lang"), F.col("graph"), F.col("conv_id"),
+            (
+                ((F.col("s_kind") == "iri") & F.col("s_canon").isNotNull())
+                | ((F.col("o_kind") == "iri") & F.col("o_canon").isNotNull())
+            ).alias("_touched"),
         )
         .where(~((F.col("p_val") == TM.OWL_SAMEAS) & (F.col("s_val") == F.col("o_val"))))
     )
-    return out.dropDuplicates(TM.TERM_COLS)
+    untouched = joined.where(~F.col("_touched")).drop("_touched")
+    touched = (
+        joined.where(F.col("_touched")).drop("_touched")
+        .dropDuplicates(TM.TERM_COLS)
+    )
+    return untouched.unionByName(touched)

@@ -133,6 +133,15 @@ def mention_triples(
 
     turn --mentions--> surface_iri ; surface_iri --label--> "surface" ;
     surface_iri --sameAs--> canonical_iri (when the IRIs differ).
+
+    Shuffle design: mention-edge rows are unique by construction (one
+    per distinct (conv, turn, surface)). Label/sameAs rows depend only
+    on the *surface*, so they are emitted from the distinct-surface
+    dimension (tiny) rather than per-mention-then-dedup — this is what
+    lets :func:`raw_triples` skip a whole-output dropDuplicates, the
+    single biggest shuffle at scale. Label/sameAs rows carry a null
+    conv_id (they belong to no single conversation — deterministic,
+    unlike an arbitrary dedup survivor).
     """
     spark = transcripts.sparkSession
     mentions = extract_mentions(transcripts, gazetteer)
@@ -145,37 +154,51 @@ def mention_triples(
     s_iri = TM.entity_iri_col(F.col("surface"))
     c_iri = TM.entity_iri_col(F.col("canonical"))
 
-    elems = F.array(
-        F.struct(F.lit("bnode").alias("s_kind"), turn_bnode.alias("s_val"),
-                 F.lit(TM.P_MENTIONS).alias("p_val"),
-                 F.lit("iri").alias("o_kind"), s_iri.alias("o_val"),
-                 _null_s().alias("o_datatype"), _null_s().alias("o_lang")),
-        F.struct(F.lit("iri").alias("s_kind"), s_iri.alias("s_val"),
-                 F.lit(TM.RDFS_LABEL).alias("p_val"),
-                 F.lit("literal").alias("o_kind"), F.col("surface").alias("o_val"),
-                 _null_s().alias("o_datatype"), _null_s().alias("o_lang")),
-        F.when(s_iri != c_iri,
-               F.struct(F.lit("iri").alias("s_kind"), s_iri.alias("s_val"),
-                        F.lit(TM.OWL_SAMEAS).alias("p_val"),
-                        F.lit("iri").alias("o_kind"), c_iri.alias("o_val"),
-                        _null_s().alias("o_datatype"), _null_s().alias("o_lang"))),
+    edges = linked.select(
+        F.lit("bnode").alias("s_kind"), turn_bnode.alias("s_val"),
+        F.lit(TM.P_MENTIONS).alias("p_val"),
+        F.lit("iri").alias("o_kind"), s_iri.alias("o_val"),
+        _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+        _null_s().alias("graph"), F.col("conv_id"),
     )
-    exploded = linked.select(F.col("conv_id"), F.explode(elems).alias("t"))
-    return (
-        exploded.where(F.col("t").isNotNull())
-        .select("t.s_kind", "t.s_val", "t.p_val", "t.o_kind", "t.o_val",
-                "t.o_datatype", "t.o_lang", _null_s().alias("graph"), F.col("conv_id"))
+
+    surfaces = (
+        mentions.select("surface").distinct().join(F.broadcast(dim), "surface")
     )
+    labels = surfaces.select(
+        F.lit("iri").alias("s_kind"), s_iri.alias("s_val"),
+        F.lit(TM.RDFS_LABEL).alias("p_val"),
+        F.lit("literal").alias("o_kind"), F.col("surface").alias("o_val"),
+        _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+        _null_s().alias("graph"), _null_s().alias("conv_id"),
+    )
+    sameas = surfaces.where(s_iri != c_iri).select(
+        F.lit("iri").alias("s_kind"), s_iri.alias("s_val"),
+        F.lit(TM.OWL_SAMEAS).alias("p_val"),
+        F.lit("iri").alias("o_kind"), c_iri.alias("o_val"),
+        _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+        _null_s().alias("graph"), _null_s().alias("conv_id"),
+    )
+    return edges.unionByName(labels).unionByName(sameas)
 
 
 def raw_triples(transcripts: DataFrame, gazetteer: dict | None = None) -> DataFrame:
     """Full pre-canonicalization triple set (turn structure + mentions).
 
-    Set semantics (Graph.add no-op on duplicate, ``Graph.java:84``) are
-    applied via dropDuplicates on the 7 term columns — one shuffle,
-    done once here rather than per-stage.
+    Set semantics (Graph.add no-op on duplicate, ``Graph.java:84``) hold
+    BY CONSTRUCTION, with no whole-output dedup shuffle:
+
+    * turn-structure rows are unique because (conv_id, turn_idx) keys
+      the input (input_hint contract: stable turn ordering) and each
+      turn emits at most one row per predicate;
+    * mention-edge rows are distinct (conv, turn, surface) tuples;
+    * label/sameAs rows come from the distinct-surface dimension;
+    * the three branches emit disjoint predicate sets, so no
+      cross-branch duplicate is possible.
+
+    At 100 TB this removes the single largest shuffle of the pipeline
+    (a 7-wide string dedup over every emitted triple).
     """
-    t = turn_structure_triples(transcripts).unionByName(
+    return turn_structure_triples(transcripts).unionByName(
         mention_triples(transcripts, gazetteer)
     )
-    return t.dropDuplicates(TM.TERM_COLS)

@@ -89,7 +89,14 @@ def write_stage(
     bucketed = with_bucket(df, n_buckets, key=key)
     if only_buckets is not None:
         bucketed = bucketed.where(F.col("part_id").isin(only_buckets))
-    bucketed.write.mode("append").partitionBy("part_id").parquet(out_path)
+    # co-locate each bucket into one task before the partitioned write:
+    # without this every task writes a file per bucket (tasks × buckets
+    # small files — a commit-time and read-back bottleneck). At larger
+    # scale raise the partition count to a multiple of n_buckets.
+    (
+        bucketed.repartition(n_buckets, "part_id")
+        .write.mode("append").partitionBy("part_id").parquet(out_path)
+    )
     wall = time.time() - t0
 
     spark = df.sparkSession

@@ -51,15 +51,23 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def _conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # see session.py: Spark 4.1 union constraint-rewrite bug workaround
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
+
+def _raw_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (pre-canonicalization) triples incl. graph/conv_id, persisted
+    once — canonicalization and the raw-vs-canon set-op queries all
+    reuse it, so the extraction UDF runs exactly one time per sf_dir."""
+    key = (id(spark), sf_dir, "raw_full")
+    if key not in _CACHE:
+        _conf(spark)
+        _CACHE[key] = raw_triples(transcripts_df(spark, sf_dir)).persist()
+    return _CACHE[key]
 
 
 def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir, "raw")
-    if key not in _CACHE:
-        _conf(spark)
-        df = raw_triples(transcripts_df(spark, sf_dir)).select(*TM.TERM_COLS)
-        _CACHE[key] = df.persist()
-    return _CACHE[key]
+    return _raw_full(spark, sf_dir).select(*TM.TERM_COLS)
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,9 +75,7 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir, "canon")
     if key not in _CACHE:
         _conf(spark)
-        df = canonicalize_triples(
-            raw_triples(transcripts_df(spark, sf_dir)).withColumn("graph", F.lit(None).cast("string"))
-        ).select(*TM.TERM_COLS)
+        df = canonicalize_triples(_raw_full(spark, sf_dir)).select(*TM.TERM_COLS)
         _CACHE[key] = df.persist()
     return _CACHE[key]
 
@@ -452,6 +458,135 @@ _register(
       AND o_val IN ('{ENT_TURING}', '{ENT_SPARK}', '{ENT_LONDON}')
     GROUP BY o_val""",
 )
+
+def _q_agg_stats(spark, sf):
+    t = _triples(spark, sf)
+    idx = t.where(F.col("p_val") == TM.P_TURN_INDEX).select(
+        F.col("o_val").cast("bigint").alias("i")
+    )
+    return idx.agg(
+        F.round(F.stddev_samp("i"), 6).alias("sd_samp"),
+        F.round(F.stddev_pop("i"), 6).alias("sd_pop"),
+        F.round(F.var_samp("i"), 6).alias("var_samp"),
+        F.round(F.var_pop("i"), 6).alias("var_pop"),
+    )
+
+
+_register(
+    "kg_agg_stats",
+    _q_agg_stats,
+    _W + f"""SELECT round(stddev_samp(i), 6) AS sd_samp,
+           round(stddev_pop(i), 6) AS sd_pop,
+           round(var_samp(i), 6) AS var_samp,
+           round(var_pop(i), 6) AS var_pop
+    FROM (SELECT CAST(o_val AS BIGINT) AS i FROM triples
+          WHERE p_val = '{TM.P_TURN_INDEX}')""",
+)
+
+
+def _q_theta_join(spark, sf):
+    """Non-equi (theta) join: ordered turn pairs within a conversation —
+    the OpJoin/nested-loop fallback for conditions hash joins can't
+    key on (``engine/join/QueryIterNestedLoopJoin.java``). The conv
+    equality keeps it a shuffled equi-join with a theta residual."""
+    t = _triples(spark, sf)
+    turns = (
+        t.where(F.col("p_val") == TM.P_HAS_TURN)
+        .select(F.col("s_val").alias("conv"), F.col("o_val").alias("turn"))
+    )
+    idx = (
+        t.where(F.col("p_val") == TM.P_TURN_INDEX)
+        .select(F.col("s_val").alias("turn"), F.col("o_val").cast("bigint").alias("i"))
+    )
+    ti = turns.join(idx, "turn")
+    a, b = ti.alias("a"), ti.alias("b")
+    pairs = a.join(
+        b, (F.col("a.conv") == F.col("b.conv")) & (F.col("a.i") < F.col("b.i"))
+    )
+    return pairs.groupBy(F.col("a.conv").alias("conv")).agg(
+        F.count("*").alias("n_ordered_pairs")
+    )
+
+
+_register(
+    "kg_theta_join",
+    _q_theta_join,
+    _W + f""", ti AS (
+      SELECT h.s_val AS conv, h.o_val AS turn, CAST(x.o_val AS BIGINT) AS i
+      FROM triples h JOIN triples x ON x.s_val = h.o_val
+      WHERE h.p_val = '{TM.P_HAS_TURN}' AND x.p_val = '{TM.P_TURN_INDEX}'
+    )
+    SELECT a.conv AS conv, count(*) AS n_ordered_pairs
+    FROM ti a JOIN ti b ON a.conv = b.conv AND a.i < b.i
+    GROUP BY a.conv""",
+)
+
+
+def _q_pf_split(spark, sf):
+    """Property functions: apf:strSplit + apf:splitIRI over label rows."""
+    from jena_spark.queries import propfunc as PF
+
+    t = _triples(spark, sf)
+    labels = (
+        t.where(F.col("p_val") == TM.RDFS_LABEL)
+        .select(F.col("s_val").alias("entity"), F.col("o_val").alias("label"))
+        .distinct()
+    )
+    split = PF.str_split(labels, F.col("label"), "word", " ")
+    out = PF.split_iri(split, F.col("entity"), "ns", "local")
+    return out.select("entity", "ns", "local", "word").distinct()
+
+
+_register(
+    "kg_propfunc_split",
+    _q_pf_split,
+    _W + f"""SELECT DISTINCT s_val AS entity,
+           regexp_extract(s_val, '^(.*[#/])', 1) AS ns,
+           regexp_extract(s_val, '([^#/]*)$', 1) AS local,
+           unnest(string_split(o_val, ' ')) AS word
+    FROM (SELECT DISTINCT s_val, o_val FROM triples
+          WHERE p_val = '{TM.RDFS_LABEL}')""",
+)
+
+
+def _q_update(spark, sf):
+    """SPARQL Update round-trip: DELETE WHERE {?t role 'tool'} then
+    DELETE/INSERT WHERE rewriting role 'user' -> 'enduser', then
+    INSERT DATA of one ground triple; returns the role census."""
+    from jena_spark.pipeline import update as U
+
+    t = _triples(spark, sf)
+    step1 = U.delete_where(t, p=TM.P_ROLE, o=("literal", "tool"))
+    step2 = U.delete_insert_where(
+        step1, p=TM.P_ROLE, o=("literal", "user"),
+        set_object=("literal", "enduser"),
+    )
+    new_row = spark.createDataFrame(
+        [("iri", TM.NS_VOCAB + "system", TM.P_ROLE, "literal", "system", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string",
+    )
+    step3 = U.insert_data(step2, new_row)
+    return (
+        step3.where(F.col("p_val") == TM.P_ROLE)
+        .groupBy(F.col("o_val").alias("role"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "kg_update_roundtrip",
+    _q_update,
+    _W + f"""SELECT role, count(*) AS n FROM (
+      SELECT DISTINCT s_kind, s_val,
+             CASE WHEN o_val = 'user' THEN 'enduser' ELSE o_val END AS role
+      FROM triples
+      WHERE p_val = '{TM.P_ROLE}' AND o_val <> 'tool'
+      UNION
+      SELECT 'iri', '{TM.NS_VOCAB}system', 'system'
+    ) GROUP BY role""",
+)
+
 
 # === property paths =========================================================
 

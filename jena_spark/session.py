@@ -48,7 +48,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Byte-based coalescing under-parallelizes CPU-heavy stages (our
+        # pandas-UDF extraction does much work per byte — short text
+        # compresses to ~nothing in the shuffle). A small floor lets
+        # parallelismFirst actually hit defaultParallelism partitions.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4.1 UnionBase.rewriteConstraints crashes ("key not
+        # found") on union-of-renamed-branches plans (our canonicalize
+        # union feeding path closure). Constraint propagation only
+        # powers filter inference we already write explicitly.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("JENA_SPARK_DRIVER_MEM", "8g"))

@@ -14,7 +14,9 @@ def _run(spark, pairs):
         (r["node"], r["component"]) for r in connected_components(e).collect()
     }
     want_map = _components(pairs)
-    want = {(n, c) for n, c in want_map.items() if n != c}
+    # mapping contract: every node in some component appears, including
+    # representatives self-mapped (rep -> rep)
+    want = {(n, c) for n, c in want_map.items()}
     return got, want
 
 

@@ -1,0 +1,112 @@
+"""spark-submit job: full KG-construction pipeline with per-partition
+lineage checkpoints (the north-rule deployment shape).
+
+Usage:
+  spark-submit --master local[N] --py-files jena_spark.zip \\
+      tools/pipeline_job.py --sf-dir /root/testdata/sf0.1 \\
+      --out /tmp/kg_out --replicate 4 [--resume]
+
+Prints ONE JSON line: wall seconds per stage, triples in/out, and
+triples/sec (the LoadMonitor-style ticker,
+``jena-tdb/.../bulkloader/LoadMonitor.java:151``).
+
+``--replicate R`` unions R deterministic copies of the derived
+transcripts (conv_id suffixed ``-rK``) — same data shape at R× volume,
+used to give the scaling-efficiency measurement enough work per core.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/kg_out")
+    ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing output; compute only missing buckets")
+    ap.add_argument("--noop-sink", action="store_true",
+                    help="force full compute but write to the noop sink: "
+                         "isolates compute/shuffle scaling from the sandbox's "
+                         "single shared local disk (a real cluster writes to "
+                         "distributed storage)")
+    args = ap.parse_args()
+
+    from jena_spark.data.transcripts import transcripts_df
+    from jena_spark.pipeline.materialize import run_pipeline
+
+    spark = (
+        SparkSession.builder.appName("kg_pipeline_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if not args.resume:
+        shutil.rmtree(args.out, ignore_errors=True)
+
+    tr = transcripts_df(spark, args.sf_dir)
+    if args.replicate > 1:
+        tr = tr.crossJoin(
+            spark.range(args.replicate).select(F.col("id").alias("rep"))
+        ).withColumn(
+            "conv_id", F.concat("conv_id", F.lit("-r"), F.col("rep").cast("string"))
+        ).drop("rep")
+    tr = tr.persist()
+    n_turns = tr.count()
+
+    t0 = time.perf_counter()
+    if args.noop_sink:
+        from pyspark.sql import Observation
+
+        from jena_spark.pipeline.canonicalize import canonicalize_triples
+        from jena_spark.pipeline.extract import raw_triples
+
+        raw = raw_triples(tr).persist()  # one extraction pass, reused by
+        canon = canonicalize_triples(raw)  # edge-derivation AND rewrite
+        obs = Observation("n")
+        canon.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        n_triples = obs.get["rows"]
+        stages = {"canonical_noop": {"rows_out": n_triples}}
+    else:
+        results = run_pipeline(spark, tr, args.out, n_buckets=args.n_buckets)
+        n_triples = results["triples"].counters["rows_out"]
+        stages = {k: v.counters for k, v in results.items()}
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "sf_dir": args.sf_dir,
+        "replicate": args.replicate,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "sink": "noop" if args.noop_sink else "parquet",
+        "stages": stages,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
