@@ -230,6 +230,51 @@ def slice_(df: DataFrame, offset: int = 0, limit: int | None = None) -> DataFram
     return out.limit(limit) if limit is not None else out
 
 
+def construct(bindings: DataFrame, templates: list[Pattern]) -> DataFrame:
+    """CONSTRUCT: instantiate triple templates from bindings
+    (``QueryExecutionBase.execConstruct``, ``sparql/engine/
+    QueryExecutionBase.java:206``). Each template position is a Var
+    (substituted from the binding's term struct) or a constant TermSpec;
+    rows with an unbound variable in any position are skipped (SPARQL
+    CONSTRUCT semantics); the result is a set (CONSTRUCT builds a
+    graph, so duplicates collapse)."""
+
+    def term_cols(term, position: str) -> list[Column]:
+        if isinstance(term, Var):
+            v = F.col(term.name)
+            kind, val = v.getField("kind"), v.getField("val")
+            datatype = F.nullif(v.getField("datatype"), F.lit(""))
+            lang = F.nullif(v.getField("lang"), F.lit(""))
+        else:
+            n = _normalize(term)
+            kind, val = F.lit(n[0]), F.lit(n[1])
+            datatype = F.lit(n[2]).cast("string")
+            lang = F.lit(n[3]).cast("string")
+        if position == "s":
+            return [kind.alias("s_kind"), val.alias("s_val")]
+        if position == "p":
+            return [val.alias("p_val")]
+        return [kind.alias("o_kind"), val.alias("o_val"),
+                datatype.alias("o_datatype"), lang.alias("o_lang")]
+
+    parts = []
+    for s, p, o in templates:
+        bound = F.lit(True)
+        for term in (s, p, o):
+            if isinstance(term, Var):
+                bound = bound & F.col(term.name).isNotNull()
+        row = bindings.where(bound).select(
+            *term_cols(s, "s"), *term_cols(p, "p"), *term_cols(o, "o")
+        )
+        parts.append(row)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.dropDuplicates(
+        ["s_kind", "s_val", "p_val", "o_kind", "o_val", "o_datatype", "o_lang"]
+    )
+
+
 def flatten(df: DataFrame, names: list[str] | None = None) -> DataFrame:
     """Var structs -> plain lexical-value string columns (for output /
     oracle comparison). '' normalization is undone to real nulls."""

@@ -122,6 +122,33 @@ def intersection(g1: DataFrame, g2: DataFrame) -> DataFrame:
     )
 
 
+def triples_to_quads(triples: DataFrame, graph_iri: str) -> DataFrame:
+    """≙ elephas ``TriplesToQuadsConstantGraphMapper``: place every
+    triple in a constant named graph (``Quad.java:32`` adds the graph
+    term)."""
+    return triples.select(*TERM_COLS).withColumn("graph", F.lit(graph_iri))
+
+
+def quads_to_triples(quads: DataFrame) -> DataFrame:
+    """≙ elephas ``QuadsToTriplesMapper``: drop the graph term; set
+    semantics re-applied (two graphs may hold the same triple)."""
+    return quads.select(*TERM_COLS).dropDuplicates(TERM_COLS)
+
+
+def find_in_graph(
+    quads: DataFrame, g: str | None,
+    s: TermSpec = ANY, p: TermSpec = ANY, o: TermSpec = ANY,
+) -> DataFrame:
+    """``Graph.find`` scoped to one named graph (OpQuadPattern /
+    OpGraph, ``OpExecutor.java:143-182``); ``g=None`` matches the
+    default graph (null graph column, ``Quad.defaultGraphIRI``
+    sentinel role)."""
+    cond = pattern_predicate(s, p, o) & (
+        F.col("graph").isNull() if g is None else (F.col("graph") == g)
+    )
+    return quads.where(cond).select(*TERM_COLS, "graph")
+
+
 def difference(g1: DataFrame, g2: DataFrame) -> DataFrame:
     """``Model.difference`` — anti-join on all term columns."""
     right = _term_proj(g2)

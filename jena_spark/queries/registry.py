@@ -588,6 +588,120 @@ _register(
 )
 
 
+def _q_construct(spark, sf):
+    """CONSTRUCT: derive a co-mention graph — for each pair of entities
+    mentioned in one turn, emit (e1, vocab#comentionedWith, e2)."""
+    t = _triples(spark, sf)
+    b = A.bgp(t, [(Var("turn"), TM.P_MENTIONS, Var("e1")),
+                  (Var("turn"), TM.P_MENTIONS, Var("e2"))])
+    b = A.filter_(b, A.v("e1") < A.v("e2"))
+    return A.construct(b, [(Var("e1"), TM.NS_VOCAB + "comentionedWith", Var("e2"))])
+
+
+_register(
+    "kg_construct",
+    _q_construct,
+    _W + f"""SELECT DISTINCT 'iri' AS s_kind, a.o_val AS s_val,
+           '{TM.NS_VOCAB}comentionedWith' AS p_val,
+           'iri' AS o_kind, b.o_val AS o_val,
+           CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang
+    FROM triples a JOIN triples b ON a.s_val = b.s_val
+    WHERE a.p_val = '{TM.P_MENTIONS}' AND b.p_val = '{TM.P_MENTIONS}'
+      AND a.o_val < b.o_val""",
+)
+
+
+def _q_having(spark, sf):
+    """GROUP BY + HAVING (HAVING compiles to OpFilter above OpGroup,
+    ``AlgebraGenerator.java``): entities mentioned in >= 3 turns."""
+    t = _triples(spark, sf)
+    g = (
+        t.where(F.col("p_val") == TM.P_MENTIONS)
+        .groupBy(F.col("o_val").alias("entity"))
+        .agg(F.count("*").alias("n"))
+    )
+    return A.filter_(g, F.col("n") >= 3)
+
+
+_register(
+    "kg_group_having",
+    _q_having,
+    _W + f"""SELECT o_val AS entity, count(*) AS n FROM triples
+    WHERE p_val = '{TM.P_MENTIONS}'
+    GROUP BY o_val HAVING count(*) >= 3""",
+)
+
+
+def _q_text_search(spark, sf):
+    """jena-text parity (§2.14): find entities whose literal label
+    matches a keyword — ``TextIndexLucene.query(property, string)``
+    as a filtered scan over (property = label, literal contains)."""
+    t = _triples(spark, sf)
+    return (
+        t.where(
+            (F.col("p_val") == TM.RDFS_LABEL)
+            & (F.col("o_kind") == "literal")
+            & F.lower(F.col("o_val")).contains("o")
+        )
+        .select(F.col("s_val").alias("entity"), F.col("o_val").alias("label"))
+        .distinct()
+    )
+
+
+_register(
+    "kg_text_search",
+    _q_text_search,
+    _W + f"""SELECT DISTINCT s_val AS entity, o_val AS label FROM triples
+    WHERE p_val = '{TM.RDFS_LABEL}' AND o_kind = 'literal'
+      AND contains(lower(o_val), 'o')""",
+)
+
+
+def _q_quads(spark, sf):
+    """Named-graph round trip: triples -> constant named graph ->
+    find within that graph (OpQuadPattern) -> back to triples."""
+    t = _triples(spark, sf)
+    quads = G.triples_to_quads(t, TM.NS + "graph/main")
+    found = G.find_in_graph(quads, TM.NS + "graph/main", p=TM.P_ROLE)
+    return G.quads_to_triples(found)
+
+
+_register(
+    "kg_quads_roundtrip",
+    _q_quads,
+    _W + f"SELECT * FROM triples WHERE p_val = '{TM.P_ROLE}'",
+)
+
+
+def _q_salted(spark, sf):
+    """Skew-handling demo with REAL skew: per-entity distinct-conv
+    count via salted two-phase aggregation (hot entities spread over
+    16 reducers). Must equal the plain aggregation — the oracle is the
+    unsalted SQL."""
+    from jena_spark.pipeline.skew import salted_agg
+
+    t = _triples(spark, sf)
+    b = A.bgp(t, [(Var("conv"), TM.P_HAS_TURN, Var("turn")),
+                  (Var("turn"), TM.P_MENTIONS, Var("entity"))])
+    flat = A.flatten(A.project(b, "conv", "entity"), ["conv", "entity"])
+    return salted_agg(
+        flat, ["entity"],
+        {"_convs": F.collect_set("conv")},
+        {"n_convs": F.size(F.array_distinct(F.flatten(F.collect_list("_convs")))).cast("long")},
+        salt=16,
+    )
+
+
+_register(
+    "kg_salted_agg",
+    _q_salted,
+    _W + f"""SELECT m.o_val AS entity, count(DISTINCT h.s_val) AS n_convs
+    FROM triples h JOIN triples m ON m.s_val = h.o_val
+    WHERE h.p_val = '{TM.P_HAS_TURN}' AND m.p_val = '{TM.P_MENTIONS}'
+    GROUP BY m.o_val""",
+)
+
+
 # === property paths =========================================================
 
 def _q_path_seq(spark, sf):
