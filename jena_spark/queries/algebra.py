@@ -97,11 +97,71 @@ def join(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.join(right, shared, "inner")
 
 
-def bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _reorder_weight(pattern: Pattern, bound: set[str]) -> int:
+    """ReorderFixed's fixed weights (``jena-arq/.../engine/optimizer/
+    reorder/ReorderFixed.java:84-98``): SP?=2, ?PO=3, S?O=2, S??=10,
+    ??O=20, ?P?=30, ???=big; rdf:type patterns penalized (VAR type
+    TERM=5, VAR type VAR=50). A variable already bound by earlier
+    patterns counts as concrete (the substitution part of
+    ``ReorderTransformationSubstitution``)."""
+    s, p, o = pattern
+
+    def concrete(t):
+        return not isinstance(t, Var) or t.name in bound
+
+    cs, cp, co = concrete(s), concrete(p), concrete(o)
+    is_type = (not isinstance(p, Var)) and (
+        p == RDF_TYPE or (isinstance(p, tuple) and p[1] == RDF_TYPE)
+    )
+    if cs and cp and co:
+        return 1
+    if cs and cp:
+        return 2
+    if cp and co:
+        return 5 if is_type else 3
+    if cs and co:
+        return 2
+    if cs:
+        return 10
+    if co:
+        return 20
+    if cp:
+        return 50 if is_type else 30
+    return 100
+
+
+def reorder_patterns(patterns: list[Pattern]) -> list[Pattern]:
+    """Greedy smallest-weight-first with variable substitution —
+    the ARQ/TDB heuristic join order (``ReorderFixed.java:34``,
+    ``ReorderTransformationSubstitution.java``). AQE still adapts the
+    physical join strategy at runtime; this fixes the *logical* chain
+    order so the most selective pattern scans first."""
+    remaining = list(patterns)
+    bound: set[str] = set()
+    out: list[Pattern] = []
+    while remaining:
+        best = min(range(len(remaining)),
+                   key=lambda i: (_reorder_weight(remaining[i], bound), i))
+        chosen = remaining.pop(best)
+        out.append(chosen)
+        for t in chosen:
+            if isinstance(t, Var):
+                bound.add(t.name)
+    return out
+
+
+def bgp(triples: DataFrame, patterns: list[Pattern], reorder: bool = True) -> DataFrame:
     """Basic graph pattern: conjunctive self-joins over the triple table
     (OpBGP, ``OpExecutor.java:127``; stage generator
-    ``engine/main/StageGeneratorGeneric.java:37``). AQE/CBO own the
-    join order — the analog of TDB's ReorderFixed/StatsMatcher."""
+    ``engine/main/StageGeneratorGeneric.java:37``). Logical join order
+    follows the ReorderFixed heuristic (:func:`reorder_patterns`);
+    AQE/CBO then own the physical strategy — together the analog of
+    TDB's ReorderFixed + runtime re-order (``OpExecutorTDB1.java:187``)."""
+    if reorder:
+        patterns = reorder_patterns(patterns)
     out = None
     for p in patterns:
         step = triple_pattern(triples, p)

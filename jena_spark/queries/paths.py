@@ -75,6 +75,19 @@ def fixed_length(pairs: DataFrame, n: int) -> DataFrame:
     return out
 
 
+def mod_path(pairs: DataFrame, n: int, m: int) -> DataFrame:
+    """P_Mod (p{n,m}): union of the n..m-fold compositions
+    (``sparql/path/P_Mod.java``); n >= 1 here (use zero_or_* for n=0)."""
+    assert 1 <= n <= m
+    step = pairs.select(*PAIR_COLS).distinct()
+    cur = fixed_length(step, n)
+    out = cur
+    for _ in range(n, m):
+        cur = seq(cur, step)
+        out = out.unionByName(cur)
+    return out.distinct()
+
+
 def one_or_more(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """P_OneOrMore (p+): transitive closure, semi-naive iteration.
 

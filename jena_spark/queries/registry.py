@@ -760,6 +760,49 @@ _register(
     SELECT DISTINCT * FROM closure""",
 )
 
+def _q_path_negated(spark, sf):
+    """P_NegPropSet: any edge except structure predicates."""
+    t = _triples(spark, sf)
+    return P.neg_prop_set(
+        t, [TM.P_HAS_TURN, TM.P_TURN_INDEX, TM.P_ROLE, TM.P_TEXT, TM.P_TOOL, TM.P_TS]
+    ).distinct()
+
+
+_register(
+    "kg_path_negated",
+    _q_path_negated,
+    _W + f"""SELECT DISTINCT s_kind AS src_kind, s_val AS src_val,
+           o_kind AS dst_kind, o_val AS dst_val
+    FROM triples WHERE p_val NOT IN (
+      '{TM.P_HAS_TURN}', '{TM.P_TURN_INDEX}', '{TM.P_ROLE}',
+      '{TM.P_TEXT}', '{TM.P_TOOL}', '{TM.P_TS}')""",
+)
+
+
+def _q_path_mod(spark, sf):
+    """P_Mod p{1,2} over hasTurn|mentions edges: direct pairs plus
+    conv->entity 2-step pairs."""
+    t = _triples(spark, sf)
+    edges = P.alt(P.link(t, TM.P_HAS_TURN), P.link(t, TM.P_MENTIONS))
+    return P.mod_path(edges, 1, 2)
+
+
+_register(
+    "kg_path_mod",
+    _q_path_mod,
+    _W + f""", edges AS (
+      SELECT DISTINCT s_kind AS src_kind, s_val AS src_val,
+             o_kind AS dst_kind, o_val AS dst_val
+      FROM triples WHERE p_val IN ('{TM.P_HAS_TURN}', '{TM.P_MENTIONS}')
+    )
+    SELECT * FROM edges
+    UNION
+    SELECT a.src_kind, a.src_val, b.dst_kind, b.dst_val
+    FROM edges a JOIN edges b
+      ON a.dst_kind = b.src_kind AND a.dst_val = b.src_val""",
+)
+
+
 # === stats (elephas parity) =================================================
 
 _register(

@@ -151,3 +151,50 @@ def test_group_aggregates(spark, people):
     got = {(r["city"], r["n"], float(r["avg_age"])) for r in out.collect()}
     assert (EX + "paris", 2, 32.5) in got
     assert (EX + "lyon", 1, 25.0) in got
+
+
+def test_reorder_fixed_weights(spark):
+    """ReorderFixed parity: most selective pattern first, substitution
+    makes later patterns cheaper (ReorderFixed.java:84-98)."""
+    from jena_spark.queries.algebra import Var, reorder_patterns
+
+    v = Var
+    p1 = (v("x"), "p:knows", v("y"))            # ?P? bound-p = 3 after x bound... initially ?P?=30
+    p2 = ("e:a", "p:knows", v("x"))             # SP? = 2  -> first
+    p3 = (v("y"), "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "e:T")  # ?type TERM = 5
+    out = reorder_patterns([p1, p3, p2])
+    assert out[0] == p2
+    # after p2 binds x, p1 becomes SP?=2 and beats the type pattern (5)
+    assert out[1] == p1 and out[2] == p3
+
+
+def test_bgp_reorder_same_result(spark, transcripts_df):
+    from jena_spark import terms as TM
+    from jena_spark.pipeline.canonicalize import canonicalize_triples
+    from jena_spark.pipeline.extract import raw_triples
+    from jena_spark.queries.algebra import Var, bgp, flatten, project
+
+    t = canonicalize_triples(raw_triples(transcripts_df))
+    pats = [
+        (Var("c"), TM.P_HAS_TURN, Var("t")),
+        (Var("t"), TM.P_MENTIONS, Var("e")),
+        (Var("t"), TM.P_ROLE, Var("r")),
+    ]
+    a = flatten(project(bgp(t, pats, reorder=True), "c", "e", "r"), ["c", "e", "r"])
+    b = flatten(project(bgp(t, pats, reorder=False), "c", "e", "r"), ["c", "e", "r"])
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_empty_input_pipeline(spark):
+    """Whole pipeline on an empty transcripts table: no errors, empty set."""
+    import pandas as pd
+
+    from jena_spark.pipeline.canonicalize import canonicalize_triples
+    from jena_spark.pipeline.extract import raw_triples
+    from jena_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    empty = spark.createDataFrame(
+        pd.DataFrame(columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        TRANSCRIPTS_SCHEMA,
+    )
+    assert canonicalize_triples(raw_triples(empty)).count() == 0
