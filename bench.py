@@ -39,11 +39,15 @@ BENCH_QUERIES = [
     "kg_intersection",
     "kg_characteristic_sets",
     "kg_order_topn",
+    "kg_construct",
+    "kg_salted_agg",
+    "kg_theta_join",
     "data_dedup_exact",
     "data_dedup_jaccard",
     "data_dedup_minhash",
     "data_dedup_simhash",
     "data_ann_topk",
+    "data_dedup_embedding_lsh",
     "data_text_stats",
     "data_sessionize",
 ]

@@ -105,6 +105,38 @@ def lsh_topk(
     return brute_topk(cands, query, k, id_col, vec_col)
 
 
+def embedding_near_dups_lsh(
+    embeddings: DataFrame, threshold: float = 0.9,
+    n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates are pairs sharing
+    any LSH bucket (probability grows with cosine — random-hyperplane
+    collision prob is ``(1 - θ/π)^planes`` per table), verified with
+    exact cosine. Replaces the brute-force O(n²) cross join with a
+    bucket-equality join: at 10⁹ vectors the candidate set is the only
+    thing that ever shuffles. Recall is tunable via planes/tables;
+    verification keeps precision exact."""
+    assigns = lsh_assign(embeddings, n_planes, n_tables, seed, id_col, vec_col)
+    a, b = assigns.alias("a"), assigns.alias("b")
+    cands = (
+        a.join(b, (F.col("a.table") == F.col("b.table"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(ea, "id_a").join(eb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, n_cells: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -116,16 +148,15 @@ def ivf_assign(
         [float(x) for x in r[vec_col]]
         for r in embeddings.orderBy(id_col).limit(n_cells).collect()
     ]
-    best_cell = F.lit(0)
-    best_cos = F.lit(-2.0)
-    for ci, c in enumerate(seeds):
-        cc = F.array(*[F.lit(x) for x in c])
-        cos_c = cosine(_as_double(vec_col), cc)
-        better = cos_c > best_cos
-        best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
-        best_cos = F.when(better, cos_c).otherwise(best_cos)
+    # argmax over an array of cell cosines — each cosine expression
+    # appears exactly once (a chained when().otherwise() would embed
+    # the running best twice per step: 2^n expression blow-up)
+    cos_arr = F.array(*[
+        cosine(_as_double(vec_col), F.array(*[F.lit(x) for x in c])) for c in seeds
+    ])
+    cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
     return (
-        embeddings.select(F.col(id_col).alias("id"), best_cell.alias("cell")),
+        embeddings.select(F.col(id_col).alias("id"), cell.alias("cell")),
         seeds,
     )
 

@@ -1203,6 +1203,87 @@ _register(
 )
 
 
+def _q_shadow_filter(spark, sf):
+    """Typed shadow columns (§1.6 / NodeId value inlining): numeric and
+    temporal filters run on typed columns, not string compares."""
+    from jena_spark.pipeline.shadows import with_typed_shadows
+
+    t = with_typed_shadows(_triples(spark, sf))
+    return (
+        t.where(
+            ((F.col("p_val") == TM.P_TURN_INDEX) & (F.col("o_num") >= 5))
+            | ((F.col("p_val") == TM.P_TS)
+               & (F.col("o_ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")))
+        )
+        .groupBy("p_val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "kg_typed_shadows",
+    _q_shadow_filter,
+    _W + f"""SELECT p_val, count(*) AS n FROM triples
+    WHERE CASE
+      WHEN p_val = '{TM.P_TURN_INDEX}'
+        THEN TRY_CAST(o_val AS DECIMAL(38,18)) >= 5
+      WHEN p_val = '{TM.P_TS}'
+        THEN try_strptime(o_val, '%Y-%m-%dT%H:%M:%SZ') >= TIMESTAMP '2024-01-20 00:00:00'
+      ELSE false END
+    GROUP BY p_val""",
+)
+
+
+_register(
+    "data_dedup_embedding",
+    lambda spark, sf: DD.embedding_near_dups(_embs(spark, sf), threshold=0.2),
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""",
+)
+
+
+# scale path: LSH-bucketed near-dup (xxhash-free but rand-free too;
+# hyperplanes are seeded numpy -> not expressible in DuckDB: rows-only)
+_register(
+    "data_dedup_embedding_lsh",
+    lambda spark, sf: SIM.embedding_near_dups_lsh(_embs(spark, sf), threshold=0.2),
+    None,
+)
+
+
+def _q_ann_ivf(spark, sf):
+    e = _embs(spark, sf)
+    q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    return SIM.ivf_topk(e, q, k=10)
+
+
+_register("data_ann_ivf", _q_ann_ivf, None)
+
+
+def _q_token_counts(spark, sf):
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+_register(
+    "data_token_counts",
+    _q_token_counts,
+    r"""SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]'))
+         + length(text) // 16 AS BIGINT) AS bpe_ish_tokens
+    FROM documents""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:

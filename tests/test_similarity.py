@@ -54,3 +54,23 @@ def test_lsh_assign_deterministic(spark, emb):
     a2 = sorted((r["id"], r["table"], r["bucket"])
                 for r in S.lsh_assign(emb.limit(50), n_planes=6, n_tables=2).collect())
     assert a1 == a2
+
+
+def test_embedding_near_dups_lsh_subset_of_brute(spark):
+    """LSH-verified pairs are a subset of brute-force pairs with
+    identical cosines (precision exact; recall traded via planes)."""
+    from jena_spark.data.dedup import embedding_near_dups
+    from jena_spark.data.similarity import embedding_near_dups_lsh
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    thr = 0.2
+    brute = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in embedding_near_dups(e, threshold=thr).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in embedding_near_dups_lsh(e, threshold=thr).collect()}
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert brute[k] == v
+    # high-similarity pairs must be recalled (bucket collision prob ~1)
+    high = {k for k, v in brute.items() if v >= 0.8}
+    assert high <= set(lsh)
