@@ -1284,6 +1284,29 @@ _register(
 )
 
 
+def _q_custom_udaf(spark, sf):
+    """Custom aggregate (§2.15): Arrow-batched GROUPED_AGG pandas UDF
+    (AggregateRegistry parity) — geometric mean of event values per
+    type. Rounded to 6dp; DuckDB oracle uses exp(avg(ln(x)))."""
+    from jena_spark.functions.aggregates import AGGREGATE_REGISTRY
+
+    e = _events(spark, sf)
+    gm = AGGREGATE_REGISTRY["geometric_mean"]
+    return (
+        e.where(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.round(gm("value"), 6).alias("geo_mean"))
+    )
+
+
+_register(
+    "data_custom_udaf",
+    _q_custom_udaf,
+    """SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
