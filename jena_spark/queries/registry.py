@@ -48,11 +48,44 @@ ENT_LONDON = TM.entity_iri("London")
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make jena_spark importable on executor Python workers even when
+    the session was built without our PYTHONPATH export (e.g. the
+    driver's own harness): zip the package once and addPyFile it —
+    the in-session equivalent of ``spark-submit --py-files``."""
+    if id(spark) in _SHIPPED:
+        return
+    try:
+        import os
+        import tempfile
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zpath = os.path.join(tempfile.gettempdir(), "jena_spark_pyfiles.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+                for dirpath, _dirs, files in os.walk(pkg_root):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(dirpath, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_root))
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — best-effort; local PYTHONPATH may suffice
+        pass
+    _SHIPPED.add(id(spark))
+
+
 def _conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # see session.py: Spark 4.1 union constraint-rewrite bug workaround
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    _ship_package(spark)
 
 
 def _raw_full(spark: SparkSession, sf_dir: str) -> DataFrame:
