@@ -51,6 +51,21 @@ def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+def hot_tokens(
+    docs: DataFrame, max_df: int,
+    text_col: str = "text", id_col: str = "doc_id", ngram: int = 1,
+) -> DataFrame:
+    """Tokens that a ``max_df`` cap would drop, with their document
+    frequency. No silent caps: callers that cap should surface this
+    (count it, log it, or write it next to the output) — at 10^9 docs a
+    dropped ubiquitous shingle is a semantic decision, not a detail."""
+    toks = _token_sets(docs, text_col, id_col, ngram)
+    return (
+        toks.groupBy("tok").agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -146,20 +161,66 @@ def lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame, docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", ngram: int = 1,
+) -> DataFrame:
+    """Exact token-set Jaccard for a GIVEN pair list only.
+
+    This is the LSH verify step done right: the token table is
+    semi-joined down to docs that appear in a candidate pair, then the
+    intersection count is computed per candidate pair — cost scales
+    with |pairs| x tokens/doc, NOT with the all-sharing-pairs space
+    (which is what the full inverted-index self-join would touch and
+    what LSH exists to avoid). Pairs with zero shared tokens get
+    jaccard 0.
+    """
+    toks = _token_sets(docs, text_col, id_col, ngram)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    toks = toks.join(cand_docs, "doc", "left_semi")
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        pairs.join(ta, F.col("doc_a") == F.col("ta.doc"))
+        .join(tb, (F.col("doc_b") == F.col("tb.doc")) & (F.col("ta.tok") == F.col("tb.tok")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sz_a, "doc_a").join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame, threshold: float = 0.5, k: int = 32, bands: int = 8,
     text_col: str = "text", id_col: str = "doc_id", ngram: int = 1,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (candidates only —
-    the verify join touches a tiny fraction of the pair space)."""
+    """LSH candidates verified with exact Jaccard over the candidate
+    pairs ONLY (:func:`jaccard_for_pairs`) — the verify step never
+    touches the all-token-sharing-pairs space, so the LSH pruning
+    actually pays at scale. (Hot tokens are harmless here: per-pair
+    intersection cost is bounded by tokens/doc, so no ``max_df`` cap is
+    needed in the verify — unlike the exhaustive ``jaccard_pairs``.)"""
     sigs = minhash_signatures(docs, k, text_col, id_col, ngram)
     cands = lsh_candidates(sigs, bands)
-    exact = jaccard_pairs(docs, threshold=0.0, text_col=text_col, id_col=id_col, ngram=ngram)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    scored = jaccard_for_pairs(cands, docs, text_col, id_col, ngram)
+    return scored.where(F.col("jaccard") >= threshold)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -190,16 +251,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash. Blocking: split
-    the 64-bit fingerprint into (max_hamming+1)-ish bands — any pair
-    within distance d shares at least one exact band (pigeonhole), so
-    the join is band-equality, never a cross join."""
-    n_blocks = 4
+    the 64-bit fingerprint into ``max_hamming + 1`` bit-blocks — by
+    pigeonhole, a pair with at most ``max_hamming`` differing bits has
+    at least one block with ZERO differing bits, i.e. shares that block
+    exactly, so the join is block-equality, never a cross join. (With
+    fewer blocks the guarantee is false: k blocks only cover distance
+    k-1; ``tests/test_dedup.py`` property-checks recall against the
+    brute-force pair set.) More blocks = narrower blocks = more
+    candidate collisions — the standard recall/cost dial of
+    multi-index Hamming search."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sh = simhash(docs, text_col, id_col)
     blocks = sh.select(
         "doc", "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                    F.lit((1 << widths[i]) - 1)
+                )
                 for i in range(n_blocks)
             ])
         ).alias("block", "block_val"),

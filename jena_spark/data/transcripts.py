@@ -45,6 +45,22 @@ SAFE_SURFACES = [
     "Hamilton", "Dijkstra", "Johnson", "Church", "Godel", "Lamarr",
 ]
 
+# Spark/DuckDB mention parity REQUIRES every plantable surface to be a
+# single \w+ token: the Spark side matches with a word-boundary
+# longest-first regex, the oracle with space-padded contains — those
+# disagree on punctuation-adjacent or overlapping multi-word surfaces
+# (e.g. 'New York City' would match both 'New York' and 'New York
+# City' in the SQL but only the longest in Spark). Fail at import so a
+# future edit cannot silently desynchronize engine and oracle.
+import re as _re
+
+for _s in SAFE_SURFACES:
+    if not _re.fullmatch(r"\w+", _s):
+        raise AssertionError(
+            f"SAFE_SURFACES entry {_s!r} is not a single \\w+ token — "
+            "regex-vs-contains mention parity would break (see comment)"
+        )
+
 _N = len(SAFE_SURFACES)
 
 

@@ -43,6 +43,129 @@ def sparql_if(cond: Column, then: Column, otherwise: Column) -> Column:
     return F.when(cond, then).otherwise(otherwise)
 
 
+def _flags_prefix(flags: str | None):
+    """SPARQL regex flags (XPath: i, s, m, x, q) -> Java inline flags.
+
+    ``q`` (literal match) has no inline form — handled by quoting the
+    pattern; unknown flags raise (matching ARQ's error behavior,
+    ``expr/RegexJava.java``).
+    """
+    if not flags:
+        return ""
+    bad = set(flags) - set("ismxq")
+    if bad:
+        raise ValueError(f"unsupported regex flags: {''.join(sorted(bad))}")
+    inline = "".join(f for f in flags if f in "ismx")
+    return f"(?{inline})" if inline else ""
+
+
+def sparql_regex(c: Column, pattern: str, flags: str | None = None) -> Column:
+    """E_Regex with flag translation (i/s/m/x inline, q = quote)."""
+    import re as _re
+
+    pat = _re.escape(pattern) if flags and "q" in flags else pattern
+    return c.rlike(_flags_prefix(flags) + pat)
+
+
+def sparql_replace(c: Column, pattern: str, replacement: str,
+                   flags: str | None = None) -> Column:
+    """E_StrReplace with flag translation."""
+    import re as _re
+
+    pat = _re.escape(pattern) if flags and "q" in flags else pattern
+    return F.regexp_replace(c, _flags_prefix(flags) + pat, replacement)
+
+
+# --- term constructors (E_IRI / E_BNode / E_StrDatatype / E_StrLang) --------
+# Terms are (kind, val, datatype, lang) structs, matching the triple
+# table's column model (terms.TERM_COLS flattened).
+
+def _term(kind, val, datatype=None, lang=None) -> Column:
+    k = F.lit(kind) if isinstance(kind, str) else kind
+    d = (F.lit(datatype).cast("string")
+         if datatype is None or isinstance(datatype, str) else datatype)
+    lg = F.lit(lang).cast("string") if lang is None or isinstance(lang, str) else lang
+    return F.struct(k.alias("kind"), val.alias("val"),
+                    d.alias("datatype"), lg.alias("lang"))
+
+
+def make_iri(lex: Column, base: str = "") -> Column:
+    """E_IRI — resolve a string against an (optional) base IRI.
+    Absolute inputs (scheme present) pass through, cf.
+    ``expr/E_IRI.java`` + IRIx resolution."""
+    absolute = lex.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    val = F.when(absolute, lex).otherwise(F.concat(F.lit(base), lex))
+    return _term("iri", val)
+
+
+def make_bnode(label: Column | None = None, scope: Column | None = None) -> Column:
+    """E_BNode — fresh blank node per (scope, label); deterministic
+    skolem labels (BlankNodeAllocatorHash posture) instead of a mutable
+    per-query allocator, so distributed evaluation is reproducible."""
+    lab = F.coalesce(label, F.lit("b")) if label is not None else F.lit("b")
+    sc = scope if scope is not None else F.lit("expr")
+    return _term("bnode", F.concat(F.lit("_:"), F.md5(F.concat_ws(":", sc, lab))))
+
+
+def make_strdt(lex: Column, datatype) -> Column:
+    """E_StrDatatype — typed literal from lexical form + datatype IRI."""
+    return _term("literal", lex, datatype)
+
+
+def make_strlang(lex: Column, lang) -> Column:
+    """E_StrLang — language-tagged literal."""
+    return _term("literal", lex, None, lang)
+
+
+def term_str(t: Column) -> Column:
+    """E_Str — lexical form of any term."""
+    return t.getField("val")
+
+
+def term_datatype(t: Column) -> Column:
+    """E_Datatype: typed literals return their datatype; plain literals
+    xsd:string; lang literals rdf:langString (SPARQL 1.1)."""
+    return (
+        F.when(t.getField("kind") != "literal", F.lit(None).cast("string"))
+        .when(t.getField("datatype").isNotNull(), t.getField("datatype"))
+        .when(t.getField("lang").isNotNull(),
+              F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+        .otherwise(F.lit("http://www.w3.org/2001/XMLSchema#string"))
+    )
+
+
+def term_lang(t: Column) -> Column:
+    """E_Lang — language tag or '' (SPARQL returns empty string)."""
+    return F.coalesce(t.getField("lang"), F.lit(""))
+
+
+def is_iri(t: Column) -> Column:
+    return t.getField("kind") == "iri"        # E_IsIRI
+
+
+def is_blank(t: Column) -> Column:
+    return t.getField("kind") == "bnode"      # E_IsBlank
+
+
+def is_literal(t: Column) -> Column:
+    return t.getField("kind") == "literal"    # E_IsLiteral
+
+
+def is_numeric(t: Column) -> Column:
+    """E_IsNumeric — typed numeric literal with a valid lexical form."""
+    numeric = [
+        "http://www.w3.org/2001/XMLSchema#integer",
+        "http://www.w3.org/2001/XMLSchema#decimal",
+        "http://www.w3.org/2001/XMLSchema#double",
+        "http://www.w3.org/2001/XMLSchema#float",
+    ]
+    return (
+        (t.getField("kind") == "literal")
+        & t.getField("datatype").isin(numeric)
+        & t.getField("val").try_cast("double").isNotNull()
+    )
+
+
 def sha224_udf():
     """E_SHA224 has no Spark builtin — Arrow-batched fallback."""
     import hashlib
@@ -67,8 +190,8 @@ SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "strends": lambda a, b: a.endswith(b),    # E_StrEndsWith
     "strbefore": str_before,                  # E_StrBefore
     "strafter": str_after,                    # E_StrAfter
-    "replace": F.regexp_replace,              # E_StrReplace (regex; flags TODO)
-    "regex": lambda c, pat: c.rlike(pat),     # E_Regex
+    "replace": sparql_replace,                # E_StrReplace (flags i/s/m/x/q)
+    "regex": sparql_regex,                    # E_Regex (flags i/s/m/x/q)
     "encode_for_uri": F.url_encode,           # E_StrEncodeForURI
     # numerics (SPARQL divide on decimals stays decimal — caller casts)
     "abs": F.abs,                             # E_NumAbs
@@ -96,6 +219,18 @@ SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "langmatches": lambda lang, rng: F.when(
         F.lit(rng) == "*", lang.isNotNull() & (lang != "")
     ).otherwise(F.lower(lang).startswith(F.lower(F.lit(rng)))),  # E_LangMatches
+    # term constructors & accessors (term = (kind,val,datatype,lang) struct)
+    "iri": make_iri,                          # E_IRI
+    "bnode": make_bnode,                      # E_BNode
+    "strdt": make_strdt,                      # E_StrDatatype
+    "strlang": make_strlang,                  # E_StrLang
+    "str": term_str,                          # E_Str
+    "datatype": term_datatype,                # E_Datatype
+    "lang": term_lang,                        # E_Lang
+    "isiri": is_iri,                          # E_IsIRI
+    "isblank": is_blank,                      # E_IsBlank
+    "isliteral": is_literal,                  # E_IsLiteral
+    "isnumeric": is_numeric,                  # E_IsNumeric
     # constructors / casts honor XSD lexical rules via Spark cast
     "xsd_integer": lambda c: c.cast("long"),
     "xsd_decimal": lambda c: c.cast("decimal(38,18)"),

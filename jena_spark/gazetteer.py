@@ -58,6 +58,52 @@ def surface_to_canonical(gazetteer: dict[str, list[str]] | None = None) -> dict[
     return out
 
 
+def validate_gazetteer(gazetteer: dict[str, list[str]] | None = None) -> dict[str, str]:
+    """Validate the two structural contracts the pipeline's
+    dedup-free-by-construction and star-oracle arguments rest on, then
+    return the surface->canonical map. Raises ValueError otherwise.
+
+    1. *Slug injectivity*: ``entity_iri`` lowercases and collapses
+       non-alphanumerics, so two distinct surfaces with equal slugs
+       (e.g. 'NYC'/'nyc') would emit duplicate mention/sameAs rows in
+       one turn, breaking raw_triples' set-semantics-by-construction.
+    2. *Star shape*: no canonical may itself be an alias of a different
+       canonical, and no alias may link to two canonicals — the DuckDB
+       oracle computes components with one grouped aggregation that is
+       only correct for disjoint stars (the Spark side would still be
+       right, i.e. the ORACLE would be the wrong one — fail loudly
+       instead).
+    """
+    from jena_spark.terms import entity_slug
+
+    gazetteer = gazetteer or DEFAULT_GAZETTEER
+    s2c: dict[str, str] = {}
+    slugs: dict[str, str] = {}
+    for canonical, aliases in gazetteer.items():
+        for surface in [canonical, *aliases]:
+            prev = s2c.get(surface)
+            if prev is not None and prev != canonical:
+                raise ValueError(
+                    f"gazetteer not star-shaped: surface {surface!r} links to "
+                    f"both {prev!r} and {canonical!r}"
+                )
+            s2c[surface] = canonical
+            slug = entity_slug(surface)
+            owner = slugs.setdefault(slug, surface)
+            if owner != surface:
+                raise ValueError(
+                    f"slug collision: surfaces {owner!r} and {surface!r} both "
+                    f"slug to {slug!r} — entity IRIs would alias silently"
+                )
+    for canonical in gazetteer:
+        if s2c[canonical] != canonical:
+            raise ValueError(
+                f"gazetteer not star-shaped: canonical {canonical!r} is also "
+                f"an alias of {s2c[canonical]!r} (chained aliases)"
+            )
+    return s2c
+
+
 def mention_pattern(gazetteer: dict[str, list[str]] | None = None) -> re.Pattern[str]:
     """Compiled longest-first word-boundary alternation over all surfaces.
 

@@ -26,12 +26,14 @@ from __future__ import annotations
 
 from jena_spark import terms as TM
 from jena_spark.data.transcripts import transcripts_cte
-from jena_spark.gazetteer import DEFAULT_GAZETTEER, surface_to_canonical
+from jena_spark.gazetteer import DEFAULT_GAZETTEER, validate_gazetteer
 
 
 def surfaces_values(gazetteer: dict | None = None) -> str:
     """VALUES literal (surface, surface_iri, canonical_iri)."""
-    s2c = surface_to_canonical(gazetteer or DEFAULT_GAZETTEER)
+    # validate_gazetteer: the one-aggregation component CTE below is
+    # only correct for disjoint alias stars — fail loudly if violated
+    s2c = validate_gazetteer(gazetteer or DEFAULT_GAZETTEER)
     rows = []
     for surface, canonical in sorted(s2c.items()):
         esc = surface.replace("'", "''")
@@ -53,7 +55,7 @@ def triples_with() -> str:
     turns AS (
       SELECT *,
         '{TM.NS_CONV}' || conv_id AS conv_iri,
-        '_:' || sha256(conv_id || ':turn-' || CAST(turn_idx AS VARCHAR)) AS turn_bnode
+        '_:' || md5(conv_id || ':turn-' || CAST(turn_idx AS VARCHAR)) AS turn_bnode
       FROM transcripts
     ),
     mentions AS (

@@ -157,6 +157,45 @@ def sameas_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+def present_rep_dim(mentions: DataFrame, gazetteer: dict | None = None) -> DataFrame:
+    """(surface, representative-IRI) dimension for the surfaces PRESENT
+    in the mention table — the exact mapping the data-derived sameAs
+    closure produces, without scanning the triple table.
+
+    Subtlety this encodes (caught by a fresh-seed verify run): the
+    component representative is the lexicographic min of the members
+    that OCCUR IN THE DATA, not of the full gazetteer component — a
+    full-gazetteer mapping can elect a representative IRI that never
+    occurs (e.g. component {new_york, new_york_city, nyc} with only
+    'NYC' and 'New York City' in the corpus: data rep = new_york_city,
+    full-gazetteer rep = new_york). The emitted sameAs edges are
+    exactly {(iri(s), iri(canonical(s))) : s present}, so union-find
+    over those — seeded from the distinct present surfaces — is
+    identical to the generic ``connected_components(sameas_edges(raw))``.
+
+    Cost model: the distinct-surface set is bounded by the gazetteer
+    (mentions only ever contain gazetteer surfaces), so the collect is
+    O(|gazetteer|) regardless of corpus size; ``mentions`` is persisted
+    by the callers, so the job this triggers is the same extraction
+    materialization the main pass needs anyway.
+    """
+    from jena_spark.gazetteer import DEFAULT_GAZETTEER, validate_gazetteer
+
+    spark = mentions.sparkSession
+    s2c = validate_gazetteer(gazetteer or DEFAULT_GAZETTEER)
+    present = sorted(
+        r["surface"] for r in mentions.select("surface").distinct().collect()
+    )
+    edges = [
+        (TM.entity_iri(s), TM.entity_iri(s2c[s]))
+        for s in present
+        if TM.entity_iri(s) != TM.entity_iri(s2c[s])
+    ]
+    comp = _unionfind(edges)
+    rows = [(s, comp.get(TM.entity_iri(s), TM.entity_iri(s))) for s in present]
+    return spark.createDataFrame(rows, "surface string, rep string")
+
+
 def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -> DataFrame:
     """Rewrite IRI subjects/objects to component representatives.
 
@@ -202,8 +241,96 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
         .where(~((F.col("p_val") == TM.OWL_SAMEAS) & (F.col("s_val") == F.col("o_val"))))
     )
     untouched = joined.where(~F.col("_touched")).drop("_touched")
+    # Deterministic survivor columns (CLAUDE.md invariant): duplicates
+    # can only arise among rows rewritten to the same canonical IRI; we
+    # aggregate the carried lineage columns with min() instead of
+    # keeping an arbitrary dropDuplicates survivor, so re-runs are
+    # byte-identical even in graph/conv_id. (In the current emission
+    # rules duplicates always share conv_id — the turn bnode is
+    # conv-scoped — but min() makes that a theorem, not an accident.)
     touched = (
         joined.where(F.col("_touched")).drop("_touched")
-        .dropDuplicates(TM.TERM_COLS)
+        .groupBy(*TM.TERM_COLS)
+        .agg(F.min("graph").alias("graph"), F.min("conv_id").alias("conv_id"))
     )
     return untouched.unionByName(touched)
+
+
+def construct_canonical(
+    transcripts: DataFrame, gazetteer: dict | None = None,
+) -> DataFrame:
+    """Fused single-pass canonical construction (deployment hot path).
+
+    Row-identical to ``canonicalize_triples(raw_triples(transcripts))``
+    (asserted at two scale factors by ``tests/test_materialize.py``) but
+    shaped for throughput: every shuffle moves *pre-stringification*
+    narrow rows, and every output string is materialized exactly once,
+    in the final narrow emit. It rests on three theorems of the
+    emission + rewrite rules:
+
+    1. *Structure triples are never touched*: their IRIs live in
+       ``NS_CONV``; equivalence components contain only ``NS_ENTITY``
+       IRIs. So the bulk branch streams straight to the sink — no
+       rewrite join, no dedup, scanned once.
+    2. *Every emitted sameAs row dies in canonicalization*: raw sameAs
+       rows are (surface_iri, canonical_iri) pairs inside one
+       equivalence component, so the rewrite maps both ends to the same
+       representative and the self-loop filter removes the row. The
+       fused path simply never emits them.
+    3. *Canonical mention edges are exactly
+       distinct(conv, turn, rep(surface))*: the rewrite only changes
+       the object (surface -> representative IRI); the subject bnode is
+       injective in (conv_id, turn_idx). So the post-rewrite dedup of
+       ~250 B string triples collapses to a dedup of 3 narrow columns
+       BEFORE any IRI/bnode string is built. (The surface -> rep map
+       comes from :func:`present_rep_dim` — union-find over the sameAs
+       edges the PRESENT surfaces actually emit, which is exactly the
+       generic data-derived closure.)
+
+    Canonical labels are (rep(surface), rdfs:label, surface), keyed by
+    the distinct-surface dimension (tiny).
+
+    At 10^12 turns this removes: one full-width persist of the raw
+    table, two full rewrite joins, and a wide post-rewrite dedup
+    shuffle — leaving one narrow mention shuffle + one narrow dedup as
+    the only wide operations in the whole construction.
+    """
+    from jena_spark.pipeline.extract import (
+        _null_s,
+        extract_mentions,
+        turn_structure_triples,
+    )
+
+    gaz = gazetteer
+
+    structure = turn_structure_triples(transcripts)
+
+    mentions = extract_mentions(transcripts, gaz).persist()
+    rep_dim = present_rep_dim(mentions, gaz)
+    canon_mentions = (
+        mentions.join(F.broadcast(rep_dim), "surface")
+        .select("conv_id", "turn_idx", "rep")
+        .distinct()
+    )
+    turn_bnode = TM.skolem_col(
+        F.col("conv_id"), F.concat(F.lit("turn-"), F.col("turn_idx").cast("string"))
+    )
+    edges = canon_mentions.select(
+        F.lit("bnode").alias("s_kind"), turn_bnode.alias("s_val"),
+        F.lit(TM.P_MENTIONS).alias("p_val"),
+        F.lit("iri").alias("o_kind"), F.col("rep").alias("o_val"),
+        _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+        _null_s().alias("graph"), F.col("conv_id"),
+    )
+    labels = (
+        mentions.select("surface").distinct()
+        .join(F.broadcast(rep_dim), "surface")
+        .select(
+            F.lit("iri").alias("s_kind"), F.col("rep").alias("s_val"),
+            F.lit(TM.RDFS_LABEL).alias("p_val"),
+            F.lit("literal").alias("o_kind"), F.col("surface").alias("o_val"),
+            _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+            _null_s().alias("graph"), _null_s().alias("conv_id"),
+        )
+    )
+    return structure.unionByName(edges).unionByName(labels)

@@ -120,14 +120,23 @@ def extract_mentions(transcripts: DataFrame, gazetteer: dict | None = None) -> D
 
 
 def alias_dim(spark: SparkSession, gazetteer: dict | None = None) -> DataFrame:
-    """Tiny (surface, canonical) dimension — always broadcast."""
+    """Tiny (surface, canonical) dimension — always broadcast.
+
+    Validates slug injectivity + star shape up front
+    (:func:`jena_spark.gazetteer.validate_gazetteer`): raw_triples'
+    dedup-free-by-construction argument requires surface -> entity_iri
+    to be injective, and the DuckDB oracle's one-aggregation component
+    computation requires disjoint alias stars."""
+    from jena_spark.gazetteer import validate_gazetteer
+
     gazetteer = gazetteer or DEFAULT_GAZETTEER
-    rows = [(s, c) for s, c in surface_to_canonical(gazetteer).items()]
+    rows = [(s, c) for s, c in validate_gazetteer(gazetteer).items()]
     return spark.createDataFrame(rows, "surface string, canonical string")
 
 
 def mention_triples(
-    transcripts: DataFrame, gazetteer: dict | None = None
+    transcripts: DataFrame, gazetteer: dict | None = None,
+    cache_mentions: bool = False,
 ) -> DataFrame:
     """Mention, label and sameAs triples (pre-canonicalization).
 
@@ -145,6 +154,15 @@ def mention_triples(
     """
     spark = transcripts.sparkSession
     mentions = extract_mentions(transcripts, gazetteer)
+    if cache_mentions:
+        # The mention table feeds three emission branches (edges, labels,
+        # sameAs) and — in the deployment path — both canonicalization
+        # branches. Spark's exchange reuse does NOT deduplicate the
+        # ArrowEvalPython subplans across union branches (measured: the
+        # extraction UDF executes once per branch), so the hot path
+        # caches this SMALL frame (3 narrow columns, ~1/8 the bytes of
+        # the raw triple table) instead of persisting raw triples.
+        mentions = mentions.persist()
     dim = alias_dim(spark, gazetteer)
     linked = mentions.join(F.broadcast(dim), "surface")
 
@@ -182,7 +200,10 @@ def mention_triples(
     return edges.unionByName(labels).unionByName(sameas)
 
 
-def raw_triples(transcripts: DataFrame, gazetteer: dict | None = None) -> DataFrame:
+def raw_triples(
+    transcripts: DataFrame, gazetteer: dict | None = None,
+    cache_mentions: bool = False,
+) -> DataFrame:
     """Full pre-canonicalization triple set (turn structure + mentions).
 
     Set semantics (Graph.add no-op on duplicate, ``Graph.java:84``) hold
@@ -200,5 +221,5 @@ def raw_triples(transcripts: DataFrame, gazetteer: dict | None = None) -> DataFr
     (a 7-wide string dedup over every emitted triple).
     """
     return turn_structure_triples(transcripts).unionByName(
-        mention_triples(transcripts, gazetteer)
+        mention_triples(transcripts, gazetteer, cache_mentions=cache_mentions)
     )

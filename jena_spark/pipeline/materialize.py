@@ -50,6 +50,30 @@ def _manifest_path(out_path: str) -> str:
     return os.path.join(out_path, MANIFEST)
 
 
+def _footer_counts(out_path: str, only_buckets: list[int] | None) -> list[tuple[int, int]]:
+    """Per-bucket row counts from committed parquet FOOTERS — a
+    metadata-only pass (LoadMonitor counters,
+    ``jena-tdb/.../bulkloader/LoadMonitor.java:151``) that replaces the
+    full-table read-back Spark job the counters used to cost. On a real
+    cluster this is the Iceberg snapshot's per-partition row counts."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for name in os.listdir(out_path):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if only_buckets is not None and pid not in only_buckets:
+            continue
+        n = 0
+        bucket_dir = os.path.join(out_path, name)
+        for f in os.listdir(bucket_dir):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(bucket_dir, f)).metadata.num_rows
+        counts[pid] = counts.get(pid, 0) + n
+    return sorted(counts.items())
+
+
 def read_manifest(out_path: str) -> dict | None:
     p = _manifest_path(out_path)
     if not os.path.exists(p):
@@ -99,14 +123,7 @@ def write_stage(
     )
     wall = time.time() - t0
 
-    spark = df.sparkSession
-    back = spark.read.parquet(out_path)
-    if only_buckets is not None:
-        back = back.where(F.col("part_id").isin(only_buckets))
-    per_part = [
-        (r["part_id"], r["n"])
-        for r in back.groupBy("part_id").agg(F.count("*").alias("n")).collect()
-    ]
+    per_part = _footer_counts(out_path, only_buckets)
 
     prev = read_manifest(out_path) or {
         "stage": stage, "n_buckets": n_buckets, "completed": [], "rows_per_bucket": {},
@@ -163,10 +180,16 @@ def run_pipeline(
     results: dict[str, StageResult] = {}
     raw_path = os.path.join(out_dir, "raw_triples")
     results["raw_triples"] = resume_or_write(
-        raw_triples(transcripts, gazetteer), raw_path, "raw_triples", n_buckets
+        raw_triples(transcripts, gazetteer, cache_mentions=True),
+        raw_path, "raw_triples", n_buckets,
     )
     raw = spark.read.parquet(raw_path)
 
+    # data-derived sameAs mapping (generic path): the edge scan reads
+    # the just-written raw parquet with the p_val filter pushed down —
+    # a cheap columnar pass, and semantically exact (the representative
+    # is the min of the members present in the DATA; a gazetteer-wide
+    # mapping could elect an absent rep — see present_rep_dim).
     canon_path = os.path.join(out_dir, "triples")
     results["triples"] = resume_or_write(
         canonicalize_triples(raw), canon_path, "triples", n_buckets
@@ -184,7 +207,9 @@ def run_pipeline(
                          F.col("o_datatype").alias("datatype"),
                          F.col("o_lang").alias("lang"), F.col("conv_id"))
         )
-        .dropDuplicates(["kind", "val", "datatype", "lang"])
+        # deterministic survivor: min(conv_id), not an arbitrary row
+        .groupBy("kind", "val", "datatype", "lang")
+        .agg(F.min("conv_id").alias("conv_id"))
     )
     results["nodes"] = resume_or_write(nodes, nodes_path, "nodes", n_buckets, key="val")
     return results

@@ -32,11 +32,40 @@ _NUMERIC_DTS = [
 ]
 
 
+# --- custom datatype registry (TypeMapper analog) ---------------------------
+# Reference: ``jena-core/.../datatypes/TypeMapper.java:40`` — user
+# datatypes register a URI plus lexical->value parsing; literals of
+# that datatype then participate in value-space operations. Spark
+# analog: a registered datatype contributes a Column expression mapping
+# the lexical o_val to the ``o_num`` shadow (NULL = invalid lexical
+# form, mirroring DatatypeFormatException semantics without killing the
+# job).
+
+_CUSTOM_NUMERIC: dict[str, object] = {}
+
+
+def register_datatype(datatype_iri: str, to_num) -> None:
+    """Register a custom datatype: ``to_num(o_val_col) -> Column`` must
+    yield a decimal(38,18)-castable value (use try_cast for partial
+    lexical spaces). Registered types feed the ``o_num`` shadow exactly
+    like built-in XSD numerics."""
+    _CUSTOM_NUMERIC[datatype_iri] = to_num
+
+
+def registered_datatypes() -> list[str]:
+    return sorted(_CUSTOM_NUMERIC)
+
+
 def with_typed_shadows(triples: DataFrame) -> DataFrame:
     num = F.when(
         F.col("o_datatype").isin(_NUMERIC_DTS),
         F.col("o_val").try_cast("decimal(38,18)"),
     )
+    for dt_iri, to_num in _CUSTOM_NUMERIC.items():
+        num = num.when(
+            F.col("o_datatype") == dt_iri,
+            to_num(F.col("o_val")).try_cast("decimal(38,18)"),
+        )
     ts = F.when(
         F.col("o_datatype") == TM.XSD_DATETIME,
         F.regexp_replace("o_val", "Z$", "").try_cast("timestamp"),

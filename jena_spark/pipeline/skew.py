@@ -80,7 +80,20 @@ def salted_join(
     over ``salt`` sub-partitions. The small side is replicated ``salt``
     times (acceptable because it is small — that asymmetry is the
     precondition; if both sides are huge AND skewed, range-split the hot
-    keys instead)."""
+    keys instead).
+
+    Only join modes whose semantics survive small-side replication are
+    accepted: inner/left/left_semi/left_anti (unmatched BIG rows appear
+    once; unmatched SMALL rows never appear). 'right'/'full' would emit
+    every unmatched small-side row ``salt`` times — rejected."""
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: small-side "
+            f"replication duplicates unmatched small rows under "
+            f"right/full modes (supported: {sorted(supported)})"
+        )
     big_s = big.withColumn("_salt", _salt_col(big, salt))
     small_s = small.crossJoin(
         F.broadcast(

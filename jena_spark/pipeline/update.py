@@ -94,3 +94,59 @@ def delete_insert_where(
 def clear(triples: DataFrame) -> DataFrame:
     """CLEAR — empty graph with the same schema."""
     return _norm(triples).limit(0)
+
+
+# --- graph-level update operations over quad tables -------------------------
+# Reference: ``sparql/modify/request/Update{Load,Add,Copy,Move}.java``,
+# executed by ``UpdateEngineWorker.visit(...)``. A quad table is a
+# DataFrame with TERM_COLS + ``graph`` (NULL = default graph).
+
+QUAD_COLS = [*TERM_COLS, "graph"]
+
+
+def _norm_quads(df: DataFrame) -> DataFrame:
+    return df.select(*QUAD_COLS)
+
+
+def _graph_eq(col, graph: str | None):
+    return F.col(col).isNull() if graph is None else F.col(col) == graph
+
+
+def load(quads: DataFrame, document: DataFrame, graph: str | None = None) -> DataFrame:
+    """LOAD <doc> [INTO GRAPH g] — union a parsed document's triples
+    (e.g. :func:`jena_spark.sources.ntriples.read_ntriples` /
+    ``read_turtle`` output) into the target graph, set semantics."""
+    doc = _norm(document).withColumn("graph", F.lit(graph).cast("string"))
+    return _norm_quads(quads).unionByName(doc).dropDuplicates(QUAD_COLS)
+
+
+def add_graph(quads: DataFrame, src: str | None, dst: str | None) -> DataFrame:
+    """ADD src TO dst — copy src's triples into dst, keep src, set
+    semantics in dst (``UpdateAdd.java``)."""
+    if src == dst:
+        return _norm_quads(quads)
+    copied = (
+        _norm_quads(quads).where(_graph_eq("graph", src))
+        .withColumn("graph", F.lit(dst).cast("string"))
+    )
+    return _norm_quads(quads).unionByName(copied).dropDuplicates(QUAD_COLS)
+
+
+def copy_graph(quads: DataFrame, src: str | None, dst: str | None) -> DataFrame:
+    """COPY src TO dst — dst := src exactly (old dst dropped,
+    ``UpdateCopy.java``)."""
+    if src == dst:
+        return _norm_quads(quads)
+    kept = _norm_quads(quads).where(~_graph_eq("graph", dst))
+    copied = (
+        _norm_quads(quads).where(_graph_eq("graph", src))
+        .withColumn("graph", F.lit(dst).cast("string"))
+    )
+    return kept.unionByName(copied)
+
+
+def move_graph(quads: DataFrame, src: str | None, dst: str | None) -> DataFrame:
+    """MOVE src TO dst — COPY then DROP src (``UpdateMove.java``)."""
+    if src == dst:
+        return _norm_quads(quads)
+    return copy_graph(quads, src, dst).where(~_graph_eq("graph", src))

@@ -31,3 +31,32 @@ def split_iri(bindings: DataFrame, iri: Column, ns_var: str, local_var: str) -> 
 def list_member(bindings: DataFrame, arr: Column, out_var: str) -> DataFrame:
     """list:member — one row per element of a collection column."""
     return bindings.withColumn(out_var, F.explode(arr))
+
+
+def list_index(bindings: DataFrame, arr: Column, idx_var: str, member_var: str) -> DataFrame:
+    """list:index (``pfunction/library/listIndex.java``) — one row per
+    (0-based position, member)."""
+    return bindings.select("*", F.posexplode(arr).alias(idx_var, member_var))
+
+
+def list_length(bindings: DataFrame, arr: Column, out_var: str) -> DataFrame:
+    """list:length (``listLength.java``) — 1:1 length binding."""
+    return bindings.withColumn(out_var, F.size(arr))
+
+
+def concat(bindings: DataFrame, out_var: str, *parts: Column) -> DataFrame:
+    """apf:concat (``concat.java``) — object := concat of subject list."""
+    return bindings.withColumn(out_var, F.concat(*parts))
+
+
+def seq(bindings: DataFrame, arr: Column, idx_var: str, member_var: str) -> DataFrame:
+    """apf:seq / rdf:Seq membership (``seq.java``) — ordered container:
+    one row per member with its 1-based ordinal (rdf:_n)."""
+    out = bindings.select("*", F.posexplode(arr).alias("_p", member_var))
+    return out.withColumn(idx_var, F.col("_p") + 1).drop("_p")
+
+
+def bag(bindings: DataFrame, arr: Column, member_var: str) -> DataFrame:
+    """apf:bag / rdf:Bag membership (``bag.java``) — unordered container:
+    one row per member, no ordinal."""
+    return bindings.select("*", F.explode(arr).alias(member_var))

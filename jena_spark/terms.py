@@ -14,7 +14,8 @@ Reference semantics (all paths relative to /root/reference):
 * Deterministic blank-node labels per document scope:
   ``jena-arq/.../riot/lang/BlankNodeAllocatorHash.java:31-46`` +
   ``LabelToNode.java:49`` (``createScopeByDocumentHash``). We skolemize
-  as sha256(scope ":" label) with scope = conv_id.
+  as md5(scope ":" label) with scope = conv_id (MD5 as in the
+  reference allocator).
 * XSD datatypes: ``jena-core/.../datatypes/xsd/XSDDatatype.java:54-195``.
 
 Spark mapping (SURVEY.md §1.6): a triple row is
@@ -76,8 +77,13 @@ TRIPLE_COLS = TERM_COLS + ["graph"]
 
 def skolem(scope: str, label: str) -> str:
     """Deterministic bnode label — per-scope hash, mirroring
-    ``BlankNodeAllocatorHash`` (seeded per document scope)."""
-    return "_:" + hashlib.sha256(f"{scope}:{label}".encode("utf-8")).hexdigest()
+    ``BlankNodeAllocatorHash`` ("currently MD5, to get a 128bit bit
+    string ... a bNode AnonId of hex digits",
+    ``jena-arq/.../riot/lang/BlankNodeAllocatorHash.java:36-37``).
+    MD5 matches the reference AND halves the label width vs sha256 —
+    bnode labels sit in the subject column of most triples, so label
+    bytes are hot-path shuffle/cache bytes at scale."""
+    return "_:" + hashlib.md5(f"{scope}:{label}".encode("utf-8")).hexdigest()
 
 
 _SLUG_RE = re.compile(r"[^a-z0-9]+")
@@ -121,8 +127,8 @@ def canon_datetime(dt: datetime) -> str:
 # === Column forms (distributed side) ========================================
 
 def skolem_col(scope: Column, label: Column) -> Column:
-    """Column twin of :func:`skolem` (sha2 is JVM-side, codegen'd)."""
-    return F.concat(F.lit("_:"), F.sha2(F.concat_ws(":", scope, label), 256))
+    """Column twin of :func:`skolem` (md5 is JVM-side, codegen'd)."""
+    return F.concat(F.lit("_:"), F.md5(F.concat_ws(":", scope, label)))
 
 
 def entity_iri_col(name: Column) -> Column:

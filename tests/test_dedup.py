@@ -81,3 +81,56 @@ def test_embedding_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.embedding_near_dups(e, threshold=0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_simhash_blocking_pigeonhole(spark):
+    """Property: every pair within max_hamming (by brute force over all
+    fingerprints) is found by the blocked join — the pigeonhole
+    guarantee that n_blocks = max_hamming + 1 restores (4 blocks only
+    covered distance 3)."""
+    rows = [(i, f"w{i % 7} common tokens here plus x{i} y{i * 3 % 11} z{i * 5 % 13}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_h in (4, 8):
+        sh = {r["doc"]: r["simhash"] for r in D.simhash(docs).collect()}
+        brute = {
+            (a, b)
+            for a in sh for b in sh
+            if a < b and bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= max_h
+        }
+        blocked = {(r["doc_a"], r["doc_b"]) for r in
+                   D.simhash_near_pairs(docs, max_hamming=max_h).collect()}
+        assert brute <= blocked, f"missed pairs at max_hamming={max_h}: {brute - blocked}"
+        # and nothing beyond the distance bound is returned
+        assert blocked <= brute
+
+
+def test_minhash_verify_values_match_exact(spark, docs):
+    """The candidates-only verify (jaccard_for_pairs) must score
+    exactly like the exhaustive inverted-index path."""
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           D.minhash_dedup_pairs(docs, threshold=0.5, k=32, bands=16).collect()}
+    true = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+            D.jaccard_pairs(docs, threshold=0.5).collect()}
+    for pair, j in got.items():
+        assert true[pair] == j
+
+
+def test_jaccard_for_pairs_zero_overlap(spark, docs):
+    pairs = spark.createDataFrame([(0, 5), (0, 1)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           D.jaccard_for_pairs(pairs, docs).collect()}
+    assert out[(0, 5)] == 0.0
+    assert out[(0, 1)] == 1.0
+
+
+def test_hot_tokens_visibility(spark, docs):
+    """max_df capping is visible, not silent: hot_tokens reports what a
+    cap drops, and capped jaccard equals jaccard over the reduced token
+    sets."""
+    hot = {r["tok"]: r["df"] for r in D.hot_tokens(docs, max_df=2).collect()}
+    assert "the" in hot and hot["the"] >= 3
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              D.jaccard_pairs(docs, threshold=0.5, max_df=2).collect()}
+    # docs 0/1 still identical after dropping shared hot tokens
+    assert (0, 1) in capped

@@ -47,3 +47,62 @@ def test_run_pipeline_end_to_end(spark, transcripts_df, tmp_path):
     for r in results.values():
         assert r.counters["rows_out"] > 0
         assert r.counters["rows_per_sec"] > 0
+
+
+def _term_set(df):
+    return M.triple_set(df)
+
+
+def test_construct_canonical_equals_generic(spark, transcripts_df):
+    """The fused deployment path (construct_canonical) must be
+    row-identical to the oracle-checked generic path
+    canonicalize_triples(raw_triples(...)) — the three fusion theorems
+    in its docstring, machine-checked."""
+    from jena_spark.pipeline.canonicalize import (
+        canonicalize_triples,
+        construct_canonical,
+    )
+
+    generic = _term_set(canonicalize_triples(raw_triples(transcripts_df)))
+    fused = _term_set(construct_canonical(transcripts_df))
+    assert fused == generic
+    assert len(fused) > 0
+
+
+def test_encoded_decodes_to_canonical(spark, transcripts_df):
+    """TDB-posture output: decode(triples_enc, node_dict) must
+    reproduce the canonical string triples exactly, and the node
+    dictionary must be collision-free (encode.assert_injective)."""
+    from jena_spark.pipeline.canonicalize import (
+        canonicalize_triples,
+    )
+    from jena_spark.pipeline.encode import assert_injective, decode_triples
+    from jena_spark.pipeline.encoded import construct_canonical_encoded
+
+    triples_enc, node_dict = construct_canonical_encoded(transcripts_df)
+    assert_injective(node_dict)
+    decoded = _term_set(decode_triples(triples_enc.drop("conv_id"), node_dict))
+    generic = _term_set(canonicalize_triples(raw_triples(transcripts_df)))
+    assert decoded == generic
+
+    # every id in the triple table is decodable (no dangling ids)
+    n_enc = triples_enc.count()
+    assert n_enc == len(generic)
+
+
+def test_run_pipeline_deterministic_reruns(spark, transcripts_df, tmp_path):
+    """Byte-level determinism of survivor columns (CLAUDE.md
+    invariant): two independent runs produce identical FULL rows
+    including conv_id lineage columns."""
+    from pyspark.sql import functions as F
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    M.run_pipeline(spark, transcripts_df, out_a, n_buckets=4)
+    M.run_pipeline(spark, transcripts_df, out_b, n_buckets=4)
+    for stage in ("triples", "nodes"):
+        a = spark.read.parquet(f"{out_a}/{stage}")
+        rows_a = {tuple(r) for r in a.collect()}
+        b = spark.read.parquet(f"{out_b}/{stage}")
+        rows_b = {tuple(r) for r in b.collect()}
+        assert rows_a == rows_b, stage

@@ -37,4 +37,68 @@ def test_csv_json_tsv_roundtrip(spark, tmp_path):
             if ln.startswith("x\t"):
                 continue
             tsv_rows.add(tuple(ln.rstrip("\n").split("\t")))
-    assert tsv_rows == {("<http://e/a>", '"1"'), ("_:b0", '"hi"')}
+    assert tsv_rows == {
+        ("<http://e/a>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("_:b0", '"hi"'),
+    }
+
+
+def test_tsv_escapes_and_types(spark, tmp_path):
+    """ADVICE fix: literals with embedded tab/newline/quote/backslash
+    must not corrupt the TSV framing, and datatype/lang tags must
+    round-trip (SPARQL TSV term syntax)."""
+    from jena_spark.sources.resultsets import write_tsv
+
+    rows = [
+        (("literal", 'has\ttab and "quote" \\ and\nnewline', None, None),),
+        (("literal", "42", "http://www.w3.org/2001/XMLSchema#integer", None),),
+        (("literal", "chat", None, "en"),),
+        (("iri", "http://e/a", None, None),),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "x struct<kind:string,val:string,datatype:string,lang:string>",
+    )
+    out = str(tmp_path / "tsv")
+    write_tsv(df, out)
+    import glob
+
+    lines = []
+    for f in glob.glob(out + "/part-*"):
+        with open(f) as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    body = {ln for ln in lines if ln != "x"}
+    assert '"has\\ttab and \\"quote\\" \\\\ and\\nnewline"' in body
+    assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in body
+    assert '"chat"@en' in body
+    assert "<http://e/a>" in body
+    # every data line is exactly one column (no framing corruption)
+    for ln in body:
+        assert "\t" not in ln
+
+
+def test_xml_output(spark, tmp_path):
+    """XMLOutput parity (sparql/resultset/XMLOutput.java:30): document
+    structure, term element kinds, XML escaping, lang/datatype attrs."""
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources.resultsets import write_xml
+
+    vals = A.values(
+        spark, ["x", "y"],
+        [[("iri", "http://e/a?b=1&c=<2>"),
+          ("literal", "5", "http://www.w3.org/2001/XMLSchema#integer")],
+         [("bnode", "_:b0"), ("literal", "bonjour", None, "fr")]],
+    )
+    path = str(tmp_path / "out.xml")
+    write_xml(vals, path)
+    doc = open(path).read()
+    assert doc.startswith('<?xml version="1.0"?>')
+    assert '<variable name="x"/>' in doc and '<variable name="y"/>' in doc
+    assert "<uri>http://e/a?b=1&amp;c=&lt;2&gt;</uri>" in doc
+    assert '<literal datatype="http://www.w3.org/2001/XMLSchema#integer">5</literal>' in doc
+    assert '<literal xml:lang="fr">bonjour</literal>' in doc
+    assert "<bnode>b0</bnode>" in doc
+    assert doc.count("<result>") == 2 and doc.rstrip().endswith("</sparql>")
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(doc)  # well-formed

@@ -52,3 +52,17 @@ def test_salted_join_equals_plain(spark):
     got = _rows(salted_join(big, small, "k", salt=8))
     want = _rows(big.join(small, "k"))
     assert got == want
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+
+    from jena_spark.pipeline.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    for how in ("right", "full", "full_outer", "cross"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", salt=4, how=how)
+    # supported modes still work
+    assert salted_join(big, small, "k", salt=4, how="left").count() == 1

@@ -43,3 +43,25 @@ def test_column_twins_match_python(spark):
     assert out["ci"] == TM.canon_integer("3")
     assert out["cd"] == TM.canon_datetime(datetime(2026, 2, 1, 8, 30, 0))
     assert out["cv"] == TM.conv_iri("conv-7")
+
+
+def test_validate_gazetteer_contracts():
+    import pytest as _pytest
+
+    from jena_spark.gazetteer import DEFAULT_GAZETTEER, validate_gazetteer
+
+    # the shipped gazetteer satisfies both contracts
+    s2c = validate_gazetteer(DEFAULT_GAZETTEER)
+    assert s2c["NYC"] == "New York"
+
+    # slug collision (NYC vs nyc) fails loudly
+    with _pytest.raises(ValueError, match="slug collision"):
+        validate_gazetteer({"New York": ["NYC", "nyc"]})
+
+    # chained alias (canonical that is itself an alias) fails loudly
+    with _pytest.raises(ValueError, match="star"):
+        validate_gazetteer({"A": ["B"], "B": ["C"]})
+
+    # one alias claimed by two canonicals fails loudly
+    with _pytest.raises(ValueError, match="star"):
+        validate_gazetteer({"A": ["X"], "B": ["X"]})

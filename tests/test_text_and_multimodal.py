@@ -117,3 +117,79 @@ def test_streaming_ingest(spark, transcripts_pdf, tmp_path):
     want = triple_set(raw_triples(
         spark.createDataFrame(tdf.head(60), TRANSCRIPTS_SCHEMA)))
     assert got == want
+
+
+def test_term_constructors_and_accessors(spark):
+    """E_IRI/E_BNode/E_StrDatatype/E_StrLang + E_Str/E_Datatype/E_Lang
+    + E_Is* over the struct term model."""
+    from jena_spark.functions import scalar as SC
+
+    df = spark.createDataFrame([("x", "5", "en")], "rel string, num string, lg string")
+    out = df.select(
+        SC.term_str(SC.make_iri(F.col("rel"), base="http://b/")).alias("iri"),
+        SC.term_str(SC.make_iri(F.lit("https://abs/x"), base="http://b/")).alias("abs_iri"),
+        SC.is_blank(SC.make_bnode(F.col("rel"))).alias("isb"),
+        SC.term_datatype(SC.make_strdt(F.col("num"), "http://www.w3.org/2001/XMLSchema#integer")).alias("dt"),
+        SC.is_numeric(SC.make_strdt(F.col("num"), "http://www.w3.org/2001/XMLSchema#integer")).alias("isnum"),
+        SC.is_numeric(SC.make_strdt(F.lit("abc"), "http://www.w3.org/2001/XMLSchema#integer")).alias("isnum_bad"),
+        SC.term_lang(SC.make_strlang(F.lit("hi"), F.col("lg"))).alias("lang"),
+        SC.term_lang(SC.make_iri(F.col("rel"))).alias("lang_iri"),
+        SC.term_datatype(SC.make_strlang(F.lit("hi"), F.col("lg"))).alias("dt_lang"),
+    ).collect()[0]
+    assert out["iri"] == "http://b/x"
+    assert out["abs_iri"] == "https://abs/x"
+    assert out["isb"] is True
+    assert out["dt"] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert out["isnum"] is True and out["isnum_bad"] is False
+    assert out["lang"] == "en" and out["lang_iri"] == ""
+    assert out["dt_lang"] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def test_regex_flags(spark):
+    """E_Regex / E_StrReplace flag translation (i/s/m/x/q)."""
+    import pytest as _pytest
+
+    from jena_spark.functions.scalar import sparql_regex, sparql_replace
+
+    df = spark.createDataFrame([("Hello\nWorld", "a.b")], "s string, lit string")
+    row = df.select(
+        sparql_regex(F.col("s"), "hello", "i").alias("ci"),
+        sparql_regex(F.col("s"), "hello", None).alias("cs"),
+        sparql_regex(F.col("s"), "Hello.World", "s").alias("dotall"),
+        sparql_regex(F.col("s"), "^World", "m").alias("multi"),
+        sparql_regex(F.col("lit"), "a.b", "q").alias("quoted"),
+        sparql_regex(F.lit("axb"), "a.b", "q").alias("quoted_no"),
+        sparql_replace(F.col("s"), "hello", "Bye", "i").alias("rep"),
+    ).collect()[0]
+    assert row["ci"] is True and row["cs"] is False
+    assert row["dotall"] is True and row["multi"] is True
+    assert row["quoted"] is True and row["quoted_no"] is False
+    assert row["rep"] == "Bye\nWorld"
+    with _pytest.raises(ValueError, match="unsupported regex flags"):
+        sparql_regex(F.col("s"), "x", "z")
+
+
+def test_custom_datatype_registry(spark):
+    """TypeMapper analog: registered datatype feeds the o_num shadow."""
+    from jena_spark.pipeline.shadows import (
+        register_datatype,
+        registered_datatypes,
+        with_typed_shadows,
+    )
+
+    dt = "http://ex.org/percent"
+    register_datatype(dt, lambda c: F.regexp_replace(c, "%$", "").try_cast("decimal(38,18)") / 100)
+    assert dt in registered_datatypes()
+    rows = [
+        ("bnode", "_:a", "http://ex.org/p", "literal", "75%", dt, None),
+        ("bnode", "_:a", "http://ex.org/p", "literal", "oops", dt, None),
+        ("bnode", "_:a", "http://ex.org/p", "literal", "5",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string, "
+              "o_val string, o_datatype string, o_lang string")
+    out = {r["o_val"]: r["o_num"] for r in with_typed_shadows(df).collect()}
+    assert float(out["75%"]) == 0.75
+    assert out["oops"] is None  # invalid lexical form -> NULL shadow
+    assert float(out["5"]) == 5.0

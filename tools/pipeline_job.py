@@ -42,6 +42,10 @@ def main() -> None:
                          "isolates compute/shuffle scaling from the sandbox's "
                          "single shared local disk (a real cluster writes to "
                          "distributed storage)")
+    ap.add_argument("--format", choices=["encoded", "strings"], default="encoded",
+                    help="encoded (default): TDB posture — id-tuple triple "
+                         "table + node dictionary (term strings exist once); "
+                         "strings: one denormalized string-triple table")
     args = ap.parse_args()
 
     from jena_spark.data.transcripts import transcripts_df
@@ -74,20 +78,50 @@ def main() -> None:
     n_turns = tr.count()
 
     t0 = time.perf_counter()
-    if args.noop_sink:
+    if args.noop_sink and args.format == "encoded":
         from pyspark.sql import Observation
 
-        from jena_spark.pipeline.canonicalize import canonicalize_triples
-        from jena_spark.pipeline.extract import raw_triples
+        from jena_spark.pipeline.encoded import construct_canonical_encoded
 
-        raw = raw_triples(tr).persist()  # one extraction pass, reused by
-        canon = canonicalize_triples(raw)  # edge-derivation AND rewrite
+        triples_enc, node_dict = construct_canonical_encoded(tr)
+        obs = Observation("n")
+        triples_enc.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        node_dict.write.format("noop").mode("overwrite").save()
+        n_triples = obs.get["rows"]
+        stages = {"triples_enc_noop": {"rows_out": n_triples}}
+    elif args.noop_sink:
+        from pyspark.sql import Observation
+
+        from jena_spark.pipeline.canonicalize import construct_canonical
+
+        # Single streaming pass: extraction -> rewrite -> dedup -> sink,
+        # no persist of the raw table (see construct_canonical: only the
+        # small mention branch is double-consumed, via its reused
+        # exchange; the structure branch streams once).
+        canon = construct_canonical(tr)
         obs = Observation("n")
         canon.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
             "noop"
         ).mode("overwrite").save()
         n_triples = obs.get["rows"]
         stages = {"canonical_noop": {"rows_out": n_triples}}
+    elif args.format == "encoded":
+        from jena_spark.pipeline.encoded import construct_canonical_encoded
+        from jena_spark.pipeline.materialize import resume_or_write
+
+        triples_enc, node_dict = construct_canonical_encoded(tr)
+        r_t = resume_or_write(
+            triples_enc, f"{args.out}/triples_enc", "triples_enc",
+            args.n_buckets, key="conv_id",
+        )
+        r_n = resume_or_write(
+            node_dict, f"{args.out}/node_dict", "node_dict",
+            args.n_buckets, key="val",
+        )
+        n_triples = r_t.counters["rows_out"]
+        stages = {"triples_enc": r_t.counters, "node_dict": r_n.counters}
     else:
         results = run_pipeline(spark, tr, args.out, n_buckets=args.n_buckets)
         n_triples = results["triples"].counters["rows_out"]
