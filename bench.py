@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "data_dedup_embedding_lsh",
     "data_text_stats",
     "data_sessionize",
+    # round 2 additions
+    "kg_turtle_roundtrip",
+    "kg_agg_sample_mode",
+    "kg_propfunc_lists",
+    "kg_text_search_scored",
+    "data_text_quality",
 ]
 
 

@@ -129,20 +129,45 @@ def connected_components(
     # (rep -> rep) before returning, matching the driver path — the
     # rewrite in canonicalize_triples relies on "mapping hit" meaning
     # "this IRI belongs to some equivalence component".
-    sig = _signature(e)
+    #
+    # Dictionary-encoded iteration (TDB NodeId posture): the
+    # large-star/small-star rounds shuffle 16-byte (src, dst) long
+    # pairs instead of IRI strings — component MEMBERSHIP is invariant
+    # under any total order of node ids, so iterating on xxhash64 ids
+    # is sound; the min-STRING representative (the semantics the driver
+    # path and the oracle use) is re-elected per component at decode
+    # time with one aggregation.
+    from jena_spark.pipeline.encode import term_id_col
+
+    null_s = F.lit(None).cast("string")
+    nodes = (
+        e.select(F.col("src").alias("val"))
+        .union(e.select(F.col("dst").alias("val")))
+        .distinct()
+        .select(term_id_col(F.lit("n"), F.col("val"), null_s, null_s).alias("node_id"),
+                "val")
+        .localCheckpoint(eager=True)
+    )
+    enc = e.select(
+        term_id_col(F.lit("n"), F.col("src"), null_s, null_s).alias("src"),
+        term_id_col(F.lit("n"), F.col("dst"), null_s, null_s).alias("dst"),
+    ).localCheckpoint(eager=True)
+    sig = _signature(enc)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_sig = _signature(e)
+        enc = _small_star(_large_star(enc)).localCheckpoint(eager=True)
+        new_sig = _signature(enc)
         if new_sig == sig:
             break
         sig = new_sig
-    # fixpoint: every edge is (node -> component root); add rep self-maps
-    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
-    return (
-        e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-        .union(roots)
+    # fixpoint: every edge is (node_id -> root_id); add root self-maps
+    memb = (
+        enc.select(F.col("src").alias("node_id"), F.col("dst").alias("root_id"))
+        .union(enc.select(F.col("dst").alias("node_id"), F.col("dst").alias("root_id")))
         .distinct()
     )
+    named = memb.join(nodes, "node_id").select("root_id", F.col("val").alias("node"))
+    reps = named.groupBy("root_id").agg(F.min("node").alias("component"))
+    return named.join(reps, "root_id").select("node", "component").distinct()
 
 
 def sameas_edges(triples: DataFrame) -> DataFrame:

@@ -89,26 +89,71 @@ def mod_path(pairs: DataFrame, n: int, m: int) -> DataFrame:
 
 
 def one_or_more(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
-    """P_OneOrMore (p+): transitive closure, semi-naive iteration.
+    """P_OneOrMore (p+): transitive closure, semi-naive iteration on
+    DICTIONARY-ENCODED endpoints (TDB posture: joins run on 64-bit
+    NodeIds, ``jena-tdb/.../store/NodeId.java:115-152``; only the final
+    result decodes back, ``QueryIteratorIdToNode.java``).
 
     frontier_{k+1} = (frontier_k ∘ edges) − reached; each round is one
-    join + one anti-join, localCheckpoint'ed to cut lineage. Rounds =
-    O(longest simple path); for the O(log n) variant use
-    :func:`jena_spark.pipeline.canonicalize.connected_components`-style
-    doubling — kept simple here because SPARQL closure must preserve
-    (src, dst) pairs, not just components.
+    join + one anti-join over 16-byte (src_id, dst_id) rows instead of
+    ~100+ B string pairs — every closure round's shuffle moves ~6x
+    fewer bytes and compares fixed-width longs. localCheckpoint cuts
+    lineage per round. Rounds = O(longest simple path); for the
+    O(log n) variant use the connected-components doubling — kept
+    semi-naive because SPARQL closure must preserve (src, dst) pairs,
+    not just components.
+
+    Ids are xxhash64 content hashes of (kind, val) — collision odds
+    ~n²/2⁶⁵ (cf. ``jena_spark.pipeline.encode`` collision policy); the
+    driver-checked oracle (`kg_path_one_or_more` vs recursive SQL)
+    guards the end-to-end result.
     """
-    edges = pairs.select(*PAIR_COLS).distinct().localCheckpoint(eager=True)
+    from jena_spark.pipeline.encode import term_id_col
+
+    edges_t = pairs.select(*PAIR_COLS).distinct()
+    null_s = F.lit(None).cast("string")
+
+    def _nid(kind, val):
+        return term_id_col(F.col(kind), F.col(val), null_s, null_s)
+
+    nodes = (
+        edges_t.select(F.col("src_kind").alias("kind"), F.col("src_val").alias("val"))
+        .unionByName(
+            edges_t.select(F.col("dst_kind").alias("kind"), F.col("dst_val").alias("val"))
+        )
+        .distinct()
+        .select(
+            term_id_col(F.col("kind"), F.col("val"), null_s, null_s).alias("node_id"),
+            "kind", "val",
+        )
+        # no checkpoint: consumed once, in the final decode joins
+    )
+    edges = (
+        edges_t.select(
+            _nid("src_kind", "src_val").alias("src"),
+            _nid("dst_kind", "dst_val").alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
     reached = edges
     frontier = edges
     for _ in range(max_iter):
-        nxt = seq(frontier, edges)
-        new = nxt.join(reached, PAIR_COLS, "left_anti").localCheckpoint(eager=True)
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        new = nxt.join(reached, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
         if new.isEmpty():
             break
         reached = reached.unionByName(new).localCheckpoint(eager=True)
         frontier = new
-    return reached
+    s = nodes.select(F.col("node_id").alias("src"), F.col("kind").alias("src_kind"),
+                     F.col("val").alias("src_val"))
+    d = nodes.select(F.col("node_id").alias("dst"), F.col("kind").alias("dst_kind"),
+                     F.col("val").alias("dst_val"))
+    return reached.join(s, "src").join(d, "dst").select(*PAIR_COLS)
 
 
 def zero_or_more(pairs: DataFrame, domain: DataFrame) -> DataFrame:

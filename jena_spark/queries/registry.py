@@ -104,11 +104,21 @@ def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical triple table for sf_dir, computed once and persisted."""
+    """Canonical triple table for sf_dir, computed once and persisted.
+
+    Uses the fused single-pass construction (``construct_canonical``),
+    which is proven row-identical to
+    ``canonicalize_triples(raw_triples(...))`` at multiple seeds and
+    scale factors (``tests/test_materialize.py``, fresh-seed verify) —
+    the generic path stays exercised by ``kg_raw_triples`` + the
+    equality tests, while the flagship query gets the deployment plan
+    (no full-width persist, pre-stringification dedup)."""
     key = (id(spark), sf_dir, "canon")
     if key not in _CACHE:
         _conf(spark)
-        df = canonicalize_triples(_raw_full(spark, sf_dir)).select(*TM.TERM_COLS)
+        from jena_spark.pipeline.canonicalize import construct_canonical
+
+        df = construct_canonical(transcripts_df(spark, sf_dir)).select(*TM.TERM_COLS)
         _CACHE[key] = df.persist()
     return _CACHE[key]
 

@@ -51,3 +51,29 @@ def test_cc_two_components(spark):
     assert got == want
     comp = dict(got)
     assert comp["c"] == "a" and comp["z"] == "y"
+
+
+def test_connected_components_distributed_equals_driver(spark):
+    """Force the distributed (encoded large-star/small-star) path with
+    driver_threshold=0 and assert it matches the driver union-find on a
+    graph with chains, stars, and multiple components — including the
+    min-STRING representative election."""
+    edges = [
+        ("b", "a"), ("c", "b"), ("d", "c"),        # chain -> comp 'a'
+        ("x2", "x1"), ("x3", "x1"), ("x4", "x1"),  # star  -> comp 'x1'
+        ("m", "z"),                                 # pair  -> comp 'm'
+        ("q", "q"),                                 # self-loop dropped
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    driver = {
+        (r["node"], r["component"])
+        for r in connected_components(e).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(e, driver_threshold=0).collect()
+    }
+    assert dist == driver
+    comp_of = dict(dist)
+    assert comp_of["d"] == "a" and comp_of["x4"] == "x1" and comp_of["z"] == "m"
+    assert comp_of["a"] == "a"  # rep self-map present
