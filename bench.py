@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "kg_propfunc_lists",
     "kg_text_search_scored",
     "data_text_quality",
+    "kg_rdfs_inference",
 ]
 
 

@@ -1664,6 +1664,102 @@ _register(
 )
 
 
+def _q_trig_roundtrip(spark, sf):
+    """TriG round-trip (``riot/lang/LangTriG``, registered
+    ``RDFLanguages.java:106``): split the role + tool subgraphs into two
+    named graphs, serialize to TriG (named blocks + default graph),
+    parse back with the distributed reader, return the per-graph quad
+    census."""
+    import os
+    import tempfile
+
+    from jena_spark.sources.turtle import format_trig, read_trig
+
+    t = _triples(spark, sf)
+    g_role, g_tool = TM.NS + "graph/roles", TM.NS + "graph/tools"
+    sel = t.where(F.col("p_val").isin(TM.P_ROLE, TM.P_TOOL))
+    rows = [
+        (*tuple(r), g_role if r["p_val"] == TM.P_ROLE else g_tool)
+        for r in sel.collect()
+    ]
+    doc = format_trig(rows)
+    path = os.path.join(
+        tempfile.gettempdir(), f"jena_spark_trig_{abs(hash((sf, len(rows))))}.trig"
+    )
+    with open(path, "w") as f:
+        f.write(doc)
+    quads = read_trig(spark, path)
+    return quads.groupBy("graph", "p_val").agg(F.count("*").alias("n"))
+
+
+_register(
+    "kg_trig_roundtrip",
+    _q_trig_roundtrip,
+    _W + f"""SELECT '{TM.NS}graph/roles' AS graph, p_val, count(*) AS n
+    FROM triples WHERE p_val = '{TM.P_ROLE}' GROUP BY p_val
+    UNION ALL
+    SELECT '{TM.NS}graph/tools', p_val, count(*) FROM triples
+    WHERE p_val = '{TM.P_TOOL}' GROUP BY p_val""",
+)
+
+
+def _q_rdfs_inference(spark, sf):
+    """RDFS forward chaining (rule reasoner beyond sameAs,
+    ``jena-core/.../etc/rdfs.rules``): inject a small TBox —
+    mentions ⊑ refersTo ⊑ relatesTo (exercises rdfs5 transitivity),
+    mentions domain Turn / range Entity (rdfs2/3), Entity ⊑ Thing
+    (rdfs9) — saturate, and return the per-predicate census of the
+    entailed graph."""
+    from jena_spark.pipeline.inference import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        RDFS_SUBPROP,
+        rdfs_closure,
+    )
+    from jena_spark.pipeline.update import insert_data
+
+    V = TM.NS_VOCAB
+    tbox_rows = [
+        ("iri", V + "mentions", RDFS_SUBPROP, "iri", V + "refersTo", None, None),
+        ("iri", V + "refersTo", RDFS_SUBPROP, "iri", V + "relatesTo", None, None),
+        ("iri", V + "mentions", RDFS_DOMAIN, "iri", V + "Turn", None, None),
+        ("iri", V + "mentions", RDFS_RANGE, "iri", V + "Entity", None, None),
+        ("iri", V + "Entity", RDFS_SUBCLASS, "iri", V + "Thing", None, None),
+    ]
+    tbox = spark.createDataFrame(
+        tbox_rows,
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string",
+    )
+    g = insert_data(_triples(spark, sf), tbox)
+    return rdfs_closure(g).groupBy("p_val").agg(F.count("*").alias("n"))
+
+
+_register(
+    "kg_rdfs_inference",
+    _q_rdfs_inference,
+    _W + f""", m AS (
+      SELECT s_val, o_val FROM triples WHERE p_val = '{TM.NS_VOCAB}mentions'
+    ),
+    census AS (
+      SELECT p_val, count(*) AS n FROM triples
+      WHERE p_val <> '{TM.NS_VOCAB}mentions' GROUP BY p_val
+      UNION ALL SELECT '{TM.NS_VOCAB}mentions', count(*) FROM m
+      UNION ALL SELECT '{TM.NS_VOCAB}refersTo', count(*) FROM m
+      UNION ALL SELECT '{TM.NS_VOCAB}relatesTo', count(*) FROM m
+      UNION ALL
+      SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+             (SELECT count(DISTINCT s_val) FROM m)
+             + 2 * (SELECT count(DISTINCT o_val) FROM m)
+      UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 3
+      UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 1
+      UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#domain', 1
+      UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#range', 1
+    ) SELECT p_val, n FROM census""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1693,7 +1789,8 @@ _PRIORITY = [
     # new this round
     "kg_turtle_roundtrip", "kg_agg_sample_mode", "kg_update_load_ops",
     "kg_propfunc_lists", "expr_term_constructors", "kg_text_search_scored",
-    "data_text_quality", "kg_custom_datatype",
+    "data_text_quality", "kg_custom_datatype", "kg_rdfs_inference",
+    "kg_trig_roundtrip",
     # representative core (green in r01, keep under driver watch)
     "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_minus",
     "kg_exists", "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",

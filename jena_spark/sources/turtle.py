@@ -54,7 +54,8 @@ _TOKEN = re.compile(
     | (?P<kw>\ba\b|true|false)
     | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<dtmark>\^\^)
-    | (?P<punct>[;,.\[\]()])
+    | (?P<graph_kw>(?i:\bGRAPH\b))
+    | (?P<punct>[;,.\[\](){}])
     """,
     re.VERBOSE,
 )
@@ -203,9 +204,11 @@ class TurtleParser:
         return ("bnode", heads[0], None, None)
 
     # --- grammar ------------------------------------------------------------
+    graph: str | None = None  # current named graph (TriG blocks)
+
     def _emit(self, subj, pred: str, obj):
         self.rows.append(
-            (subj[0], subj[1], pred, obj[0], obj[1], obj[2], obj[3])
+            (subj[0], subj[1], pred, obj[0], obj[1], obj[2], obj[3], self.graph)
         )
 
     def _predicate(self) -> str:
@@ -237,46 +240,117 @@ class TurtleParser:
                 continue
             break
 
+    def _directive(self, val: str) -> None:
+        self.toks.next()
+        low = val.lower().lstrip("@")
+        if low == "prefix":
+            pk, pv = self.toks.next()
+            if pk != "pname_full" or not pv.endswith(":"):
+                raise ValueError(f"bad @prefix name {pv!r}")
+            ik, iv = self.toks.next()
+            if ik != "iri":
+                raise ValueError(f"bad @prefix IRI {iv!r}")
+            self.prefixes[pv[:-1]] = self._resolve(iv[1:-1])
+        else:  # base
+            ik, iv = self.toks.next()
+            if ik != "iri":
+                raise ValueError(f"bad @base IRI {iv!r}")
+            self.base = self._resolve(iv[1:-1])
+        nk, nv = self.toks.peek()
+        if nk == "punct" and nv == ".":  # @prefix form ends with .
+            self.toks.next()
+
+    def _triples_statement(self, subj=None) -> None:
+        if subj is None:
+            subj = self._term()
+        if subj[0] == "literal":
+            raise ValueError("Turtle parse error: literal subject")
+        nk, nv = self.toks.peek()
+        # a bare "[ ... ] ." statement is legal; only parse a
+        # predicate-object list if one follows
+        if not (nk == "punct" and nv == "."):
+            self._predicate_object_list(subj)
+        self.toks.expect_punct(".")
+
     def parse(self) -> list[tuple]:
         while True:
             kind, val = self.toks.peek()
             if kind is None:
                 break
             if kind == "prefix_decl":
-                self.toks.next()
-                low = val.lower().lstrip("@")
-                if low == "prefix":
-                    pk, pv = self.toks.next()
-                    if pk != "pname_full" or not pv.endswith(":"):
-                        raise ValueError(f"bad @prefix name {pv!r}")
-                    ik, iv = self.toks.next()
-                    if ik != "iri":
-                        raise ValueError(f"bad @prefix IRI {iv!r}")
-                    self.prefixes[pv[:-1]] = self._resolve(iv[1:-1])
-                else:  # base
-                    ik, iv = self.toks.next()
-                    if ik != "iri":
-                        raise ValueError(f"bad @base IRI {iv!r}")
-                    self.base = self._resolve(iv[1:-1])
-                nk, nv = self.toks.peek()
-                if nk == "punct" and nv == ".":  # @prefix form ends with .
-                    self.toks.next()
+                self._directive(val)
                 continue
+            self._triples_statement()
+        return self.rows
+
+
+class TrigParser(TurtleParser):
+    """TriG (``riot/RDFLanguages.java:106``, ``riot/lang/LangTriG``):
+    Turtle plus named-graph blocks — ``GRAPH <g> { ... }``, bare
+    ``<g> { ... }``, and default-graph ``{ ... }`` blocks, interleaved
+    with plain Turtle statements."""
+
+    def _block(self, graph_term) -> None:
+        if graph_term is not None and graph_term[0] == "literal":
+            raise ValueError("TriG parse error: literal graph name")
+        self.graph = graph_term[1] if graph_term is not None else None
+        self.toks.expect_punct("{")
+        while True:
+            kind, val = self.toks.peek()
+            if kind == "punct" and val == "}":
+                self.toks.next()
+                break
+            if kind is None:
+                raise ValueError("TriG parse error: unterminated graph block")
+            self._triples_statement()
+        self.graph = None
+
+    def _triples_statement(self, subj=None) -> None:
+        # inside a block, statements may omit the final '.' before '}'
+        if subj is None:
             subj = self._term()
-            if subj[0] == "literal":
-                raise ValueError("Turtle parse error: literal subject")
+        if subj[0] == "literal":
+            raise ValueError("Turtle parse error: literal subject")
+        nk, nv = self.toks.peek()
+        if not (nk == "punct" and nv in (".", "}")):
+            self._predicate_object_list(subj)
+        nk, nv = self.toks.peek()
+        if nk == "punct" and nv == ".":
+            self.toks.next()
+
+    def parse(self) -> list[tuple]:
+        while True:
+            kind, val = self.toks.peek()
+            if kind is None:
+                break
+            if kind == "prefix_decl":
+                self._directive(val)
+                continue
+            if kind == "graph_kw":
+                self.toks.next()
+                self._block(self._term())
+                continue
+            if kind == "punct" and val == "{":
+                self._block(None)
+                continue
+            term = self._term()
             nk, nv = self.toks.peek()
-            # a bare "[ ... ] ." statement is legal; only parse a
-            # predicate-object list if one follows
-            if not (nk == "punct" and nv == "."):
-                self._predicate_object_list(subj)
-            self.toks.expect_punct(".")
+            if nk == "punct" and nv == "{":
+                self._block(term)
+            else:
+                self._triples_statement(subj=term)
         return self.rows
 
 
 def parse_turtle(text: str, base: str | None = None, scope: str | None = None) -> list[tuple]:
     """Parse one Turtle document -> list of 7-tuples (TERM_COLS order)."""
-    return TurtleParser(text, base, scope).parse()
+    return [r[:7] for r in TurtleParser(text, base, scope).parse()]
+
+
+def parse_trig(text: str, base: str | None = None, scope: str | None = None) -> list[tuple]:
+    """Parse one TriG document -> list of 8-tuples (TERM_COLS + graph;
+    graph None = default graph)."""
+    return TrigParser(text, base, scope).parse()
 
 
 def read_turtle(spark: SparkSession, path: str, base: str | None = None) -> DataFrame:
@@ -307,6 +381,54 @@ def read_turtle(spark: SparkSession, path: str, base: str | None = None) -> Data
         .withColumn("graph", F.lit(None).cast("string"))
         .withColumn("conv_id", F.lit(None).cast("string"))
     )
+
+
+def read_trig(spark: SparkSession, path: str, base: str | None = None) -> DataFrame:
+    """Read .trig file(s) into the quad-table schema (TERM_COLS +
+    graph); same per-document parallelism as :func:`read_turtle`."""
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True)
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for txt in pdf["value"]:
+                out.extend(parse_trig(txt, base))
+            yield pd.DataFrame(
+                out,
+                columns=["s_kind", "s_val", "p_val", "o_kind", "o_val",
+                         "o_datatype", "o_lang", "graph"],
+            )
+
+    schema = ("s_kind string, s_val string, p_val string, o_kind string, "
+              "o_val string, o_datatype string, o_lang string, graph string")
+    from pyspark.sql import functions as F
+
+    return (
+        files.mapInPandas(_parse, schema)
+        .withColumn("conv_id", F.lit(None).cast("string"))
+    )
+
+
+def format_trig(rows: list[tuple]) -> str:
+    """Serialize 8-tuples (TERM_COLS + graph) to TriG: default-graph
+    statements first, then one named block per graph."""
+    lines = [f"@prefix {p}: <{ns}> ." for p, ns in _PREFIXES.items()]
+    lines.append("")
+    by_graph: dict[str | None, list] = {}
+    for r in rows:
+        by_graph.setdefault(r[7], []).append(r[:7])
+    for g in sorted(by_graph, key=lambda x: (x is not None, x or "")):
+        body = format_turtle(by_graph[g])
+        body = "\n".join(
+            ln for ln in body.splitlines() if not ln.startswith("@prefix")
+        ).strip()
+        if g is None:
+            lines.append(body)
+        else:
+            lines.append(f"{_fmt_iri(g)} {{\n{body}\n}}")
+    return "\n".join(lines) + "\n"
 
 
 _PREFIXES = {

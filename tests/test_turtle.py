@@ -117,3 +117,56 @@ def test_read_turtle_distributed_equals_ntriples(spark, transcripts_df, tmp_path
                 read_turtle(spark, ttl_path).select(*TM.TERM_COLS).collect()}
     assert from_ttl == from_nt
     assert len(from_ttl) == 300
+
+
+def test_parse_trig_blocks():
+    from jena_spark.sources.turtle import parse_trig
+
+    doc = """@prefix ex: <http://e/> .
+    ex:s0 ex:p "default" .
+    GRAPH ex:g1 { ex:a ex:p ex:b . ex:c ex:p "v" }
+    ex:g2 { ex:d ex:p 5 . }
+    { ex:e ex:p "also-default" . }
+    """
+    rows = parse_trig(doc)
+    by_graph = {}
+    for r in rows:
+        by_graph.setdefault(r[7], set()).add(r[:7])
+    assert ("iri", "http://e/s0", "http://e/p", "literal", "default", None, None) in by_graph[None]
+    assert ("iri", "http://e/e", "http://e/p", "literal", "also-default", None, None) in by_graph[None]
+    assert len(by_graph["http://e/g1"]) == 2
+    assert ("iri", "http://e/d", "http://e/p", "literal", "5",
+            "http://www.w3.org/2001/XMLSchema#integer", None) in by_graph["http://e/g2"]
+
+
+def test_format_parse_trig_roundtrip_pure():
+    from jena_spark.sources.turtle import format_trig, parse_trig
+
+    rows = [
+        ("iri", TM.NS_ENTITY + "a", TM.RDFS_LABEL, "literal", "A", None, None, None),
+        ("bnode", "_:t1", TM.P_ROLE, "literal", "user", None, None, TM.NS + "graph/g1"),
+        ("bnode", "_:t2", TM.P_TURN_INDEX, "literal", "3", TM.XSD_INTEGER, None,
+         TM.NS + "graph/g1"),
+        ("iri", TM.NS_ENTITY + "b", TM.P_MENTIONS, "iri", TM.NS_ENTITY + "a",
+         None, None, TM.NS + "graph/g2"),
+    ]
+    doc = format_trig(rows)
+    back = parse_trig(doc)
+    assert set(back) == set(rows)
+
+
+def test_read_trig_distributed(spark, tmp_path):
+    from jena_spark.sources.turtle import format_trig, read_trig
+
+    rows = [
+        ("iri", "http://e/a", "http://e/p", "literal", "x", None, None, None),
+        ("iri", "http://e/b", "http://e/p", "iri", "http://e/c", None, None,
+         "http://e/g"),
+    ]
+    p = str(tmp_path / "g.trig")
+    with open(p, "w") as f:
+        f.write(format_trig(rows))
+    back = {tuple(r) for r in read_trig(spark, p)
+            .select("s_kind", "s_val", "p_val", "o_kind", "o_val",
+                    "o_datatype", "o_lang", "graph").collect()}
+    assert back == set(rows)

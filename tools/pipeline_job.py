@@ -85,10 +85,18 @@ def main() -> None:
 
         triples_enc, node_dict = construct_canonical_encoded(tr)
         obs = Observation("n")
-        triples_enc.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        node_dict.write.format("noop").mode("overwrite").save()
+
+        def _sink(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:  # concurrent jobs, cf. e2e
+            f_t = pool.submit(
+                _sink, triples_enc.observe(obs, F.count(F.lit(1)).alias("rows"))
+            )
+            f_n = pool.submit(_sink, node_dict)
+            f_t.result(), f_n.result()
         n_triples = obs.get["rows"]
         stages = {"triples_enc_noop": {"rows_out": n_triples}}
     elif args.noop_sink:
@@ -108,18 +116,27 @@ def main() -> None:
         n_triples = obs.get["rows"]
         stages = {"canonical_noop": {"rows_out": n_triples}}
     elif args.format == "encoded":
+        from concurrent.futures import ThreadPoolExecutor
+
         from jena_spark.pipeline.encoded import construct_canonical_encoded
         from jena_spark.pipeline.materialize import resume_or_write
 
         triples_enc, node_dict = construct_canonical_encoded(tr)
-        r_t = resume_or_write(
-            triples_enc, f"{args.out}/triples_enc", "triples_enc",
-            args.n_buckets, key="conv_id",
-        )
-        r_n = resume_or_write(
-            node_dict, f"{args.out}/node_dict", "node_dict",
-            args.n_buckets, key="val",
-        )
+        # The two output tables are independent sinks of the same
+        # (already-materialized) mention cache — submit them as
+        # CONCURRENT Spark jobs so their stage tails interleave instead
+        # of serializing (Spark's scheduler handles multi-threaded job
+        # submission; on one core FIFO degenerates to sequential).
+        with ThreadPoolExecutor(2) as pool:
+            f_t = pool.submit(
+                resume_or_write, triples_enc, f"{args.out}/triples_enc",
+                "triples_enc", args.n_buckets, key="conv_id",
+            )
+            f_n = pool.submit(
+                resume_or_write, node_dict, f"{args.out}/node_dict",
+                "node_dict", args.n_buckets, key="val",
+            )
+            r_t, r_n = f_t.result(), f_n.result()
         n_triples = r_t.counters["rows_out"]
         stages = {"triples_enc": r_t.counters, "node_dict": r_n.counters}
     else:
