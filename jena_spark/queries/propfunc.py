@@ -60,3 +60,88 @@ def bag(bindings: DataFrame, arr: Column, member_var: str) -> DataFrame:
     """apf:bag / rdf:Bag membership (``bag.java``) — unordered container:
     one row per member, no ordinal."""
     return bindings.select("*", F.explode(arr).alias(member_var))
+
+
+def alt(bindings: DataFrame, arr: Column, member_var: str) -> DataFrame:
+    """rdf:Alt membership (``alt.java``) — same row shape as bag; the
+    Alt/Bag distinction is container typing, not iteration order."""
+    return bindings.select("*", F.explode(arr).alias(member_var))
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def container(bindings: DataFrame, arr: Column, prop_var: str, member_var: str) -> DataFrame:
+    """Generic container membership (``container.java``): one row per
+    member with its ``rdf:_n`` membership property IRI."""
+    out = bindings.select("*", F.posexplode(arr).alias("_p", member_var))
+    return out.withColumn(
+        prop_var, F.concat(F.lit(RDF_NS + "_"), (F.col("_p") + 1).cast("string"))
+    ).drop("_p")
+
+
+def assign(bindings: DataFrame, out_var: str, value: Column) -> DataFrame:
+    """apf:assign (``assign.java``) — bind a computed value (BIND/extend
+    through the property-function surface); 1:1."""
+    return bindings.withColumn(out_var, value)
+
+
+def bnode_pf(bindings: DataFrame, src: Column, out_var: str) -> DataFrame:
+    """apf:bnode / apf:blankNode (``bnode.java``): for a bnode-kind term
+    struct, bind its label as a plain literal; non-bnodes yield no row
+    (filter semantics)."""
+    return bindings.where(src.getField("kind") == "bnode").withColumn(
+        out_var, src.getField("val")
+    )
+
+
+def str_pf(bindings: DataFrame, src: Column, out_var: str) -> DataFrame:
+    """apf:str (``str.java``): lexical form of any term struct; 1:1."""
+    return bindings.withColumn(out_var, src.getField("val"))
+
+
+def split_uri(bindings: DataFrame, iri: Column, ns_var: str, local_var: str) -> DataFrame:
+    """apf:splitURI (``splitURI.java``) — alias of splitIRI."""
+    return split_iri(bindings, iri, ns_var, local_var)
+
+
+ENGINE_VERSION = "jena-spark/0.2"
+
+
+def version(bindings: DataFrame, out_var: str) -> DataFrame:
+    """apf:versionARQ (``versionARQ.java``): bind the engine version
+    string (deterministic constant, not a timestamp)."""
+    return bindings.withColumn(out_var, F.lit(ENGINE_VERSION))
+
+
+# --- registry (PropertyFunctionRegistry parity) -----------------------------
+# ``sparql/pfunction/PropertyFunctionRegistry.java:40`` maps property
+# IRIs to factories; same shape here — IRI -> callable. RDF-star
+# ``triple/*`` functions are a declared non-goal.
+
+APF = "http://jena.apache.org/ARQ/property#"
+LISTF = "http://jena.apache.org/ARQ/list#"
+
+PROPERTY_FUNCTIONS = {
+    APF + "strSplit": str_split,
+    APF + "splitIRI": split_iri,
+    APF + "splitURI": split_uri,
+    APF + "concat": concat,
+    APF + "assign": assign,
+    APF + "bnode": bnode_pf,
+    APF + "blankNode": bnode_pf,
+    APF + "str": str_pf,
+    APF + "bag": bag,
+    APF + "alt": alt,
+    APF + "seq": seq,
+    APF + "container": container,
+    APF + "versionARQ": version,
+    LISTF + "member": list_member,
+    LISTF + "index": list_index,
+    LISTF + "length": list_length,
+}
+
+
+def register(iri: str, fn) -> None:
+    """PropertyFunctionRegistry.put analog."""
+    PROPERTY_FUNCTIONS[iri] = fn

@@ -43,3 +43,58 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_mention_counts(
+    transcripts_stream: DataFrame,
+    gazetteer: dict | None = None,
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation: mention counts per
+    (time window, surface). The watermark bounds state for late turns —
+    turns later than ``watermark`` behind the max event time are
+    dropped, which is the standard Structured Streaming late-data
+    policy; state size is O(windows-in-flight x surfaces), both bounded.
+    The mention extractor is the same Arrow-batched UDF as the batch
+    path (one rule set, two execution modes)."""
+    from pyspark.sql import functions as F
+
+    from jena_spark.pipeline.extract import mentions_udf
+
+    udf = mentions_udf(gazetteer)
+    mentions = (
+        transcripts_stream.withWatermark("ts", watermark)
+        .select("ts", F.explode(udf(F.col("text"))).alias("surface"))
+    )
+    return mentions.groupBy(
+        F.window("ts", window_dur).alias("w"), "surface"
+    ).agg(F.count("*").alias("n"))
+
+
+def stateful_conv_progress(transcripts_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    conversation, maintain (turn count, max turn index) across
+    micro-batches and emit the updated running summary each batch —
+    the arbitrary-state analog of the reference's incremental
+    StreamRDF accumulation into a Graph. State is one tiny tuple per
+    conv_id; at 10^12 turns the state store shards by conv_id exactly
+    like every other conv-keyed stage."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, max_idx integer"
+    state_schema = "n long, mx integer"
+
+    def update(key, pdfs, state):
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "max_idx": [mx]})
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -45,3 +45,68 @@ def test_stream_ingest_matches_batch(spark, transcripts_pdf, tmp_path):
     q2 = start_ingest(spark, src, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_windowed_mention_counts_match_batch(spark, transcripts_pdf, tmp_path):
+    """Watermark + event-time window agg over the stream equals the
+    same aggregation computed in batch."""
+    from pyspark.sql import functions as F
+
+    from jena_spark.pipeline.extract import mentions_udf
+    from jena_spark.streaming.ingest import stream_transcripts, windowed_mention_counts
+
+    tdf, _ = transcripts_pdf
+    src = str(tmp_path / "wsrc")
+    spark.createDataFrame(tdf, TRANSCRIPTS_SCHEMA).write.mode("overwrite").parquet(src)
+
+    q = (
+        windowed_mention_counts(stream_transcripts(spark, src))
+        .writeStream.format("memory").queryName("winm")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["w"]["start"], r["surface"], r["n"])
+        for r in spark.sql("SELECT * FROM winm").collect()
+    }
+    udf = mentions_udf()
+    batch = (
+        spark.createDataFrame(tdf, TRANSCRIPTS_SCHEMA)
+        .select("ts", F.explode(udf(F.col("text"))).alias("surface"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "surface")
+        .agg(F.count("*").alias("n"))
+    )
+    expected = {(r["w"]["start"], r["surface"], r["n"]) for r in batch.collect()}
+    assert streamed == expected and len(streamed) > 0
+
+
+def test_stateful_conv_progress(spark, transcripts_pdf, tmp_path):
+    """applyInPandasWithState: running per-conversation state across
+    micro-batches; the final emitted state equals the batch aggregate."""
+    from jena_spark.streaming.ingest import stateful_conv_progress, stream_transcripts
+
+    tdf, _ = transcripts_pdf
+    src = str(tmp_path / "ssrc")
+    half = len(tdf) // 2
+    spark.createDataFrame(tdf.iloc[:half], TRANSCRIPTS_SCHEMA).write.mode(
+        "overwrite").parquet(src)
+    spark.createDataFrame(tdf.iloc[half:], TRANSCRIPTS_SCHEMA).write.mode(
+        "append").parquet(src)
+
+    q = (
+        stateful_conv_progress(stream_transcripts(spark, src))
+        .writeStream.format("memory").queryName("convp")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per conv is the final state
+    rows = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n_turns, max(max_idx) AS max_idx "
+        "FROM convp GROUP BY conv_id"
+    ).collect()
+    got = {(r["conv_id"], r["n_turns"], r["max_idx"]) for r in rows}
+    exp = {
+        (cid, len(g), int(g["turn_idx"].max()))
+        for cid, g in tdf.groupby("conv_id")
+    }
+    assert got == exp
