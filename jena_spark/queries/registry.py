@@ -1525,26 +1525,24 @@ _register(
 
 def _q_turtle_roundtrip(spark, sf):
     """Turtle round-trip (LangTurtle, ``riot/lang/LangTurtle.java:33``):
-    serialize the label + turnIndex subgraph to Turtle (prefixes, ';'
-    grouping, typed literals, bnode subjects), parse it back with the
-    distributed reader, return the parsed triples. The oracle is the
+    serialize the label + turnIndex subgraph to Turtle with the
+    DISTRIBUTED writer (one self-contained document per partition —
+    prefixes, ';' grouping, typed literals, bnode subjects), parse it
+    back with the distributed per-file reader, return the parsed
+    triples. No driver-side collect at any scale. The oracle is the
     original subgraph — equality IS the round-trip check."""
     import os
     import tempfile
 
-    from jena_spark.sources.turtle import format_turtle, read_turtle
+    from jena_spark.sources.turtle import read_turtle, write_turtle
 
     t = _triples(spark, sf)
     sel = t.where(F.col("p_val").isin(TM.RDFS_LABEL, TM.P_TURN_INDEX))
-    rows = [tuple(r) for r in sel.collect()]
-    doc = format_turtle(rows)
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"jena_spark_ttl_{abs(hash((sf, len(rows))))}.ttl",
+        tempfile.gettempdir(), f"jena_spark_ttl_{abs(hash(sf))}"
     )
-    with open(path, "w") as f:
-        f.write(doc)
-    return read_turtle(spark, path).select(*TM.TERM_COLS)
+    write_turtle(sel, path)
+    return read_turtle(spark, os.path.join(path, "part-*")).select(*TM.TERM_COLS)
 
 
 _register(
@@ -1673,22 +1671,17 @@ def _q_trig_roundtrip(spark, sf):
     import os
     import tempfile
 
-    from jena_spark.sources.turtle import format_trig, read_trig
+    from jena_spark.sources.turtle import read_trig, write_trig
 
     t = _triples(spark, sf)
     g_role, g_tool = TM.NS + "graph/roles", TM.NS + "graph/tools"
-    sel = t.where(F.col("p_val").isin(TM.P_ROLE, TM.P_TOOL))
-    rows = [
-        (*tuple(r), g_role if r["p_val"] == TM.P_ROLE else g_tool)
-        for r in sel.collect()
-    ]
-    doc = format_trig(rows)
-    path = os.path.join(
-        tempfile.gettempdir(), f"jena_spark_trig_{abs(hash((sf, len(rows))))}.trig"
+    sel = t.where(F.col("p_val").isin(TM.P_ROLE, TM.P_TOOL)).withColumn(
+        "graph",
+        F.when(F.col("p_val") == TM.P_ROLE, F.lit(g_role)).otherwise(F.lit(g_tool)),
     )
-    with open(path, "w") as f:
-        f.write(doc)
-    quads = read_trig(spark, path)
+    path = os.path.join(tempfile.gettempdir(), f"jena_spark_trig_{abs(hash(sf))}")
+    write_trig(sel, path)
+    quads = read_trig(spark, os.path.join(path, "part-*"))
     return quads.groupBy("graph", "p_val").agg(F.count("*").alias("n"))
 
 

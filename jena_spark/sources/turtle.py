@@ -507,3 +507,28 @@ def write_turtle(triples: DataFrame, path: str) -> None:
     triples.select(*cols).mapInPandas(_fmt, "value string").write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_trig(quads: DataFrame, path: str) -> None:
+    """Distributed TriG sink: each partition serializes one
+    self-contained TriG document (quads of one graph may span
+    partitions — blocks for the same graph across files union cleanly
+    on read, exactly like RIOT's sharded stream output)."""
+    import pandas as pd
+
+    cols = ["s_kind", "s_val", "p_val", "o_kind", "o_val", "o_datatype",
+            "o_lang", "graph"]
+
+    def _fmt(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend([
+                tuple(None if (isinstance(v, float) and pd.isna(v)) or v is None
+                      else v for v in r)
+                for r in pdf[cols].itertuples(index=False)
+            ])
+        yield pd.DataFrame({"value": [format_trig(rows)] if rows else []})
+
+    quads.select(*cols).mapInPandas(_fmt, "value string").write.mode(
+        "overwrite"
+    ).text(path)
