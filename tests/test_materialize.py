@@ -106,3 +106,34 @@ def test_run_pipeline_deterministic_reruns(spark, transcripts_df, tmp_path):
         b = spark.read.parquet(f"{out_b}/{stage}")
         rows_b = {tuple(r) for r in b.collect()}
         assert rows_a == rows_b, stage
+
+
+def test_encoded_job_disk_roundtrip(spark, transcripts_df, tmp_path):
+    """Deployment shape end-to-end on disk: encoded triple table +
+    node dictionary written bucketed with manifests (as pipeline_job
+    --format encoded does), read back, decoded — equals the generic
+    string pipeline. Also checks resume is a no-op on complete output."""
+    from jena_spark.pipeline.canonicalize import canonicalize_triples
+    from jena_spark.pipeline.encode import decode_triples
+    from jena_spark.pipeline.encoded import construct_canonical_encoded
+
+    out = str(tmp_path / "enc")
+    triples_enc, node_dict = construct_canonical_encoded(transcripts_df)
+    r_t = M.resume_or_write(triples_enc, f"{out}/triples_enc", "triples_enc",
+                            4, key="conv_id")
+    r_n = M.resume_or_write(node_dict, f"{out}/node_dict", "node_dict",
+                            4, key="val")
+    assert r_t.counters["rows_out"] > 0 and r_n.counters["rows_out"] > 0
+
+    enc_back = spark.read.parquet(f"{out}/triples_enc").select("s_id", "p_id", "o_id")
+    dict_back = spark.read.parquet(f"{out}/node_dict").select(
+        "node_id", "kind", "val", "datatype", "lang")
+    decoded = M.triple_set(decode_triples(enc_back, dict_back))
+    generic = M.triple_set(canonicalize_triples(raw_triples(transcripts_df)))
+    assert decoded == generic
+
+    # complete output -> resume is a no-op
+    before = M.read_manifest(f"{out}/triples_enc")["counters"]["rows_out"]
+    M.resume_or_write(triples_enc, f"{out}/triples_enc", "triples_enc", 4,
+                      key="conv_id")
+    assert M.read_manifest(f"{out}/triples_enc")["counters"]["rows_out"] == before

@@ -71,3 +71,53 @@ def test_whole_stage_codegen_covers_find(triples_parquet):
     # "*(n)" prefixes mark WholeStageCodegen spans in executedPlan text
     plan = _plan(G.find(triples_parquet, p=TM.P_TEXT))
     assert "*(1) Filter" in plan or "WholeStageCodegen" in plan
+
+
+def test_fused_construction_plan_shape(spark, transcripts_df):
+    """The deployment hot path: rep-dim joins broadcast (no shuffle for
+    entity linking), exactly ONE wide mention dedup + ONE narrow
+    (conv, turn, rep) dedup — no full-width string dedup anywhere."""
+    from jena_spark.pipeline.canonicalize import construct_canonical
+
+    plan = _plan(construct_canonical(transcripts_df))
+    assert plan.count("BroadcastHashJoin") >= 2  # rep_dim for edges + labels
+    assert "SortMergeJoin" not in plan
+    # dedup exchanges hash on narrow columns, never on o_val/s_val strings
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keycols = frag.split(")")[0]
+        assert "o_val" not in keycols and "s_val" not in keycols, keycols
+
+
+def test_encoded_triples_plan_is_narrow(spark, transcripts_df):
+    """The encoded triple stream must not shuffle: ids are computed in
+    the narrow projection (allocator-free content hashes)."""
+    from jena_spark.pipeline.encoded import construct_canonical_encoded
+
+    triples_enc, node_dict = construct_canonical_encoded(transcripts_df)
+    # structure branch = first union child; it must contain no Exchange
+    plan = _plan(triples_enc)
+    structure_branch = plan.split("ArrowEvalPython")[0]
+    assert "xxhash64" in plan.lower() or "XxHash64" in plan
+    # node dictionary dedup keys on the 8-byte id, not the term strings
+    nplan = _plan(node_dict)
+    dedup_keys = [
+        frag.split(")")[0]
+        for frag in nplan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert any("node_id" in k for k in dedup_keys)
+    assert all("val" not in k.split(",")[0] for k in dedup_keys)
+
+
+def test_path_closure_iterates_on_ids(spark, transcripts_df):
+    """one_or_more's join runs on 64-bit ids (TDB posture): the join
+    keys in the closure plan are long-typed id columns, not term
+    strings."""
+    from jena_spark.pipeline.canonicalize import construct_canonical
+    from jena_spark.queries import paths as P
+
+    t = construct_canonical(transcripts_df).select(*TM.TERM_COLS).limit(500)
+    closed = P.one_or_more(P.link(t, TM.P_HAS_TURN))
+    plan = _plan(closed)
+    # final decode joins bring strings back; the closure core joined on
+    # src/dst longs — visible as join keys named src/dst (bigint)
+    assert "src" in plan and "dst" in plan
