@@ -1696,6 +1696,55 @@ _register(
 )
 
 
+def _q_text_index(spark, sf):
+    """jena-text index parity (``TextIndexLucene.java:82,296,476``):
+    build the materialized posting table over label+text literals, then
+    answer a ranked two-term OR query from the INDEX (no corpus
+    rescan)."""
+    from jena_spark.queries import textindex as TI
+
+    t = _triples(spark, sf)
+    idx = TI.build_text_index(t)
+    return TI.query_index(idx, ["discussed", "turing"], mode="any")
+
+
+_register(
+    "kg_text_index",
+    _q_text_index,
+    _W + f""", lits AS (
+      SELECT s_kind, s_val, p_val AS property, lower(o_val) AS txt
+      FROM triples
+      WHERE p_val IN ('{TM.RDFS_LABEL}', '{TM.P_TEXT}') AND o_kind = 'literal'
+    ),
+    toks AS (
+      SELECT s_kind, s_val, property,
+        unnest(list_filter(regexp_split_to_array(txt, '[^a-z0-9]+'),
+                           t -> t <> '')) AS token
+      FROM lits
+    ),
+    tf AS (
+      SELECT token, property, s_kind, s_val, count(*) AS tf
+      FROM toks GROUP BY token, property, s_kind, s_val
+    ),
+    lens AS (
+      SELECT s_kind, s_val, property,
+        CAST(sum(len(list_filter(regexp_split_to_array(txt, '[^a-z0-9]+'),
+                                 t -> t <> ''))) AS BIGINT) AS doc_len
+      FROM lits GROUP BY s_kind, s_val, property
+    ),
+    hits AS (
+      SELECT tf.*, lens.doc_len FROM tf
+      JOIN lens ON tf.s_kind = lens.s_kind AND tf.s_val = lens.s_val
+               AND tf.property = lens.property
+      WHERE token IN ('discussed', 'turing')
+    )
+    SELECT s_kind, s_val, property,
+      CAST(sum(CAST(floor(tf * 10000.0 / doc_len) AS BIGINT)) AS BIGINT)
+        AS score_bp
+    FROM hits GROUP BY s_kind, s_val, property""",
+)
+
+
 def _q_rdfs_inference(spark, sf):
     """RDFS forward chaining (rule reasoner beyond sameAs,
     ``jena-core/.../etc/rdfs.rules``): inject a small TBox —
@@ -1783,7 +1832,7 @@ _PRIORITY = [
     "kg_turtle_roundtrip", "kg_agg_sample_mode", "kg_update_load_ops",
     "kg_propfunc_lists", "expr_term_constructors", "kg_text_search_scored",
     "data_text_quality", "kg_custom_datatype", "kg_rdfs_inference",
-    "kg_trig_roundtrip",
+    "kg_trig_roundtrip", "kg_text_index",
     # representative core (green in r01, keep under driver watch)
     "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_minus",
     "kg_exists", "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",
