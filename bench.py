@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "kg_text_search_scored",
     "data_text_quality",
     "kg_rdfs_inference",
+    "kg_text_index",
 ]
 
 

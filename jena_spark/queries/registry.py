@@ -1759,7 +1759,6 @@ def _q_rdfs_inference(spark, sf):
         RDFS_SUBPROP,
         rdfs_closure,
     )
-    from jena_spark.pipeline.update import insert_data
 
     V = TM.NS_VOCAB
     tbox_rows = [
@@ -1774,7 +1773,10 @@ def _q_rdfs_inference(spark, sf):
         "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
         "o_datatype string, o_lang string",
     )
-    g = insert_data(_triples(spark, sf), tbox)
+    # plain union, not insert_data: the TBox predicates (rdfs:*) are
+    # disjoint from every predicate the construction emits, so set
+    # semantics hold without the full-width dedup INSERT DATA pays
+    g = _triples(spark, sf).unionByName(tbox)
     return rdfs_closure(g).groupBy("p_val").agg(F.count("*").alias("n"))
 
 
