@@ -241,6 +241,78 @@ SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
 }
 
 
+def datetime_timezone(ts: Column) -> Column:
+    """E_DateTimeTimezone — timezone as xsd:dayTimeDuration lexical
+    form ("PT0S", "PT5H30M", "-PT8H"), derived from the session-zone
+    offset of the timestamp."""
+    off = F.date_format(ts, "xx")  # e.g. +0000, +0530, -0800
+    sign = F.when(off.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    hh = F.substring(off, 2, 2).cast("int")
+    mm = F.substring(off, 4, 2).cast("int")
+    return (
+        F.when((hh == 0) & (mm == 0), F.lit("PT0S"))
+        .otherwise(
+            F.concat(
+                sign, F.lit("PT"), hh.cast("string"), F.lit("H"),
+                F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M")))
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+
+
+def call(name: str, *args) -> Column:
+    """E_Call / E_FunctionDynamic — dynamic dispatch through the
+    registry (the function IRI/name is data-independent here; a
+    data-dependent name would need a CASE over the registry, which
+    ARQ's E_Call also effectively builds)."""
+    if name not in SPARQL_FUNCTIONS:
+        raise KeyError(f"unregistered function: {name!r}")
+    return SPARQL_FUNCTIONS[name](*args)
+
+
+# E_* operator families expressible directly as Column operators —
+# registered so the dynamic-call surface (E_Call) covers them too.
+SPARQL_FUNCTIONS.update({
+    # arithmetic (E_Add/E_Subtract/E_Multiply/E_Divide/E_UnaryMinus/E_UnaryPlus)
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,          # SPARQL decimal semantics: caller casts
+    "unary_minus": lambda a: -a,
+    "unary_plus": lambda a: a,
+    # comparisons (E_Equals .. E_LessThanOrEqual; term order is the
+    # SPARQL value-comparison on the typed shadow columns)
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    # logical (E_LogicalAnd/Or/Not — SPARQL 3-valued logic matches
+    # Spark's null-propagating boolean operators)
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "not": lambda a: ~a,
+    "not_in": lambda c, *vals: ~c.isin(*vals),   # E_NotOneOf
+    # aliases / constructors
+    "isuri": is_iri,                       # E_IsURI (synonym of IsIRI)
+    "uri": make_iri,                       # E_URI (synonym of IRI)
+    "cast": lambda c, t: c.try_cast(t),    # E_Cast (NULL on invalid lexical)
+    "timezone": datetime_timezone,         # E_DateTimeTimezone
+    # nondeterministic (like E_Random: excluded from deterministic
+    # pipeline paths by the CLAUDE.md invariant; provided for parity)
+    "uuid": lambda: F.expr("concat('urn:uuid:', uuid())"),   # E_UUID
+    "struuid": lambda: F.expr("uuid()"),                      # E_StrUUID
+    "version": lambda: F.lit("jena-spark/0.2"),               # E_Version
+    "call": call,                                             # E_Call
+})
+# Coverage note: of the 77 E_* classes, the only ones without a mapping
+# are E_Exists/E_NotExists (algebra-level — queries/algebra.py
+# exists/not_exists) and E_Function/E_FunctionDynamic beyond `call`
+# (covered by this registry itself).
+
+
 def register(name: str, fn: Callable[..., Column]) -> None:
     """Custom function registration (FunctionRegistry.put analog)."""
     SPARQL_FUNCTIONS[name] = fn

@@ -193,3 +193,42 @@ def test_custom_datatype_registry(spark):
     assert float(out["75%"]) == 0.75
     assert out["oops"] is None  # invalid lexical form -> NULL shadow
     assert float(out["5"]) == 5.0
+
+
+def test_operator_family_functions(spark):
+    """E_* operator families via the registry: arithmetic, comparison,
+    logical, dynamic call, timezone, casts."""
+    from jena_spark.functions.scalar import SPARQL_FUNCTIONS as FN
+    from jena_spark.functions.scalar import call
+
+    df = spark.createDataFrame(
+        [(6, 3, "2024-03-05 10:30:00")], "a long, b long, t string"
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    row = df.select(
+        FN["add"](F.col("a"), F.col("b")).alias("add"),
+        FN["divide"](F.col("a"), F.col("b")).alias("div"),
+        FN["unary_minus"](F.col("a")).alias("neg"),
+        FN["gt"](F.col("a"), F.col("b")).alias("gt"),
+        FN["and"](F.col("a") > 0, F.col("b") > 0).alias("conj"),
+        FN["not"](F.col("a") > 0).alias("neg_b"),
+        FN["not_in"](F.col("a"), 1, 2, 3).alias("nin"),
+        FN["cast"](F.lit("12"), "long").alias("cast_ok"),
+        FN["cast"](F.lit("xy"), "long").alias("cast_bad"),
+        FN["timezone"](F.col("ts")).alias("tz"),
+        call("strlen", F.lit("abcd")).alias("via_call"),
+        FN["version"]().alias("ver"),
+    ).collect()[0]
+    assert row["add"] == 9 and row["div"] == 2.0 and row["neg"] == -6
+    assert row["gt"] is True and row["conj"] is True and row["neg_b"] is False
+    assert row["nin"] is True
+    assert row["cast_ok"] == 12 and row["cast_bad"] is None
+    assert row["tz"] == "PT0S"  # session TZ pinned UTC
+    assert row["via_call"] == 4
+    assert row["ver"].startswith("jena-spark/")
+    # uuid family: shape only (nondeterministic by design, like E_Random)
+    u = spark.range(1).select(FN["struuid"]().alias("u")).collect()[0]["u"]
+    assert len(u) == 36 and u.count("-") == 4
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        call("no_such_function", F.lit(1))
