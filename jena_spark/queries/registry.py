@@ -59,20 +59,33 @@ def _ship_package(spark: SparkSession) -> None:
     if id(spark) in _SHIPPED:
         return
     try:
+        import hashlib
         import os
         import tempfile
         import zipfile
 
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        zpath = os.path.join(tempfile.gettempdir(), "jena_spark_pyfiles.zip")
+        sources = []
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_root))
+                    st = os.stat(full)
+                    sources.append((full, rel, st.st_mtime_ns, st.st_size))
+        # content-addressed zip name: a stale cache from an OLDER build
+        # of the package must never be shipped (executors would miss
+        # newly added modules — observed with a fixed cache path)
+        digest = hashlib.sha1(
+            repr([(r, m, s) for _, r, m, s in sorted(sources)]).encode()
+        ).hexdigest()[:16]
+        zpath = os.path.join(tempfile.gettempdir(), f"jena_spark_pyfiles_{digest}.zip")
         if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-                for dirpath, _dirs, files in os.walk(pkg_root):
-                    for f in files:
-                        if f.endswith(".py"):
-                            full = os.path.join(dirpath, f)
-                            rel = os.path.relpath(full, os.path.dirname(pkg_root))
-                            zf.write(full, rel)
+            tmp = zpath + ".tmp"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for full, rel, _m, _s in sources:
+                    zf.write(full, rel)
+            os.replace(tmp, zpath)
         spark.sparkContext.addPyFile(zpath)
     except Exception:  # noqa: BLE001 — best-effort; local PYTHONPATH may suffice
         pass
