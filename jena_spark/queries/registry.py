@@ -1709,6 +1709,51 @@ _register(
 )
 
 
+def _q_bgp_encoded(spark, sf):
+    """TDB query posture end-to-end (§1.4/§4.3): the co-mention BGP
+    self-join evaluated ON THE ID TABLE — encode once, join/filter on
+    8-byte longs (constant-folded predicate ids, cf.
+    ``SolverLib.java``/``StageMatchTuple`` matching id-tuples), decode
+    only the final result columns (``QueryIteratorIdToNode.java``).
+    Oracle = the string-level co-mention query: identical rows prove
+    encode -> join-on-ids -> decode loses nothing."""
+    from jena_spark.pipeline.encode import (
+        const_term_id,
+        encode_triples,
+        node_dictionary,
+    )
+
+    t = _triples(spark, sf)
+    enc = encode_triples(t)
+    mentions = enc.where(F.col("p_id") == const_term_id("iri", TM.P_MENTIONS))
+    a, b = mentions.alias("a"), mentions.alias("b")
+    pairs = (
+        a.join(b, F.col("a.s_id") == F.col("b.s_id"))
+        .where(F.col("a.o_id") != F.col("b.o_id"))
+        .select(F.col("a.o_id").alias("e1_id"), F.col("b.o_id").alias("e2_id"))
+        .distinct()
+    )
+    d = node_dictionary(t)
+    e1 = d.select(F.col("node_id").alias("e1_id"), F.col("val").alias("e1"))
+    e2 = d.select(F.col("node_id").alias("e2_id"), F.col("val").alias("e2"))
+    return (
+        pairs.join(e1, "e1_id").join(e2, "e2_id")
+        .where(F.col("e1") < F.col("e2"))
+        .select("e1", "e2")
+        .distinct()
+    )
+
+
+_register(
+    "kg_bgp_encoded",
+    _q_bgp_encoded,
+    _W + f"""SELECT DISTINCT a.o_val AS e1, b.o_val AS e2
+    FROM triples a JOIN triples b ON a.s_val = b.s_val
+    WHERE a.p_val = '{TM.P_MENTIONS}' AND b.p_val = '{TM.P_MENTIONS}'
+      AND a.o_val < b.o_val""",
+)
+
+
 def _q_text_index(spark, sf):
     """jena-text index parity (``TextIndexLucene.java:82,296,476``):
     build the materialized posting table over label+text literals, then
@@ -1847,7 +1892,7 @@ _PRIORITY = [
     "kg_turtle_roundtrip", "kg_agg_sample_mode", "kg_update_load_ops",
     "kg_propfunc_lists", "expr_term_constructors", "kg_text_search_scored",
     "data_text_quality", "kg_custom_datatype", "kg_rdfs_inference",
-    "kg_trig_roundtrip", "kg_text_index",
+    "kg_trig_roundtrip", "kg_text_index", "kg_bgp_encoded",
     # representative core (green in r01, keep under driver watch)
     "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_minus",
     "kg_exists", "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",

@@ -1,0 +1,107 @@
+"""RDF/XML reader/writer tests (riot/lang/rdfxml parity, principal
+striped-syntax subset)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jena_spark.sources.rdfxml import (
+    RDF_NS,
+    format_rdfxml,
+    parse_rdfxml,
+    read_rdfxml,
+    write_rdfxml,
+)
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def test_parse_striped_and_typed():
+    doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/" xml:base="http://b/">
+      <ex:Person rdf:about="alice" ex:nick="Al">
+        <ex:age rdf:datatype="{XSD_INT}">30</ex:age>
+        <ex:label xml:lang="en">Alice</ex:label>
+        <ex:knows rdf:resource="http://e/bob"/>
+        <ex:friend>
+          <rdf:Description rdf:nodeID="b1">
+            <ex:name>Bob</ex:name>
+          </rdf:Description>
+        </ex:friend>
+      </ex:Person>
+    </rdf:RDF>"""
+    rows = set(parse_rdfxml(doc))
+    A = "http://b/alice"
+    assert ("iri", A, RDF_NS + "type", "iri", "http://e/Person", None, None) in rows
+    assert ("iri", A, "http://e/nick", "literal", "Al", None, None) in rows
+    assert ("iri", A, "http://e/age", "literal", "30", XSD_INT, None) in rows
+    assert ("iri", A, "http://e/label", "literal", "Alice", None, "en") in rows
+    assert ("iri", A, "http://e/knows", "iri", "http://e/bob", None, None) in rows
+    assert ("iri", A, "http://e/friend", "bnode", "_:b1", None, None) in rows
+    assert ("bnode", "_:b1", "http://e/name", "literal", "Bob", None, None) in rows
+    assert len(rows) == 7
+
+
+def test_parse_parsetype_li_collection():
+    doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://e/s">
+        <ex:addr rdf:parseType="Resource">
+          <ex:city>Berlin</ex:city>
+        </ex:addr>
+        <ex:bag>
+          <rdf:Description>
+            <rdf:li>x</rdf:li>
+            <rdf:li>y</rdf:li>
+          </rdf:Description>
+        </ex:bag>
+        <ex:list rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://e/a"/>
+          <rdf:Description rdf:about="http://e/b"/>
+        </ex:list>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = parse_rdfxml(doc)
+    preds = [r[2] for r in rows]
+    assert RDF_NS + "_1" in preds and RDF_NS + "_2" in preds
+    assert ("literal", "Berlin") in {(r[3], r[4]) for r in rows if r[2] == "http://e/city"}
+    firsts = {r[4] for r in rows if r[2] == RDF_NS + "first"}
+    assert firsts == {"http://e/a", "http://e/b"}
+    assert any(r[4] == RDF_NS + "nil" for r in rows if r[2] == RDF_NS + "rest")
+    # anonymous bnodes are deterministic per document
+    assert rows == parse_rdfxml(doc)
+
+
+def test_parse_unsupported_raises():
+    doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://e/s">
+        <ex:p rdf:parseType="Literal"><b>x</b></ex:p>
+      </rdf:Description>
+    </rdf:RDF>"""
+    with pytest.raises(ValueError, match="parseType"):
+        parse_rdfxml(doc)
+
+
+def test_format_parse_roundtrip_pure():
+    rows = [
+        ("iri", "http://e/s", "http://e/p", "literal", 'x <&> "q"', None, None),
+        ("iri", "http://e/s", "http://e/q", "literal", "5", XSD_INT, None),
+        ("iri", "http://e/s", "http://e/q", "literal", "hi", None, "en"),
+        ("bnode", "_:b0", "http://e/r", "iri", "http://e/o", None, None),
+        ("iri", "http://e/s", "http://e/r", "bnode", "_:b0", None, None),
+    ]
+    assert set(parse_rdfxml(format_rdfxml(rows))) == set(rows)
+
+
+def test_rdfxml_distributed_equals_ntriples(spark, transcripts_df, tmp_path):
+    from jena_spark import terms as TM
+    from jena_spark.pipeline.extract import raw_triples
+    from jena_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    triples = raw_triples(transcripts_df).select(*TM.TERM_COLS).limit(200)
+    nt, rx = str(tmp_path / "g.nt"), str(tmp_path / "g.rdf")
+    write_ntriples(triples, nt)
+    write_rdfxml(triples, rx)
+    from_nt = {tuple(r) for r in
+               read_ntriples(spark, nt).select(*TM.TERM_COLS).collect()}
+    from_rx = {tuple(r) for r in
+               read_rdfxml(spark, rx + "/part-*").select(*TM.TERM_COLS).collect()}
+    assert from_rx == from_nt and len(from_rx) == 200
