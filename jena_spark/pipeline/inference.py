@@ -160,3 +160,103 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
         .unionByName(typed_dom).unionByName(typed_rng).unionByName(super_types)
         .dropDuplicates(TM.TERM_COLS)
     )
+
+
+# --- OWL property rules (rule reasoner, owl-fb.rules) -----------------------
+
+OWL = "http://www.w3.org/2002/07/owl#"
+OWL_INVERSE = OWL + "inverseOf"
+OWL_SYMMETRIC = OWL + "SymmetricProperty"
+OWL_TRANSITIVE = OWL + "TransitiveProperty"
+
+
+def owl_property_closure(triples: DataFrame, max_iter: int = 30) -> DataFrame:
+    """OWL property-characteristic rules
+    (``jena-core/src/main/resources/etc/owl-fb.rules`` — inverseOf,
+    SymmetricProperty, TransitiveProperty; sameAs is handled by the
+    canonicalization CC pass, §2.12):
+
+      inverseOf:  (p owl:inverseOf q), (s p o) -> (o q s)   [both ways]
+      symmetric:  (p rdf:type owl:SymmetricProperty), (s p o) -> (o p s)
+      transitive: (p rdf:type owl:TransitiveProperty): p-closure
+
+    Scale shape: the property schema is driver-size (broadcast/collect);
+    inverse/symmetric are single narrow emissions; the transitive rule
+    runs the ENCODED semi-naive closure per declared transitive
+    property (``queries/paths.one_or_more`` — id-tuple iteration).
+    Inverse/symmetric feed the transitive step (one stratification
+    round, sound when property characteristics are not themselves
+    derived — which needs no guard because characteristics are schema
+    triples this rule set never derives).
+    """
+    from jena_spark.queries.paths import one_or_more
+
+    spark = triples.sparkSession
+    base = triples.select(*TM.TERM_COLS)
+
+    inv_pairs = [
+        (r["s_val"], r["o_val"])
+        for r in base.where(
+            (F.col("p_val") == OWL_INVERSE)
+            & (F.col("s_kind") == "iri") & (F.col("o_kind") == "iri")
+        ).select("s_val", "o_val").collect()
+    ]
+    sym_props = [
+        r["s_val"]
+        for r in base.where(
+            (F.col("p_val") == TM.RDF_TYPE) & (F.col("o_val") == OWL_SYMMETRIC)
+        ).select("s_val").collect()
+    ]
+    trans_props = [
+        r["s_val"]
+        for r in base.where(
+            (F.col("p_val") == TM.RDF_TYPE) & (F.col("o_val") == OWL_TRANSITIVE)
+        ).select("s_val").collect()
+    ]
+
+    derived = []
+    inv_map = inv_pairs + [(q, p) for p, q in inv_pairs]  # symmetric rule pair
+    if inv_map:
+        inv_dim = F.broadcast(spark.createDataFrame(inv_map, "p string, q string"))
+        derived.append(
+            base.join(inv_dim, base["p_val"] == F.col("p"))
+            .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
+                    F.col("q").alias("p_val"),
+                    F.col("s_kind").alias("o_kind"), F.col("s_val").alias("o_val"),
+                    F.lit(None).cast("string").alias("o_datatype"),
+                    F.lit(None).cast("string").alias("o_lang"))
+        )
+    if sym_props:
+        derived.append(
+            base.where(F.col("p_val").isin(sym_props))
+            .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
+                    "p_val",
+                    F.col("s_kind").alias("o_kind"), F.col("s_val").alias("o_val"),
+                    F.lit(None).cast("string").alias("o_datatype"),
+                    F.lit(None).cast("string").alias("o_lang"))
+        )
+    pre = base
+    for d in derived:
+        pre = pre.unionByName(d)
+    pre = pre.dropDuplicates(TM.TERM_COLS)
+
+    closures = []
+    for p in trans_props:
+        edges = pre.where(F.col("p_val") == p).select(
+            F.col("s_kind").alias("src_kind"), F.col("s_val").alias("src_val"),
+            F.col("o_kind").alias("dst_kind"), F.col("o_val").alias("dst_val"),
+        )
+        closed = one_or_more(edges, max_iter=max_iter)
+        closures.append(
+            closed.select(
+                F.col("src_kind").alias("s_kind"), F.col("src_val").alias("s_val"),
+                F.lit(p).alias("p_val"),
+                F.col("dst_kind").alias("o_kind"), F.col("dst_val").alias("o_val"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+            )
+        )
+    out = pre
+    for c in closures:
+        out = out.unionByName(c)
+    return out.dropDuplicates(TM.TERM_COLS)

@@ -1862,6 +1862,44 @@ _register(
 )
 
 
+def _q_owl_inference(spark, sf):
+    """OWL property rules (``etc/owl-fb.rules``): declare
+    mentions owl:inverseOf mentionedIn and hasTurn owl:inverseOf
+    turnOf, saturate, return the per-predicate census (each inverse
+    predicate must appear with exactly its forward count)."""
+    from jena_spark.pipeline.inference import OWL_INVERSE, owl_property_closure
+
+    V = TM.NS_VOCAB
+    tbox_rows = [
+        ("iri", V + "mentions", OWL_INVERSE, "iri", V + "mentionedIn", None, None),
+        ("iri", V + "hasTurn", OWL_INVERSE, "iri", V + "turnOf", None, None),
+    ]
+    tbox = spark.createDataFrame(
+        tbox_rows,
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string",
+    )
+    g = _triples(spark, sf).unionByName(tbox)  # rdfs-disjoint predicates
+    return owl_property_closure(g).groupBy("p_val").agg(F.count("*").alias("n"))
+
+
+_register(
+    "kg_owl_inference",
+    _q_owl_inference,
+    _W + f""", census AS (
+      SELECT p_val, count(*) AS n FROM triples GROUP BY p_val
+      UNION ALL
+      SELECT '{TM.NS_VOCAB}mentionedIn', count(*) FROM triples
+      WHERE p_val = '{TM.NS_VOCAB}mentions'
+      UNION ALL
+      SELECT '{TM.NS_VOCAB}turnOf', count(*) FROM triples
+      WHERE p_val = '{TM.NS_VOCAB}hasTurn'
+      UNION ALL
+      SELECT 'http://www.w3.org/2002/07/owl#inverseOf', 2
+    ) SELECT p_val, n FROM census""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1892,7 +1930,7 @@ _PRIORITY = [
     "kg_turtle_roundtrip", "kg_agg_sample_mode", "kg_update_load_ops",
     "kg_propfunc_lists", "expr_term_constructors", "kg_text_search_scored",
     "data_text_quality", "kg_custom_datatype", "kg_rdfs_inference",
-    "kg_trig_roundtrip", "kg_text_index", "kg_bgp_encoded",
+    "kg_trig_roundtrip", "kg_text_index", "kg_bgp_encoded", "kg_owl_inference",
     # representative core (green in r01, keep under driver watch)
     "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_minus",
     "kg_exists", "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",

@@ -76,3 +76,50 @@ def test_rdfs_no_schema_is_identity(spark):
     triples = [("iri", "http://e/a", "http://e/p", "literal", "v", None, None)]
     df = spark.createDataFrame(triples, SCHEMA)
     assert _rows(rdfs_closure(df)) == _rows(df)
+
+
+def test_owl_property_rules(spark):
+    """inverseOf / SymmetricProperty / TransitiveProperty
+    (owl-fb.rules parity), incl. symmetric+transitive composition and
+    inverse feeding the transitive closure."""
+    from jena_spark.pipeline.inference import (
+        OWL,
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_property_closure,
+    )
+
+    E = "http://e/"
+    triples = [
+        ("iri", E + "hasPart", OWL_INVERSE, "iri", E + "partOf", None, None),
+        ("iri", E + "near", TM.RDF_TYPE, "iri", OWL_SYMMETRIC, None, None),
+        ("iri", E + "ancestorOf", TM.RDF_TYPE, "iri", OWL_TRANSITIVE, None, None),
+        ("iri", E + "box", E + "hasPart", "iri", E + "lid", None, None),
+        ("iri", E + "bolt", E + "partOf", "iri", E + "lid", None, None),
+        ("iri", E + "a", E + "near", "iri", E + "b", None, None),
+        ("iri", E + "x", E + "ancestorOf", "iri", E + "y", None, None),
+        ("iri", E + "y", E + "ancestorOf", "iri", E + "z", None, None),
+        ("iri", E + "z", E + "ancestorOf", "iri", E + "w", None, None),
+    ]
+    df = spark.createDataFrame(triples, SCHEMA)
+    out = _rows(owl_property_closure(df))
+
+    def t(s, p, o):
+        return ("iri", E + s, E + p, "iri", E + o, None, None)
+
+    # inverseOf, both directions
+    assert t("lid", "partOf", "box") in out
+    assert t("lid", "hasPart", "bolt") in out
+    # symmetric
+    assert t("b", "near", "a") in out
+    # transitive closure (length-2 and length-3 paths)
+    assert t("x", "ancestorOf", "z") in out
+    assert t("x", "ancestorOf", "w") in out
+    assert t("y", "ancestorOf", "w") in out
+    # input preserved; no spurious reverse of non-symmetric props
+    assert _rows(df) <= out
+    assert t("y", "ancestorOf", "x") not in out
+    # idempotent
+    assert _rows(owl_property_closure(
+        spark.createDataFrame(sorted(out), SCHEMA))) == out
