@@ -1,0 +1,269 @@
+"""JSON-LD reader / writer (RIOT parity, restricted profile).
+
+Reference: ``jena-arq/.../riot/lang/JsonLDReader.java`` (term maps with
+``@id``/``@value``/``@type``/``@language`` keys, ``:181``), registered
+``riot/RDFLanguages.java:94``; writer ``riot/writer/JsonLDWriter``.
+
+Supported profile (documented, errors loudly outside it):
+
+* inline ``@context`` with term -> IRI strings, prefix definitions
+  (``"ex": "http://e/"``), and expanded term definitions
+  ``{"@id": ..., "@type": "@id" | datatype-IRI}``
+* node objects: ``@id`` (IRI or ``_:`` bnode; absent -> deterministic
+  per-document skolem bnode), ``@type`` (string or list), nested node
+  objects (object embedding), ``@graph`` arrays (top-level or named)
+* value objects: ``@value`` with ``@language`` / ``@type``; JSON
+  shorthand scalars (string / number / boolean -> xsd typed literals)
+* ``@list`` -> rdf:first/rest/nil
+* NOT supported: remote/``@context`` IRIs (no network by design),
+  ``@reverse``, ``@index``/``@container`` remapping, ``@vocab``-less
+  relative IRI resolution beyond ``@base``/``@vocab`` prefixes.
+
+One JSON document per file is the parse unit (``wholetext`` +
+``mapInPandas`` — per-file parallelism like the other document
+formats).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jena_spark import terms as TM
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+TERM_COLS7 = ["s_kind", "s_val", "p_val", "o_kind", "o_val", "o_datatype", "o_lang"]
+
+_ABS = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class JsonLdParser:
+    def __init__(self, text: str):
+        self.doc = json.loads(text)
+        self.scope = hashlib.md5(text.encode("utf-8")).hexdigest()
+        self.anon = 0
+        self.rows: list[tuple] = []
+        self.terms: dict[str, dict] = {}
+        self.base = ""
+        self.vocab = ""
+
+    def _fresh(self) -> str:
+        self.anon += 1
+        return TM.skolem(self.scope, f"anon-{self.anon}")
+
+    # --- context ------------------------------------------------------------
+    def _load_context(self, ctx) -> None:
+        if ctx is None:
+            return
+        if isinstance(ctx, list):
+            for c in ctx:
+                self._load_context(c)
+            return
+        if isinstance(ctx, str):
+            raise ValueError(
+                f"JSON-LD: remote @context {ctx!r} unsupported (no network)")
+        if not isinstance(ctx, dict):
+            raise ValueError("JSON-LD: bad @context")
+        for term, defn in ctx.items():
+            if term == "@base":
+                self.base = defn
+            elif term == "@vocab":
+                self.vocab = defn
+            elif isinstance(defn, str):
+                self.terms[term] = {"@id": defn}
+            elif isinstance(defn, dict):
+                self.terms[term] = defn
+            else:
+                raise ValueError(f"JSON-LD: bad term definition for {term!r}")
+
+    def _expand_iri(self, s: str, vocab: bool = False) -> str:
+        if s.startswith("_:") or _ABS.match(s):
+            # prefix:suffix via context prefixes
+            pfx, _, local = s.partition(":")
+            if pfx in self.terms and not s.startswith("_:") and local and not local.startswith("//"):
+                return self.terms[pfx]["@id"] + local
+            return s
+        if s in self.terms:
+            return self.terms[s]["@id"]
+        if vocab and self.vocab:
+            return self.vocab + s
+        return self.base + s
+
+    # --- node / value objects ----------------------------------------------
+    def _subject_term(self, node: dict):
+        nid = node.get("@id")
+        if nid is None:
+            return ("bnode", self._fresh())
+        nid = self._expand_iri(nid)
+        return ("bnode", nid) if nid.startswith("_:") else ("iri", nid)
+
+    def _scalar_literal(self, v):
+        if isinstance(v, bool):
+            return ("literal", "true" if v else "false", XSD + "boolean", None)
+        if isinstance(v, int):
+            return ("literal", str(v), XSD + "integer", None)
+        if isinstance(v, float):
+            return ("literal", repr(v), XSD + "double", None)
+        return ("literal", v, None, None)
+
+    def _object_term(self, v, type_coercion: str | None):
+        if isinstance(v, dict):
+            if "@value" in v:
+                lex = v["@value"]
+                if isinstance(lex, (bool, int, float)):
+                    return self._scalar_literal(lex)
+                dt = v.get("@type")
+                return ("literal", lex,
+                        self._expand_iri(dt, vocab=True) if dt else None,
+                        v.get("@language"))
+            if "@list" in v:
+                return self._list(v["@list"], type_coercion)
+            return self._node(v)  # embedded node object
+        if isinstance(v, str):
+            if type_coercion == "@id":
+                iri = self._expand_iri(v)
+                return ("bnode", iri, None, None) if iri.startswith("_:") \
+                    else ("iri", iri, None, None)
+            if type_coercion:
+                return ("literal", v, type_coercion, None)
+            return ("literal", v, None, None)
+        return self._scalar_literal(v)
+
+    def _list(self, items, type_coercion):
+        if not items:
+            return ("iri", RDF_NS + "nil", None, None)
+        heads = [self._fresh() for _ in items]
+        for i, item in enumerate(items):
+            o = self._object_term(item, type_coercion)
+            self.rows.append(("bnode", heads[i], RDF_NS + "first",
+                              o[0], o[1], o[2], o[3]))
+            rest = (("bnode", heads[i + 1]) if i + 1 < len(items)
+                    else ("iri", RDF_NS + "nil"))
+            self.rows.append(("bnode", heads[i], RDF_NS + "rest",
+                              rest[0], rest[1], None, None))
+        return ("bnode", heads[0], None, None)
+
+    def _node(self, node: dict):
+        subj = self._subject_term(node)
+        for key, val in node.items():
+            if key in ("@id", "@context"):
+                continue
+            if key == "@type":
+                for t in val if isinstance(val, list) else [val]:
+                    self.rows.append(
+                        (subj[0], subj[1], RDF_NS + "type",
+                         "iri", self._expand_iri(t, vocab=True), None, None))
+                continue
+            if key == "@graph":
+                for child in val if isinstance(val, list) else [val]:
+                    self._node(child)
+                continue
+            if key.startswith("@"):
+                raise ValueError(f"JSON-LD: keyword {key!r} unsupported")
+            defn = self.terms.get(key, {})
+            pred = self._expand_iri(key, vocab=True)
+            coercion = defn.get("@type")
+            if coercion and coercion != "@id":
+                coercion = self._expand_iri(coercion, vocab=True)
+            for v in val if isinstance(val, list) else [val]:
+                o = self._object_term(v, coercion)
+                self.rows.append((subj[0], subj[1], pred, o[0], o[1], o[2], o[3]))
+        return (subj[0], subj[1], None, None)
+
+    def parse(self) -> list[tuple]:
+        doc = self.doc
+        if isinstance(doc, dict):
+            self._load_context(doc.get("@context"))
+            if "@graph" in doc and "@id" not in doc:
+                nodes = doc["@graph"]
+            else:
+                nodes = [doc]
+        elif isinstance(doc, list):
+            nodes = doc
+        else:
+            raise ValueError("JSON-LD: top level must be object or array")
+        for n in nodes:
+            if not isinstance(n, dict):
+                raise ValueError("JSON-LD: node must be an object")
+            self._node(n)
+        return self.rows
+
+
+def parse_jsonld(text: str) -> list[tuple]:
+    """One JSON-LD document -> list of 7-tuples (TERM_COLS order)."""
+    return JsonLdParser(text).parse()
+
+
+def format_jsonld(rows: list[tuple]) -> str:
+    """7-tuples -> flat expanded-form JSON-LD (@graph of node objects
+    with expanded IRIs — the profile :func:`parse_jsonld` always
+    accepts; deterministic ordering)."""
+    by_subj: dict[tuple, dict] = {}
+    for s_kind, s_val, p_val, o_kind, o_val, o_dt, o_lang in sorted(rows):
+        node = by_subj.setdefault((s_kind, s_val), {"@id": s_val})
+        if p_val == RDF_NS + "type" and o_kind == "iri":
+            node.setdefault("@type", []).append(o_val)
+            continue
+        if o_kind in ("iri", "bnode"):
+            obj = {"@id": o_val}
+        else:
+            obj = {"@value": o_val}
+            if o_dt:
+                obj["@type"] = o_dt
+            if o_lang:
+                obj["@language"] = o_lang
+        node.setdefault(p_val, []).append(obj)
+    return json.dumps(
+        {"@graph": [by_subj[k] for k in sorted(by_subj)]},
+        indent=1, sort_keys=True, ensure_ascii=False,
+    ) + "\n"
+
+
+def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+    """Read .jsonld file(s) into the triple-table schema."""
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True)
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for txt in pdf["value"]:
+                if txt.strip():
+                    out.extend(parse_jsonld(txt))
+            yield pd.DataFrame(out, columns=TERM_COLS7)
+
+    schema = ("s_kind string, s_val string, p_val string, o_kind string, "
+              "o_val string, o_datatype string, o_lang string")
+    from pyspark.sql import functions as F
+
+    return (
+        files.mapInPandas(_parse, schema)
+        .withColumn("graph", F.lit(None).cast("string"))
+        .withColumn("conv_id", F.lit(None).cast("string"))
+    )
+
+
+def write_jsonld(triples: DataFrame, path: str) -> None:
+    """Distributed JSON-LD sink: one expanded-form document per
+    partition."""
+    import pandas as pd
+
+    def _fmt(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend([
+                tuple(None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+                      for v in r)
+                for r in pdf[TERM_COLS7].itertuples(index=False)
+            ])
+        yield pd.DataFrame({"value": [format_jsonld(rows)] if rows else []})
+
+    triples.select(*TERM_COLS7).mapInPandas(_fmt, "value string").write.mode(
+        "overwrite"
+    ).text(path)

@@ -1,0 +1,103 @@
+"""JSON-LD reader/writer tests (JsonLDReader parity, restricted
+profile: inline contexts, node/value objects, lists, @graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jena_spark.sources.jsonld import (
+    RDF_NS,
+    XSD,
+    format_jsonld,
+    parse_jsonld,
+    read_jsonld,
+    write_jsonld,
+)
+
+
+def test_parse_context_and_terms():
+    doc = """{
+      "@context": {
+        "ex": "http://e/",
+        "name": "http://e/name",
+        "knows": {"@id": "http://e/knows", "@type": "@id"},
+        "age": {"@id": "http://e/age", "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        "@vocab": "http://v/"
+      },
+      "@id": "http://e/alice",
+      "@type": ["ex:Person", "Agent"],
+      "name": "Alice",
+      "knows": ["http://e/bob", "_:b1"],
+      "age": "30",
+      "nick": {"@value": "Al", "@language": "en"},
+      "score": 7,
+      "ok": true
+    }"""
+    rows = set(parse_jsonld(doc))
+    A = "http://e/alice"
+    assert ("iri", A, RDF_NS + "type", "iri", "http://e/Person", None, None) in rows
+    assert ("iri", A, RDF_NS + "type", "iri", "http://v/Agent", None, None) in rows
+    assert ("iri", A, "http://e/name", "literal", "Alice", None, None) in rows
+    assert ("iri", A, "http://e/knows", "iri", "http://e/bob", None, None) in rows
+    assert ("iri", A, "http://e/knows", "bnode", "_:b1", None, None) in rows
+    assert ("iri", A, "http://e/age", "literal", "30", XSD + "integer", None) in rows
+    assert ("iri", A, "http://v/nick", "literal", "Al", None, "en") in rows
+    assert ("iri", A, "http://v/score", "literal", "7", XSD + "integer", None) in rows
+    assert ("iri", A, "http://v/ok", "literal", "true", XSD + "boolean", None) in rows
+
+
+def test_parse_graph_nesting_and_lists():
+    doc = """{
+      "@context": {"p": "http://e/p", "l": "http://e/l"},
+      "@graph": [
+        {"@id": "http://e/s", "p": {"@id": "http://e/mid", "p": "deep"},
+         "l": {"@list": ["a", "b"]}},
+        {"p": "anon subject"}
+      ]
+    }"""
+    rows = parse_jsonld(doc)
+    assert ("iri", "http://e/s", "http://e/p", "iri", "http://e/mid",
+            None, None) in rows
+    assert ("iri", "http://e/mid", "http://e/p", "literal", "deep",
+            None, None) in rows
+    firsts = {r[4] for r in rows if r[2] == RDF_NS + "first"}
+    assert firsts == {"a", "b"}
+    anon = [r for r in rows if r[4] == "anon subject"]
+    assert anon and anon[0][0] == "bnode"
+    # deterministic anonymous labels
+    assert rows == parse_jsonld(doc)
+
+
+def test_parse_unsupported():
+    with pytest.raises(ValueError, match="remote @context"):
+        parse_jsonld('{"@context": "http://schema.org/", "@id": "http://e/x"}')
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_jsonld('{"@id": "http://e/x", "@reverse": {}}')
+
+
+def test_format_parse_roundtrip_pure():
+    rows = [
+        ("iri", "http://e/s", RDF_NS + "type", "iri", "http://e/T", None, None),
+        ("iri", "http://e/s", "http://e/p", "literal", 'u "q" \n t', None, None),
+        ("iri", "http://e/s", "http://e/p", "literal", "5", XSD + "integer", None),
+        ("iri", "http://e/s", "http://e/q", "literal", "oui", None, "fr"),
+        ("bnode", "_:b0", "http://e/r", "iri", "http://e/o", None, None),
+        ("iri", "http://e/s", "http://e/r", "bnode", "_:b0", None, None),
+    ]
+    assert set(parse_jsonld(format_jsonld(rows))) == set(rows)
+
+
+def test_jsonld_distributed_equals_ntriples(spark, transcripts_df, tmp_path):
+    from jena_spark import terms as TM
+    from jena_spark.pipeline.extract import raw_triples
+    from jena_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    triples = raw_triples(transcripts_df).select(*TM.TERM_COLS).limit(200)
+    nt, jl = str(tmp_path / "g.nt"), str(tmp_path / "g.jsonld")
+    write_ntriples(triples, nt)
+    write_jsonld(triples, jl)
+    from_nt = {tuple(r) for r in
+               read_ntriples(spark, nt).select(*TM.TERM_COLS).collect()}
+    from_jl = {tuple(r) for r in
+               read_jsonld(spark, jl + "/part-*").select(*TM.TERM_COLS).collect()}
+    assert from_jl == from_nt and len(from_jl) == 200
