@@ -283,6 +283,7 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
 
 def construct_canonical(
     transcripts: DataFrame, gazetteer: dict | None = None,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """Fused single-pass canonical construction (deployment hot path).
 
@@ -330,7 +331,11 @@ def construct_canonical(
 
     structure = turn_structure_triples(transcripts)
 
-    mentions = extract_mentions(transcripts, gaz).persist()
+    if mentions is None:
+        # Caller may pass an already-persisted mention frame (e.g. the
+        # query registry shares one between this fused path and
+        # raw_triples so the extraction UDF runs once per corpus).
+        mentions = extract_mentions(transcripts, gaz).persist()
     rep_dim = present_rep_dim(mentions, gaz)
     canon_mentions = (
         mentions.join(F.broadcast(rep_dim), "surface")

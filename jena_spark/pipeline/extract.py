@@ -136,7 +136,7 @@ def alias_dim(spark: SparkSession, gazetteer: dict | None = None) -> DataFrame:
 
 def mention_triples(
     transcripts: DataFrame, gazetteer: dict | None = None,
-    cache_mentions: bool = False,
+    cache_mentions: bool = False, mentions: DataFrame | None = None,
 ) -> DataFrame:
     """Mention, label and sameAs triples (pre-canonicalization).
 
@@ -153,7 +153,10 @@ def mention_triples(
     unlike an arbitrary dedup survivor).
     """
     spark = transcripts.sparkSession
-    mentions = extract_mentions(transcripts, gazetteer)
+    if mentions is None:
+        mentions = extract_mentions(transcripts, gazetteer)
+    else:
+        cache_mentions = False  # caller owns the frame (and its persist)
     if cache_mentions:
         # The mention table feeds three emission branches (edges, labels,
         # sameAs) and — in the deployment path — both canonicalization
@@ -202,7 +205,7 @@ def mention_triples(
 
 def raw_triples(
     transcripts: DataFrame, gazetteer: dict | None = None,
-    cache_mentions: bool = False,
+    cache_mentions: bool = False, mentions: DataFrame | None = None,
 ) -> DataFrame:
     """Full pre-canonicalization triple set (turn structure + mentions).
 
@@ -221,5 +224,6 @@ def raw_triples(
     (a 7-wide string dedup over every emitted triple).
     """
     return turn_structure_triples(transcripts).unionByName(
-        mention_triples(transcripts, gazetteer, cache_mentions=cache_mentions)
+        mention_triples(transcripts, gazetteer, cache_mentions=cache_mentions,
+                        mentions=mentions)
     )

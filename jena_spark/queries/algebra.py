@@ -231,15 +231,10 @@ def left_join(left: DataFrame, right: DataFrame, cond: Column | None = None) -> 
     return out.select(*keep)
 
 
-def minus(left: DataFrame, right: DataFrame) -> DataFrame:
-    """OpMinus (``OpExecutor.java:257``, ``QueryIterMinus.java``):
-    remove left rows for which some right row is *compatible* AND the
-    shared domain is non-empty. Unbound (null) vars are compatible with
-    anything — hence the null-tolerant condition rather than plain
-    equality."""
-    shared = sorted(set(left.columns) & set(right.columns))
-    if not shared:
-        return left  # disjoint domains: keep everything
+def _nlj_minus(left: DataFrame, right: DataFrame, shared: list[str]) -> DataFrame:
+    """Null-tolerant MINUS remainder: non-equi anti join (Spark plans a
+    BroadcastNestedLoopJoin). Only ever fed null-BEARING slices — the
+    null-free bulk goes through the equi fast path in :func:`minus`."""
     lft, rgt = left.alias("l"), right.alias("r")
     compat = F.lit(True)
     overlap = F.lit(False)
@@ -248,6 +243,51 @@ def minus(left: DataFrame, right: DataFrame) -> DataFrame:
         compat = compat & (lc.isNull() | rc.isNull() | (lc == rc))
         overlap = overlap | (lc.isNotNull() & rc.isNotNull())
     return lft.join(rgt, compat & overlap, "left_anti")
+
+
+def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OpMinus (``OpExecutor.java:257``, ``QueryIterMinus.java``):
+    remove left rows for which some right row is *compatible* AND the
+    shared domain is non-empty. Unbound (null) vars are compatible with
+    anything — hence the null-tolerant condition rather than plain
+    equality.
+
+    Scale design: the null-tolerant condition is non-equi, which would
+    force an O(N·M) nested-loop plan over the WHOLE inputs. In this
+    algebra unbound vars arise only from OPTIONAL/UNION, so nulls are
+    (a) statically impossible when the schema says every shared column
+    is non-nullable (BGP-built bindings — Spark's CreateNamedStruct is
+    non-nullable), in which case compatibility degenerates to equality
+    and a single hash/broadcast ``left_anti`` is the whole plan; or
+    (b) runtime-rare, in which case the inputs are split: the null-free
+    bulk takes the equi anti join and only the null-bearing slices pay
+    the nested loop (``QueryIterMinus.java`` always pays it)."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left  # disjoint domains: keep everything
+    l_nullable = [s for s in shared if left.schema[s].nullable]
+    r_nullable = [s for s in shared if right.schema[s].nullable]
+    if not l_nullable and not r_nullable:
+        return left.join(right, shared, "left_anti")
+
+    def any_null(cols: list[str]) -> Column:
+        pred = F.lit(False)
+        for s in cols:
+            pred = pred | F.col(s).isNull()
+        return pred
+
+    r_full = right.where(~any_null(r_nullable)) if r_nullable else right
+    r_part = right.where(any_null(r_nullable)) if r_nullable else right.limit(0)
+    l_full = left.where(~any_null(l_nullable)) if l_nullable else left
+    l_part = left.where(any_null(l_nullable)) if l_nullable else left.limit(0)
+
+    # Null-free left rows: equality is required against null-free right
+    # rows (equi anti), then the survivors face only the null-bearing
+    # right slice in the nested loop.
+    survivors = l_full.join(r_full, shared, "left_anti")
+    return _nlj_minus(survivors, r_part, shared).unionByName(
+        _nlj_minus(l_part, right, shared)
+    )
 
 
 def exists(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -282,6 +322,55 @@ def values(spark: SparkSession, names: list[str], rows: list[list[TermSpec]]) ->
 
 
 def order_by(df: DataFrame, *cols: Column) -> DataFrame:
+    return df.orderBy(*cols)
+
+
+def term_sort_key(name: str) -> list[Column]:
+    """SPARQL ORDER BY total order over mixed RDF terms, as sort-key
+    columns (``NodeValue.java:60`` comparison chain +
+    ``engine/binding/BindingComparator.java`` — ARQ's compareAlways).
+
+    Category order: unbound < blank node < IRI < literal; literals
+    subdivide by value space (numerics by promoted numeric value, then
+    xsd:dateTime by instant) with the remaining literals ordered by
+    (lexical form, datatype IRI, language tag) — a deterministic total
+    order that refines the SPARQL 15.1 partial order exactly the way
+    ARQ's compareAlways does for sorting. Ties inside a value space
+    (e.g. "01"^^xsd:int vs "1"^^xsd:integer) break on the lexical
+    triple, so the order is strict on distinct terms.
+
+    Pure JVM-side CASE/cast expressions — usable in a distributed
+    range-partitioned sort (TakeOrderedAndProject for LIMIT queries)."""
+    from jena_spark import terms as TM
+    from jena_spark.pipeline.shadows import _NUMERIC_DTS
+
+    c = F.col(name)
+    kind, val = c.getField("kind"), c.getField("val")
+    dt, lang = c.getField("datatype"), c.getField("lang")
+    is_lit = kind == F.lit("literal")
+    is_num = is_lit & dt.isin(_NUMERIC_DTS)
+    is_ts = is_lit & (dt == F.lit(TM.XSD_DATETIME))
+    rank = (
+        F.when(c.isNull(), 0)
+        .when(kind == "bnode", 1)
+        .when(kind == "iri", 2)
+        .when(is_num, 3)
+        .when(is_ts, 4)
+        .otherwise(5)
+    )
+    num = F.when(is_num, val.try_cast("decimal(38,18)"))
+    ts = F.when(is_ts, F.regexp_replace(val, "Z$", "").try_cast("timestamp"))
+    return [rank, num, ts, val, dt, lang]
+
+
+def order_by_terms(df: DataFrame, *names: str, ascending: bool = True) -> DataFrame:
+    """ORDER BY over mixed-term variables using the SPARQL total order
+    (``QueryIterSort.java:48`` with a BindingComparator). DESC reverses
+    the whole key chain (ARQ reverses the comparator)."""
+    cols: list[Column] = []
+    for n in names:
+        for k in term_sort_key(n):
+            cols.append(k.asc_nulls_first() if ascending else k.desc_nulls_last())
     return df.orderBy(*cols)
 
 
