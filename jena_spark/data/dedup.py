@@ -47,6 +47,10 @@ def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     grams = word_ngrams(F.col(text_col), n) if n > 1 else tokens(F.col(text_col))
     return (
         docs.select(F.col(id_col).alias("doc"), F.explode(grams).alias("tok"))
+        # split("") yields [""] — an empty/whitespace doc must have an
+        # EMPTY token set, not a phantom "" token (two empty docs are
+        # not jaccard-1 duplicates)
+        .where(F.col("tok") != "")
         .distinct()
     )
 
@@ -198,7 +202,11 @@ def jaccard_for_pairs(
     with |pairs| x tokens/doc, NOT with the all-sharing-pairs space
     (which is what the full inverted-index self-join would touch and
     what LSH exists to avoid). Pairs with zero shared tokens get
-    jaccard 0.
+    jaccard 0 — including pairs referencing a token-LESS doc
+    (empty/whitespace text): sizes are left-joined and coalesced to 0,
+    and the 0/0 case (both docs empty) scores 0, never a dropped row
+    (r2 advice — unreachable via minhash_dedup_pairs, but this is a
+    public API taking arbitrary pair lists).
     """
     toks = _token_sets(docs, text_col, id_col, ngram)
     cand_docs = (
@@ -217,15 +225,17 @@ def jaccard_for_pairs(
     )
     sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    union_sz = (
+        F.coalesce(F.col("sz_a"), F.lit(0)) + F.coalesce(F.col("sz_b"), F.lit(0))
+        - F.coalesce(F.col("inter"), F.lit(0))
+    )
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sz_a, "doc_a").join(sz_b, "doc_b")
+        .join(sz_a, "doc_a", "left").join(sz_b, "doc_b", "left")
         .withColumn(
             "jaccard",
-            F.round(
-                F.coalesce(F.col("inter"), F.lit(0))
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
-                6,
+            F.when(union_sz == 0, F.lit(0.0)).otherwise(
+                F.round(F.coalesce(F.col("inter"), F.lit(0)) / union_sz, 6)
             ),
         )
         .select("doc_a", "doc_b", "jaccard")

@@ -152,16 +152,15 @@ def is_literal(t: Column) -> Column:
 
 
 def is_numeric(t: Column) -> Column:
-    """E_IsNumeric — typed numeric literal with a valid lexical form."""
-    numeric = [
-        "http://www.w3.org/2001/XMLSchema#integer",
-        "http://www.w3.org/2001/XMLSchema#decimal",
-        "http://www.w3.org/2001/XMLSchema#double",
-        "http://www.w3.org/2001/XMLSchema#float",
-    ]
+    """E_IsNumeric — typed numeric literal with a valid lexical form.
+    The whole XSD numeric derivation hierarchy counts (ARQ treats
+    xsd:int/long/short/nonNegativeInteger/… as numeric, not just the
+    four primitive types) — shared constant with the typed shadows."""
+    from jena_spark.pipeline.shadows import _NUMERIC_DTS
+
     return (
         (t.getField("kind") == "literal")
-        & t.getField("datatype").isin(numeric)
+        & t.getField("datatype").isin(_NUMERIC_DTS)
         & t.getField("val").try_cast("double").isNotNull()
     )
 
@@ -241,16 +240,23 @@ SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
 }
 
 
-def datetime_timezone(ts: Column) -> Column:
-    """E_DateTimeTimezone — timezone as xsd:dayTimeDuration lexical
-    form ("PT0S", "PT5H30M", "-PT8H"), derived from the session-zone
-    offset of the timestamp."""
-    off = F.date_format(ts, "xx")  # e.g. +0000, +0530, -0800
+def datetime_timezone(lex: Column) -> Column:
+    """E_DateTimeTimezone — the xsd:dateTime literal's OWN timezone as
+    an xsd:dayTimeDuration lexical form ("PT0S", "PT5H30M", "-PT8H").
+
+    SPARQL TIMEZONE() is defined on the dateTime VALUE's zone, so the
+    offset is parsed from the stored lexical form (suffix ``Z`` /
+    ``±hh:mm``), never from a session-zone rendering of the timestamp
+    (which would collapse every input to the session offset). Zoneless
+    datetimes yield NULL — ARQ raises an expression error there, and
+    NULL is this engine's error value (same policy as try_cast)."""
+    off = F.regexp_extract(lex, r"(Z|[+-]\d{2}:\d{2})$", 1)
     sign = F.when(off.startswith("-"), F.lit("-")).otherwise(F.lit(""))
-    hh = F.substring(off, 2, 2).cast("int")
-    mm = F.substring(off, 4, 2).cast("int")
+    hh = F.substring(off, 2, 2).try_cast("int")
+    mm = F.substring(off, 5, 2).try_cast("int")
     return (
-        F.when((hh == 0) & (mm == 0), F.lit("PT0S"))
+        F.when(off == "", F.lit(None).cast("string"))
+        .when((off == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S"))
         .otherwise(
             F.concat(
                 sign, F.lit("PT"), hh.cast("string"), F.lit("H"),

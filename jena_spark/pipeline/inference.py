@@ -42,16 +42,23 @@ _SCHEMA_PREDS = [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
 
 
 def _transitive_close(pairs: set[tuple[str, str]]) -> set[tuple[str, str]]:
-    """Driver-side transitive closure of a tiny relation (TBox)."""
-    closed = set(pairs)
-    changed = True
-    while changed:
-        changed = False
-        for a, b in list(closed):
-            for c, d in list(closed):
-                if b == c and (a, d) not in closed:
-                    closed.add((a, d))
-                    changed = True
+    """Driver-side transitive closure of a tiny relation (TBox):
+    adjacency-list BFS per source node — O(V·E), not the O(n²)-per-pass
+    pairwise scan."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    closed: set[tuple[str, str]] = set()
+    for src in adj:
+        seen: set[str] = set()
+        stack = list(adj[src])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        closed.update((src, t) for t in seen)
     return closed
 
 
@@ -59,12 +66,28 @@ def _null_s():
     return F.lit(None).cast("string")
 
 
+_TBOX_LIMIT = 5_000_000
+
+
 def _schema(triples: DataFrame) -> dict[str, list[tuple[str, str]]]:
-    rows = (
-        triples.where(F.col("p_val").isin(_SCHEMA_PREDS))
-        .select("p_val", "s_val", "o_val")
-        .collect()
+    """Collect the TBox (schema-predicate triples) to the driver.
+
+    Guarded: the broadcast-TBox strategy assumes the schema is
+    driver-size. A dataset asserting rdfs:subClassOf at ABox scale
+    (e.g. a loaded million-class ontology DAG) fails loudly here with
+    a pointer to the distributed alternative instead of melting the
+    driver."""
+    sel = triples.where(F.col("p_val").isin(_SCHEMA_PREDS)).select(
+        "p_val", "s_val", "o_val"
     )
+    rows = sel.limit(_TBOX_LIMIT + 1).collect()
+    if len(rows) > _TBOX_LIMIT:
+        raise ValueError(
+            f"schema-predicate triple count exceeds {_TBOX_LIMIT:,}: the "
+            "broadcast-TBox stratified reasoner assumes a driver-size "
+            "schema; close subClassOf/subPropertyOf with the encoded "
+            "distributed closure (queries.paths.one_or_more) instead"
+        )
     out: dict[str, list[tuple[str, str]]] = {p: [] for p in _SCHEMA_PREDS}
     for r in rows:
         out[r["p_val"]].append((r["s_val"], r["o_val"]))
@@ -96,10 +119,12 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
             return spark.createDataFrame([], f"{a} string, {b} string")
         return spark.createDataFrame(rows, f"{a} string, {b} string")
 
-    sp = F.broadcast(_dim(sub_prop, "p_sub", "p_super"))
-    sc = F.broadcast(_dim(sub_class, "c_sub", "c_super"))
-    dom = F.broadcast(_dim(set(schema[RDFS_DOMAIN]), "p_dom", "c_dom"))
-    rng = F.broadcast(_dim(set(schema[RDFS_RANGE]), "p_rng", "c_rng"))
+    # Hints live at the JOIN sites below — wrapping the dims here makes
+    # the union/select consumers log "hint not part of a join" warnings.
+    sp = _dim(sub_prop, "p_sub", "p_super")
+    sc = _dim(sub_class, "c_sub", "c_super")
+    dom = _dim(set(schema[RDFS_DOMAIN]), "p_dom", "c_dom")
+    rng = _dim(set(schema[RDFS_RANGE]), "p_rng", "c_rng")
 
     base = triples.select(*TM.TERM_COLS)
 
@@ -121,7 +146,7 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
 
     # rdfs7: property inheritance (broadcast join on p_val)
     inherited = (
-        base.join(sp, base["p_val"] == sp["p_sub"])
+        base.join(F.broadcast(sp), base["p_val"] == sp["p_sub"])
         .select("s_kind", "s_val", F.col("p_super").alias("p_val"),
                 "o_kind", "o_val", "o_datatype", "o_lang")
     )
@@ -129,14 +154,14 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
 
     # rdfs2/rdfs3: domain/range typing over base + inherited triples
     typed_dom = (
-        abox.join(dom, abox["p_val"] == dom["p_dom"])
+        abox.join(F.broadcast(dom), abox["p_val"] == dom["p_dom"])
         .select("s_kind", "s_val", F.lit(TM.RDF_TYPE).alias("p_val"),
                 F.lit("iri").alias("o_kind"), F.col("c_dom").alias("o_val"),
                 _null_s().alias("o_datatype"), _null_s().alias("o_lang"))
     )
     typed_rng = (
         abox.where(F.col("o_kind").isin("iri", "bnode"))
-        .join(rng, abox["p_val"] == rng["p_rng"])
+        .join(F.broadcast(rng), abox["p_val"] == rng["p_rng"])
         .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
                 F.lit(TM.RDF_TYPE).alias("p_val"),
                 F.lit("iri").alias("o_kind"), F.col("c_rng").alias("o_val"),
@@ -149,17 +174,28 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
 
     # rdfs9: class inheritance over ALL type triples (closed subClassOf)
     super_types = (
-        types.join(sc, types["o_val"] == sc["c_sub"])
+        types.join(F.broadcast(sc), types["o_val"] == sc["c_sub"])
         .select("s_kind", "s_val", "p_val",
                 F.lit("iri").alias("o_kind"), F.col("c_super").alias("o_val"),
                 _null_s().alias("o_datatype"), _null_s().alias("o_lang"))
     )
 
-    return (
-        abox.unionByName(schema_derived)
+    # Touched-only dedup (same trick as canonicalize): ``base`` is
+    # already a set, so only the DERIVED slice needs deduplication —
+    # against itself, then against base (null-safe: datatype/lang keys
+    # are NULL on most derived rows). At scale this shuffles the
+    # entailed fraction instead of the whole base∪derived table.
+    derived_all = (
+        inherited.unionByName(schema_derived)
         .unionByName(typed_dom).unionByName(typed_rng).unionByName(super_types)
         .dropDuplicates(TM.TERM_COLS)
     )
+    d, b = derived_all.alias("d"), base.alias("b")
+    cond = F.lit(True)
+    for c in TM.TERM_COLS:
+        cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
+    new_only = d.join(b, cond, "left_anti")
+    return base.unionByName(new_only)
 
 
 # --- OWL property rules (rule reasoner, owl-fb.rules) -----------------------
@@ -184,10 +220,18 @@ def owl_property_closure(triples: DataFrame, max_iter: int = 30) -> DataFrame:
     inverse/symmetric are single narrow emissions; the transitive rule
     runs the ENCODED semi-naive closure per declared transitive
     property (``queries/paths.one_or_more`` — id-tuple iteration).
-    Inverse/symmetric feed the transitive step (one stratification
-    round, sound when property characteristics are not themselves
-    derived — which needs no guard because characteristics are schema
-    triples this rule set never derives).
+
+    Fixpoint: a single pre-closure stratification round is NOT enough
+    (r2 advice — with p transitive and p owl:inverseOf q, the inverse
+    entailments of transitively-derived p-edges were missing). Like
+    Jena's FBRuleReasoner the rules now iterate to fixpoint:
+    {inverse, symmetric} applied, then per-property transitive closure,
+    repeated until the triple-set signature is stable. Termination:
+    characteristics are never derived (the rule heads emit only
+    edge triples), the rules are monotone, and the universe of
+    derivable edges is finite — in practice 2 rounds plus one
+    confirming round (the closure re-runs start from an already-closed
+    edge set, so their semi-naive frontiers empty immediately).
     """
     from jena_spark.queries.paths import one_or_more
 
@@ -214,49 +258,66 @@ def owl_property_closure(triples: DataFrame, max_iter: int = 30) -> DataFrame:
         ).select("s_val").collect()
     ]
 
-    derived = []
     inv_map = inv_pairs + [(q, p) for p, q in inv_pairs]  # symmetric rule pair
-    if inv_map:
-        inv_dim = F.broadcast(spark.createDataFrame(inv_map, "p string, q string"))
-        derived.append(
-            base.join(inv_dim, base["p_val"] == F.col("p"))
-            .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
-                    F.col("q").alias("p_val"),
-                    F.col("s_kind").alias("o_kind"), F.col("s_val").alias("o_val"),
-                    F.lit(None).cast("string").alias("o_datatype"),
-                    F.lit(None).cast("string").alias("o_lang"))
-        )
-    if sym_props:
-        derived.append(
-            base.where(F.col("p_val").isin(sym_props))
-            .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
-                    "p_val",
-                    F.col("s_kind").alias("o_kind"), F.col("s_val").alias("o_val"),
-                    F.lit(None).cast("string").alias("o_datatype"),
-                    F.lit(None).cast("string").alias("o_lang"))
-        )
-    pre = base
-    for d in derived:
-        pre = pre.unionByName(d)
-    pre = pre.dropDuplicates(TM.TERM_COLS)
+    inv_dim = (
+        spark.createDataFrame(inv_map, "p string, q string") if inv_map else None
+    )
 
-    closures = []
-    for p in trans_props:
-        edges = pre.where(F.col("p_val") == p).select(
-            F.col("s_kind").alias("src_kind"), F.col("s_val").alias("src_val"),
-            F.col("o_kind").alias("dst_kind"), F.col("o_val").alias("dst_val"),
-        )
-        closed = one_or_more(edges, max_iter=max_iter)
-        closures.append(
-            closed.select(
-                F.col("src_kind").alias("s_kind"), F.col("src_val").alias("s_val"),
-                F.lit(p).alias("p_val"),
-                F.col("dst_kind").alias("o_kind"), F.col("dst_val").alias("o_val"),
-                F.lit(None).cast("string").alias("o_datatype"),
-                F.lit(None).cast("string").alias("o_lang"),
+    def _apply_rules(g: DataFrame) -> DataFrame:
+        """One round: g ∪ inverse ∪ symmetric ∪ transitive closures."""
+        out = g
+        if inv_dim is not None:
+            out = out.unionByName(
+                g.join(F.broadcast(inv_dim), g["p_val"] == F.col("p"))
+                .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
+                        F.col("q").alias("p_val"),
+                        F.col("s_kind").alias("o_kind"), F.col("s_val").alias("o_val"),
+                        F.lit(None).cast("string").alias("o_datatype"),
+                        F.lit(None).cast("string").alias("o_lang"))
             )
-        )
-    out = pre
-    for c in closures:
-        out = out.unionByName(c)
-    return out.dropDuplicates(TM.TERM_COLS)
+        if sym_props:
+            out = out.unionByName(
+                g.where(F.col("p_val").isin(sym_props))
+                .select(F.col("o_kind").alias("s_kind"), F.col("o_val").alias("s_val"),
+                        "p_val",
+                        F.col("s_kind").alias("o_kind"), F.col("s_val").alias("o_val"),
+                        F.lit(None).cast("string").alias("o_datatype"),
+                        F.lit(None).cast("string").alias("o_lang"))
+            )
+        out = out.dropDuplicates(TM.TERM_COLS)
+        closures = []
+        for p in trans_props:
+            edges = out.where(F.col("p_val") == p).select(
+                F.col("s_kind").alias("src_kind"), F.col("s_val").alias("src_val"),
+                F.col("o_kind").alias("dst_kind"), F.col("o_val").alias("dst_val"),
+            )
+            closed = one_or_more(edges, max_iter=max_iter)
+            closures.append(
+                closed.select(
+                    F.col("src_kind").alias("s_kind"), F.col("src_val").alias("s_val"),
+                    F.lit(p).alias("p_val"),
+                    F.col("dst_kind").alias("o_kind"), F.col("dst_val").alias("o_val"),
+                    F.lit(None).cast("string").alias("o_datatype"),
+                    F.lit(None).cast("string").alias("o_lang"),
+                )
+            )
+        for c in closures:
+            out = out.unionByName(c)
+        return out.dropDuplicates(TM.TERM_COLS)
+
+    def _sig(g: DataFrame) -> tuple[int, int]:
+        row = g.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64(*TM.TERM_COLS)), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    out = base.localCheckpoint(eager=False)
+    sig = _sig(out)
+    for _ in range(max_iter):
+        out = _apply_rules(out).localCheckpoint(eager=False)
+        new_sig = _sig(out)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return out

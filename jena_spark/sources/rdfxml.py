@@ -182,6 +182,35 @@ def parse_rdfxml(text: str, base: str | None = None) -> list[tuple]:
     return RdfXmlParser(text, base).parse()
 
 
+_NCNAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _split_qname(iri: str) -> tuple[str, str]:
+    """Split a predicate IRI into (namespace, local) where local is a
+    valid XML NCName — at the LAST possible split point, i.e. the
+    longest NCName suffix (Jena's ``Util.splitNamespaceXML``,
+    ``jena-core/.../rdfxml/xmloutput/impl/BaseXMLWriter.java`` posture).
+
+    RDF/XML cannot serialize a predicate whose IRI has no NCName
+    suffix (e.g. ``urn:isbn:123`` or ``http://e/123``) — that is a
+    documented limitation of the format itself; raise a clear
+    ValueError instead of emitting non-well-formed XML. ASCII NCName
+    subset (non-ASCII local names also raise)."""
+    i = len(iri)
+    while i > 0 and re.match(r"[A-Za-z0-9_.\-]", iri[i - 1]):
+        i -= 1
+    j = i
+    while j < len(iri) and not re.match(r"[A-Za-z_]", iri[j]):
+        j += 1
+    local = iri[j:]
+    if j == 0 or not local or not _NCNAME_RE.match(local):
+        raise ValueError(
+            f"predicate IRI {iri!r} has no XML-NCName suffix — "
+            "not serializable as RDF/XML (use Turtle/N-Triples)"
+        )
+    return iri[:j], local
+
+
 def format_rdfxml(rows: list[tuple]) -> str:
     """7-tuples -> one RDF/XML document (rdf:Description striping;
     deterministic subject/predicate ordering)."""
@@ -197,7 +226,7 @@ def format_rdfxml(rows: list[tuple]) -> str:
         for r in sorted(group, key=lambda r: (r[2], r[4])):
             n += 1
             pfx = f"n{n}"
-            p_ns, p_local = re.match(r"^(.*[#/])([^#/]+)$", r[2]).groups()
+            p_ns, p_local = _split_qname(r[2])
             open_tag = f'{pfx}:{p_local} xmlns:{pfx}={quoteattr(p_ns)}'
             if r[3] == "iri":
                 out.append(f"    <{open_tag} rdf:resource={quoteattr(r[4])}/>")

@@ -68,26 +68,54 @@ def to_xml_rows(results: DataFrame) -> DataFrame:
     return results.select(F.concat(*parts).alias("xml"))
 
 
-def write_xml(results: DataFrame, path: str) -> None:
-    """XMLOutput parity: full ``<sparql>`` document. The header/results
-    envelope is driver-side (it is O(#vars)); the per-row ``<result>``
-    elements are computed distributed and streamed back — result sets
-    are final query output, the one place a driver-side sink is the
-    reference's own posture (Jena streams one XML document)."""
-    names = [n for n, _ in results.dtypes]
-    head = (
+def _xml_head(names: list[str]) -> str:
+    return (
         '<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
         "<head>\n"
         + "".join(f'  <variable name="{n}"/>\n' for n in names)
         + "</head>\n<results>\n"
     )
-    rows = [r["xml"] for r in to_xml_rows(results).collect()]
-    body = "\n".join(rows)
+
+
+_XML_FOOT = "</results>\n</sparql>\n"
+
+
+def write_xml(results: DataFrame, path: str) -> None:
+    """XMLOutput parity: ONE ``<sparql>`` document (Jena streams a
+    single document). The envelope is O(#vars) driver-side; the
+    per-row ``<result>`` elements are rendered distributed
+    (:func:`to_xml_rows`) and *streamed* to the file handle via
+    ``toLocalIterator`` — O(one partition) driver memory, never a full
+    ``collect``. For result sets too large for any single document use
+    :func:`write_xml_distributed`."""
     import os
 
+    names = [n for n, _ in results.dtypes]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        f.write(head + body + ("\n" if rows else "") + "</results>\n</sparql>\n")
+        f.write(_xml_head(names))
+        for r in to_xml_rows(results).toLocalIterator():
+            f.write(r["xml"])
+            f.write("\n")
+        f.write(_XML_FOOT)
+
+
+def write_xml_distributed(results: DataFrame, path: str) -> None:
+    """Cluster-scale XML sink: the row elements go out through Spark's
+    distributed text writer (``path/rows/part-*``), the envelope to
+    ``path/head.xml`` / ``path/foot.xml``. Concatenating
+    head + parts + foot reproduces :func:`write_xml`'s document —
+    the same part-file posture as the CSV/TSV/JSON sinks, nothing on
+    the driver."""
+    import os
+
+    names = [n for n, _ in results.dtypes]
+    to_xml_rows(results).write.mode("overwrite").text(f"{path}/rows")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/head.xml", "w") as f:
+        f.write(_xml_head(names))
+    with open(f"{path}/foot.xml", "w") as f:
+        f.write(_XML_FOOT)
 
 
 def _nt_escape(c):

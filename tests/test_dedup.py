@@ -134,3 +134,20 @@ def test_hot_tokens_visibility(spark, docs):
               D.jaccard_pairs(docs, threshold=0.5, max_df=2).collect()}
     # docs 0/1 still identical after dropping shared hot tokens
     assert (0, 1) in capped
+
+
+def test_jaccard_for_pairs_tokenless_docs(spark):
+    """r2 advice: a supplied pair referencing an empty/whitespace doc
+    must score jaccard 0, not vanish from the output."""
+    from jena_spark.data.dedup import jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [("d1", "hello world"), ("d2", "   "), ("d3", "")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d1", "d3")], "doc_a string, doc_b string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_for_pairs(pairs, docs).collect()}
+    assert out == {("d1", "d2"): 0.0, ("d2", "d3"): 0.0, ("d1", "d3"): 0.0}

@@ -123,3 +123,74 @@ def test_owl_property_rules(spark):
     # idempotent
     assert _rows(owl_property_closure(
         spark.createDataFrame(sorted(out), SCHEMA))) == out
+
+
+def test_owl_inverse_of_transitive_derivations(spark):
+    """Fixpoint regression (r2 advice): with (anc owl:inverseOf desc)
+    and anc transitive, the inverse entailments of transitively-DERIVED
+    edges must appear — (x anc y), (y anc z) ⊢ (x anc z) ⊢ (z desc x).
+    Jena's owl-fb engine iterates to fixpoint; so do we now."""
+    from jena_spark.pipeline.inference import (
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_property_closure,
+    )
+
+    E = "http://e/"
+    triples = [
+        ("iri", E + "anc", OWL_INVERSE, "iri", E + "desc", None, None),
+        ("iri", E + "anc", TM.RDF_TYPE, "iri", OWL_TRANSITIVE, None, None),
+        ("iri", E + "x", E + "anc", "iri", E + "y", None, None),
+        ("iri", E + "y", E + "anc", "iri", E + "z", None, None),
+    ]
+    df = spark.createDataFrame(triples, SCHEMA)
+    out = _rows(owl_property_closure(df))
+
+    def t(s, p, o):
+        return ("iri", E + s, E + p, "iri", E + o, None, None)
+
+    assert t("x", "anc", "z") in out
+    assert t("z", "desc", "x") in out          # the r2 missing entailment
+    assert t("y", "desc", "x") in out and t("z", "desc", "y") in out
+    # desc is not declared transitive, but its edges mirror closed anc —
+    # the fixpoint must not invent (x desc z)'s forward twin's inverse gap:
+    # inverse of every closed anc edge, nothing more
+    desc_edges = {(r[1], r[4]) for r in out if r[2] == E + "desc"}
+    anc_edges = {(r[1], r[4]) for r in out if r[2] == E + "anc"}
+    assert desc_edges == {(b, a) for a, b in anc_edges}
+
+
+def test_owl_symmetric_inverse_of_transitive_fixpoint(spark):
+    """Pathological schema: q symmetric AND q owl:inverseOf p with p
+    transitive — a one-shot re-application under-derives; the fixpoint
+    loop must make p's closed edges appear under q in BOTH directions
+    (and feed back into p via the inverse rule)."""
+    from jena_spark.pipeline.inference import (
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_property_closure,
+    )
+
+    E = "http://e/"
+    triples = [
+        ("iri", E + "p", OWL_INVERSE, "iri", E + "q", None, None),
+        ("iri", E + "q", TM.RDF_TYPE, "iri", OWL_SYMMETRIC, None, None),
+        ("iri", E + "p", TM.RDF_TYPE, "iri", OWL_TRANSITIVE, None, None),
+        ("iri", E + "a", E + "p", "iri", E + "b", None, None),
+        ("iri", E + "b", E + "p", "iri", E + "c", None, None),
+    ]
+    df = spark.createDataFrame(triples, SCHEMA)
+    out = _rows(owl_property_closure(df))
+    q_edges = {(r[1], r[4]) for r in out if r[2] == E + "q"}
+    p_edges = {(r[1], r[4]) for r in out if r[2] == E + "p"}
+    # q = inverse(p) ∪ symmetric image ⇒ q holds both directions of p
+    for a, b in [("a", "b"), ("b", "c"), ("a", "c")]:
+        assert (E + b, E + a) in q_edges and (E + a, E + b) in q_edges
+    # feedback: symmetric q edges invert back into p both ways, and p
+    # re-closes transitively over them
+    assert (E + "c", E + "a") in p_edges
+    # idempotent at the fixpoint
+    assert _rows(owl_property_closure(
+        spark.createDataFrame(sorted(out), SCHEMA))) == out

@@ -105,3 +105,31 @@ def test_rdfxml_distributed_equals_ntriples(spark, transcripts_df, tmp_path):
     from_rx = {tuple(r) for r in
                read_rdfxml(spark, rx + "/part-*").select(*TM.TERM_COLS).collect()}
     assert from_rx == from_nt and len(from_rx) == 200
+
+
+def test_writer_qname_split_edge_cases():
+    """r2 advice: predicates without a '#'/'/' namespace split must not
+    crash, and non-NCName local parts must not corrupt the document —
+    split at the longest NCName suffix or raise a clear ValueError."""
+    import pytest
+
+    from jena_spark.sources.rdfxml import _split_qname, format_rdfxml, parse_rdfxml
+
+    assert _split_qname("http://e/ns#name") == ("http://e/ns#", "name")
+    assert _split_qname("urn:isbn:x123") == ("urn:isbn:", "x123")
+    # digits first: namespace absorbs them, local is the NCName tail
+    assert _split_qname("http://e/123abc") == ("http://e/123", "abc")
+    for bad in ("urn:isbn:123", "http://e/123", "http://e/a#"):
+        with pytest.raises(ValueError, match="NCName"):
+            _split_qname(bad)
+
+    # round-trip through the writer for the awkward-but-legal cases
+    rows = [
+        ("iri", "http://e/s", "urn:isbn:x123", "literal", "v", None, None),
+        ("iri", "http://e/s", "http://e/123abc", "iri", "http://e/o", None, None),
+    ]
+    doc = format_rdfxml(rows)
+    assert sorted(parse_rdfxml(doc)) == sorted(rows)
+
+    with pytest.raises(ValueError, match="NCName"):
+        format_rdfxml([("iri", "http://e/s", "http://e/123", "literal", "v", None, None)])

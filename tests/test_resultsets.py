@@ -102,3 +102,43 @@ def test_xml_output(spark, tmp_path):
     import xml.etree.ElementTree as ET
 
     ET.fromstring(doc)  # well-formed
+
+
+def test_xml_distributed_matches_streamed(spark, tmp_path):
+    """write_xml_distributed: head + parts + foot == write_xml's doc
+    (row order aside), and no collect anywhere in the module."""
+    import inspect
+    import xml.etree.ElementTree as ET
+
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources import resultsets as RS
+
+    assert ".collect()" not in inspect.getsource(RS)
+
+    vals = A.values(
+        spark, ["x"],
+        [[("iri", f"http://e/{i}")] for i in range(20)],
+    )
+    single = str(tmp_path / "one.xml")
+    parts = str(tmp_path / "many")
+    RS.write_xml(vals, single)
+    RS.write_xml_distributed(vals, parts)
+
+    part_rows = []
+    for f in sorted(Path(parts).glob("rows/part-*")):
+        part_rows.extend(ln for ln in open(f).read().split("\n") if ln)
+    doc = (
+        open(f"{parts}/head.xml").read()
+        + "\n".join(part_rows) + "\n"
+        + open(f"{parts}/foot.xml").read()
+    )
+    ET.fromstring(doc)
+    # same multiset of <result> elements as the streamed document
+    one = open(single).read()
+    def results_of(d):
+        ns = "{http://www.w3.org/2005/sparql-results#}"
+        return sorted(
+            ET.tostring(r, encoding="unicode")
+            for r in ET.fromstring(d).find(f"{ns}results")
+        )
+    assert results_of(doc) == results_of(one)

@@ -214,7 +214,10 @@ def test_operator_family_functions(spark):
         FN["not_in"](F.col("a"), 1, 2, 3).alias("nin"),
         FN["cast"](F.lit("12"), "long").alias("cast_ok"),
         FN["cast"](F.lit("xy"), "long").alias("cast_bad"),
-        FN["timezone"](F.col("ts")).alias("tz"),
+        FN["timezone"](F.lit("2024-03-05T10:30:00Z")).alias("tz"),
+        FN["timezone"](F.lit("2024-03-05T10:30:00+05:30")).alias("tz_ist"),
+        FN["timezone"](F.lit("2024-03-05T10:30:00-08:00")).alias("tz_pst"),
+        FN["timezone"](F.lit("2024-03-05T10:30:00")).alias("tz_none"),
         call("strlen", F.lit("abcd")).alias("via_call"),
         FN["version"]().alias("ver"),
     ).collect()[0]
@@ -222,7 +225,10 @@ def test_operator_family_functions(spark):
     assert row["gt"] is True and row["conj"] is True and row["neg_b"] is False
     assert row["nin"] is True
     assert row["cast_ok"] == 12 and row["cast_bad"] is None
-    assert row["tz"] == "PT0S"  # session TZ pinned UTC
+    # TIMEZONE() reads the literal's OWN zone from the lexical form
+    assert row["tz"] == "PT0S"
+    assert row["tz_ist"] == "PT5H30M" and row["tz_pst"] == "-PT8H"
+    assert row["tz_none"] is None  # zoneless -> error value
     assert row["via_call"] == 4
     assert row["ver"].startswith("jena-spark/")
     # uuid family: shape only (nondeterministic by design, like E_Random)
