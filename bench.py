@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "data_text_quality",
     "kg_rdfs_inference",
     "kg_text_index",
+    # round 3 additions
+    "kg_minus",
+    "kg_difference",
+    "kg_order_mixed_terms",
+    "kg_quads_union_graph",
+    "kg_path_zero_or_more",
 ]
 
 

@@ -153,14 +153,77 @@ def reorder_patterns(patterns: list[Pattern]) -> list[Pattern]:
     return out
 
 
-def bgp(triples: DataFrame, patterns: list[Pattern], reorder: bool = True) -> DataFrame:
+def _pattern_pred_iri(p) -> str | None:
+    """Concrete predicate IRI of a pattern position, if any."""
+    if isinstance(p, Var):
+        return None
+    return p[1] if isinstance(p, tuple) else p
+
+
+def reorder_patterns_stats(
+    patterns: list[Pattern], pred_counts: dict[str, int],
+) -> list[Pattern]:
+    """Statistics-fed join ordering — the ``StatsMatcher`` /
+    ``ReorderWeighted`` posture (``jena-arq/.../engine/optimizer/
+    StatsMatcher.java``; the neo-optimizer fork's
+    ``reorder/ReorderWeighted.java:8-29``): the collected per-predicate
+    cardinalities (``pipeline/stats.predicate_counts`` ≙ TDB
+    ``StatsCollector``) scale the fixed boundness weights, so of two
+    equally-shaped patterns the one over the RARER predicate scans
+    first, and an unfiltered-predicate pattern (no concrete predicate,
+    or a predicate at corpus-dominating count) never leads the chain.
+
+    weight(pattern) = fixed_boundness_weight × estimated_scan_rows,
+    greedy smallest-first with bound-variable substitution (same
+    substitution rule as :func:`reorder_patterns`)."""
+    total = max(1, sum(pred_counts.values()))
+    remaining = list(patterns)
+    bound: set[str] = set()
+    out: list[Pattern] = []
+    while remaining:
+
+        def weight(pat: Pattern) -> int:
+            pred = _pattern_pred_iri(pat[1])
+            # unseen predicate: StatsMatcher treats it as matching
+            # nothing (weight 0 would be ideal-first; keep 1 so fully
+            # concrete known patterns still win ties deterministically)
+            est = total if pred is None else pred_counts.get(pred, 1)
+            return _reorder_weight(pat, bound) * max(1, est)
+
+        best = min(range(len(remaining)), key=lambda i: (weight(remaining[i]), i))
+        chosen = remaining.pop(best)
+        out.append(chosen)
+        for t in chosen:
+            if isinstance(t, Var):
+                bound.add(t.name)
+    return out
+
+
+def pred_counts_of(triples: DataFrame) -> dict[str, int]:
+    """Collect per-predicate counts for :func:`reorder_patterns_stats`
+    (driver-size: bounded by the number of distinct predicates)."""
+    from jena_spark.pipeline.stats import predicate_counts
+
+    return {
+        r["predicate"]: r["n"] for r in predicate_counts(triples).collect()
+    }
+
+
+def bgp(
+    triples: DataFrame, patterns: list[Pattern], reorder: bool = True,
+    pred_counts: dict[str, int] | None = None,
+) -> DataFrame:
     """Basic graph pattern: conjunctive self-joins over the triple table
     (OpBGP, ``OpExecutor.java:127``; stage generator
     ``engine/main/StageGeneratorGeneric.java:37``). Logical join order
-    follows the ReorderFixed heuristic (:func:`reorder_patterns`);
+    follows the ReorderFixed heuristic (:func:`reorder_patterns`) — or,
+    when collected statistics are supplied, the stats-weighted order
+    (:func:`reorder_patterns_stats`, the TDB StatsMatcher posture);
     AQE/CBO then own the physical strategy — together the analog of
     TDB's ReorderFixed + runtime re-order (``OpExecutorTDB1.java:187``)."""
-    if reorder:
+    if pred_counts is not None:
+        patterns = reorder_patterns_stats(patterns, pred_counts)
+    elif reorder:
         patterns = reorder_patterns(patterns)
     out = None
     for p in patterns:

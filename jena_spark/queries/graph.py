@@ -135,6 +135,22 @@ def quads_to_triples(quads: DataFrame) -> DataFrame:
     return quads.select(*TERM_COLS).dropDuplicates(TERM_COLS)
 
 
+UNION_GRAPH = "urn:x-arq:UnionGraph"  # Quad.unionGraph (Quad.java:45)
+
+
+def union_graph(quads: DataFrame) -> DataFrame:
+    """The RDF merge of all NAMED graphs (``Quad.unionGraph``,
+    ``jena-arq/.../sparql/core/Quad.java:37-45``): default-graph rows
+    excluded, set semantics across graphs (the same triple asserted in
+    two graphs appears once). Filter-then-dedup: callers that pattern-
+    filter first only shuffle the matching slice."""
+    return (
+        quads.where(F.col("graph").isNotNull())
+        .select(*TERM_COLS)
+        .dropDuplicates(TERM_COLS)
+    )
+
+
 def find_in_graph(
     quads: DataFrame, g: str | None,
     s: TermSpec = ANY, p: TermSpec = ANY, o: TermSpec = ANY,
@@ -142,7 +158,17 @@ def find_in_graph(
     """``Graph.find`` scoped to one named graph (OpQuadPattern /
     OpGraph, ``OpExecutor.java:143-182``); ``g=None`` matches the
     default graph (null graph column, ``Quad.defaultGraphIRI``
-    sentinel role)."""
+    sentinel role); ``g=UNION_GRAPH`` matches the deduplicated union
+    of all named graphs (``Quad.unionGraph`` — TDB's unionDefaultGraph
+    query mode)."""
+    if g == UNION_GRAPH:
+        matched = quads.where(
+            pattern_predicate(s, p, o) & F.col("graph").isNotNull()
+        )
+        return (
+            matched.select(*TERM_COLS).dropDuplicates(TERM_COLS)
+            .withColumn("graph", F.lit(UNION_GRAPH))
+        )
     cond = pattern_predicate(s, p, o) & (
         F.col("graph").isNull() if g is None else (F.col("graph") == g)
     )

@@ -101,6 +101,24 @@ def _conf(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for round-trip queries.
+
+    md5 of the sf_dir (NOT ``hash()``, which is PYTHONHASHSEED-salted —
+    leftover dirs would accumulate across processes). Base is
+    ``JENA_SPARK_SCRATCH`` when set — on a real cluster this must be a
+    driver+executor-shared filesystem (HDFS/NFS/object store);
+    the tempdir default is correct only for local[N]."""
+    import hashlib
+    import os
+    import tempfile
+
+    base = os.environ.get("JENA_SPARK_SCRATCH", tempfile.gettempdir())
+    return os.path.join(
+        base, f"jena_spark_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One persisted mention frame per corpus, shared by BOTH the fused
     canonical path and raw_triples — Spark does not reuse exchanges
@@ -1565,18 +1583,17 @@ def _q_turtle_roundtrip(spark, sf):
     back with the distributed per-file reader, return the parsed
     triples. No driver-side collect at any scale. The oracle is the
     original subgraph — equality IS the round-trip check."""
-    import os
-    import tempfile
-
     from jena_spark.sources.turtle import read_turtle, write_turtle
 
     t = _triples(spark, sf)
     sel = t.where(F.col("p_val").isin(TM.RDFS_LABEL, TM.P_TURN_INDEX))
-    path = os.path.join(
-        tempfile.gettempdir(), f"jena_spark_ttl_{abs(hash(sf))}"
-    )
+    path = _scratch_dir("ttl", sf)
     write_turtle(sel, path)
-    return read_turtle(spark, os.path.join(path, "part-*")).select(*TM.TERM_COLS)
+    # read the DIRECTORY, not a part-* glob: globbed paths make Spark's
+    # _spark_metadata probe log a spurious FileNotFoundException stack
+    # trace (the unexplained trace in the r2 bench log); directory reads
+    # skip _SUCCESS/hidden files natively
+    return read_turtle(spark, path).select(*TM.TERM_COLS)
 
 
 _register(
@@ -1702,9 +1719,6 @@ def _q_trig_roundtrip(spark, sf):
     named graphs, serialize to TriG (named blocks + default graph),
     parse back with the distributed reader, return the per-graph quad
     census."""
-    import os
-    import tempfile
-
     from jena_spark.sources.turtle import read_trig, write_trig
 
     t = _triples(spark, sf)
@@ -1713,9 +1727,9 @@ def _q_trig_roundtrip(spark, sf):
         "graph",
         F.when(F.col("p_val") == TM.P_ROLE, F.lit(g_role)).otherwise(F.lit(g_tool)),
     )
-    path = os.path.join(tempfile.gettempdir(), f"jena_spark_trig_{abs(hash(sf))}")
+    path = _scratch_dir("trig", sf)
     write_trig(sel, path)
-    quads = read_trig(spark, os.path.join(path, "part-*"))
+    quads = read_trig(spark, path)  # directory read — see turtle twin
     return quads.groupBy("graph", "p_val").agg(F.count("*").alias("n"))
 
 
@@ -1923,6 +1937,104 @@ _register(
 
 # === round 3: mixed-term ORDER BY, union graph, path identities ============
 
+def _q_quads_union_graph(spark, sf):
+    """``Quad.unionGraph`` (``Quad.java:37-45``): find over the RDF
+    merge of all named graphs — graph A holds the mention edges, graph
+    B mention+role triples, so the union must deduplicate the overlap
+    (every mention triple is asserted in BOTH graphs)."""
+    t = _triples(spark, sf)
+    g_a, g_b = TM.NS + "graph/a", TM.NS + "graph/b"
+    quads = G.triples_to_quads(
+        t.where(F.col("p_val") == TM.P_MENTIONS), g_a
+    ).unionByName(
+        G.triples_to_quads(t.where(F.col("p_val").isin(TM.P_MENTIONS, TM.P_ROLE)), g_b)
+    )
+    return G.find_in_graph(quads, G.UNION_GRAPH)
+
+
+_register(
+    "kg_quads_union_graph",
+    _q_quads_union_graph,
+    _W + f"""SELECT DISTINCT s_kind, s_val, p_val, o_kind, o_val,
+           o_datatype, o_lang, 'urn:x-arq:UnionGraph' AS graph
+    FROM triples WHERE p_val IN ('{TM.P_MENTIONS}', '{TM.P_ROLE}')""",
+)
+
+
+def _q_path_zero_or_more(spark, sf):
+    """P_ZeroOrMore (p*) driver entry (``PathLib.java`` /
+    ``path/P_ZeroOrMoreN.java``): closure of hasTurn|mentions plus the
+    zero-length identity over every term in the graph (SPARQL 1.1
+    18.1.7 evaluates x p* x for all graph terms)."""
+    t = _triples(spark, sf)
+    edges = P.alt(P.link(t, TM.P_HAS_TURN), P.link(t, TM.P_MENTIONS))
+    domain = (
+        t.select(F.col("s_kind").alias("kind"), F.col("s_val").alias("val"))
+        .unionByName(t.select(F.col("o_kind").alias("kind"), F.col("o_val").alias("val")))
+        .distinct()
+    )
+    return P.zero_or_more(edges, domain)
+
+
+_register(
+    "kg_path_zero_or_more",
+    _q_path_zero_or_more,
+    _WR + f""", edges AS (
+      SELECT DISTINCT s_kind AS src_kind, s_val AS src_val,
+             o_kind AS dst_kind, o_val AS dst_val
+      FROM triples WHERE p_val IN ('{TM.P_HAS_TURN}', '{TM.P_MENTIONS}')
+    ),
+    closure(src_kind, src_val, dst_kind, dst_val) AS (
+      SELECT * FROM edges
+      UNION
+      SELECT c.src_kind, c.src_val, e.dst_kind, e.dst_val
+      FROM closure c JOIN edges e
+        ON c.dst_kind = e.src_kind AND c.dst_val = e.src_val
+    ),
+    nodes AS (
+      SELECT DISTINCT s_kind AS kind, s_val AS val FROM triples
+      UNION
+      SELECT DISTINCT o_kind, o_val FROM triples
+    )
+    SELECT DISTINCT * FROM (
+      SELECT * FROM closure
+      UNION
+      SELECT kind AS src_kind, val AS src_val, kind AS dst_kind, val AS dst_val
+      FROM nodes
+    )""",
+)
+
+
+def _q_path_zero_or_one(spark, sf):
+    """P_ZeroOrOne (p?): direct mention edges plus identity."""
+    t = _triples(spark, sf)
+    edges = P.link(t, TM.P_MENTIONS)
+    domain = (
+        t.select(F.col("s_kind").alias("kind"), F.col("s_val").alias("val"))
+        .unionByName(t.select(F.col("o_kind").alias("kind"), F.col("o_val").alias("val")))
+        .distinct()
+    )
+    return P.zero_or_one(edges, domain)
+
+
+_register(
+    "kg_path_zero_or_one",
+    _q_path_zero_or_one,
+    _W + f""", nodes AS (
+      SELECT DISTINCT s_kind AS kind, s_val AS val FROM triples
+      UNION
+      SELECT DISTINCT o_kind, o_val FROM triples
+    )
+    SELECT DISTINCT * FROM (
+      SELECT DISTINCT s_kind AS src_kind, s_val AS src_val,
+             o_kind AS dst_kind, o_val AS dst_val
+      FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+      UNION
+      SELECT kind AS src_kind, val AS src_val, kind AS dst_kind, val AS dst_val
+      FROM nodes
+    )""",
+)
+
 def _q_order_mixed_terms(spark, sf):
     """SPARQL cross-datatype ORDER BY (``NodeValue.java:60`` +
     ``BindingComparator``; DAWG sort manifests ``testing/ARQ/Sort/``):
@@ -1981,6 +2093,30 @@ _register(
 )
 
 
+def _q_thrift_roundtrip(spark, sf):
+    """RDF-Thrift (RDF Binary) round-trip (``riot/thrift/``,
+    ``RDFLanguages.java:122``): serialize the role + turnIndex subgraph
+    with the distributed compact-protocol writer, read it back with the
+    distributed binaryFile reader. The oracle is the original subgraph
+    — equality IS the round-trip check."""
+    from jena_spark.sources.thrift import read_thrift, write_thrift
+
+    t = _triples(spark, sf)
+    sel = t.where(F.col("p_val").isin(TM.P_ROLE, TM.P_TURN_INDEX))
+    path = _scratch_dir("trdf", sf)
+    write_thrift(sel, path)
+    return read_thrift(spark, path)
+
+
+_register(
+    "kg_thrift_roundtrip",
+    _q_thrift_roundtrip,
+    _W + f"""SELECT s_kind, s_val, p_val, o_kind, o_val, o_datatype, o_lang
+    FROM triples
+    WHERE p_val IN ('{TM.P_ROLE}', '{TM.P_TURN_INDEX}')""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1998,29 +2134,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole registry. The tail (trivial enumerations, expr smoke
 # queries) was green in round 1.
 _PRIORITY = [
-    # flagship pipeline surface
-    "kg_triples", "kg_raw_triples",
-    # not in CORRECTNESS_r01 (driver cap) — check these this round
-    "kg_typed_shadows",
+    # new this round (r3) — never driver-checked
+    "kg_order_mixed_terms", "kg_quads_union_graph",
+    "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
+    # r3 "done"-gate queries: behavior touched this round (shared
+    # mention frame, MINUS split, inference fixpoint + touched dedup)
+    "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
+    "kg_difference", "kg_minus", "kg_rdfs_inference", "kg_owl_inference",
+    # token-set / scratch-path changes
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
-    "data_dedup_embedding", "data_dedup_embedding_lsh",
-    "data_ann_topk", "data_ann_lsh", "data_ann_ivf",
-    "data_text_stats", "data_text_fingerprint", "data_lang_id",
-    "data_token_counts", "data_sessionize", "data_custom_udaf",
-    # new this round
-    "kg_turtle_roundtrip", "kg_agg_sample_mode", "kg_update_load_ops",
-    "kg_propfunc_lists", "expr_term_constructors", "kg_text_search_scored",
-    "data_text_quality", "kg_custom_datatype", "kg_rdfs_inference",
-    "kg_trig_roundtrip", "kg_text_index", "kg_bgp_encoded", "kg_owl_inference",
-    # representative core (green in r01, keep under driver watch)
-    "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_minus",
-    "kg_exists", "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",
-    "kg_agg_numeric", "kg_group_concat", "kg_group_having", "kg_order_topn",
-    "kg_values_join", "kg_theta_join", "kg_construct", "kg_update_roundtrip",
+    "kg_turtle_roundtrip", "kg_trig_roundtrip",
+    # checked in r01 only — rotate back under driver watch
+    "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
+    "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
+    "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
+    "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
+    "kg_stats_predicates", "kg_stats_datatypes", "kg_stats_namespaces",
+    "kg_characteristic_sets", "kg_node_dictionary",
+    "expr_strings", "expr_hash", "expr_numeric", "expr_datetime",
+    "expr_conditional", "data_dedup_exact",
+    # representative core fill (green r01+r02)
+    "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_exists",
+    "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",
+    # --- driver cap (50) falls here; tail re-checked by pytest/check_oracle
+    "kg_agg_numeric",
+    "kg_group_concat", "kg_order_topn", "kg_values_join", "kg_theta_join",
+    "kg_update_roundtrip", "kg_construct", "kg_group_having",
     "kg_path_seq", "kg_path_one_or_more", "kg_path_negated", "kg_path_mod",
-    "kg_salted_agg", "kg_stats_predicates", "kg_characteristic_sets",
-    "kg_node_dictionary", "kg_intersection", "kg_union", "kg_quads_roundtrip",
-    "data_dedup_exact", "kg_find_pattern", "kg_propfunc_split",
+    "data_ann_topk", "data_ann_lsh", "data_text_stats",
+    "data_text_fingerprint", "data_lang_id", "data_sessionize",
+    "kg_typed_shadows", "data_dedup_embedding", "data_dedup_embedding_lsh",
+    "data_ann_ivf", "data_token_counts", "data_custom_udaf",
+    "kg_agg_sample_mode", "expr_term_constructors", "kg_propfunc_lists",
+    "kg_update_load_ops", "kg_text_search_scored", "data_text_quality",
+    "kg_custom_datatype", "kg_bgp_encoded", "kg_text_index",
 ]
 
 

@@ -15,8 +15,12 @@ Supported profile (documented, errors loudly outside it):
 * value objects: ``@value`` with ``@language`` / ``@type``; JSON
   shorthand scalars (string / number / boolean -> xsd typed literals)
 * ``@list`` -> rdf:first/rest/nil
+* ``@reverse`` — node-level maps AND context term definitions
+  (``{"@reverse": iri}``) emit inverted triples
+* context default ``@language`` (applies to plain string values;
+  term-level ``@language`` overrides, ``null`` clears)
 * NOT supported: remote/``@context`` IRIs (no network by design),
-  ``@reverse``, ``@index``/``@container`` remapping, ``@vocab``-less
+  ``@index``/``@container`` remapping, framing, ``@vocab``-less
   relative IRI resolution beyond ``@base``/``@vocab`` prefixes.
 
 One JSON document per file is the parse unit (``wholetext`` +
@@ -51,6 +55,7 @@ class JsonLdParser:
         self.terms: dict[str, dict] = {}
         self.base = ""
         self.vocab = ""
+        self.default_lang: str | None = None
 
     def _fresh(self) -> str:
         self.anon += 1
@@ -74,6 +79,8 @@ class JsonLdParser:
                 self.base = defn
             elif term == "@vocab":
                 self.vocab = defn
+            elif term == "@language":
+                self.default_lang = defn  # null clears
             elif isinstance(defn, str):
                 self.terms[term] = {"@id": defn}
             elif isinstance(defn, dict):
@@ -111,18 +118,21 @@ class JsonLdParser:
             return ("literal", repr(v), XSD + "double", None)
         return ("literal", v, None, None)
 
-    def _object_term(self, v, type_coercion: str | None):
+    def _object_term(self, v, type_coercion: str | None, lang: str | None = None):
         if isinstance(v, dict):
             if "@value" in v:
                 lex = v["@value"]
                 if isinstance(lex, (bool, int, float)):
                     return self._scalar_literal(lex)
                 dt = v.get("@type")
+                # explicit value objects are used as-is (JSON-LD 1.1
+                # value expansion: the default language applies only to
+                # plain string values, never to value objects)
                 return ("literal", lex,
                         self._expand_iri(dt, vocab=True) if dt else None,
                         v.get("@language"))
             if "@list" in v:
-                return self._list(v["@list"], type_coercion)
+                return self._list(v["@list"], type_coercion, lang)
             return self._node(v)  # embedded node object
         if isinstance(v, str):
             if type_coercion == "@id":
@@ -131,15 +141,15 @@ class JsonLdParser:
                     else ("iri", iri, None, None)
             if type_coercion:
                 return ("literal", v, type_coercion, None)
-            return ("literal", v, None, None)
+            return ("literal", v, None, lang)
         return self._scalar_literal(v)
 
-    def _list(self, items, type_coercion):
+    def _list(self, items, type_coercion, lang: str | None = None):
         if not items:
             return ("iri", RDF_NS + "nil", None, None)
         heads = [self._fresh() for _ in items]
         for i, item in enumerate(items):
-            o = self._object_term(item, type_coercion)
+            o = self._object_term(item, type_coercion, lang)
             self.rows.append(("bnode", heads[i], RDF_NS + "first",
                               o[0], o[1], o[2], o[3]))
             rest = (("bnode", heads[i + 1]) if i + 1 < len(items)
@@ -163,17 +173,48 @@ class JsonLdParser:
                 for child in val if isinstance(val, list) else [val]:
                     self._node(child)
                 continue
+            if key == "@reverse":
+                # node-level reverse map: {pred: nodes} -> (node, pred, subj)
+                if not isinstance(val, dict):
+                    raise ValueError("JSON-LD: @reverse must be a map")
+                for rk, rv in val.items():
+                    self._reverse_emit(subj, rk, rv)
+                continue
             if key.startswith("@"):
                 raise ValueError(f"JSON-LD: keyword {key!r} unsupported")
             defn = self.terms.get(key, {})
+            if "@reverse" in defn:
+                # context-defined reverse property term
+                for v in val if isinstance(val, list) else [val]:
+                    o = self._object_term(v, "@id")
+                    if o[0] == "literal":
+                        raise ValueError(
+                            "JSON-LD: @reverse value must be a node")
+                    self.rows.append(
+                        (o[0], o[1], self._expand_iri(defn["@reverse"], vocab=True),
+                         subj[0], subj[1], None, None))
+                continue
             pred = self._expand_iri(key, vocab=True)
             coercion = defn.get("@type")
             if coercion and coercion != "@id":
                 coercion = self._expand_iri(coercion, vocab=True)
+            _MISSING = object()
+            term_lang = defn.get("@language", _MISSING)
+            lang = self.default_lang if term_lang is _MISSING else term_lang
             for v in val if isinstance(val, list) else [val]:
-                o = self._object_term(v, coercion)
+                o = self._object_term(v, coercion, lang)
                 self.rows.append((subj[0], subj[1], pred, o[0], o[1], o[2], o[3]))
         return (subj[0], subj[1], None, None)
+
+    def _reverse_emit(self, subj, rkey: str, rval) -> None:
+        defn = self.terms.get(rkey, {})
+        pred_iri = defn.get("@id", rkey) if defn else rkey
+        pred = self._expand_iri(pred_iri, vocab=True)
+        for v in rval if isinstance(rval, list) else [rval]:
+            o = self._object_term(v, "@id")
+            if o[0] == "literal":
+                raise ValueError("JSON-LD: @reverse value must be a node")
+            self.rows.append((o[0], o[1], pred, subj[0], subj[1], None, None))
 
     def parse(self) -> list[tuple]:
         doc = self.doc

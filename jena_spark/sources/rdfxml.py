@@ -15,9 +15,16 @@ default-priority language ``riot/RDFLanguages.java:62``), writer family
   nested node elements (striping); ``rdf:parseType="Resource"``;
   ``rdf:parseType="Collection"`` (rdf:first/rest/nil);
   ``rdf:li`` (-> ``rdf:_n``); property ATTRIBUTES on node elements
-* NOT supported (raise, documented): ``rdf:parseType="Literal"``
-  (XML-canonicalization semantics), reification attributes (``rdf:ID``
-  on property elements), ``rdf:aboutEach``/``bagID`` (obsolete).
+* ``rdf:parseType="Literal"`` -> rdf:XMLLiteral (deterministic
+  ElementTree serialization of the content, NOT full exclusive
+  canonicalization — stable under our own round-trip; documented
+  deviation from exc-c14n)
+* reification sugar: ``rdf:ID`` on a property element emits the four
+  rdf:Statement triples (``ReaderRDFXML`` ``reifyStatement`` path)
+* relative IRIs resolve per RFC 3986 (urljoin) against nested
+  ``xml:base`` chains
+* NOT supported (raise, documented): ``rdf:aboutEach``/``bagID``
+  (obsolete since RDF 2004).
 
 One XML document per file = parse unit (``wholetext`` + ``mapInPandas``
 per-file parallelism, like the other document formats).
@@ -68,7 +75,11 @@ class RdfXmlParser:
     def _resolve(self, iri: str, base: str) -> str:
         if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
             return iri
-        return base + iri
+        if not base:
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(base, iri)
 
     def _emit(self, s, p, o):
         self.rows.append((s[0], s[1], p, o[0], o[1], o[2], o[3]))
@@ -131,13 +142,32 @@ class RdfXmlParser:
         datatype = el.get(_R + "datatype")
         children = list(el)
 
-        if el.get(_R + "ID") is not None:
-            raise ValueError("RDF/XML: reification (rdf:ID on property) unsupported")
+        rid = el.get(_R + "ID")
+
+        def emit_stmt(o):
+            """Emit (subj, pred, o) plus — under rdf:ID reification
+            sugar (``ReaderRDFXML`` reifyStatement) — the four
+            rdf:Statement triples describing it."""
+            self._emit(subj, pred, o)
+            if rid is not None:
+                stmt = ("iri", self._resolve("#" + rid, base))
+                self._emit(stmt, RDF_NS + "type",
+                           ("iri", RDF_NS + "Statement", None, None))
+                self._emit(stmt, RDF_NS + "subject", (subj[0], subj[1], None, None))
+                self._emit(stmt, RDF_NS + "predicate", ("iri", pred, None, None))
+                self._emit(stmt, RDF_NS + "object", o)
+
         if parse_type == "Literal":
-            raise ValueError('RDF/XML: parseType="Literal" unsupported')
+            # rdf:XMLLiteral — deterministic ET serialization of the
+            # element content (documented deviation: not exc-c14n)
+            content = (el.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            emit_stmt(("literal", content, RDF_NS + "XMLLiteral", None))
+            return
         if parse_type == "Resource":
             inner = ("bnode", self._fresh())
-            self._emit(subj, pred, (inner[0], inner[1], None, None))
+            emit_stmt((inner[0], inner[1], None, None))
             saved_li = self.li
             self.li = 0
             for sub in children:
@@ -147,10 +177,10 @@ class RdfXmlParser:
         if parse_type == "Collection":
             items = [self._node_element(c, base, lang) for c in children]
             if not items:
-                self._emit(subj, pred, ("iri", RDF_NS + "nil", None, None))
+                emit_stmt(("iri", RDF_NS + "nil", None, None))
                 return
             heads = [self._fresh() for _ in items]
-            self._emit(subj, pred, ("bnode", heads[0], None, None))
+            emit_stmt(("bnode", heads[0], None, None))
             for i, item in enumerate(items):
                 self._emit(("bnode", heads[i]), RDF_NS + "first",
                            (item[0], item[1], None, None))
@@ -159,22 +189,22 @@ class RdfXmlParser:
                 self._emit(("bnode", heads[i]), RDF_NS + "rest", rest)
             return
         if resource is not None:
-            self._emit(subj, pred, ("iri", self._resolve(resource, base), None, None))
+            emit_stmt(("iri", self._resolve(resource, base), None, None))
             return
         if node_id is not None:
-            self._emit(subj, pred, ("bnode", "_:" + node_id, None, None))
+            emit_stmt(("bnode", "_:" + node_id, None, None))
             return
         if children:
             if len(children) != 1:
                 raise ValueError("RDF/XML: property element with >1 node element")
             inner = self._node_element(children[0], base, lang)
-            self._emit(subj, pred, (inner[0], inner[1], None, None))
+            emit_stmt((inner[0], inner[1], None, None))
             return
         text = el.text or ""
         if datatype is not None:
-            self._emit(subj, pred, ("literal", text, datatype, None))
+            emit_stmt(("literal", text, datatype, None))
         else:
-            self._emit(subj, pred, ("literal", text, None, lang))
+            emit_stmt(("literal", text, None, lang))
 
 
 def parse_rdfxml(text: str, base: str | None = None) -> list[tuple]:
@@ -232,6 +262,19 @@ def format_rdfxml(rows: list[tuple]) -> str:
                 out.append(f"    <{open_tag} rdf:resource={quoteattr(r[4])}/>")
             elif r[3] == "bnode":
                 out.append(f"    <{open_tag} rdf:nodeID={quoteattr(r[4][2:])}/>")
+            elif r[5] == RDF_NS + "XMLLiteral":
+                # raw XML content under parseType="Literal" — must be a
+                # well-formed fragment or the document would corrupt
+                try:
+                    ET.fromstring(f"<x>{r[4]}</x>")
+                except ET.ParseError as e:
+                    raise ValueError(
+                        f"rdf:XMLLiteral value is not well-formed XML: {e}"
+                    ) from None
+                out.append(
+                    f'    <{open_tag} rdf:parseType="Literal">{r[4]}'
+                    f"</{pfx}:{p_local}>"
+                )
             else:
                 extra = ""
                 if r[5]:

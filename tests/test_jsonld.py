@@ -72,7 +72,7 @@ def test_parse_unsupported():
     with pytest.raises(ValueError, match="remote @context"):
         parse_jsonld('{"@context": "http://schema.org/", "@id": "http://e/x"}')
     with pytest.raises(ValueError, match="unsupported"):
-        parse_jsonld('{"@id": "http://e/x", "@reverse": {}}')
+        parse_jsonld('{"@id": "http://e/x", "@index": "a"}')
 
 
 def test_format_parse_roundtrip_pure():
@@ -101,3 +101,49 @@ def test_jsonld_distributed_equals_ntriples(spark, transcripts_df, tmp_path):
     from_jl = {tuple(r) for r in
                read_jsonld(spark, jl + "/part-*").select(*TM.TERM_COLS).collect()}
     assert from_jl == from_nt and len(from_jl) == 200
+
+
+def test_reverse_and_default_language():
+    """Round-3 profile extensions: node-level @reverse, context
+    @reverse term definitions, context default @language."""
+    doc = """{
+      "@context": {
+        "@language": "en",
+        "ex": "http://e/",
+        "name": "http://e/name",
+        "childOf": {"@reverse": "http://e/parentOf"}
+      },
+      "@id": "http://e/alice",
+      "name": "Alice",
+      "childOf": {"@id": "http://e/bob"},
+      "@reverse": {"ex:knows": [{"@id": "http://e/carol"}]}
+    }"""
+    rows = set(parse_jsonld(doc))
+    # default language applies to the plain string
+    assert ("iri", "http://e/alice", "http://e/name", "literal", "Alice",
+            None, "en") in rows
+    # context @reverse term: (bob, parentOf, alice)
+    assert ("iri", "http://e/bob", "http://e/parentOf", "iri",
+            "http://e/alice", None, None) in rows
+    # node-level @reverse: (carol, knows, alice)
+    assert ("iri", "http://e/carol", "http://e/knows", "iri",
+            "http://e/alice", None, None) in rows
+    assert len(rows) == 3
+
+    # explicit value objects are NOT language-tagged by the default
+    doc2 = """{
+      "@context": {"@language": "fr", "p": "http://e/p"},
+      "@id": "http://e/s",
+      "p": [{"@value": "plain"}, "tagged", {"@value": "de", "@language": "de"}]
+    }"""
+    rows2 = set(parse_jsonld(doc2))
+    assert ("iri", "http://e/s", "http://e/p", "literal", "plain", None, None) in rows2
+    assert ("iri", "http://e/s", "http://e/p", "literal", "tagged", None, "fr") in rows2
+    assert ("iri", "http://e/s", "http://e/p", "literal", "de", None, "de") in rows2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="@reverse"):
+        parse_jsonld(
+            '{"@id": "http://e/s", "@reverse": {"http://e/p": {"@value": "x"}}}'
+        )

@@ -125,3 +125,50 @@ def test_random_bgp_workload_matches_duckdb(spark):
         n_nonempty += bool(got)
     # the workload must actually exercise joins, not just empty results
     assert n_nonempty >= 10
+
+
+def test_stats_reorder_rare_predicate_first():
+    """ReorderWeighted parity: with collected predicate counts, the
+    stats order must (a) never lead with a pattern whose predicate is
+    unfiltered (variable) or corpus-dominating, (b) lead with the
+    rarest-predicate pattern among equally-shaped candidates."""
+    counts = {"p:rare": 10, "p:common": 100_000, "p:mid": 5_000}
+    pats = [
+        (Var("a"), "p:common", Var("b")),
+        (Var("b"), "p:rare", Var("c")),
+        (Var("c"), "p:mid", Var("d")),
+    ]
+    out = A.reorder_patterns_stats(pats, counts)
+    assert out[0][1] == "p:rare"
+    # fixed weights alone (?P? = 30 for all three) could pick any —
+    # the stats break the tie toward rare-first, then substitution
+    # makes the connected pattern cheaper
+    assert [p[1] for p in out] == ["p:rare", "p:mid", "p:common"]
+
+    # a fully unbound (???) pattern never goes first when ANY pattern
+    # has a concrete predicate
+    pats2 = [(Var("x"), Var("p"), Var("y")), (Var("x"), "p:common", Var("z"))]
+    out2 = A.reorder_patterns_stats(pats2, counts)
+    assert out2[0][1] == "p:common"
+
+
+def test_stats_reordered_bgp_same_results(spark):
+    """Stats-fed order returns the identical result set AND never joins
+    the unfiltered-predicate pattern first on the real KG workload."""
+    from jena_spark.queries import registry as R
+
+    t = R._triples(spark, SF_DIR)
+    counts = A.pred_counts_of(t)
+    assert counts[TM.P_MENTIONS] != counts[TM.P_ROLE]  # sanity: stats differ
+
+    rng = random.Random(777)
+    for _ in range(6):
+        patterns = _shape(rng)
+        vars_ = sorted({x.name for pat in patterns for x in pat if isinstance(x, Var)})
+        a = A.flatten(A.project(A.bgp(t, patterns, pred_counts=counts), *vars_), vars_)
+        b = A.flatten(A.project(A.bgp(t, patterns, reorder=False), *vars_), vars_)
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+        # the chosen leader is minimal-cardinality among the patterns
+        ordered = A.reorder_patterns_stats(patterns, counts)
+        lead = ordered[0][1]
+        assert counts.get(lead, 0) == min(counts.get(p[1], 0) for p in patterns)

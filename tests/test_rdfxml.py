@@ -70,13 +70,13 @@ def test_parse_parsetype_li_collection():
     assert rows == parse_rdfxml(doc)
 
 
-def test_parse_unsupported_raises():
+def test_parse_multi_child_property_raises():
     doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/">
       <rdf:Description rdf:about="http://e/s">
-        <ex:p rdf:parseType="Literal"><b>x</b></ex:p>
+        <ex:p><rdf:Description/><rdf:Description/></ex:p>
       </rdf:Description>
     </rdf:RDF>"""
-    with pytest.raises(ValueError, match="parseType"):
+    with pytest.raises(ValueError, match="node element"):
         parse_rdfxml(doc)
 
 
@@ -133,3 +133,42 @@ def test_writer_qname_split_edge_cases():
 
     with pytest.raises(ValueError, match="NCName"):
         format_rdfxml([("iri", "http://e/s", "http://e/123", "literal", "v", None, None)])
+
+
+def test_parsetype_literal_and_reification():
+    """Round-3 grammar extensions: parseType="Literal" -> rdf:XMLLiteral,
+    rdf:ID reification sugar, RFC3986 base resolution."""
+    from jena_spark.sources.rdfxml import RDF_NS, format_rdfxml, parse_rdfxml
+
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        xmlns:ex="http://e/ns#" xml:base="http://e/doc">
+      <rdf:Description rdf:about="s">
+        <ex:body rdf:parseType="Literal">pre <b>bold</b> post</ex:body>
+        <ex:knows rdf:ID="st1" rdf:resource="o"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = set(parse_rdfxml(doc))
+    # RFC3986: base http://e/doc + "s" -> http://e/s (not http://e/docs)
+    assert ("iri", "http://e/s", "http://e/ns#body", "literal",
+            "pre <b>bold</b> post", RDF_NS + "XMLLiteral", None) in rows
+    stmt = "http://e/doc#st1"
+    assert ("iri", "http://e/s", "http://e/ns#knows", "iri", "http://e/o",
+            None, None) in rows
+    assert ("iri", stmt, RDF_NS + "type", "iri", RDF_NS + "Statement",
+            None, None) in rows
+    assert ("iri", stmt, RDF_NS + "subject", "iri", "http://e/s", None, None) in rows
+    assert ("iri", stmt, RDF_NS + "predicate", "iri", "http://e/ns#knows",
+            None, None) in rows
+    assert ("iri", stmt, RDF_NS + "object", "iri", "http://e/o", None, None) in rows
+    assert len(rows) == 6
+
+    # writer round-trip for XMLLiteral
+    lit_rows = [("iri", "http://e/s", "http://e/ns#body", "literal",
+                 "pre <b>bold</b> post", RDF_NS + "XMLLiteral", None)]
+    assert parse_rdfxml(format_rdfxml(lit_rows)) == lit_rows
+
+    import pytest
+
+    with pytest.raises(ValueError, match="well-formed"):
+        format_rdfxml([("iri", "http://e/s", "http://e/ns#body", "literal",
+                        "<unclosed", RDF_NS + "XMLLiteral", None)])
