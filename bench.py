@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "kg_triples",            # full pipeline (flagship)
+    "kg_raw_triples",        # pre-canonicalization pipeline (its own cost
+                             # line — set-op queries below reuse it, so
+                             # their times measure the set op, not a
+                             # first-use materialization)
     "kg_find_pattern",
     "kg_bgp_comention",
     "kg_bgp_star",

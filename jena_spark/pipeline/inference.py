@@ -150,7 +150,12 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
         .select("s_kind", "s_val", F.col("p_super").alias("p_val"),
                 "o_kind", "o_val", "o_datatype", "o_lang")
     )
-    abox = base.unionByName(inherited)
+    # abox feeds FOUR consumers (domain typing, range typing, the type
+    # slice and the final union); Spark replays the whole union+join
+    # subtree once per consumer (65 scans of the base table measured at
+    # sf0.1) — checkpoint it so each consumer reads materialized blocks.
+    # On a cluster this would be .checkpoint() to reliable storage.
+    abox = base.unionByName(inherited).localCheckpoint(eager=False)
 
     # rdfs2/rdfs3: domain/range typing over base + inherited triples
     typed_dom = (
@@ -167,10 +172,10 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
                 F.lit("iri").alias("o_kind"), F.col("c_rng").alias("o_val"),
                 _null_s().alias("o_datatype"), _null_s().alias("o_lang"))
     )
-    types = (
-        abox.where(F.col("p_val") == TM.RDF_TYPE)
-        .unionByName(typed_dom).unionByName(typed_rng)
-    )
+    # domain/range typings feed both the rdfs9 input and the derived
+    # union — checkpoint so they compute once
+    typed_new = typed_dom.unionByName(typed_rng).localCheckpoint(eager=False)
+    types = abox.where(F.col("p_val") == TM.RDF_TYPE).unionByName(typed_new)
 
     # rdfs9: class inheritance over ALL type triples (closed subClassOf)
     super_types = (
@@ -187,7 +192,7 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
     # entailed fraction instead of the whole base∪derived table.
     derived_all = (
         inherited.unionByName(schema_derived)
-        .unionByName(typed_dom).unionByName(typed_rng).unionByName(super_types)
+        .unionByName(typed_new).unionByName(super_types)
         .dropDuplicates(TM.TERM_COLS)
     )
     d, b = derived_all.alias("d"), base.alias("b")
