@@ -1,0 +1,263 @@
+"""SPARQL string front-end tests — parse + compile vs hand-built
+algebra / DuckDB-style expectations (``ParserSPARQL11`` →
+``AlgebraGenerator`` parity on the supported profile)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from jena_spark import terms as TM  # noqa: E402
+from jena_spark.queries.sparql import Parser, sparql_query  # noqa: E402
+
+EX = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = []
+    data = {
+        "alice": (30, "paris", ["bob", "carol"]),
+        "bob": (25, "lyon", ["carol"]),
+        "carol": (35, "paris", []),
+        "dave": (28, None, ["alice"]),
+    }
+    for who, (age, city, knows) in data.items():
+        s = EX + who
+        rows.append(("iri", s, EX + "name", "literal", who, None, None))
+        rows.append(("iri", s, EX + "age", "literal", str(age),
+                     TM.XSD_INTEGER, None))
+        if city:
+            rows.append(("iri", s, EX + "city", "iri", EX + city, None, None))
+        for k in knows:
+            rows.append(("iri", s, EX + "knows", "iri", EX + k, None, None))
+    return spark.createDataFrame(
+        rows,
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string",
+    )
+
+
+def rows(df, *names):
+    return {tuple(r[n] for n in names) for r in df.collect()}
+
+
+def test_select_bgp_filter(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?a WHERE {{
+          ?x ex:name ?n ; ex:age ?a .
+          FILTER(?a > 27 && ?n != "carol")
+        }}""")
+    assert rows(out, "n", "a") == {("alice", "30"), ("dave", "28")}
+
+
+def test_select_star_and_distinct(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT DISTINCT ?c WHERE {{ ?x ex:city ?c }}""")
+    assert rows(out, "c") == {(EX + "paris",), (EX + "lyon",)}
+
+
+def test_optional_and_bound(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?c WHERE {{
+          ?x ex:name ?n .
+          OPTIONAL {{ ?x ex:city ?c }}
+          FILTER(!BOUND(?c))
+        }}""")
+    assert rows(out, "n") == {("dave",)}
+
+
+def test_union_minus_exists(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{
+          {{ ?x ex:city <{EX}paris> }} UNION {{ ?x ex:city <{EX}lyon> }}
+          MINUS {{ ?x ex:name "carol" }}
+        }}""")
+    assert rows(out, "x") == {(EX + "alice",), (EX + "bob",)}
+
+    out2 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?x ex:name ?n .
+          FILTER NOT EXISTS {{ ?x ex:knows ?y }}
+        }}""")
+    assert rows(out2, "n") == {("carol",)}
+
+
+def test_property_paths(people):
+    # seq: knows/name ; plus-closure: knows+
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ <{EX}dave> ex:knows/ex:name ?n }}""")
+    assert rows(out, "n") == {("alice",)}
+
+    out2 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?y WHERE {{ <{EX}dave> ex:knows+ ?y }}""")
+    assert rows(out2, "y") == {(EX + "alice",), (EX + "bob",), (EX + "carol",)}
+
+    # inverse
+    out3 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}carol> ^ex:knows ?x }}""")
+    assert rows(out3, "x") == {(EX + "alice",), (EX + "bob",)}
+
+    # negated property set: everything but name/age/knows = city
+    out4 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?o WHERE {{ <{EX}alice> !(ex:name|ex:age|ex:knows) ?o }}""")
+    assert rows(out4, "o") == {(EX + "paris",)}
+
+
+def test_aggregates_group_having_order(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?c (COUNT(?x) AS ?n) WHERE {{ ?x ex:city ?c }}
+        GROUP BY ?c HAVING (?n > 1) ORDER BY DESC(?n)""")
+    got = [(r["c"], r["n"]) for r in out.collect()]
+    assert got == [(EX + "paris", 2)]
+
+    out2 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT (AVG(?a) AS ?avg_age) (MAX(?a) AS ?max_age)
+        WHERE {{ ?x ex:age ?a }}""")
+    r = out2.collect()[0]
+    assert float(r["avg_age"]) == 29.5 and float(r["max_age"]) == 35
+
+
+def test_bind_values_expr_projection(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?u WHERE {{
+          ?x ex:name ?n .
+          BIND(UCASE(?n) AS ?u)
+          VALUES ?x {{ <{EX}alice> <{EX}bob> }}
+        }}""")
+    assert rows(out, "n", "u") == {("alice", "ALICE"), ("bob", "BOB")}
+
+    out2 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT (STRLEN(?n) AS ?len) WHERE {{ ?x ex:name ?n }} ORDER BY ?len""")
+    assert [r["len"] for r in out2.collect()] == ["3", "4", "5", "5"]
+
+
+def test_ask_construct_describe(people):
+    assert sparql_query(people, f"""
+        PREFIX ex: <{EX}> ASK {{ ?x ex:age "30"^^<{TM.XSD_INTEGER}> }}
+    """).collect()[0]["ask"] is True
+    assert sparql_query(people, f"""
+        PREFIX ex: <{EX}> ASK {{ ?x ex:age "99"^^<{TM.XSD_INTEGER}> }}
+    """).collect()[0]["ask"] is False
+
+    built = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?y ex:knownBy ?x }} WHERE {{ ?x ex:knows ?y }}""")
+    got = {(r["s_val"], r["o_val"]) for r in built.collect()}
+    assert (EX + "carol", EX + "alice") in got and len(got) == 4
+
+    desc = sparql_query(people, f"PREFIX ex: <{EX}> DESCRIBE <{EX}carol>")
+    # carol as subject (name, age, city) + as object (knows: alice, bob)
+    assert desc.count() == 5
+
+
+def test_slice_offset_and_term_equality(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ ?x ex:name ?n }} ORDER BY ?n LIMIT 2 OFFSET 1""")
+    assert [r["n"] for r in out.collect()] == ["bob", "carol"]
+
+    # term equality: typed literal must not equal its plain twin
+    out2 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ?x ex:age ?a . FILTER(?a = "30") }}""")
+    assert out2.count() == 0  # "30" plain != "30"^^xsd:integer (term eq)
+    out3 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ ?x ex:age ?a . FILTER(?a = 30) }}""")
+    assert rows(out3, "x") == {(EX + "alice",)}
+
+
+def test_errors_out_of_profile(people):
+    for bad in [
+        f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ GRAPH ?g {{ ?x ?p ?o }} }}",
+        "SELECT ?x WHERE { SERVICE <http://remote/> { ?x ?p ?o } }",
+        "SELECT ?x WHERE { ?x unknown:p ?o }",
+    ]:
+        with pytest.raises(ValueError):
+            sparql_query(people, bad).collect()
+
+
+def test_sparql_on_kg(spark, transcripts_df):
+    """End-to-end over the constructed KG: the co-mention query written
+    as a SPARQL string equals the hand-built algebra version."""
+    from jena_spark.pipeline.canonicalize import canonicalize_triples
+    from jena_spark.pipeline.extract import raw_triples
+    from jena_spark.queries import algebra as A
+    from jena_spark.queries.algebra import Var
+
+    t = canonicalize_triples(raw_triples(transcripts_df)).select(*TM.TERM_COLS)
+    got = sparql_query(t, f"""
+        PREFIX v: <{TM.NS_VOCAB}>
+        SELECT ?e1 ?e2 WHERE {{
+          ?t v:mentions ?e1 .
+          ?t v:mentions ?e2 .
+          FILTER(STR(?e1) < STR(?e2))
+        }}""")
+    pats = [(Var("t"), TM.P_MENTIONS, Var("e1")),
+            (Var("t"), TM.P_MENTIONS, Var("e2"))]
+    want = A.flatten(
+        A.filter_(A.bgp(t, pats), A.v("e1") < A.v("e2")).select("e1", "e2"),
+        ["e1", "e2"],
+    )
+    assert rows(got, "e1", "e2") == rows(want, "e1", "e2")
+    assert got.count() > 0
+
+
+def test_graph_blocks_over_quads(spark, people):
+    """GRAPH <iri> and GRAPH ?g over a quad frame; default-graph
+    patterns see only the null-graph slice (dataset semantics)."""
+    from pyspark.sql import functions as F
+
+    quads = (
+        people.withColumn(
+            "graph",
+            F.when(F.col("p_val") == EX + "knows", F.lit(EX + "social"))
+            .when(F.col("p_val") == EX + "city", F.lit(EX + "geo")),
+        )
+    )
+    # named graph by IRI
+    out = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x ?y WHERE {{ GRAPH ex:social {{ ?x ex:knows ?y }} }}""")
+    assert out.count() == 4
+
+    # graph variable binding
+    out2 = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT DISTINCT ?g WHERE {{ GRAPH ?g {{ ?s ?p ?o }} }}""")
+    assert rows(out2, "g") == {(EX + "social",), (EX + "geo",)}
+
+    # default graph excludes the named-graph triples
+    out3 = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?p WHERE {{ ?x ?p ?o }}""")
+    assert rows(out3, "p") == {(EX + "name",), (EX + "age",)}
+
+    # join across default graph and a GRAPH ?g block
+    out4 = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?g ?y WHERE {{
+          ?x ex:name ?n .
+          GRAPH ?g {{ ?x ex:knows ?y }}
+        }}""")
+    got = rows(out4, "n", "g")
+    assert got == {("alice", EX + "social"), ("bob", EX + "social"),
+                   ("dave", EX + "social")}
