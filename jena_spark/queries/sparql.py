@@ -1020,7 +1020,7 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
     )
     if has_agg:
         keys = q.group_by or []
-        aggs, names = [], []
+        aggs = []
         for pt in proj or []:
             if pt[0] == "var":
                 if pt[1] not in keys:
@@ -1028,7 +1028,6 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
                         f"SPARQL: non-grouped variable ?{pt[1]} in projection")
             else:
                 aggs.append(c._value(pt[1]).alias(pt[2]))
-                names.append(pt[2])
         from jena_spark.queries.algebra import v
 
         gb = df.groupBy(*[v(k).alias(k) for k in keys]) if keys else df.groupBy()
