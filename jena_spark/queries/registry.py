@@ -2188,6 +2188,36 @@ _register(
 )
 
 
+def _q_sparql_subselect(spark, sf):
+    """SPARQL string: sub-SELECT scope (``sparql_11.jj`` SubSelect) —
+    per-entity mention counts computed in an inner aggregate scope,
+    joined back to labels in the outer group, outer value filter."""
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _triples(spark, sf)
+    return sparql_query(t, f"""
+        PREFIX v: <{TM.NS_VOCAB}>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?label ?cnt WHERE {{
+          ?e rdfs:label ?label .
+          {{ SELECT ?e (COUNT(?turn) AS ?cnt) WHERE {{ ?turn v:mentions ?e }}
+             GROUP BY ?e }}
+          FILTER(?cnt > 3)
+        }}""")
+
+
+_register(
+    "kg_sparql_subselect",
+    _q_sparql_subselect,
+    _W + f"""SELECT l.o_val AS label, CAST(m.cnt AS VARCHAR) AS cnt
+    FROM triples l
+    JOIN (SELECT o_kind, o_val, count(*) AS cnt FROM triples
+          WHERE p_val = '{TM.P_MENTIONS}' GROUP BY o_kind, o_val) m
+      ON l.s_kind = m.o_kind AND l.s_val = m.o_val
+    WHERE l.p_val = '{TM.RDFS_LABEL}' AND m.cnt > 3""",
+)
+
+
 def _q_thrift_roundtrip(spark, sf):
     """RDF-Thrift (RDF Binary) round-trip (``riot/thrift/``,
     ``RDFLanguages.java:122``): serialize the role + turnIndex subgraph
@@ -2233,6 +2263,7 @@ _PRIORITY = [
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
+    "kg_sparql_subselect",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint + touched dedup)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
@@ -2250,9 +2281,9 @@ _PRIORITY = [
     "expr_strings", "expr_hash", "expr_numeric", "expr_datetime",
     "expr_conditional", "data_dedup_exact",
     # representative core fill (green r01+r02)
-    "kg_bgp_comention", "kg_bgp_star", "kg_optional", "kg_exists",
+    "kg_bgp_comention", "kg_bgp_star", "kg_optional",
     # --- driver cap (50) falls here; tail re-checked by pytest/check_oracle
-    "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",
+    "kg_exists", "kg_not_exists", "kg_agg_entity_mentions", "kg_agg_global",
     "kg_agg_numeric",
     "kg_group_concat", "kg_order_topn", "kg_values_join", "kg_theta_join",
     "kg_update_roundtrip", "kg_construct", "kg_group_having",

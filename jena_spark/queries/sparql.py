@@ -32,8 +32,10 @@ Supported profile (errors loudly outside it):
   is a QUAD frame (has a ``graph`` column); patterns outside GRAPH
   blocks then match the default graph (null graph column), the SPARQL
   dataset semantics. Over a plain triple table GRAPH raises.
-* NOT supported (documented): SERVICE, federated queries, sub-SELECT,
-  RDF-star.
+* sub-SELECT (``{ SELECT ... }`` groups, incl. aggregate projections —
+  results join the enclosing group as whole-term bindings; aggregate
+  values come back as typed literal structs)
+* NOT supported (documented): SERVICE, federated queries, RDF-star.
 
 Path endpoints carry (kind, val) only — a path step through a typed
 literal loses datatype/lang in the binding (same shape as
@@ -349,6 +351,16 @@ class Parser:
         if optional_where:
             self.kw("where")
         self.expect_op("{")
+        # SubSelect (sparql_11.jj GroupGraphPattern ::= '{' (SubSelect |
+        # GroupGraphPatternSub) '}')
+        t = self.peek()
+        if t.kind == "KW" and t.val.lower() == "select":
+            self.next()
+            sub = self._select()
+            self.expect_op("}")
+            g = Group()
+            g.elements.append(("subselect", sub))
+            return g
         g = Group()
         while not self.op("}"):
             t = self.peek()
@@ -872,6 +884,100 @@ class _Compiler:
             return df.limit(1).select(F.lit(1).alias("__exists__"))
         return df.select(*[c.alias(n) for n, c in cols.items()])
 
+    def _compile_subselect(self, q: ParsedQuery, graph_ctx=None) -> DataFrame:
+        """Sub-SELECT -> STRUCT-typed bindings frame (joins naturally
+        with the enclosing group). Aggregate projections come back as
+        literal structs whose datatype is derived from the Spark result
+        type (count -> xsd:integer, avg -> xsd:decimal/double), so
+        value-space filters in the outer query work unchanged."""
+        from pyspark.sql import types as T
+
+        from jena_spark.queries import algebra as A
+
+        df = self.compile_group(q.where, graph_ctx)
+        if q.values is not None:
+            names, rows = q.values
+            df = A.join(df, A.values(self.spark, names, rows))
+
+        proj = q.projection
+        has_agg = q.group_by is not None or (
+            proj is not None and any(pt[0] == "expr" and _has_aggregate(pt[1])
+                                     for pt in proj)
+        )
+        if has_agg:
+            keys = q.group_by or []
+            aggs = []
+            for pt in proj or []:
+                if pt[0] == "var":
+                    if pt[1] not in keys:
+                        raise ValueError(
+                            f"SPARQL: non-grouped variable ?{pt[1]} in "
+                            "sub-select projection")
+                else:
+                    aggs.append(self._value(pt[1]).alias(pt[2]))
+            # whole-TERM grouping (two terms sharing a lexical form stay
+            # distinct groups — SPARQL group keys are RDF terms)
+            gb = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+            out = gb.agg(*aggs) if aggs else (
+                gb.agg(F.count(F.lit(1)).alias("__n__")).drop("__n__"))
+            if q.having:
+                for h in q.having:
+                    out = out.where(self_having(self, h, out))
+
+            def _wrap(alias: str) -> Column:
+                dt = out.schema[alias].dataType
+                if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+                    xsd = XSD + "integer"
+                elif isinstance(dt, T.DecimalType):
+                    xsd = XSD + "decimal"
+                elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                    xsd = XSD + "double"
+                else:
+                    xsd = ""
+                return F.struct(
+                    F.lit("literal").alias("kind"),
+                    F.col(alias).cast("string").alias("val"),
+                    F.lit(xsd).alias("datatype"), F.lit("").alias("lang"),
+                )
+
+            cols = []
+            for pt in proj or []:
+                if pt[0] == "var":
+                    cols.append(F.col(pt[1]))
+                else:
+                    cols.append(_wrap(pt[2]).alias(pt[2]))
+            result = out.select(*cols)
+        else:
+            names = (sorted(df.columns) if proj is None
+                     else [pt[1] if pt[0] == "var" else pt[2] for pt in proj])
+            for pt in proj or []:
+                if pt[0] == "expr":
+                    df = A.extend(df, pt[2], F.struct(
+                        F.lit("literal").alias("kind"),
+                        self._value(pt[1]).cast("string").alias("val"),
+                        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+                    ))
+            result = A.project(df, *names)
+            if q.distinct:
+                result = result.distinct()
+        if q.order_by:
+            cols = []
+            for e, asc in q.order_by:
+                if e[0] == "var":
+                    for k in A.term_sort_key(e[1]):
+                        cols.append(k.asc_nulls_first() if asc
+                                    else k.desc_nulls_last())
+                else:
+                    col = self._value(e)
+                    cols.append(col.asc_nulls_first() if asc
+                                else col.desc_nulls_last())
+            result = result.orderBy(*cols)
+        if q.offset:
+            result = result.offset(q.offset)
+        if q.limit is not None:
+            result = result.limit(q.limit)
+        return result
+
     # -- groups --
     def compile_group(self, g: Group, graph_ctx=None) -> DataFrame:
         from jena_spark.queries import algebra as A
@@ -908,6 +1014,10 @@ class _Compiler:
             elif tag == "graph":
                 flush()
                 sub = self.compile_group(el[2], graph_ctx=el[1])
+                df = sub if df is None else A.join(df, sub)
+            elif tag == "subselect":
+                flush()
+                sub = self._compile_subselect(el[1], graph_ctx)
                 df = sub if df is None else A.join(df, sub)
             elif tag == "group":
                 flush()
@@ -991,11 +1101,38 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
         )
 
     if q.form == "describe":
+        base = c.triples
         out = None
+        var_terms = [t for t in q.describe_terms if isinstance(t, Var)]
+        if var_terms:
+            if q.where is None:
+                raise ValueError("SPARQL: DESCRIBE ?var needs a WHERE clause")
+            bindings = c.compile_group(q.where)
+            for t in var_terms:
+                # distributed: semi-join the triple table against the
+                # bound terms — never a driver-side collect
+                terms = bindings.select(
+                    F.col(t.name).getField("kind").alias("k"),
+                    F.col(t.name).getField("val").alias("v"),
+                ).distinct()
+                subj = base.alias("t").join(
+                    terms.alias("b"),
+                    (F.col("t.s_kind") == F.col("b.k"))
+                    & (F.col("t.s_val") == F.col("b.v")),
+                    "left_semi",
+                )
+                obj = base.alias("t").join(
+                    terms.alias("b"),
+                    (F.col("t.o_kind") == F.col("b.k"))
+                    & (F.col("t.o_val") == F.col("b.v")),
+                    "left_semi",
+                )
+                part = G.union(subj, obj)
+                out = part if out is None else G.union(out, part)
         for t in q.describe_terms:
             if isinstance(t, Var):
-                raise ValueError("SPARQL: DESCRIBE ?var unsupported (use IRIs)")
-            part = G.union(G.find(triples, s=t[1]), G.find(triples, o=(t[0], t[1])))
+                continue
+            part = G.union(G.find(base, s=t[1]), G.find(base, o=(t[0], t[1])))
             out = part if out is None else G.union(out, part)
         return out
 
@@ -1028,19 +1165,23 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
                         f"SPARQL: non-grouped variable ?{pt[1]} in projection")
             else:
                 aggs.append(c._value(pt[1]).alias(pt[2]))
-        from jena_spark.queries.algebra import v
-
-        gb = df.groupBy(*[v(k).alias(k) for k in keys]) if keys else df.groupBy()
+        # whole-TERM group keys (SPARQL groups by RDF term, not lexical
+        # form); flattened to lexical values only at output
+        gb = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
         out = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)).alias("__n__")).drop("__n__")
         if q.having:
             # HAVING over aggregates already projected by name — the
             # (agg AS ?n) ... HAVING(?n > k) shape; re-evaluating fresh
             # aggregate expressions inside HAVING is out of profile
             for h in q.having:
-                out = out.where(self_having(c, h))
-        result = out
-        flat_names = [pt[1] if pt[0] == "var" else pt[2] for pt in (proj or [])]
-        result = result.select(*flat_names)
+                out = out.where(self_having(c, h, out))
+        cols = []
+        for pt in proj or []:
+            if pt[0] == "var":
+                cols.append(F.col(pt[1]).getField("val").alias(pt[1]))
+            else:
+                cols.append(F.col(pt[2]))
+        result = out.select(*cols)
     else:
         if proj is None:
             names = sorted(df.columns)
@@ -1080,12 +1221,20 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
     return result
 
 
-def self_having(c: _Compiler, h) -> Column:
+def self_having(c: _Compiler, h, frame: DataFrame | None = None) -> Column:
     """HAVING over already-named aggregate columns: ``HAVING(?n > 3)``
-    where ?n was bound by the projection's (agg AS ?n)."""
+    where ?n was bound by the projection's (agg AS ?n). Group-key
+    variables (struct columns) compare by lexical value."""
+    from pyspark.sql import types as T
+
     def conv(e):
         if e[0] == "var":
-            return F.col(e[1])
+            col = F.col(e[1])
+            if frame is not None and isinstance(
+                frame.schema[e[1]].dataType, T.StructType
+            ):
+                return col.getField("val")
+            return col
         if e[0] == "const":
             val = e[1][1]
             dt = e[1][2] or ""

@@ -261,3 +261,49 @@ def test_graph_blocks_over_quads(spark, people):
     got = rows(out4, "n", "g")
     assert got == {("alice", EX + "social"), ("bob", EX + "social"),
                    ("dave", EX + "social")}
+
+
+def test_subselect(people):
+    """Sub-SELECT: aggregate in an inner scope joined to the outer
+    group (the top-k-join idiom), whole-term join semantics."""
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?cnt WHERE {{
+          ?x ex:name ?n .
+          {{ SELECT ?x (COUNT(?y) AS ?cnt) WHERE {{ ?x ex:knows ?y }}
+             GROUP BY ?x }}
+        }}""")
+    assert rows(out, "n", "cnt") == {("alice", "2"), ("bob", "1"), ("dave", "1")}
+
+    # outer value-space filter over the inner aggregate
+    out2 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?x ex:name ?n .
+          {{ SELECT ?x (COUNT(?y) AS ?cnt) WHERE {{ ?x ex:knows ?y }}
+             GROUP BY ?x }}
+          FILTER(?cnt > 1)
+        }}""")
+    assert rows(out2, "n") == {("alice",)}
+
+    # inner DISTINCT + LIMIT sub-select without aggregates
+    out3 = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?x ex:name ?n .
+          {{ SELECT DISTINCT ?x WHERE {{ ?x ex:city <{EX}paris> }} }}
+        }}""")
+    assert rows(out3, "n") == {("alice",), ("carol",)}
+
+
+def test_describe_var(people):
+    """DESCRIBE ?x WHERE {...}: bound terms described via a distributed
+    semi-join (no collect)."""
+    desc = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        DESCRIBE ?x WHERE {{ ?x ex:city <{EX}lyon> }}""")
+    # bob: subject of name/age/city/knows(carol) + object of alice's knows
+    got = {(r["s_val"], r["p_val"], r["o_val"]) for r in desc.collect()}
+    assert (EX + "bob", EX + "name", "bob") in got
+    assert (EX + "alice", EX + "knows", EX + "bob") in got
+    assert len(got) == 5
