@@ -116,6 +116,22 @@ class Connection:
             self.spark, _load(self.quads, new_triples.select(*TM.TERM_COLS), graph)
         )
 
+    def update(self, request: str) -> "Connection":
+        """Execute a SPARQL Update request STRING (``RDFConnection.
+        update(String)`` — the main update entry point): parse via
+        :mod:`jena_spark.pipeline.sparql_update` and rebind to the next
+        dataset version."""
+        from jena_spark.pipeline.sparql_update import update_sparql
+
+        return Connection(self.spark, update_sparql(self.quads, request))
+
+    def query(self, sparql: str, flat: bool = True) -> DataFrame:
+        """Execute a SPARQL query STRING over the dataset (quad-aware:
+        GRAPH blocks work; unscoped patterns see the default graph)."""
+        from jena_spark.queries.sparql import sparql_query
+
+        return sparql_query(self.quads, sparql, flat=flat)
+
     def update_delete_where(self, s=G.ANY, p=G.ANY, o=G.ANY,
                             graph: str | None = None) -> "Connection":
         cond = G.pattern_predicate(s, p, o)

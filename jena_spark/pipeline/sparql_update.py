@@ -1,0 +1,335 @@
+"""SPARQL Update string front-end — ``UpdateFactory.create`` analog.
+
+Reference: ``jena-arq/.../update/UpdateFactory.java`` →
+``sparql/lang/ParserSPARQL11Update.java`` → request objects in
+``sparql/modify/request/`` executed by ``UpdateEngineWorker.java:63``.
+This module parses the SPARQL 1.1 Update grammar (the profile below)
+with the same tokenizer/term machinery as the query parser
+(:mod:`jena_spark.queries.sparql`) and applies each operation through
+:mod:`jena_spark.pipeline.update`'s relational implementations —
+every update is a pure plan producing the next quad-table version
+(the caller owns materialization/commit, Iceberg-snapshot posture).
+
+Supported profile:
+
+* ``INSERT DATA`` / ``DELETE DATA`` with ``GRAPH g {}`` wrappers
+  (ground quads; variables raise, per spec)
+* ``DELETE WHERE { quadpattern }`` (incl. GRAPH blocks)
+* ``[WITH g] DELETE {tmpl} INSERT {tmpl} WHERE { ggp }`` (either
+  template optional; WITH scopes unscoped templates AND the WHERE,
+  ``UpdateModify.java``); bindings evaluated once against the
+  pre-update store, deletes applied before inserts (spec order)
+* ``CLEAR (GRAPH g | DEFAULT | NAMED | ALL)``; ``DROP`` = CLEAR
+  (graphs are implicit in a quad table); ``CREATE`` = no-op
+* ``LOAD <path> [INTO GRAPH g]`` — the document IRI is a filesystem
+  path (``file://`` prefix stripped), parsed via the RDFLanguages
+  dispatch
+* ``ADD/COPY/MOVE (GRAPH? g | DEFAULT) TO (GRAPH? g | DEFAULT)``
+* multiple operations separated by ``;`` run in sequence
+* NOT supported: ``USING (NAMED)`` dataset clauses, ``SILENT``
+  with remote IRIs (LOAD of a missing path raises).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jena_spark.pipeline import update as U
+from jena_spark.queries.sparql import Group, Parser, PathExpr, Var, _Compiler
+from jena_spark.terms import TERM_COLS
+
+QUAD_COLS = U.QUAD_COLS
+
+
+class UpdateParser(Parser):
+    """SPARQL 1.1 Update grammar on top of the query tokenizer."""
+
+    def parse_update(self) -> list[dict]:
+        ops: list[dict] = []
+        while True:
+            self.prologue()
+            if self.peek().kind == "EOF":
+                break
+            ops.append(self._one_update())
+            if not self.op(";"):
+                break
+        if self.peek().kind != "EOF":
+            raise ValueError(
+                f"SPARQL update: trailing input at {self.peek().val!r}")
+        return ops
+
+    # --- operations ---
+    def _one_update(self) -> dict:
+        if self.kw("insert"):
+            if self.kw("data"):
+                return {"op": "insert_data", "quads": self._quad_data()}
+            return self._modify(insert_first=True)
+        if self.kw("delete"):
+            if self.kw("data"):
+                return {"op": "delete_data", "quads": self._quad_data()}
+            if self.kw("where"):
+                return {"op": "delete_where",
+                        "group": self.group_graph_pattern()}
+            return self._modify(delete_first=True)
+        if self.kw("with"):
+            g = self.term()
+            if isinstance(g, Var):
+                raise ValueError("SPARQL update: WITH needs an IRI")
+            if self.kw("delete"):
+                return self._modify(delete_first=True, with_graph=g[1])
+            self.expect_kw("insert")
+            return self._modify(insert_first=True, with_graph=g[1])
+        if self.kw("clear"):
+            return {"op": "clear", "target": self._graph_target()}
+        if self.kw("drop"):
+            return {"op": "clear", "target": self._graph_target()}
+        if self.kw("create"):
+            self._graph_target()  # graphs are implicit: no-op
+            return {"op": "noop"}
+        if self.kw("load"):
+            self.kw("silent")
+            doc = self.term()
+            if isinstance(doc, Var) or doc[0] != "iri":
+                raise ValueError("SPARQL update: LOAD needs a document IRI")
+            graph = None
+            if self.kw("into"):
+                self.expect_kw("graph")
+                g = self.term()
+                graph = g[1]
+            return {"op": "load", "path": doc[1], "graph": graph}
+        for name in ("add", "copy", "move"):
+            if self.kw(name):
+                self.kw("silent")
+                src = self._graph_or_default()
+                self.expect_kw("to")
+                dst = self._graph_or_default()
+                return {"op": name, "src": src, "dst": dst}
+        raise ValueError(
+            f"SPARQL update: unknown operation at {self.peek().val!r}")
+
+    def _graph_target(self):
+        self.kw("silent")
+        if self.kw("default"):
+            return "default"
+        if self.kw("named"):
+            return "named"
+        if self.kw("all"):
+            return "all"
+        self.kw("graph")
+        g = self.term()
+        return ("graph", g[1])
+
+    def _graph_or_default(self):
+        if self.kw("default"):
+            return None
+        self.kw("graph")
+        g = self.term()
+        return g[1]
+
+    # --- quad data / quad patterns ---
+    def _quad_data(self, allow_vars: bool = False) -> list[tuple]:
+        """'{' (TriplesTemplate | GRAPH g '{' TriplesTemplate '}')* '}'
+        -> [(s, p, o, graph_term_or_None)]."""
+        self.expect_op("{")
+        out: list[tuple] = []
+        while not self.op("}"):
+            if self.kw("graph"):
+                g = self.term()
+                self.expect_op("{")
+                for s, p, o in self._triples_block(stop="}"):
+                    out.append((s, p, o, g))
+                self.expect_op("}")
+                self.op(".")
+            else:
+                for s, p, o in self._triples_block(stop="}"):
+                    out.append((s, p, o, None))
+                self.op(".")
+        if not allow_vars:
+            for s, p, o, g in out:
+                for t in (s, p, o, g):
+                    if isinstance(t, Var) or isinstance(t, PathExpr):
+                        raise ValueError(
+                            "SPARQL update: INSERT/DELETE DATA requires "
+                            "ground triples (no variables/paths)")
+        return out
+
+    def _modify(self, insert_first: bool = False, delete_first: bool = False,
+                with_graph: str | None = None) -> dict:
+        delete_tmpl = insert_tmpl = None
+        if delete_first:
+            delete_tmpl = self._quad_data(allow_vars=True)
+            if self.kw("insert"):
+                insert_tmpl = self._quad_data(allow_vars=True)
+        else:
+            insert_tmpl = self._quad_data(allow_vars=True)
+            if self.kw("delete"):  # nonstandard order; accept
+                delete_tmpl = self._quad_data(allow_vars=True)
+        if self.kw("using"):
+            raise ValueError("SPARQL update: USING dataset clauses "
+                             "are out of profile")
+        self.expect_kw("where")
+        where = self.group_graph_pattern()
+        return {"op": "modify", "delete": delete_tmpl, "insert": insert_tmpl,
+                "where": where, "with": with_graph}
+
+
+# --- execution --------------------------------------------------------------
+
+def _const_quads(spark, quads: list[tuple], with_graph: str | None) -> DataFrame:
+    rows = []
+    for s, p, o, g in quads:
+        graph = g[1] if g is not None else with_graph
+        rows.append((s[0], s[1], p[1] if isinstance(p, tuple) else p,
+                     o[0], o[1], o[2], o[3], graph))
+    schema = ", ".join(f"{c} string" for c in QUAD_COLS)
+    return spark.createDataFrame(rows, schema)
+
+
+def _instantiate(bindings: DataFrame, templates: list[tuple],
+                 with_graph: str | None) -> DataFrame:
+    """Quad templates + bindings -> ground quad rows (CONSTRUCT with a
+    graph position; rows with any unbound variable are skipped)."""
+    from jena_spark.queries.graph import _normalize
+
+    def term_cols(term, position: str):
+        if isinstance(term, Var):
+            v = F.col(term.name)
+            kind, val = v.getField("kind"), v.getField("val")
+            datatype = F.nullif(v.getField("datatype"), F.lit(""))
+            lang = F.nullif(v.getField("lang"), F.lit(""))
+        else:
+            n = _normalize(term)
+            kind, val = F.lit(n[0]), F.lit(n[1])
+            datatype = F.lit(n[2]).cast("string")
+            lang = F.lit(n[3]).cast("string")
+        if position == "s":
+            return [kind.alias("s_kind"), val.alias("s_val")]
+        if position == "p":
+            return [val.alias("p_val")]
+        return [kind.alias("o_kind"), val.alias("o_val"),
+                datatype.alias("o_datatype"), lang.alias("o_lang")]
+
+    parts = []
+    for s, p, o, g in templates:
+        if isinstance(p, PathExpr):
+            raise ValueError("SPARQL update: paths not allowed in templates")
+        bound = F.lit(True)
+        for term in (s, p, o, g):
+            if isinstance(term, Var):
+                bound = bound & F.col(term.name).isNotNull()
+        if g is None:
+            graph = F.lit(with_graph).cast("string")
+        elif isinstance(g, Var):
+            graph = F.col(g.name).getField("val")
+        else:
+            graph = F.lit(g[1])
+        parts.append(
+            bindings.where(bound).select(
+                *term_cols(s, "s"), *term_cols(p, "p"), *term_cols(o, "o"),
+                graph.alias("graph"),
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.dropDuplicates(QUAD_COLS)
+
+
+def _delete_quads(quads: DataFrame, gone: DataFrame) -> DataFrame:
+    left, right = quads.alias("l"), gone.alias("r")
+    cond = None
+    for c in QUAD_COLS:
+        eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        cond = eq if cond is None else cond & eq
+    return left.join(right, cond, "left_anti")
+
+
+def update_sparql(quads: DataFrame, text: str) -> DataFrame:
+    """Apply a SPARQL Update request string to a quad frame (a triple
+    frame is promoted with a null graph column) and return the next
+    version. Pure plan — no materialization happens here."""
+    spark = quads.sparkSession
+    if "graph" not in quads.columns:
+        quads = quads.select(*TERM_COLS).withColumn(
+            "graph", F.lit(None).cast("string"))
+    store = quads.select(*QUAD_COLS)
+
+    parser = UpdateParser(text)
+    ops = parser.parse_update()
+    for op in ops:
+        kind = op["op"]
+        if kind == "noop":
+            continue
+        if kind == "insert_data":
+            new = _const_quads(spark, op["quads"], None)
+            store = store.unionByName(new).dropDuplicates(QUAD_COLS)
+        elif kind == "delete_data":
+            store = _delete_quads(store, _const_quads(spark, op["quads"], None))
+        elif kind == "delete_where":
+            comp = _Compiler(store, parser)
+            bindings = comp.compile_group(op["group"])
+            templates = _group_to_templates(op["group"])
+            store = _delete_quads(store, _instantiate(bindings, templates, None))
+        elif kind == "modify":
+            ctx = ("iri", op["with"], None, None) if op["with"] else None
+            comp = _Compiler(store, parser)
+            bindings = comp.compile_group(
+                op["where"],
+                graph_ctx=ctx,
+            )
+            # evaluate once against the pre-update store (spec order:
+            # bindings -> DELETE -> INSERT)
+            if op["delete"]:
+                store = _delete_quads(
+                    store, _instantiate(bindings, op["delete"], op["with"]))
+            if op["insert"]:
+                ins = _instantiate(bindings, op["insert"], op["with"])
+                store = store.unionByName(ins).dropDuplicates(QUAD_COLS)
+        elif kind == "clear":
+            tgt = op["target"]
+            if tgt == "all":
+                store = store.limit(0)
+            elif tgt == "default":
+                store = store.where(F.col("graph").isNotNull())
+            elif tgt == "named":
+                store = store.where(F.col("graph").isNull())
+            else:
+                store = store.where(
+                    ~F.coalesce(F.col("graph") == tgt[1], F.lit(False)))
+        elif kind == "load":
+            from jena_spark.sources.languages import read_rdf
+
+            path = op["path"]
+            if path.startswith("file://"):
+                path = path[len("file://"):]
+            doc = read_rdf(spark, path)
+            store = U.load(store, doc, graph=op["graph"])
+        elif kind in ("add", "copy", "move"):
+            fn = {"add": U.add_graph, "copy": U.copy_graph,
+                  "move": U.move_graph}[kind]
+            store = fn(store, op["src"], op["dst"])
+        else:  # pragma: no cover
+            raise ValueError(f"SPARQL update: unhandled op {kind!r}")
+    return store
+
+
+def _group_to_templates(group: Group) -> list[tuple]:
+    """DELETE WHERE: the pattern group doubles as the quad template
+    set (``UpdateDeleteWhere.java`` — the WHERE pattern is the
+    template)."""
+    out: list[tuple] = []
+    for el in group.elements:
+        if el[0] == "triple":
+            s, p, o = el[1]
+            out.append((s, p, o, None))
+        elif el[0] == "graph":
+            gterm = el[1]
+            for sub in _group_to_templates(el[2]):
+                s, p, o, _g = sub
+                g = gterm if isinstance(gterm, Var) else ("iri", gterm[1], None, None)
+                out.append((s, p, o, g))
+        else:
+            raise ValueError(
+                "SPARQL update: DELETE WHERE allows only quad patterns")
+    return out

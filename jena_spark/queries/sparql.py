@@ -229,7 +229,8 @@ class Parser:
         raise ValueError(f"SPARQL: expected term, got {t.val!r}")
 
     # --- prologue + entry ---
-    def parse(self) -> ParsedQuery:
+    def prologue(self) -> None:
+        """PREFIX/BASE declarations (shared by query and update forms)."""
         while True:
             if self.kw("prefix"):
                 pn = self.next()
@@ -243,7 +244,10 @@ class Parser:
                 iri = self.next()
                 self.base = iri.val[1:-1]
             else:
-                break
+                return
+
+    def parse(self) -> ParsedQuery:
+        self.prologue()
         if self.kw("select"):
             q = self._select()
         elif self.kw("ask"):

@@ -67,3 +67,25 @@ def test_connection_verbs(spark, tmp_path):
     write_rdf(t, path)
     conn5 = Connection(spark).load(path, graph=E + "fromfile")
     assert conn5.fetch(E + "fromfile").count() == 3
+
+
+def test_connection_string_verbs(spark):
+    """RDFConnection.query(String) / update(String) through the parsers."""
+    conn = Connection(spark).update("""
+        PREFIX ex: <http://e/>
+        INSERT DATA {
+          ex:a ex:knows ex:b . ex:b ex:knows ex:c .
+          GRAPH ex:g { ex:a ex:note "hi" }
+        }""")
+    out = conn.query("""
+        PREFIX ex: <http://e/>
+        SELECT ?z WHERE { ex:a ex:knows/ex:knows ?z }""")
+    assert [r["z"] for r in out.collect()] == ["http://e/c"]
+    g = conn.query("""
+        PREFIX ex: <http://e/>
+        SELECT ?n WHERE { GRAPH ex:g { ?s ex:note ?n } }""")
+    assert [r["n"] for r in g.collect()] == ["hi"]
+    conn2 = conn.update("PREFIX ex: <http://e/> DELETE WHERE { ?s ex:knows ?o }")
+    assert conn2.query(
+        "PREFIX ex: <http://e/> ASK { ?s ex:knows ?o }"
+    ).collect()[0]["ask"] is False

@@ -1,0 +1,152 @@
+"""SPARQL Update string front-end tests (``UpdateFactory.create`` /
+``UpdateEngineWorker`` parity on the documented profile)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from jena_spark import terms as TM  # noqa: E402
+from jena_spark.pipeline.sparql_update import update_sparql  # noqa: E402
+
+EX = "http://e/"
+
+
+@pytest.fixture()
+def store(spark):
+    rows = [
+        ("iri", EX + "a", EX + "p", "literal", "1", TM.XSD_INTEGER, None, None),
+        ("iri", EX + "a", EX + "q", "iri", EX + "b", None, None, None),
+        ("iri", EX + "b", EX + "p", "literal", "2", TM.XSD_INTEGER, None, None),
+        ("iri", EX + "g1s", EX + "p", "literal", "g1", None, None, EX + "g1"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string, graph string",
+    )
+
+
+def quads(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_insert_delete_data(store):
+    out = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        INSERT DATA {{
+          ex:c ex:p "3"^^<{TM.XSD_INTEGER}> .
+          GRAPH ex:g2 {{ ex:d ex:p "in-g2" }}
+        }} ;
+        DELETE DATA {{ ex:a ex:q ex:b }}""")
+    got = quads(out)
+    assert ("iri", EX + "c", EX + "p", "literal", "3", TM.XSD_INTEGER,
+            None, None) in got
+    assert ("iri", EX + "d", EX + "p", "literal", "in-g2", None, None,
+            EX + "g2") in got
+    assert not any(r[2] == EX + "q" for r in got)
+    assert len(got) == 5  # 4 - 1 deleted + 2 inserted
+
+    # duplicate INSERT DATA is a no-op (set semantics)
+    again = update_sparql(out, f"PREFIX ex: <{EX}> INSERT DATA {{ ex:c ex:p "
+                               f'"3"^^<{TM.XSD_INTEGER}> }}')
+    assert quads(again) == got
+
+
+def test_insert_data_rejects_variables(store):
+    with pytest.raises(ValueError, match="ground"):
+        update_sparql(store, "INSERT DATA { ?x <http://e/p> 1 }")
+
+
+def test_delete_where_pattern(store):
+    out = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        DELETE WHERE {{ ?s ex:p ?o }}""")
+    got = quads(out)
+    # default-graph ex:p triples gone; named-graph row untouched
+    assert {r[2] for r in got if r[7] is None} == {EX + "q"}
+    assert ("iri", EX + "g1s", EX + "p", "literal", "g1", None, None,
+            EX + "g1") in got
+
+    out2 = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        DELETE WHERE {{ GRAPH ex:g1 {{ ?s ?p ?o }} }}""")
+    assert all(r[7] != EX + "g1" for r in quads(out2))
+
+
+def test_modify_delete_insert_where(store):
+    """Rename predicate p -> p2 for integer-valued triples: bindings
+    once, delete before insert."""
+    out = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:p ?o }}
+        INSERT {{ ?s ex:p2 ?o }}
+        WHERE {{ ?s ex:p ?o . FILTER(DATATYPE(?o) = <{TM.XSD_INTEGER}>) }}""")
+    got = quads(out)
+    assert ("iri", EX + "a", EX + "p2", "literal", "1", TM.XSD_INTEGER,
+            None, None) in got
+    assert ("iri", EX + "b", EX + "p2", "literal", "2", TM.XSD_INTEGER,
+            None, None) in got
+    assert not any(r[2] == EX + "p" and r[7] is None for r in got)
+    # named-graph plain-literal row keeps its ex:p (filter excluded it)
+    assert ("iri", EX + "g1s", EX + "p", "literal", "g1", None, None,
+            EX + "g1") in got
+
+
+def test_with_scopes_templates_and_where(store):
+    out = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        WITH ex:g1 INSERT {{ ?s ex:seen "yes" }} WHERE {{ ?s ex:p ?o }}""")
+    got = quads(out)
+    assert ("iri", EX + "g1s", EX + "seen", "literal", "yes", None, None,
+            EX + "g1") in got
+    # default-graph subjects did NOT match (WHERE scoped to g1)
+    assert not any(r[2] == EX + "seen" and r[1] == EX + "a" for r in got)
+
+
+def test_clear_drop_and_graph_ops(store):
+    assert quads(update_sparql(store, "CLEAR ALL")) == set()
+    only_named = quads(update_sparql(store, "CLEAR DEFAULT"))
+    assert {r[7] for r in only_named} == {EX + "g1"}
+    only_default = quads(update_sparql(store, "CLEAR NAMED"))
+    assert {r[7] for r in only_default} == {None}
+    no_g1 = quads(update_sparql(store, f"DROP GRAPH <{EX}g1>"))
+    assert all(r[7] != EX + "g1" for r in no_g1)
+
+    moved = quads(update_sparql(store, f"MOVE DEFAULT TO GRAPH <{EX}dst>"))
+    assert all(r[7] is not None for r in moved)
+    assert sum(1 for r in moved if r[7] == EX + "dst") == 3
+
+    copied = quads(update_sparql(store, f"COPY GRAPH <{EX}g1> TO GRAPH <{EX}c>"))
+    assert sum(1 for r in copied if r[7] == EX + "c") == 1
+    assert sum(1 for r in copied if r[7] == EX + "g1") == 1
+
+    added = quads(update_sparql(store, f"ADD GRAPH <{EX}g1> TO DEFAULT"))
+    assert ("iri", EX + "g1s", EX + "p", "literal", "g1", None, None,
+            None) in added
+
+
+def test_load_into_graph(spark, store, tmp_path):
+    from jena_spark.sources.languages import write_rdf
+
+    doc = spark.createDataFrame(
+        [("iri", EX + "ld", EX + "p", "literal", "loaded", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string",
+    )
+    path = str(tmp_path / "doc.ttl")
+    write_rdf(doc, path)
+    out = update_sparql(store, f"LOAD <file://{path}> INTO GRAPH <{EX}ld>")
+    assert ("iri", EX + "ld", EX + "p", "literal", "loaded", None, None,
+            EX + "ld") in quads(out)
+
+
+def test_out_of_profile(store):
+    with pytest.raises(ValueError, match="USING"):
+        update_sparql(store, f"""
+            DELETE {{ ?s <{EX}p> ?o }} USING <{EX}g1>
+            WHERE {{ ?s <{EX}p> ?o }}""")
