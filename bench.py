@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "kg_order_mixed_terms",
     "kg_quads_union_graph",
     "kg_path_zero_or_more",
+    "kg_thrift_roundtrip",
+    "kg_sparql_select",
+    "kg_sparql_agg",
+    "kg_sparql_subselect",
+    "kg_sparql_update",
 ]
 
 

@@ -66,6 +66,55 @@ def build_text_index(
     )
 
 
+def update_text_index(
+    index: DataFrame,
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    properties: list[str] | None = None,
+) -> DataFrame:
+    """Incremental index maintenance (jena-text keeps its Lucene index
+    in sync with dataset changes — ``TextDocProducerTriples.java``
+    ``change(ADD/DELETE, ...)``; Lucene's posture is delete-document +
+    re-add, keyed by entity).
+
+    Document granularity is (subject, property): any added or removed
+    triple for an indexed property invalidates that subject+property's
+    postings, which are dropped (anti-join on the touched keys) and
+    rebuilt from the POST-change literal set the caller passes in
+    ``added`` (for a pure deletion, pass the subject's remaining
+    literals — or nothing, if none remain). Cost scales with the
+    TOUCHED documents, never the corpus: one anti-join against the
+    index plus one :func:`build_text_index` over the changed slice.
+
+    Equivalence contract (tested): when ``added`` carries the FULL
+    post-change literal set of every touched (subject, property) —
+    the Lucene delete-document + re-add unit —
+    ``update_text_index(build(T), added=A, removed=R)`` ==
+    ``build(T')`` where T' is the post-change corpus.
+    """
+    props = properties or [TM.RDFS_LABEL, TM.P_TEXT]
+
+    def _keys(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("p_val").isin(props) & (F.col("o_kind") == "literal"))
+            .select("s_kind", "s_val", F.col("p_val").alias("property"))
+            .distinct()
+        )
+
+    touched = None
+    for d in (added, removed):
+        if d is not None:
+            k = _keys(d)
+            touched = k if touched is None else touched.unionByName(k).distinct()
+    if touched is None:
+        return index
+    cols = ["token", "property", "s_kind", "s_val", "tf", "doc_len"]
+    kept = index.join(touched, ["s_kind", "s_val", "property"], "left_anti")
+    if added is None:
+        return kept.select(*cols)
+    return kept.select(*cols).unionByName(build_text_index(added, properties))
+
+
 def query_index(
     index: DataFrame, terms: list[str], property: str | None = None,
     mode: str = "any", limit: int | None = None,

@@ -238,3 +238,59 @@ def test_operator_family_functions(spark):
 
     with _pytest.raises(KeyError):
         call("no_such_function", F.lit(1))
+
+
+def test_real_netpbm_and_wav_decode():
+    """Round-3: the image/audio decode is REAL for netpbm/WAV (pure
+    numpy) — exact round-trips, not fakes."""
+    import numpy as np
+
+    from jena_spark.data.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    img = decode_image(encode_ppm(px))
+    assert img.shape == (5, 9)
+    assert np.array_equal(img, px.mean(axis=2).astype(np.uint8))
+    # P5 grayscale + comment header
+    p5 = b"P5\n# a comment\n4 2\n255\n" + bytes(range(8))
+    g = decode_image(p5)
+    assert g.shape == (2, 4) and g[1, 3] == 7
+    assert decode_image(b"\x89PNG....") is None  # fallback signal
+
+    samples = rng.integers(-3000, 3000, size=1600, dtype=np.int16)
+    back, rate = decode_audio(encode_wav_pcm16(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(back, samples)
+    assert decode_audio(b"not-a-wav") is None
+
+
+def test_features_use_real_decode(spark):
+    """synthetic_media carries genuine PPM/WAV payloads; the features
+    must equal an independent numpy computation (no fake path)."""
+    import hashlib
+
+    import numpy as np
+
+    from jena_spark.data import multimodal as MM
+
+    media = MM.synthetic_media(spark, n=9, seed=11)
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    raw = {r["media_id"]: r for r in media.collect()}
+    for mid, r in raw.items():
+        content = bytes(r["content"])
+        if r["kind"] == "image":
+            img = MM.decode_image(content)
+            assert img is not None  # the REAL path decoded it
+            assert feats[mid]["mean_intensity"] == float(img.mean())
+            assert feats[mid]["feature_hash"] == hashlib.sha256(
+                img.tobytes()).hexdigest()[:16]
+        elif r["kind"] == "audio":
+            samples, rate = MM.decode_audio(content)
+            assert rate == 16_000
+            assert feats[mid]["mean_intensity"] == float(
+                np.abs(samples).mean()) / 128.0

@@ -56,3 +56,55 @@ def test_query_property_scoped_and_limit(spark):
     assert only_labels == {"e1"}
     top1 = TI.query_index(idx, ["turing"], limit=1).collect()
     assert len(top1) == 1 and top1[0]["s_val"] == "e1"  # highest score first
+
+
+def test_incremental_update_equals_rebuild(spark):
+    """update_text_index(build(T), A, R) == build(T') — the Lucene
+    delete+re-add contract at (subject, property) granularity."""
+    from jena_spark.queries.textindex import build_text_index, update_text_index
+
+    SCHEMA = ("s_kind string, s_val string, p_val string, o_kind string, "
+              "o_val string, o_datatype string, o_lang string")
+    LBL = "http://www.w3.org/2000/01/rdf-schema#label"
+    base = [
+        ("iri", "http://e/s1", LBL, "literal", "alpha beta", None, None),
+        ("iri", "http://e/s1", LBL, "literal", "gamma", None, None),
+        ("iri", "http://e/s2", LBL, "literal", "delta delta", None, None),
+        ("iri", "http://e/s3", LBL, "literal", "epsilon", None, None),
+        # non-indexed property must never enter the index
+        ("iri", "http://e/s1", "http://e/other", "literal", "zeta", None, None),
+    ]
+    t = spark.createDataFrame(base, SCHEMA)
+    idx = build_text_index(t)
+
+    # change: drop one of s1's labels; s2 gets a NEW label (full
+    # post-change doc for s2 = old + new); s3 fully deleted
+    removed = spark.createDataFrame(
+        [base[1], base[3]], SCHEMA
+    )
+    added = spark.createDataFrame(
+        [base[0],  # s1's remaining doc
+         base[2],  # s2 keeps its old label...
+         ("iri", "http://e/s2", LBL, "literal", "eta", None, None)],  # ...plus new
+        SCHEMA,
+    )
+    updated = update_text_index(idx, added=added, removed=removed)
+
+    final_corpus = spark.createDataFrame(
+        [base[0], base[2], base[4],
+         ("iri", "http://e/s2", LBL, "literal", "eta", None, None)],
+        SCHEMA,
+    )
+    want = {tuple(r) for r in build_text_index(final_corpus).collect()}
+    got = {tuple(r) for r in updated.collect()}
+    assert got == want
+    # s3 gone, eta present, zeta never indexed
+    assert not any(r[3] == "http://e/s3" for r in got)
+    assert any(r[0] == "eta" for r in got)
+    assert not any(r[0] == "zeta" for r in got)
+
+    # pure-removal path (no added docs remain for the key)
+    only_removed = update_text_index(idx, removed=spark.createDataFrame(
+        [base[3]], SCHEMA))
+    assert not any(r[3] == "http://e/s3"
+                   for r in only_removed.collect())
