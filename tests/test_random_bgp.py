@@ -172,3 +172,40 @@ def test_stats_reordered_bgp_same_results(spark):
         ordered = A.reorder_patterns_stats(patterns, counts)
         lead = ordered[0][1]
         assert counts.get(lead, 0) == min(counts.get(p[1], 0) for p in patterns)
+
+
+def _pattern_to_sparql(patterns) -> str:
+    """Serialize a generated BGP to SPARQL text."""
+    lines = []
+    for s, p, o in patterns:
+        def t(x):
+            return f"?{x.name}" if isinstance(x, Var) else f"<{x}>"
+        lines.append(f"{t(s)} <{p}> {t(o)} .")
+    return "SELECT * WHERE { " + " ".join(lines) + " }"
+
+
+def test_sparql_string_equals_algebra_on_random_workload(spark):
+    """Parser↔algebra equivalence on the seeded random BGP workload:
+    the SPARQL-text rendering of each generated shape returns exactly
+    the algebra layer's result set."""
+    from jena_spark.queries import registry as R
+    from jena_spark.queries.sparql import sparql_query
+
+    t = R._triples(spark, SF_DIR)
+    rng = random.Random(991)
+    n_nonempty = 0
+    for _ in range(8):
+        patterns = _shape(rng)
+        vars_ = sorted({x.name for pat in patterns for x in pat if isinstance(x, Var)})
+        via_algebra = {
+            tuple("" if v is None else v for v in r)
+            for r in A.flatten(A.project(A.bgp(t, patterns), *vars_), vars_)
+            .distinct().collect()
+        }
+        via_string = {
+            tuple("" if v is None else v for v in (r[n] for n in vars_))
+            for r in sparql_query(t, _pattern_to_sparql(patterns)).distinct().collect()
+        }
+        assert via_string == via_algebra, patterns
+        n_nonempty += bool(via_algebra)
+    assert n_nonempty >= 6
