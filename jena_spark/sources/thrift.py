@@ -401,9 +401,13 @@ def read_thrift(spark: SparkSession, path: str, quads: bool = False) -> DataFram
     within a file) + Arrow-batched decode."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(
-        path if path.endswith(".trdf") else f"{path}/*.trdf"
-    ).select("content")
+    # directory + pathGlobFilter, NOT a glob-in-path: globbed load
+    # paths make the _spark_metadata probe log a spurious
+    # FileNotFoundException stack trace (same fix as the text readers)
+    reader = spark.read.format("binaryFile")
+    if not path.endswith(".trdf"):
+        reader = reader.option("pathGlobFilter", "*.trdf")
+    files = reader.load(path).select("content")
 
     cols = TERM_COLS7 + (["graph"] if quads else [])
 
