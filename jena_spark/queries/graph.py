@@ -110,9 +110,11 @@ def intersection(g1: DataFrame, g2: DataFrame) -> DataFrame:
     """``Model.intersection`` — semi-join on all term columns.
 
     left_semi instead of inner avoids duplicate blow-up and lets AQE
-    pick broadcast when one side is small.
+    pick broadcast when one side is small. Only the LEFT side needs
+    set-dedup (it defines the output); right-side duplicates cannot
+    multiply a semi-join, so deduping them would be a wasted shuffle.
     """
-    right = _term_proj(g2).dropDuplicates(TERM_COLS)
+    right = _term_proj(g2)
     return (
         _term_proj(g1).dropDuplicates(TERM_COLS)
         .alias("l")

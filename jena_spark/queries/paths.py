@@ -147,7 +147,11 @@ def one_or_more(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         new = nxt.join(reached, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        # `reached` is a union of already-checkpointed frontier frames —
+        # re-checkpointing the UNION would rewrite the whole closure
+        # every round (O(rounds × |closure|) materialized bytes); the
+        # plain union keeps lineage one level deep over cached blocks.
+        reached = reached.unionByName(new)
         frontier = new
     s = nodes.select(F.col("node_id").alias("src"), F.col("kind").alias("src_kind"),
                      F.col("val").alias("src_val"))
