@@ -127,7 +127,7 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(
     docs: DataFrame, k: int = 32, text_col: str = "text", id_col: str = "doc_id",
-    ngram: int = 1,
+    ngram: int = 1, tokens: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash via universal hashing: ONE xxhash64 per
     token, then k affine permutations h_i(x) = (a_i*x + b_i) mod p —
@@ -138,8 +138,9 @@ def minhash_signatures(
     long — Spark 4 ANSI mode throws on long overflow, so wrapping
     arithmetic is not available.
 
-    One explode + one groupBy; all JVM-side."""
-    toks = _token_sets(docs, text_col, id_col, ngram)
+    One explode + one groupBy; all JVM-side. ``tokens`` lets a caller
+    share one materialized token frame across pipeline stages."""
+    toks = tokens if tokens is not None else _token_sets(docs, text_col, id_col, ngram)
     h31 = F.pmod(F.xxhash64(F.col("tok")), F.lit(_MERSENNE31))
     hashes = F.array(*[
         F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
@@ -193,6 +194,7 @@ def lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
 def jaccard_for_pairs(
     pairs: DataFrame, docs: DataFrame,
     text_col: str = "text", id_col: str = "doc_id", ngram: int = 1,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for a GIVEN pair list only.
 
@@ -208,7 +210,7 @@ def jaccard_for_pairs(
     (r2 advice — unreachable via minhash_dedup_pairs, but this is a
     public API taking arbitrary pair lists).
     """
-    toks = _token_sets(docs, text_col, id_col, ngram)
+    toks = tokens if tokens is not None else _token_sets(docs, text_col, id_col, ngram)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc"))
         .union(pairs.select(F.col("doc_b").alias("doc")))
@@ -252,6 +254,14 @@ def minhash_dedup_pairs(
     actually pays at scale. (Hot tokens are harmless here: per-pair
     intersection cost is bounded by tokens/doc, so no ``max_df`` cap is
     needed in the verify — unlike the exhaustive ``jaccard_pairs``.)"""
+    # Each stage tokenizes independently ON PURPOSE: persisting one
+    # shared token frame was measured SLOWER (it materializes the
+    # exploded token rows and breaks the explode->hash->groupBy
+    # whole-stage-codegen fusion; and at 10^9-doc scale an exploded
+    # token table cannot be cached anyway). Re-tokenizing keeps both
+    # stages single-pass streaming over the (column-pruned) corpus.
+    # Callers that already HAVE a materialized token table pass it via
+    # ``tokens=`` on the stage functions.
     sigs = minhash_signatures(docs, k, text_col, id_col, ngram)
     cands = lsh_candidates(sigs, bands)
     scored = jaccard_for_pairs(cands, docs, text_col, id_col, ngram)
