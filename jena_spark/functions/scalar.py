@@ -165,6 +165,52 @@ def is_numeric(t: Column) -> Column:
     )
 
 
+def is_triple(t: Column) -> Column:
+    """afn:isTriple — RDF-star quoted-triple term test
+    (``expr/TestTripleTermFunctions.java:33``; ``Node.java:69``)."""
+    return t.getField("kind") == "triple"
+
+
+def make_triple(s: Column, p: Column, o: Column) -> Column:
+    """afn:triple — quoted-triple term from three term structs.
+    Predicate must be an IRI and subject non-literal (ARQ raises
+    ExprEvalException, ``TestTripleTermFunctions.java:44``; our error
+    convention is NULL, like every try_cast-style mapping here)."""
+    from jena_spark.queries.rdfstar import quote_col
+
+    lex = quote_col(
+        s.getField("kind"), s.getField("val"), p.getField("val"),
+        o.getField("kind"), o.getField("val"),
+        o.getField("datatype"), o.getField("lang"),
+    )
+    ok = (p.getField("kind") == "iri") & (s.getField("kind") != "literal")
+    return F.when(ok, _term(F.lit("triple"), lex))
+
+
+def triple_subject(t: Column) -> Column:
+    """afn:subject — subject term of a quoted triple (NULL otherwise)."""
+    from jena_spark.queries.rdfstar import unquote_cols
+
+    s, _p, _o = unquote_cols(t.getField("val"))
+    return F.when(is_triple(t), s)
+
+
+def triple_predicate(t: Column) -> Column:
+    """afn:predicate — predicate (IRI term) of a quoted triple."""
+    from jena_spark.queries.rdfstar import unquote_cols
+
+    _s, p, _o = unquote_cols(t.getField("val"))
+    return F.when(is_triple(t), _term("iri", p))
+
+
+def triple_object(t: Column) -> Column:
+    """afn:object — object term of a quoted triple."""
+    from jena_spark.queries.rdfstar import unquote_cols
+
+    _s, _p, o = unquote_cols(t.getField("val"))
+    return F.when(is_triple(t), o)
+
+
 def sha224_udf():
     """E_SHA224 has no Spark builtin — Arrow-batched fallback."""
     import hashlib
@@ -312,6 +358,12 @@ SPARQL_FUNCTIONS.update({
     "struuid": lambda: F.expr("uuid()"),                      # E_StrUUID
     "version": lambda: F.lit("jena-spark/0.2"),               # E_Version
     "call": call,                                             # E_Call
+    # RDF-star triple-term functions (afn:, TestTripleTermFunctions.java)
+    "triple": make_triple,
+    "subject": triple_subject,
+    "predicate": triple_predicate,
+    "object": triple_object,
+    "istriple": is_triple,
 })
 # Coverage note: of the 77 E_* classes, the only ones without a mapping
 # are E_Exists/E_NotExists (algebra-level — queries/algebra.py

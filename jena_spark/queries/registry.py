@@ -2278,6 +2278,149 @@ _register(
 )
 
 
+# === RDF-star (Node_Triple.java:27; TestTripleTermFunctions.java) ===========
+
+P_ASSERTED_IN = TM.NS_VOCAB + "assertedIn"
+
+# oracle-side quoted-triple lexical of a canonical mentions triple:
+# subject is a turn bnode (lexical as-is), object an entity IRI
+_Q_MENTION_LEX = f"'<< ' || turn || ' <{TM.P_MENTIONS}> <' || ent || '> >>'"
+
+_SQL_STAR_BASE = f""", m AS (
+      SELECT s_val AS turn, o_val AS ent FROM triples
+      WHERE p_val = '{TM.P_MENTIONS}'
+    ),
+    h AS (
+      SELECT o_val AS turn, s_val AS conv FROM triples
+      WHERE p_val = '{TM.P_HAS_TURN}'
+    ),
+    ann AS (
+      SELECT 'triple' AS s_kind, {_Q_MENTION_LEX} AS s_val,
+             '{P_ASSERTED_IN}' AS p_val, 'iri' AS o_kind, h.conv AS o_val,
+             CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang
+      FROM m JOIN h USING (turn)
+    )"""
+
+
+def _star_annotations(spark, sf) -> DataFrame:
+    """Statement-level provenance: every canonical mentions triple,
+    quoted, annotated with the conversation that asserted it —
+    ``<< _:turn jsv:mentions ent >> jsv:assertedIn conv``. The quoted
+    term is one JVM concat per row; the only shuffle is the
+    turn->conversation equi-join (broadcast-eligible dim at this size,
+    hash join at scale — the key is the already-materialized bnode)."""
+    from jena_spark.queries import rdfstar as RS
+
+    t = _triples(spark, sf)
+    m = t.where(F.col("p_val") == TM.P_MENTIONS)
+    h = t.where(F.col("p_val") == TM.P_HAS_TURN).select(
+        F.col("o_val").alias("_turn"), F.col("s_val").alias("_conv"))
+    joined = m.join(h, m["s_val"] == h["_turn"]).drop("_turn")
+    return RS.annotate(joined, P_ASSERTED_IN, "iri", F.col("_conv"))
+
+
+_register(
+    "kg_star_annotation",
+    _star_annotations,
+    _W + _SQL_STAR_BASE + "SELECT * FROM ann",
+)
+
+
+def _q_star_unquote(spark, sf):
+    """afn:subject/predicate/object destructuring (JVM regexp path):
+    unquote the annotation subjects back into their component terms.
+    The oracle computes the components directly — hash equality proves
+    quote -> unquote is the identity, cross-checked against DuckDB."""
+    from jena_spark.queries import rdfstar as RS
+
+    ann = _star_annotations(spark, sf)
+    s, p, o = RS.unquote_cols(F.col("s_val"))
+    return ann.select(
+        s.getField("val").alias("turn"),
+        p.alias("mention_pred"),
+        o.getField("val").alias("ent"),
+        F.col("o_val").alias("conv"),
+    )
+
+
+_register(
+    "kg_star_unquote",
+    _q_star_unquote,
+    _W + _SQL_STAR_BASE + f"""
+    SELECT m.turn AS turn, '{TM.P_MENTIONS}' AS mention_pred, m.ent AS ent,
+           h.conv AS conv
+    FROM m JOIN h USING (turn)""",
+)
+
+
+def _q_star_reification(spark, sf):
+    """RDF-star -> standard reification (ReifierStd.java vocabulary):
+    quoted terms become deterministic statement bnodes plus their four
+    encoding triples. Oracle rebuilds the same encoding with DuckDB
+    md5 — bnode labels, term kinds and all four rows hash-checked."""
+    from jena_spark.queries import rdfstar as RS
+
+    return RS.to_reification(_star_annotations(spark, sf))
+
+
+_register(
+    "kg_star_reification",
+    _q_star_reification,
+    _W + _SQL_STAR_BASE + f""",
+    q AS (
+      SELECT DISTINCT {_Q_MENTION_LEX} AS lex, turn, ent FROM m
+    ),
+    qb AS (
+      SELECT '_:' || md5('rdfstar:' || lex) AS b, turn, ent FROM q
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'bnode' AS s_kind, b AS s_val, '{TM.RDF_TYPE}' AS p_val,
+             'iri' AS o_kind,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement' AS o_val,
+             CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang
+      FROM qb
+      UNION ALL
+      SELECT 'bnode', b, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+             'bnode', turn, NULL, NULL FROM qb
+      UNION ALL
+      SELECT 'bnode', b, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+             'iri', '{TM.P_MENTIONS}', NULL, NULL FROM qb
+      UNION ALL
+      SELECT 'bnode', b, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+             'iri', ent, NULL, NULL FROM qb
+      UNION ALL
+      SELECT 'bnode', '_:' || md5('rdfstar:' || ann.s_val), ann.p_val,
+             ann.o_kind, ann.o_val, ann.o_datatype, ann.o_lang FROM ann
+    )""",
+)
+
+
+def _q_star_roundtrip(spark, sf):
+    """N-Triples-star round-trip: quoted-triple annotation graph through
+    the all-JVM NT writer and the star-extended JVM line regex reader
+    (``sources/ntriples.py`` STAR_REGEX_DEPTH). Oracle = the expected
+    graph — equality IS the round-trip check."""
+    from jena_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    t = _triples(spark, sf)
+    m = t.where(F.col("p_val") == TM.P_MENTIONS)
+    g = m.unionByName(_star_annotations(spark, sf))
+    path = _scratch_dir("ntstar", sf)
+    write_ntriples(g, path)
+    return read_ntriples(spark, path).select(*TM.TERM_COLS)
+
+
+_register(
+    "kg_star_roundtrip",
+    _q_star_roundtrip,
+    _W + _SQL_STAR_BASE + f"""
+    SELECT s_kind, s_val, p_val, o_kind, o_val, o_datatype, o_lang
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    UNION ALL
+    SELECT * FROM ann""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2296,6 +2439,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
+    "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
+    "kg_star_roundtrip",
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",

@@ -23,10 +23,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_S = r"(<[^>]*>|_:\S+)"
-_P = r"<([^>]*)>"
-_O = r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:\^\^<[^>]*>|@[A-Za-z0-9][A-Za-z0-9-]*)?)"
-_G = r"(<[^>]*>)?"
+# --- term patterns (shared with queries.rdfstar's destructurer) -------------
+_IRI_PAT = r"<[^<>]*>"
+_BNODE_PAT = r"_:\S+"
+_LIT_PAT = r"\"(?:[^\"\\]|\\.)*\"(?:\^\^<[^>]*>|@[A-Za-z0-9][A-Za-z0-9-]*)?"
+
+#: N-Triples-star (``Node_Triple.java:27``; NT grammar extension): the
+#: JVM line regex accepts quoted-triple terms ``<< s p o >>`` nested up
+#: to this depth, in CANONICAL spacing (single spaces — what our writer
+#: and ``terms.quote`` emit). Foreign files with non-canonical interior
+#: whitespace parse via ``read_turtle`` (superset grammar, tokenizer
+#: whitespace-insensitive).
+STAR_REGEX_DEPTH = 2
+
+
+def quoted_triple_pat(depth: int) -> str:
+    """Regex for a quoted-triple term whose components may themselves
+    be quoted triples nested up to ``depth - 1`` further levels."""
+    flat = f"(?:{_IRI_PAT}|{_BNODE_PAT}|{_LIT_PAT})"
+    comp = flat
+    for _ in range(depth - 1):
+        comp = f"(?:{flat}|<< {comp} {_IRI_PAT} {comp} >>)"
+    return rf"<< {comp} {_IRI_PAT} {comp} >>"
+
+
+_QT = quoted_triple_pat(STAR_REGEX_DEPTH)
+# quoted-triple alternative FIRST: "<<" would otherwise prefix-match
+# the IRI alternative's opening "<"
+_S = rf"({_QT}|{_IRI_PAT}|{_BNODE_PAT})"
+_P = r"<([^<>]*)>"
+_O = rf"({_QT}|{_IRI_PAT}|{_BNODE_PAT}|{_LIT_PAT})"
+_G = rf"({_IRI_PAT})?"
 _LINE = rf"^\s*{_S}\s+{_P}\s+{_O}\s*{_G}\s*\.\s*$"
 
 
@@ -51,9 +78,9 @@ def _unescape(c: Column) -> Column:
 
 def format_ntriples(triples: DataFrame, quads: bool = False) -> DataFrame:
     """Triple rows -> one N-Triples/N-Quads line per row (column ``value``)."""
-    subj = F.when(F.col("s_kind") == "bnode", F.col("s_val")).otherwise(
-        F.concat(F.lit("<"), F.col("s_val"), F.lit(">"))
-    )
+    subj = F.when(
+        F.col("s_kind").isin("bnode", "triple"), F.col("s_val")
+    ).otherwise(F.concat(F.lit("<"), F.col("s_val"), F.lit(">")))
     pred = F.concat(F.lit("<"), F.col("p_val"), F.lit(">"))
     lit_suffix = (
         F.when(F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang")))
@@ -62,7 +89,7 @@ def format_ntriples(triples: DataFrame, quads: bool = False) -> DataFrame:
         .otherwise(F.lit(""))
     )
     obj = (
-        F.when(F.col("o_kind") == "bnode", F.col("o_val"))
+        F.when(F.col("o_kind").isin("bnode", "triple"), F.col("o_val"))
         .when(F.col("o_kind") == "iri",
               F.concat(F.lit("<"), F.col("o_val"), F.lit(">")))
         .otherwise(F.concat(F.lit("\""), _escape(F.col("o_val")), F.lit("\""), lit_suffix))
@@ -84,21 +111,27 @@ def write_ntriples(triples: DataFrame, path: str, quads: bool = False) -> None:
 
 
 def _decode_term(raw: Column) -> list[Column]:
-    """raw N-Triples term -> (kind, val, datatype, lang) columns."""
-    is_iri = raw.startswith("<")
+    """raw N-Triples(-star) term -> (kind, val, datatype, lang) columns."""
+    is_qt = raw.startswith("<<")
+    is_iri = raw.startswith("<") & ~is_qt
     is_bnode = raw.startswith("_:")
     quoted = F.regexp_extract(raw, r"^\"((?:[^\"\\]|\\.)*)\"", 1)
     datatype = F.nullif(F.regexp_extract(raw, r"\^\^<([^>]*)>$", 1), F.lit(""))
     lang = F.nullif(F.regexp_extract(raw, r"\"@([A-Za-z0-9-]+)$", 1), F.lit(""))
     kind = (
-        F.when(is_iri, "iri").when(is_bnode, "bnode").otherwise("literal")
+        F.when(is_qt, "triple").when(is_iri, "iri")
+        .when(is_bnode, "bnode").otherwise("literal")
     )
     val = (
-        F.when(is_iri, F.regexp_extract(raw, r"^<(.*)>$", 1))
-        .when(is_bnode, raw)
+        F.when(is_qt | is_bnode, raw)
+        .when(is_iri, F.regexp_extract(raw, r"^<(.*)>$", 1))
         .otherwise(_unescape(quoted))
     )
-    return [kind, val, datatype, lang]
+    dtl = [
+        F.when(is_qt, F.lit(None).cast("string")).otherwise(datatype),
+        F.when(is_qt, F.lit(None).cast("string")).otherwise(lang),
+    ]
+    return [kind, val, *dtl]
 
 
 def read_ntriples(spark: SparkSession, path: str, quads: bool = False) -> DataFrame:

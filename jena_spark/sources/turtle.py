@@ -40,6 +40,10 @@ RDF_FIRST, RDF_REST, RDF_NIL = RDF + "first", RDF + "rest", RDF + "nil"
 _TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
+    | (?P<qt_open><<)
+    | (?P<qt_close>>>)
+    | (?P<ann_open>\{\|)
+    | (?P<ann_close>\|\})
     | (?P<iri><[^<>"{}|^`\\\s]*>)
     | (?P<str_long3>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
     | (?P<str_long1>'''(?:[^'\\]|\\.|'(?!''))*''')
@@ -183,6 +187,20 @@ class TurtleParser:
             return ("bnode", label, None, None)
         if kind == "punct" and val == "(":
             return self._collection()
+        if kind == "qt_open":
+            # Turtle-star quoted triple << s p o >> (Node_Triple.java:27;
+            # LangTurtle's RDF-star extension). Canonical lexical is the
+            # term value — component-wise equality becomes string equality.
+            s = self._term()
+            if s[0] == "literal":
+                raise ValueError("Turtle parse error: literal subject in quoted triple")
+            p = self._predicate()
+            o = self._term()
+            ck, cv = self.toks.next()
+            if ck != "qt_close":
+                raise ValueError(f"Turtle parse error: expected '>>', got {cv!r}")
+            return ("triple", TM.quote(s[0], s[1], p, o[0], o[1], o[2], o[3]),
+                    None, None)
         raise ValueError(f"Turtle parse error: unexpected term {val!r}")
 
     def _collection(self):
@@ -228,6 +246,18 @@ class TurtleParser:
                 obj = self._term()
                 self._emit((subj[0], subj[1]), pred, obj)
                 nk, nv = self.toks.peek()
+                if nk == "ann_open":
+                    # Turtle-star annotation {| p o ; ... |}: metadata on
+                    # the quoted form of the triple just emitted
+                    self.toks.next()
+                    qt = ("triple", TM.quote(subj[0], subj[1], pred,
+                                             obj[0], obj[1], obj[2], obj[3]))
+                    self._predicate_object_list(qt)
+                    ck, cv = self.toks.next()
+                    if ck != "ann_close":
+                        raise ValueError(
+                            f"Turtle parse error: expected '|}}', got {cv!r}")
+                    nk, nv = self.toks.peek()
                 if nk == "punct" and nv == ",":
                     self.toks.next(); continue
                 break
@@ -291,8 +321,8 @@ class TrigParser(TurtleParser):
     with plain Turtle statements."""
 
     def _block(self, graph_term) -> None:
-        if graph_term is not None and graph_term[0] == "literal":
-            raise ValueError("TriG parse error: literal graph name")
+        if graph_term is not None and graph_term[0] in ("literal", "triple"):
+            raise ValueError(f"TriG parse error: {graph_term[0]} graph name")
         self.graph = graph_term[1] if graph_term is not None else None
         self.toks.expect_punct("{")
         while True:
@@ -476,13 +506,15 @@ def format_turtle(rows: list[tuple]) -> str:
     for r in rows:
         by_subj.setdefault((r[0], r[1]), []).append(r)
     for (s_kind, s_val), group in sorted(by_subj.items()):
-        subj = s_val if s_kind == "bnode" else _fmt_iri(s_val)
+        # quoted-triple subjects print their canonical << s p o >>
+        # lexical verbatim (valid Turtle-star; components in NT form)
+        subj = s_val if s_kind in ("bnode", "triple") else _fmt_iri(s_val)
         parts = []
         for r in sorted(group, key=lambda r: (r[2], r[4])):
             pred = "a" if r[2] == TM.RDF_TYPE else _fmt_iri(r[2])
             if r[3] == "iri":
                 obj = _fmt_iri(r[4])
-            elif r[3] == "bnode":
+            elif r[3] in ("bnode", "triple"):
                 obj = r[4]
             else:
                 obj = _fmt_literal(r[4], r[5], r[6])

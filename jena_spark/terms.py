@@ -42,6 +42,15 @@ from pyspark.sql import functions as F
 KIND_IRI = "iri"
 KIND_BNODE = "bnode"
 KIND_LITERAL = "literal"
+# RDF-star quoted triple (``Node_Triple.java:27``, ``Node.java:69``
+# ``isNodeTriple()``): a term whose value IS a triple. Flattened-column
+# mapping: kind "triple", val = the CANONICAL N-Triples-star lexical
+# ``<< s p o >>`` (single-space separators, canonical component forms,
+# components recursively canonical). Because component terms are
+# emitted canonically, lexical equality of the quoted term coincides
+# with Jena's component-wise Node_Triple equality
+# (``Node_Triple.java:79`` delegates to Triple equality).
+KIND_TRIPLE = "triple"
 
 # --- well-known namespaces -------------------------------------------------
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -84,6 +93,41 @@ def skolem(scope: str, label: str) -> str:
     bnode labels sit in the subject column of most triples, so label
     bytes are hot-path shuffle/cache bytes at scale."""
     return "_:" + hashlib.md5(f"{scope}:{label}".encode("utf-8")).hexdigest()
+
+
+_NT_ESC = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def nt_escape(s: str) -> str:
+    """N-Triples literal escaping (the exact set the writers emit)."""
+    return "".join(_NT_ESC.get(ch, ch) for ch in s)
+
+
+def nt_term(kind: str, val: str, datatype: str | None = None,
+            lang: str | None = None) -> str:
+    """Canonical N-Triples lexical of one term. Quoted-triple terms
+    already store their canonical ``<< ... >>`` lexical in ``val``."""
+    if kind == KIND_IRI:
+        return f"<{val}>"
+    if kind in (KIND_BNODE, KIND_TRIPLE):
+        return val
+    out = f'"{nt_escape(val)}"'
+    if lang:
+        return out + f"@{lang}"
+    if datatype:
+        return out + f"^^<{datatype}>"
+    return out
+
+
+def quote(s_kind: str, s_val: str, p_val: str, o_kind: str, o_val: str,
+          o_datatype: str | None = None, o_lang: str | None = None) -> str:
+    """Canonical lexical of a quoted triple term (RDF-star
+    ``Node_Triple``): ``<< s p o >>`` with single-space separators.
+    Injective over canonical component forms, so string equality on the
+    result IS component-wise quoted-triple equality. Column twin:
+    ``queries.rdfstar.quote_col`` (must stay in lock-step)."""
+    return (f"<< {nt_term(s_kind, s_val)} <{p_val}> "
+            f"{nt_term(o_kind, o_val, o_datatype, o_lang)} >>")
 
 
 _SLUG_RE = re.compile(r"[^a-z0-9]+")
