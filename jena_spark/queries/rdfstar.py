@@ -53,9 +53,13 @@ _SKOLEM_SCOPE = "rdfstar"
 
 def nt_term_col(kind: Column, val: Column, datatype: Column | None = None,
                 lang: Column | None = None) -> Column:
-    """Canonical N-Triples lexical of one term, JVM-side."""
-    datatype = datatype if datatype is not None else F.lit(None).cast("string")
-    lang = lang if lang is not None else F.lit(None).cast("string")
+    """Canonical N-Triples lexical of one term, JVM-side. Accepts both
+    NULL and ``""`` (the expression layer's convention) for an absent
+    datatype/lang."""
+    datatype = (F.nullif(datatype, F.lit("")) if datatype is not None
+                else F.lit(None).cast("string"))
+    lang = (F.nullif(lang, F.lit("")) if lang is not None
+            else F.lit(None).cast("string"))
     lit_suffix = (
         F.when(lang.isNotNull(), F.concat(F.lit("@"), lang))
         .when(datatype.isNotNull(), F.concat(F.lit("^^<"), datatype, F.lit(">")))

@@ -2421,6 +2421,75 @@ _register(
 )
 
 
+def _star_graph(spark, sf) -> DataFrame:
+    """Asserted mentions triples ∪ their quoted-triple annotations —
+    the RDF-star graph the SPARQL-star queries run over."""
+    t = _triples(spark, sf)
+    m = t.where(F.col("p_val") == TM.P_MENTIONS)
+    return m.unionByName(_star_annotations(spark, sf))
+
+
+_SQL_STAR_SELECT = _W + _SQL_STAR_BASE + """
+    SELECT m.turn AS turn, m.ent AS ent, h.conv AS conv
+    FROM m JOIN h USING (turn)"""
+
+
+def _q_sparql_star(spark, sf):
+    """SPARQL-star string query: quoted-triple pattern with variables
+    (``<< ?turn :mentions ?ent >> :assertedIn ?conv``) destructured
+    JVM-side; oracle computes the same join relationally."""
+    from jena_spark.queries.sparql import sparql_query
+
+    q = f"""PREFIX jsv: <{TM.NS_VOCAB}>
+    SELECT ?turn ?ent ?conv WHERE {{
+      << ?turn jsv:mentions ?ent >> jsv:assertedIn ?conv .
+    }}"""
+    return sparql_query(_star_graph(spark, sf), q)
+
+
+_register("kg_sparql_star", _q_sparql_star, _SQL_STAR_SELECT)
+
+
+def _q_sparql_star_ann(spark, sf):
+    """SPARQL-star annotation shorthand: ``?turn :mentions ?ent
+    {| :assertedIn ?conv |}`` — requires the triple BOTH asserted and
+    annotated (sugar for the pattern pair), which holds for every
+    mentions triple in the star graph, so the oracle is the same
+    join as ``kg_sparql_star``."""
+    from jena_spark.queries.sparql import sparql_query
+
+    q = f"""PREFIX jsv: <{TM.NS_VOCAB}>
+    SELECT ?turn ?ent ?conv WHERE {{
+      ?turn jsv:mentions ?ent {{| jsv:assertedIn ?conv |}} .
+    }}"""
+    return sparql_query(_star_graph(spark, sf), q)
+
+
+_register("kg_sparql_star_ann", _q_sparql_star_ann, _SQL_STAR_SELECT)
+
+
+def _q_star_dereify(spark, sf):
+    """Reification round-trip: encode the star graph to standard
+    reification, decode back (``from_reification`` — ReifierStd
+    completeness rule). Oracle = the original star graph; hash
+    equality proves decode ∘ encode is the identity."""
+    from jena_spark.queries import rdfstar as RS
+
+    g = _star_graph(spark, sf)
+    return RS.from_reification(RS.to_reification(g))
+
+
+_register(
+    "kg_star_dereify",
+    _q_star_dereify,
+    _W + _SQL_STAR_BASE + f"""
+    SELECT s_kind, s_val, p_val, o_kind, o_val, o_datatype, o_lang
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    UNION ALL
+    SELECT * FROM ann""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2439,6 +2508,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
+    "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
     "kg_star_roundtrip",
     "kg_order_mixed_terms", "kg_quads_union_graph",

@@ -35,7 +35,17 @@ Supported profile (errors loudly outside it):
 * sub-SELECT (``{ SELECT ... }`` groups, incl. aggregate projections —
   results join the enclosing group as whole-term bindings; aggregate
   values come back as typed literal structs)
-* NOT supported (documented): SERVICE, federated queries, RDF-star.
+* SPARQL-star (the ARQ RDF-star surface, ``sparql/lang/
+  ParserSPARQL11.java`` star productions + ``TestTripleTermFunctions``):
+  quoted-triple patterns ``<< s p o >>`` in subject/object position
+  (ground terms match directly; patterns with variables destructure
+  kind='triple' terms JVM-side via regexp), the annotation shorthand
+  ``s p o {| q r |}`` (sugar for the triple plus ``<< s p o >> q r``),
+  and the functions TRIPLE/SUBJECT/PREDICATE/OBJECT/isTRIPLE in
+  expressions (term-valued calls bind whole term structs). Variable
+  destructuring handles quoted terms nested to
+  :data:`jena_spark.queries.rdfstar.MAX_REGEX_DEPTH`.
+* NOT supported (documented): SERVICE, federated queries.
 
 Path endpoints carry (kind, val) only — a path step through a typed
 literal loses datatype/lang in the binding (same shape as
@@ -67,7 +77,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z_0-9.\-]*)?:[A-Za-z_0-9.\-]*)
   | (?P<KW>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().,;*/+\-|^?!<>=\[\]])
+  | (?P<OP><<|>>|\{\||\|\}|&&|\|\||!=|<=|>=|[{}().,;*/+\-|^?!<>=\[\]])
 """, re.VERBOSE)
 
 
@@ -99,6 +109,17 @@ class PathExpr:
     """Property-path tree: op in link/inv/seq/alt/plus/star/opt/neg."""
     op: str
     args: tuple
+
+
+@dataclass
+class QTPat:
+    """Quoted-triple pattern with at least one variable component
+    (SPARQL-star ``<< s p o >>`` in subject/object position). Ground
+    quoted triples become plain ("triple", lexical) term tuples
+    instead."""
+    s: object
+    p: object
+    o: object
 
 
 @dataclass
@@ -226,7 +247,28 @@ class Parser:
             self.expect_op("]")
             self._anon += 1
             return ("bnode", f"_:sparql-anon-{self._anon}", None, None)
+        if t.kind == "OP" and t.val == "<<":
+            self.next()
+            s = self.term()
+            p = self.term()
+            o = self.term()
+            self.expect_op(">>")
+            return self._quoted_of(s, p, o)
         raise ValueError(f"SPARQL: expected term, got {t.val!r}")
+
+    def _quoted_of(self, s, p, o):
+        """Quoted form of a triple: a ground ("triple", lexical) term
+        when every component is concrete, else a QTPat."""
+        from jena_spark import terms as TM
+
+        if isinstance(p, QTPat) or (not isinstance(p, Var) and p[0] != "iri"):
+            raise ValueError("SPARQL: quoted-triple predicate must be an IRI")
+        if not isinstance(s, (Var, QTPat)) and s[0] == "literal":
+            raise ValueError("SPARQL: literal subject in quoted triple")
+        if any(isinstance(x, (Var, QTPat)) for x in (s, p, o)):
+            return QTPat(s, p, o)
+        return ("triple", TM.quote(s[0], s[1], p[1], o[0], o[1], o[2], o[3]),
+                None, None)
 
     # --- prologue + entry ---
     def prologue(self) -> None:
@@ -453,6 +495,26 @@ class Parser:
                 while True:
                     obj = self.term()
                     out.append((subj, verb, obj))
+                    if self.op("{|"):
+                        # SPARQL-star annotation block: sugar for the
+                        # asserted triple PLUS << s p o >> q r patterns
+                        if isinstance(verb, PathExpr):
+                            raise ValueError(
+                                "SPARQL: annotation on a property-path "
+                                "triple is out of grammar")
+                        qt = self._quoted_of(subj, verb, obj)
+                        while True:
+                            ap = self.path()
+                            while True:
+                                ao = self.term()
+                                out.append((qt, ap, ao))
+                                if not self.op(","):
+                                    break
+                            if not self.op(";"):
+                                break
+                            if self.peek().val == "|}":
+                                break
+                        self.expect_op("|}")
                     if not self.op(","):
                         break
                 if not self.op(";"):
@@ -624,6 +686,10 @@ class Parser:
 
 _AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
+#: functions whose result is a whole RDF term (struct), not a value —
+#: BIND and projection keep the struct instead of wrapping a literal
+_TERM_VALUED = {"triple", "subject", "predicate", "object"}
+
 # SPARQL function name -> registry name (where they differ)
 _FN_ALIASES = {
     "ucase": "ucase", "lcase": "lcase", "strlen": "strlen", "str": "str",
@@ -791,6 +857,11 @@ class _Compiler:
             return v_kind(args[0][1]) == "literal"
         if name == "isnumeric" and args and args[0][0] == "var":
             return FN["isnumeric"](F.col(args[0][1]))
+        if name == "istriple" and args and args[0][0] == "var":
+            return v_kind(args[0][1]) == "triple"
+        if name in _TERM_VALUED:
+            # term-valued call used in value position: its lexical form
+            return self._term_valued(e).getField("val")
         if name == "str":
             return self._value(args[0])
         reg = _FN_ALIASES.get(name, name)
@@ -798,6 +869,73 @@ class _Compiler:
             raise ValueError(f"SPARQL: unknown function {name!r}")
         numeric_args = name in ("abs", "ceil", "floor", "round")
         return FN[reg](*[self._value(a, numeric=numeric_args) for a in args])
+
+    def _binding_struct(self, e) -> Column:
+        """Expression AST -> the term struct BIND / (expr AS ?v) binds:
+        term-valued calls keep their whole-term result; everything else
+        wraps the value as a plain literal."""
+        if e[0] == "call" and e[1] in _TERM_VALUED:
+            return self._term_valued(e)
+        return F.struct(
+            F.lit("literal").alias("kind"),
+            self._value(e).cast("string").alias("val"),
+            F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        )
+
+    def _term_arg(self, e) -> Column:
+        """Expression AST -> whole-term struct (for the triple-term
+        functions, which operate on terms, not values)."""
+        if e[0] == "call" and e[1] in _TERM_VALUED:
+            return self._term_valued(e)
+        st = self._term_struct(e)
+        if st is None:
+            raise ValueError(
+                "SPARQL: triple-term functions take variables, constants "
+                "or other triple-term calls")
+        return st
+
+    def _term_valued(self, e) -> Column:
+        """TRIPLE / SUBJECT / PREDICATE / OBJECT — the ARQ triple-term
+        function family (``TestTripleTermFunctions.java``); errors map
+        to NULL (unbound), the engine's try_cast-style convention."""
+        from jena_spark.queries import rdfstar as RS
+
+        _, name, args, _distinct, _sep = e
+
+        def norm(st: Column) -> Column:
+            return F.struct(
+                st.getField("kind").alias("kind"),
+                st.getField("val").alias("val"),
+                F.coalesce(st.getField("datatype"), F.lit("")).alias("datatype"),
+                F.coalesce(st.getField("lang"), F.lit("")).alias("lang"),
+            )
+
+        if name == "triple":
+            if len(args) != 3:
+                raise ValueError("SPARQL: TRIPLE(s, p, o) takes 3 arguments")
+            s, p, o = (self._term_arg(a) for a in args)
+            lex = RS.quote_col(
+                s.getField("kind"), s.getField("val"), p.getField("val"),
+                o.getField("kind"), o.getField("val"),
+                F.nullif(o.getField("datatype"), F.lit("")),
+                F.nullif(o.getField("lang"), F.lit("")),
+            )
+            ok = (p.getField("kind") == "iri") & (s.getField("kind") != "literal")
+            return F.when(ok, F.struct(
+                F.lit("triple").alias("kind"), lex.alias("val"),
+                F.lit("").alias("datatype"), F.lit("").alias("lang"),
+            ))
+        t = self._term_arg(args[0])
+        is_t = t.getField("kind") == "triple"
+        qs, qp, qo = RS.unquote_cols(t.getField("val"))
+        if name == "subject":
+            return F.when(is_t, norm(qs))
+        if name == "predicate":
+            return F.when(is_t, F.struct(
+                F.lit("iri").alias("kind"), qp.alias("val"),
+                F.lit("").alias("datatype"), F.lit("").alias("lang"),
+            ))
+        return F.when(is_t, norm(qo))
 
     def _bool(self, e) -> Column:
         kind = e[0]
@@ -888,6 +1026,71 @@ class _Compiler:
             return df.limit(1).select(F.lit(1).alias("__exists__"))
         return df.select(*[c.alias(n) for n, c in cols.items()])
 
+    # -- SPARQL-star quoted-triple patterns --
+    def _qt_bindings(self, tri, frame: DataFrame) -> DataFrame:
+        """Triple pattern with a QTPat in subject/object position ->
+        bindings frame. Rows whose term kind is 'triple' are
+        destructured JVM-side (``rdfstar.unquote_cols`` — regexp inside
+        whole-stage codegen, no Python), component variables bind as
+        ordinary term structs, constants filter. Nested QTPats recurse
+        (depth bounded by ``rdfstar.MAX_REGEX_DEPTH``). One narrow
+        filtered scan per pattern — same shape as ``triple_pattern``."""
+        from jena_spark.queries import rdfstar as RS
+        from jena_spark.queries.algebra import _var_struct_for
+
+        s, p, o = tri
+        cols: dict[str, Column] = {}
+        conds: list[Column] = []
+
+        def norm(st: Column) -> Column:
+            # "" convention for absent datatype/lang (matches
+            # _var_struct_for, so joins across binding sources work)
+            return F.struct(
+                st.getField("kind").alias("kind"),
+                st.getField("val").alias("val"),
+                F.coalesce(st.getField("datatype"), F.lit("")).alias("datatype"),
+                F.coalesce(st.getField("lang"), F.lit("")).alias("lang"),
+            )
+
+        def bind(expr: Column, term) -> None:
+            if isinstance(term, Var):
+                if term.name in cols:
+                    conds.append(cols[term.name] == expr)
+                else:
+                    cols[term.name] = expr
+            elif isinstance(term, QTPat):
+                conds.append(expr.getField("kind") == "triple")
+                qs, qp, qo = RS.unquote_cols(expr.getField("val"))
+                bind(norm(qs), term.s)
+                bind_pred(qp, term.p)
+                bind(norm(qo), term.o)
+            else:
+                k, val, dt, lang = term
+                conds.append((expr.getField("kind") == k)
+                             & (expr.getField("val") == val))
+                if k == "literal":
+                    conds.append(expr.getField("datatype") == (dt or ""))
+                    conds.append(expr.getField("lang") == (lang or ""))
+
+        def bind_pred(p_col: Column, term) -> None:
+            if isinstance(term, Var):
+                bind(F.struct(
+                    F.lit("iri").alias("kind"), p_col.alias("val"),
+                    F.lit("").alias("datatype"), F.lit("").alias("lang"),
+                ), term)
+            else:
+                conds.append(p_col == term[1])
+
+        bind(_var_struct_for("s"), s)
+        bind_pred(F.col("p_val"), p)
+        bind(_var_struct_for("o"), o)
+        df = frame
+        for c in conds:
+            df = df.where(c)
+        if not cols:
+            return df.limit(1).select(F.lit(1).alias("__exists__"))
+        return df.select(*[c.alias(n) for n, c in cols.items()])
+
     def _compile_subselect(self, q: ParsedQuery, graph_ctx=None) -> DataFrame:
         """Sub-SELECT -> STRUCT-typed bindings frame (joins naturally
         with the enclosing group). Aggregate projections come back as
@@ -956,11 +1159,7 @@ class _Compiler:
                      else [pt[1] if pt[0] == "var" else pt[2] for pt in proj])
             for pt in proj or []:
                 if pt[0] == "expr":
-                    df = A.extend(df, pt[2], F.struct(
-                        F.lit("literal").alias("kind"),
-                        self._value(pt[1]).cast("string").alias("val"),
-                        F.lit("").alias("datatype"), F.lit("").alias("lang"),
-                    ))
+                    df = A.extend(df, pt[2], self._binding_struct(pt[1]))
             result = A.project(df, *names)
             if q.distinct:
                 result = result.distinct()
@@ -1003,7 +1202,15 @@ class _Compiler:
             tag = el[0]
             if tag == "triple":
                 s, verb, o = el[1]
-                if isinstance(verb, PathExpr):
+                if isinstance(s, QTPat) or isinstance(o, QTPat):
+                    if isinstance(verb, PathExpr) or isinstance(graph_ctx, Var):
+                        raise ValueError(
+                            "SPARQL: quoted-triple patterns combine with "
+                            "plain verbs in a concrete graph context only")
+                    flush()
+                    step = self._qt_bindings(el[1], self._ctx_frame(graph_ctx))
+                    df = step if df is None else A.join(df, step)
+                elif isinstance(verb, PathExpr):
                     if isinstance(graph_ctx, Var):
                         raise ValueError(
                             "SPARQL: property paths inside GRAPH ?var "
@@ -1059,12 +1266,7 @@ class _Compiler:
                 flush()
                 if df is None:
                     raise ValueError("SPARQL: BIND before any pattern")
-                val = self._value(el[1])
-                df = A.extend(df, el[2], F.struct(
-                    F.lit("literal").alias("kind"),
-                    val.cast("string").alias("val"),
-                    F.lit("").alias("datatype"), F.lit("").alias("lang"),
-                ))
+                df = A.extend(df, el[2], self._binding_struct(el[1]))
             elif tag == "values":
                 flush()
                 names, rows = el[1]
@@ -1195,11 +1397,7 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
                 if pt[0] == "var":
                     names.append(pt[1])
                 else:
-                    df = A.extend(df, pt[2], F.struct(
-                        F.lit("literal").alias("kind"),
-                        c._value(pt[1]).cast("string").alias("val"),
-                        F.lit("").alias("datatype"), F.lit("").alias("lang"),
-                    ))
+                    df = A.extend(df, pt[2], c._binding_struct(pt[1]))
                     names.append(pt[2])
         result = A.project(df, *names)
         if q.distinct:

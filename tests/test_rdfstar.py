@@ -266,3 +266,104 @@ def test_from_reification_ignores_incomplete(spark):
         "o_val string, o_datatype string, o_lang string")
     back = RS.from_reification(df)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+# === SPARQL-star string front-end ===========================================
+
+V = "http://v/"
+
+
+@pytest.fixture(scope="module")
+def star_sparql_df(spark):
+    rows = [
+        ("iri", "http://e/s1", V + "p", "iri", "http://e/o1", None, None),
+        ("iri", "http://e/s2", V + "p", "literal", "42", XSD_INT, None),
+    ]
+    qt1 = TM.quote(*rows[0])
+    qt2 = TM.quote(*rows[1])
+    rows += [
+        ("triple", qt1, V + "saidBy", "iri", "http://e/alice", None, None),
+        ("triple", qt2, V + "saidBy", "iri", "http://e/bob", None, None),
+        ("triple", qt2, V + "conf", "literal", "0.9", TM.XSD + "decimal", None),
+    ]
+    return spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string, "
+        "o_val string, o_datatype string, o_lang string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_sparql_star_quoted_pattern_vars(spark, star_sparql_df):
+    from jena_spark.queries.sparql import sparql_query
+
+    out = sparql_query(star_sparql_df, f"""PREFIX v: <{V}>
+        SELECT ?s ?o ?who WHERE {{ << ?s v:p ?o >> v:saidBy ?who . }}""")
+    assert _rows(out) == [
+        ("http://e/s1", "http://e/o1", "http://e/alice"),
+        ("http://e/s2", "42", "http://e/bob"),
+    ]
+
+
+def test_sparql_star_ground_quoted_term(spark, star_sparql_df):
+    from jena_spark.queries.sparql import sparql_query
+
+    out = sparql_query(star_sparql_df, f"""PREFIX v: <{V}>
+        SELECT ?who WHERE {{
+          << <http://e/s2> v:p "42"^^<{XSD_INT}> >> v:saidBy ?who . }}""")
+    assert _rows(out) == [("http://e/bob",)]
+
+
+def test_sparql_star_annotation_shorthand(spark, star_sparql_df):
+    from jena_spark.queries.sparql import sparql_query
+
+    # requires asserted AND annotated: both hold in the fixture graph
+    out = sparql_query(star_sparql_df, f"""PREFIX v: <{V}>
+        SELECT ?s ?who ?c WHERE {{
+          ?s v:p ?o {{| v:saidBy ?who ; v:conf ?c |}} . }}""")
+    assert _rows(out) == [("http://e/s2", "http://e/bob", "0.9")]
+
+
+def test_sparql_star_functions(spark, star_sparql_df):
+    from jena_spark.queries.sparql import sparql_query
+
+    out = sparql_query(star_sparql_df, f"""PREFIX v: <{V}>
+        SELECT ?subj ?pred ?obj WHERE {{
+          ?t v:saidBy ?w . FILTER(isTRIPLE(?t))
+          FILTER(?w = <http://e/bob>)
+          BIND(SUBJECT(?t) AS ?subj) BIND(PREDICATE(?t) AS ?pred)
+          BIND(OBJECT(?t) AS ?obj) }}""")
+    assert _rows(out) == [("http://e/s2", V + "p", "42")]
+
+
+def test_sparql_star_triple_constructor_join(spark, star_sparql_df):
+    from jena_spark.queries.sparql import sparql_query
+
+    # TRIPLE(...) builds the canonical lexical, so the constructed term
+    # joins back against stored quoted terms
+    out = sparql_query(star_sparql_df, f"""PREFIX v: <{V}>
+        SELECT ?s ?w WHERE {{
+          ?s v:p ?o . BIND(TRIPLE(?s, v:p, ?o) AS ?t) . ?t v:saidBy ?w . }}""")
+    assert _rows(out) == [
+        ("http://e/s1", "http://e/alice"),
+        ("http://e/s2", "http://e/bob"),
+    ]
+
+
+def test_sparql_star_nested_pattern(spark):
+    from jena_spark.queries.sparql import sparql_query
+
+    base = ("iri", "http://e/s", V + "p", "iri", "http://e/o", None, None)
+    q1 = TM.quote(*base)
+    ann = ("triple", q1, V + "saidBy", "iri", "http://e/alice", None, None)
+    q2 = TM.quote(*ann)
+    meta = ("triple", q2, V + "certainty", "literal", "0.5", None, None)
+    df = spark.createDataFrame(
+        [base, ann, meta],
+        "s_kind string, s_val string, p_val string, o_kind string, "
+        "o_val string, o_datatype string, o_lang string")
+    out = sparql_query(df, f"""PREFIX v: <{V}>
+        SELECT ?s ?who ?c WHERE {{
+          << << ?s v:p ?o >> v:saidBy ?who >> v:certainty ?c . }}""")
+    assert _rows(out) == [("http://e/s", "http://e/alice", "0.5")]
