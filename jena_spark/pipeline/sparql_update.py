@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jena_spark.pipeline import update as U
-from jena_spark.queries.sparql import Group, Parser, PathExpr, Var, _Compiler
+from jena_spark.queries.sparql import Group, Parser, PathExpr, QTPat, Var, _Compiler
 from jena_spark.terms import TERM_COLS
 
 QUAD_COLS = U.QUAD_COLS
@@ -148,7 +148,7 @@ class UpdateParser(Parser):
         if not allow_vars:
             for s, p, o, g in out:
                 for t in (s, p, o, g):
-                    if isinstance(t, Var) or isinstance(t, PathExpr):
+                    if isinstance(t, (Var, PathExpr, QTPat)):
                         raise ValueError(
                             "SPARQL update: INSERT/DELETE DATA requires "
                             "ground triples (no variables/paths)")
@@ -186,6 +186,44 @@ def _const_quads(spark, quads: list[tuple], with_graph: str | None) -> DataFrame
     return spark.createDataFrame(rows, schema)
 
 
+def _template_vars(term) -> list[str]:
+    """Variable names a template term depends on (recurses into
+    quoted-triple patterns)."""
+    if isinstance(term, Var):
+        return [term.name]
+    if isinstance(term, QTPat):
+        return (_template_vars(term.s) + _template_vars(term.p)
+                + _template_vars(term.o))
+    return []
+
+
+def _qt_template_lex(term: QTPat) -> "F.Column":
+    """Quoted-triple template -> Column producing the canonical
+    ``<< s p o >>`` lexical for each binding row (nested QTPats
+    recurse)."""
+    from jena_spark.queries import rdfstar as RS
+    from jena_spark.queries.graph import _normalize
+
+    def comp(t):
+        if isinstance(t, Var):
+            v = F.col(t.name)
+            return (v.getField("kind"), v.getField("val"),
+                    F.nullif(v.getField("datatype"), F.lit("")),
+                    F.nullif(v.getField("lang"), F.lit("")))
+        if isinstance(t, QTPat):
+            return (F.lit("triple"), _qt_template_lex(t),
+                    F.lit(None).cast("string"), F.lit(None).cast("string"))
+        n = _normalize(t)
+        return (F.lit(n[0]), F.lit(n[1]), F.lit(n[2]).cast("string"),
+                F.lit(n[3]).cast("string"))
+
+    sk, sv, _sd, _sl = comp(term.s)
+    pv = (F.col(term.p.name).getField("val") if isinstance(term.p, Var)
+          else F.lit(term.p[1]))
+    ok, ov, od, ol = comp(term.o)
+    return RS.quote_col(sk, sv, pv, ok, ov, od, ol)
+
+
 def _instantiate(bindings: DataFrame, templates: list[tuple],
                  with_graph: str | None) -> DataFrame:
     """Quad templates + bindings -> ground quad rows (CONSTRUCT with a
@@ -198,6 +236,11 @@ def _instantiate(bindings: DataFrame, templates: list[tuple],
             kind, val = v.getField("kind"), v.getField("val")
             datatype = F.nullif(v.getField("datatype"), F.lit(""))
             lang = F.nullif(v.getField("lang"), F.lit(""))
+        elif isinstance(term, QTPat):
+            # SPARQL-star template: build the canonical quoted-triple
+            # lexical from the bound components (one JVM concat)
+            kind, val = F.lit("triple"), _qt_template_lex(term)
+            datatype = lang = F.lit(None).cast("string")
         else:
             n = _normalize(term)
             kind, val = F.lit(n[0]), F.lit(n[1])
@@ -216,8 +259,8 @@ def _instantiate(bindings: DataFrame, templates: list[tuple],
             raise ValueError("SPARQL update: paths not allowed in templates")
         bound = F.lit(True)
         for term in (s, p, o, g):
-            if isinstance(term, Var):
-                bound = bound & F.col(term.name).isNotNull()
+            for v in _template_vars(term):
+                bound = bound & F.col(v).isNotNull()
         if g is None:
             graph = F.lit(with_graph).cast("string")
         elif isinstance(g, Var):

@@ -23,9 +23,11 @@ Supported on read (robustness beyond what we emit): prefix
 declarations + RDF_PrefixName terms, and the value forms
 ``valInteger`` / ``valDouble`` / ``valDecimal`` (decoded to canonical
 xsd:integer/double/decimal lexical forms, mirroring
-``ThriftConvert.java``'s value-mode handling). RDF-star tripleTerm,
-variables and ANY/UNDEF/REPEAT raise a documented ValueError — they
-cannot appear in a concrete graph dump.
+``ThriftConvert.java``'s value-mode handling), and RDF-star
+``tripleTerm`` (an embedded RDF_Triple, decoded to/encoded from the
+engine's canonical quoted-triple lexical — recursion depth = nesting
+depth). Variables and ANY/UNDEF/REPEAT raise a documented ValueError —
+they cannot appear in a concrete graph dump.
 """
 
 from __future__ import annotations
@@ -197,6 +199,28 @@ def _write_term(w: _Writer, kind: str, val: str, datatype, lang):
         w.struct_begin()
         w.string(1, val[2:] if val.startswith("_:") else val)
         w.struct_end()
+    elif kind == "triple":
+        # RDF-star quoted triple: tripleTerm(9) carries an RDF_Triple
+        # whose S/P/O are themselves RDF_Term structs (recursion depth
+        # = quoted-term nesting depth)
+        from jena_spark.queries.rdfstar import parse_quoted
+
+        s_t, p_iri, o_t = parse_quoted(val)
+        w.field(9, _CT_STRUCT)
+        w.struct_begin()
+        w.field(1, _CT_STRUCT)
+        w.struct_begin()
+        _write_term(w, s_t[0], s_t[1], s_t[2], s_t[3])
+        w.struct_end()
+        w.field(2, _CT_STRUCT)
+        w.struct_begin()
+        _write_term(w, "iri", p_iri, None, None)
+        w.struct_end()
+        w.field(3, _CT_STRUCT)
+        w.struct_begin()
+        _write_term(w, o_t[0], o_t[1], o_t[2], o_t[3])
+        w.struct_end()
+        w.struct_end()
     else:  # literal: lex(1) langtag(2) datatype(3)
         w.field(3, _CT_STRUCT)
         w.struct_begin()
@@ -294,6 +318,24 @@ def _read_term(rd: _Reader, prefixes: dict[str, str]) -> tuple[str, str, str | N
             out = ("literal", lex, dt, lang)
         elif fid == 4 and ct == _CT_STRUCT:  # prefixName IRI
             out = ("iri", _read_prefix_name(rd, prefixes), None, None)
+        elif fid == 9 and ct == _CT_STRUCT:  # tripleTerm (RDF-star)
+            from jena_spark import terms as TM
+
+            s_t = p_t = o_t = None
+            for f2, c2 in rd.fields():
+                if f2 == 1 and c2 == _CT_STRUCT:
+                    s_t = _read_term(rd, prefixes)
+                elif f2 == 2 and c2 == _CT_STRUCT:
+                    p_t = _read_term(rd, prefixes)
+                elif f2 == 3 and c2 == _CT_STRUCT:
+                    o_t = _read_term(rd, prefixes)
+                else:
+                    rd.skip(c2)
+            if s_t is None or p_t is None or o_t is None:
+                raise ValueError("RDF-Thrift: tripleTerm missing S/P/O")
+            if p_t[0] != "iri":
+                raise ValueError("RDF-Thrift: tripleTerm predicate not an IRI")
+            out = ("triple", TM.quote(s_t[0], s_t[1], p_t[1], *o_t), None, None)
         elif fid == 10 and ct == _CT_I64:  # valInteger
             out = ("literal", str(_unzigzag(rd.varint())), _XSD + "integer", None)
         elif fid == 11 and ct == _CT_DOUBLE:  # valDouble
@@ -312,10 +354,10 @@ def _read_term(rd: _Reader, prefixes: dict[str, str]) -> tuple[str, str, str | N
             lex = str(decimal.Decimal(value).scaleb(-scale))
             out = ("literal", lex, _XSD + "decimal", None)
         else:
-            # variable(5)/any(6)/undef(7)/repeat(8)/tripleTerm(9)
+            # variable(5)/any(6)/undef(7)/repeat(8)
             raise ValueError(
-                f"RDF-Thrift: term union field {fid} (variable/wildcard/"
-                "RDF-star) is not valid in a concrete graph stream"
+                f"RDF-Thrift: term union field {fid} (variable/wildcard) "
+                "is not valid in a concrete graph stream"
             )
     if out is None:
         raise ValueError("RDF-Thrift: empty RDF_Term union")

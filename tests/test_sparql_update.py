@@ -150,3 +150,48 @@ def test_out_of_profile(store):
         update_sparql(store, f"""
             DELETE {{ ?s <{EX}p> ?o }} USING <{EX}g1>
             WHERE {{ ?s <{EX}p> ?o }}""")
+
+
+def test_insert_data_ground_quoted_triple(store):
+    qt = TM.quote("iri", EX + "a", EX + "p", "literal", "1",
+                  TM.XSD_INTEGER, None)
+    out = update_sparql(store, f"""PREFIX ex: <{EX}>
+        INSERT DATA {{
+          << ex:a ex:p "1"^^<{TM.XSD_INTEGER}> >> ex:saidBy ex:alice .
+        }}""")
+    assert ("triple", qt, EX + "saidBy", "iri", EX + "alice",
+            None, None, None) in quads(out)
+
+
+def test_insert_data_rejects_quoted_pattern_with_vars(store):
+    with pytest.raises(ValueError, match="ground"):
+        update_sparql(store, f"""PREFIX ex: <{EX}>
+            INSERT DATA {{ << ?s ex:p ?o >> ex:saidBy ex:alice . }}""")
+
+
+def test_star_insert_template(store):
+    # annotate every ex:p triple with its provenance — the SPARQL-star
+    # INSERT template builds quoted terms from bindings
+    out = update_sparql(store, f"""PREFIX ex: <{EX}>
+        INSERT {{ << ?s ex:p ?o >> ex:src ex:etl . }}
+        WHERE {{ ?s ex:p ?o }}""")
+    got = quads(out)
+    for s, o, dt in ((EX + "a", "1", TM.XSD_INTEGER),
+                     (EX + "b", "2", TM.XSD_INTEGER)):
+        qt = TM.quote("iri", s, EX + "p", "literal", o, dt, None)
+        assert ("triple", qt, EX + "src", "iri", EX + "etl",
+                None, None, None) in got
+
+
+def test_star_delete_where_quoted_pattern(store):
+    qt = TM.quote("iri", EX + "a", EX + "p", "literal", "1",
+                  TM.XSD_INTEGER, None)
+    seeded = update_sparql(store, f"""PREFIX ex: <{EX}>
+        INSERT DATA {{
+          << ex:a ex:p "1"^^<{TM.XSD_INTEGER}> >> ex:saidBy ex:alice .
+        }}""")
+    out = update_sparql(seeded, f"""PREFIX ex: <{EX}>
+        DELETE WHERE {{ << ?s ex:p ?o >> ex:saidBy ?w . }}""")
+    assert not any(r[0] == "triple" for r in quads(out))
+    assert ("triple", qt, EX + "saidBy", "iri", EX + "alice",
+            None, None, None) in quads(seeded)

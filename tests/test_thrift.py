@@ -213,3 +213,20 @@ def spark_transcripts(spark):
 
     tdf, _ = gen_transcripts(n_convs=30, seed=7)
     return spark.createDataFrame(tdf, TRANSCRIPTS_SCHEMA)
+
+
+def test_codec_roundtrip_rdfstar():
+    from jena_spark import terms as TM
+
+    base = ("iri", "http://e/s", "http://e/p", "literal", "42", XSD_INT, None)
+    qt = TM.quote(*base)
+    nested = TM.quote("triple", qt, "http://e/meta", "iri", "http://e/x",
+                      None, None)
+    rows = [
+        base,
+        ("triple", qt, "http://e/saidBy", "iri", "http://e/alice", None, None),
+        ("iri", "http://e/d", "http://e/refs", "triple", qt, None, None),
+        ("triple", nested, "http://e/conf", "literal", "0.9", None, None),
+    ]
+    back = decode_stream(encode_rows(rows))
+    assert [r[:7] for r in back] == rows
