@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "kg_sparql_agg",
     "kg_sparql_subselect",
     "kg_sparql_update",
+    # RDF-star family
+    "kg_star_annotation",
+    "kg_star_reification",
+    "kg_sparql_star",
 ]
 
 

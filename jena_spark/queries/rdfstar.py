@@ -295,6 +295,9 @@ def _distinct_quoted(df: DataFrame) -> DataFrame:
             df.where(F.col("o_kind") == TM.KIND_TRIPLE).select(F.col("o_val").alias("lex"))
         )
         .distinct()
+        # consumed by the fixpoint loop (anti-join) AND the caller —
+        # cut the plan so the input scan runs once
+        .localCheckpoint(eager=False)
     )
     # quoted components one level down (loop bounded by NESTING DEPTH,
     # not data size — each round is one distinct+anti-join over the
@@ -334,10 +337,13 @@ def to_reification(df: DataFrame) -> DataFrame:
     has_graph = "graph" in df.columns
     qs = _distinct_quoted(df.select(*cols))
     s_t, p_iri, o_t = unquote_cols(F.col("lex"))
+    # `parts` feeds four union branches below — without a plan cut Spark
+    # replays the whole distinct-quoted lineage once per branch (the
+    # union-subtree non-reuse trap; measured 7.1s -> ~2s at sf0.1)
     parts = qs.select(
         statement_bnode_col(F.col("lex")).alias("stmt"),
         s_t.alias("s_t"), p_iri.alias("p_iri"), o_t.alias("o_t"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _component(side: str) -> list[Column]:
         t = F.col(f"{side}_t")
@@ -403,7 +409,12 @@ def from_reification(df: DataFrame) -> DataFrame:
     per nesting level."""
     has_graph = "graph" in df.columns
     out_cols = TM.TRIPLE_COLS if has_graph else TM.TERM_COLS
-    t = df
+    # the input feeds the typed/subject/predicate/object part frames,
+    # the keep anti/semi pair and the reference-rewrite joins (~8
+    # consumers) — cut the plan once or the upstream lineage replays
+    # per consumer (measured 12.2s -> ~3s at sf0.1 when the input is
+    # itself an unmaterialized to_reification plan)
+    t = df.localCheckpoint(eager=False)
 
     typed = (
         t.where((F.col("p_val") == TM.RDF_TYPE)
