@@ -419,6 +419,10 @@ def term_sort_key(name: str) -> list[Column]:
         .when(kind == "iri", 2)
         .when(is_num, 3)
         .when(is_ts, 4)
+        # RDF-star quoted triples order AFTER every literal
+        # (NodeCmp.compareRDFTerms classifies triple terms last),
+        # among themselves by canonical lexical
+        .when(kind == "triple", 6)
         .otherwise(5)
     )
     num = F.when(is_num, val.try_cast("decimal(38,18)"))

@@ -19,9 +19,13 @@ Supported profile (documented, errors loudly outside it):
   (``{"@reverse": iri}``) emit inverted triples
 * context default ``@language`` (applies to plain string values;
   term-level ``@language`` overrides, ``null`` clears)
+* ``@container`` term definitions: ``@list`` (implicit rdf list),
+  ``@set`` (no-op), ``@language`` (language maps), ``@index`` (index
+  stripped, values flattened — the RDF deserialization semantics)
 * NOT supported: remote/``@context`` IRIs (no network by design),
-  ``@index``/``@container`` remapping, framing, ``@vocab``-less
-  relative IRI resolution beyond ``@base``/``@vocab`` prefixes.
+  ``@container: @id/@type/@graph`` (JSON-LD 1.1 node maps), framing,
+  ``@vocab``-less relative IRI resolution beyond ``@base``/``@vocab``
+  prefixes.
 
 One JSON document per file is the parse unit (``wholetext`` +
 ``mapInPandas`` — per-file parallelism like the other document
@@ -201,6 +205,35 @@ class JsonLdParser:
             _MISSING = object()
             term_lang = defn.get("@language", _MISSING)
             lang = self.default_lang if term_lang is _MISSING else term_lang
+            container = defn.get("@container")
+            if container == "@list":
+                # list container: the whole (possibly implicit) array is
+                # ONE rdf:first/rest chain
+                o = self._list(val if isinstance(val, list) else [val],
+                               coercion, lang)
+                self.rows.append((subj[0], subj[1], pred,
+                                  o[0], o[1], o[2], o[3]))
+                continue
+            if container == "@language":
+                # language map: {"en": "x", "fr": ["y", "z"]}
+                if not isinstance(val, dict):
+                    raise ValueError("JSON-LD: @language container needs a map")
+                for lg, vv in val.items():
+                    for one in vv if isinstance(vv, list) else [vv]:
+                        if not isinstance(one, str):
+                            raise ValueError(
+                                "JSON-LD: language-map values must be strings")
+                        self.rows.append((subj[0], subj[1], pred,
+                                          "literal", one, None, lg))
+                continue
+            if container == "@index":
+                # index maps carry no RDF meaning: flatten the values
+                if not isinstance(val, dict):
+                    raise ValueError("JSON-LD: @index container needs a map")
+                val = [one for vv in val.values()
+                       for one in (vv if isinstance(vv, list) else [vv])]
+            elif container not in (None, "@set"):
+                raise ValueError(f"JSON-LD: container {container!r} unsupported")
             for v in val if isinstance(val, list) else [val]:
                 o = self._object_term(v, coercion, lang)
                 self.rows.append((subj[0], subj[1], pred, o[0], o[1], o[2], o[3]))

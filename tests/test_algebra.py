@@ -228,3 +228,31 @@ def test_empty_input_pipeline(spark):
         TRANSCRIPTS_SCHEMA,
     )
     assert canonicalize_triples(raw_triples(empty)).count() == 0
+
+
+def test_order_mixed_terms_quoted_triples_last(spark):
+    """SPARQL total order with RDF-star: unbound < bnode < IRI <
+    literal < quoted triple (NodeCmp.compareRDFTerms puts triple terms
+    after every other category; jena-arq NodeCmp.java)."""
+    from jena_spark import terms as TM
+    from jena_spark.queries.algebra import order_by_terms, values
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    q1 = TM.quote("iri", "http://e/a", "http://e/p", "iri", "http://e/b")
+    q2 = TM.quote("iri", "http://e/z", "http://e/p", "iri", "http://e/b")
+    rows = [
+        [("triple", q2)],
+        [("literal", "zzz")],
+        [("iri", "http://e/x")],
+        [("triple", q1)],
+        [None],
+        [("literal", "5", XSD_INT)],
+        [("bnode", "_:b")],
+    ]
+    out = order_by_terms(values(spark, ["x"], rows), "x").collect()
+    kinds = [r["x"]["kind"] if r["x"] else None for r in out]
+    assert kinds == [None, "bnode", "iri", "literal", "literal",
+                     "triple", "triple"]
+    # numerics before plain literals, quoted triples by lexical
+    assert out[3]["x"]["val"] == "5"
+    assert out[5]["x"]["val"] == q1 and out[6]["x"]["val"] == q2

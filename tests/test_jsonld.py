@@ -147,3 +147,57 @@ def test_reverse_and_default_language():
         parse_jsonld(
             '{"@id": "http://e/s", "@reverse": {"http://e/p": {"@value": "x"}}}'
         )
+
+
+def test_container_term_definitions():
+    """@container handling (JsonLDReader / JSON-LD 1.0 deserialization):
+    @list containers chain implicit arrays, @language containers expand
+    language maps, @index maps flatten (no RDF meaning), @set is a
+    no-op, anything else errors loudly."""
+    doc = """{
+      "@context": {
+        "steps": {"@id": "http://e/steps", "@container": "@list"},
+        "label": {"@id": "http://e/label", "@container": "@language"},
+        "byidx": {"@id": "http://e/byidx", "@container": "@index"},
+        "tags": {"@id": "http://e/tags", "@container": "@set"}
+      },
+      "@id": "http://e/s",
+      "steps": ["a", "b"],
+      "label": {"en": "cat", "fr": ["chat", "minou"]},
+      "byidx": {"k1": "v1", "k2": ["v2", "v3"]},
+      "tags": ["t1", "t2"]
+    }"""
+    rows = parse_jsonld(doc)
+    S = "http://e/s"
+    # @list: one chain hangs off steps
+    heads = [r for r in rows if r[2] == "http://e/steps"]
+    assert len(heads) == 1 and heads[0][3] == "bnode"
+    firsts = [r[4] for r in rows if r[2] == RDF_NS + "first"]
+    assert firsts == ["a", "b"]
+    # @language map: one tagged literal per (lang, value)
+    labels = {(r[4], r[6]) for r in rows if r[2] == "http://e/label"}
+    assert labels == {("cat", "en"), ("chat", "fr"), ("minou", "fr")}
+    # @index: values flattened, index keys dropped
+    byidx = {r[4] for r in rows if r[2] == "http://e/byidx"}
+    assert byidx == {"v1", "v2", "v3"}
+    # @set: plain multi-value
+    tags = {r[4] for r in rows if r[2] == "http://e/tags"}
+    assert tags == {"t1", "t2"}
+
+    with pytest.raises(ValueError, match="@language container"):
+        parse_jsonld("""{
+          "@context": {"l": {"@id": "http://e/l", "@container": "@language"}},
+          "@id": "http://e/s", "l": "plain"}""")
+    with pytest.raises(ValueError, match="language-map values"):
+        parse_jsonld("""{
+          "@context": {"l": {"@id": "http://e/l", "@container": "@language"}},
+          "@id": "http://e/s", "l": {"en": 5}}""")
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_jsonld("""{
+          "@context": {"m": {"@id": "http://e/m", "@container": "@id"}},
+          "@id": "http://e/s", "m": {"http://e/a": {}}}""")
+    # implicit single value through a @list container is still a list
+    single = parse_jsonld("""{
+      "@context": {"steps": {"@id": "http://e/steps", "@container": "@list"}},
+      "@id": "http://e/s", "steps": "only"}""")
+    assert [r[4] for r in single if r[2] == RDF_NS + "first"] == ["only"]
