@@ -2254,6 +2254,44 @@ _register(
 )
 
 
+def _q_sparql_from(spark, sf):
+    """SPARQL dataset clauses (SPARQL 13.2 dataset specification;
+    ``DynamicDatasets.java`` / ``DatasetDescription.java``): graph/a
+    carries the mention edges, graph/b mention+role triples. ``FROM
+    <a>`` makes a's triples the default graph, ``FROM NAMED <b>``
+    exposes exactly b to GRAPH ?g — so the role pattern binds ?g=b
+    only, and the mention pattern never sees b's copies twice."""
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _triples(spark, sf)
+    g_a, g_b = TM.NS + "graph/a", TM.NS + "graph/b"
+    quads = G.triples_to_quads(
+        t.where(F.col("p_val") == TM.P_MENTIONS), g_a
+    ).unionByName(
+        G.triples_to_quads(
+            t.where(F.col("p_val").isin(TM.P_MENTIONS, TM.P_ROLE)), g_b)
+    )
+    return sparql_query(quads, f"""
+        PREFIX v: <{TM.NS_VOCAB}>
+        SELECT ?turn ?e ?g ?role
+        FROM <{g_a}> FROM NAMED <{g_b}>
+        WHERE {{
+          ?turn v:mentions ?e .
+          GRAPH ?g {{ ?turn v:role ?role }}
+        }}""")
+
+
+_register(
+    "kg_sparql_from",
+    _q_sparql_from,
+    _W + f"""SELECT m.s_val AS turn, m.o_val AS e,
+           '{TM.NS}graph/b' AS g, r.o_val AS role
+    FROM triples m JOIN triples r
+      ON r.s_kind = m.s_kind AND r.s_val = m.s_val
+    WHERE m.p_val = '{TM.P_MENTIONS}' AND r.p_val = '{TM.P_ROLE}'""",
+)
+
+
 def _q_thrift_roundtrip(spark, sf):
     """RDF-Thrift (RDF Binary) round-trip (``riot/thrift/``,
     ``RDFLanguages.java:122``): serialize the role + turnIndex subgraph
@@ -2514,7 +2552,7 @@ _PRIORITY = [
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
-    "kg_sparql_subselect", "kg_sparql_update",
+    "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint + touched dedup)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",

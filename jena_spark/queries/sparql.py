@@ -28,6 +28,9 @@ Supported profile (errors loudly outside it):
   SPARQL mixed-term total order via ``order_by_terms``) / LIMIT /
   OFFSET; aggregates COUNT(*)/COUNT/SUM/AVG/MIN/MAX/SAMPLE/
   GROUP_CONCAT(;SEPARATOR=...)
+* dataset clauses ``FROM <g>`` / ``FROM NAMED <g>`` over a quad frame
+  (ARQ ``DynamicDatasets``): default graph = union of the FROM graphs,
+  named graphs restricted to the FROM NAMED set
 * ``GRAPH <iri> {...}`` / ``GRAPH ?g {...}`` — when the input frame
   is a QUAD frame (has a ``graph`` column); patterns outside GRAPH
   blocks then match the default graph (null graph column), the SPARQL
@@ -142,6 +145,8 @@ class ParsedQuery:
     limit: int | None = None
     offset: int = 0
     values: tuple | None = None     # trailing VALUES
+    from_graphs: list | None = None  # FROM <g> dataset clause IRIs
+    from_named: list | None = None   # FROM NAMED <g> IRIs
 
 
 _KEYWORDS = {
@@ -149,7 +154,7 @@ _KEYWORDS = {
     "distinct", "reduced", "optional", "minus", "union", "filter", "bind",
     "values", "group", "having", "order", "by", "asc", "desc", "limit",
     "offset", "as", "a", "in", "not", "exists", "true", "false", "undef",
-    "separator",
+    "separator", "from", "named",
 }
 
 
@@ -288,12 +293,30 @@ class Parser:
             else:
                 return
 
+    def _dataset_clauses(self, q: ParsedQuery) -> None:
+        """DatasetClause* — ``FROM <g>`` / ``FROM NAMED <g>`` (SPARQL
+        13.2 dataset specification; ARQ ``DatasetDescription.java`` +
+        ``DynamicDatasets.java`` build the same description and rewrite
+        the dataset before execution, which is what the compiler does
+        with the quad frame)."""
+        while self.kw("from"):
+            named = self.kw("named")
+            t = self.term()
+            if isinstance(t, Var) or t[0] != "iri":
+                raise ValueError("SPARQL: FROM needs an IRI")
+            if named:
+                q.from_named = (q.from_named or []) + [t[1]]
+            else:
+                q.from_graphs = (q.from_graphs or []) + [t[1]]
+
     def parse(self) -> ParsedQuery:
         self.prologue()
         if self.kw("select"):
             q = self._select()
         elif self.kw("ask"):
-            q = ParsedQuery(form="ask", where=self.group_graph_pattern(optional_where=True))
+            q = ParsedQuery(form="ask")
+            self._dataset_clauses(q)
+            q.where = self.group_graph_pattern(optional_where=True)
         elif self.kw("construct"):
             q = self._construct()
         elif self.kw("describe"):
@@ -332,6 +355,7 @@ class Parser:
             if not proj:
                 raise ValueError("SPARQL: empty SELECT projection")
             q.projection = proj
+        self._dataset_clauses(q)
         q.where = self.group_graph_pattern(optional_where=True)
         self._modifiers(q)
         return q
@@ -341,6 +365,7 @@ class Parser:
         self.expect_op("{")
         q.templates = self._triples_block(stop="}")
         self.expect_op("}")
+        self._dataset_clauses(q)
         q.where = self.group_graph_pattern(optional_where=True)
         self._modifiers(q)
         return q
@@ -353,6 +378,7 @@ class Parser:
         if not terms:
             raise ValueError("SPARQL: DESCRIBE needs a term")
         q.describe_terms = terms
+        self._dataset_clauses(q)
         if self.peek().kind != "EOF" and (
             self.peek().val == "{" or self.peek().val.lower() == "where"
         ):
@@ -1286,6 +1312,37 @@ def _has_aggregate(e) -> bool:
     return any(_has_aggregate(x) for x in e if isinstance(x, (tuple, list)))
 
 
+def _dynamic_dataset(df: DataFrame, q: ParsedQuery) -> DataFrame:
+    """Rewrite the quad frame per the query's dataset clauses
+    (``DynamicDatasets.dynamicDataset``): with any FROM/FROM NAMED
+    present the dataset is EXACTLY as described — the default graph is
+    the union of the FROM graphs (``GraphUnionRead`` dedups, hence the
+    distinct), the named graphs are exactly the FROM NAMED set. A
+    clause family that is absent yields that side empty (SPARQL 13.2).
+
+    Pure narrow filter + union — partition-preserving, no shuffle
+    beyond the default-graph distinct (which only runs over the
+    selected graphs, not the whole store)."""
+    if not (q.from_graphs or q.from_named):
+        return df
+    if "graph" not in df.columns:
+        raise ValueError("SPARQL: FROM/FROM NAMED need a quad frame "
+                         "(input has no graph column)")
+    cols = df.columns
+    tcols = [c for c in cols if c != "graph"]
+    if q.from_graphs:
+        default = (
+            df.where(F.col("graph").isin(q.from_graphs))
+            .select(tcols).distinct()
+            .withColumn("graph", F.lit(None).cast("string"))
+        )
+    else:
+        default = df.limit(0)
+    named = (df.where(F.col("graph").isin(q.from_named) & F.col("graph").isNotNull())
+             if q.from_named else df.limit(0))
+    return default.select(cols).unionByName(named.select(cols))
+
+
 def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame:
     """Execute a SPARQL string over the triple table.
 
@@ -1298,6 +1355,7 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
 
     p = Parser(query)
     q = p.parse()
+    triples = _dynamic_dataset(triples, q)
     c = _Compiler(triples, p)
 
     if q.form == "ask":

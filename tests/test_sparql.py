@@ -307,3 +307,69 @@ def test_describe_var(people):
     assert (EX + "bob", EX + "name", "bob") in got
     assert (EX + "alice", EX + "knows", EX + "bob") in got
     assert len(got) == 5
+
+
+def test_from_and_from_named(spark, people):
+    """FROM / FROM NAMED dataset clauses (SPARQL 13.2; ARQ
+    DynamicDatasets): FROM graphs union into the default graph (with
+    dedup — GraphUnionRead semantics), FROM NAMED restricts GRAPH
+    matching, and each family absent leaves that side empty."""
+    from pyspark.sql import functions as F
+
+    quads = people.withColumn(
+        "graph",
+        F.when(F.col("p_val") == EX + "knows", F.lit(EX + "social"))
+        .when(F.col("p_val") == EX + "city", F.lit(EX + "geo"))
+        .when(F.col("p_val") == EX + "age", F.lit(EX + "demo")),
+    )
+
+    # FROM only: default graph = union of the listed graphs; GRAPH has
+    # no named graphs to match
+    out = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?p FROM ex:social FROM ex:geo WHERE {{ ?x ?p ?o }}""")
+    assert rows(out, "p") == {(EX + "knows",), (EX + "city",)}
+    empty = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?g FROM ex:social WHERE {{ GRAPH ?g {{ ?s ?p ?o }} }}""")
+    assert empty.count() == 0
+
+    # FROM NAMED only: default graph empty, GRAPH sees only the listed
+    # graph
+    out2 = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?g ?p FROM NAMED ex:geo WHERE {{ GRAPH ?g {{ ?x ?p ?o }} }}""")
+    assert rows(out2, "g", "p") == {(EX + "geo", EX + "city")}
+    empty2 = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?p FROM NAMED ex:geo WHERE {{ ?x ?p ?o }}""")
+    assert empty2.count() == 0
+
+    # both: join across the described default graph and named graphs
+    out3 = sparql_query(quads, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?y ?g FROM ex:social FROM NAMED ex:geo WHERE {{
+          ?x ex:knows ?y .
+          GRAPH ?g {{ ?x ex:city ?c }}
+        }}""")
+    # dave has no city, so his knows-edge to alice drops out
+    assert rows(out3, "y", "g") == {
+        (EX + "bob", EX + "geo"), (EX + "carol", EX + "geo"),
+    }
+
+    # FROM dedups across graphs (union, not bag-concat): same triple
+    # asserted in two FROM graphs appears once
+    dup = quads.unionByName(
+        quads.where(F.col("p_val") == EX + "knows")
+        .withColumn("graph", F.lit(EX + "social2"))
+    )
+    out4 = sparql_query(dup, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x ?y FROM ex:social FROM ex:social2
+        WHERE {{ ?x ex:knows ?y }}""")
+    assert out4.count() == 4
+
+    # plain triple frame: loud error
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quad frame"):
+        sparql_query(people, "SELECT ?s FROM <http://e/g> WHERE { ?s ?p ?o }")
