@@ -320,10 +320,23 @@ def update_sparql(quads: DataFrame, text: str) -> DataFrame:
 
     parser = UpdateParser(text)
     ops = parser.parse_update()
+    first = True
     for op in ops:
         kind = op["op"]
         if kind == "noop":
             continue
+        # Cut the plan at every version boundary after the first op,
+        # and before any op that consumes the store more than once
+        # (modify/delete_where read it for bindings AND anti-join it).
+        # Spark replays a shared subtree once per consumer (no common
+        # subplan reuse — CLAUDE.md), so an uncut three-op chain
+        # re-executes version k's whole plan O(consumers^(n-k)) times.
+        # localCheckpoint(eager=False) materializes each version once,
+        # on first use. (At deployment scale the version boundary is
+        # an Iceberg snapshot commit instead — module note.)
+        if not first or kind in ("modify", "delete_where"):
+            store = store.localCheckpoint(eager=False)
+        first = False
         if kind == "insert_data":
             store = _insert_quads(store, _const_quads(spark, op["quads"], None))
         elif kind == "delete_data":
