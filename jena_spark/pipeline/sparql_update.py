@@ -25,9 +25,12 @@ Supported profile:
   path (``file://`` prefix stripped), parsed via the RDFLanguages
   dispatch
 * ``ADD/COPY/MOVE (GRAPH? g | DEFAULT) TO (GRAPH? g | DEFAULT)``
+* ``USING <g>`` / ``USING NAMED <g>`` dataset clauses on
+  DELETE/INSERT WHERE (scope the WHERE evaluation only, mutually
+  exclusive with WITH — SPARQL 1.1 Update 3.1.3)
 * multiple operations separated by ``;`` run in sequence
-* NOT supported: ``USING (NAMED)`` dataset clauses, ``SILENT``
-  with remote IRIs (LOAD of a missing path raises).
+* NOT supported: ``SILENT`` with remote IRIs (LOAD of a missing
+  path raises).
 """
 
 from __future__ import annotations
@@ -36,7 +39,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jena_spark.pipeline import update as U
-from jena_spark.queries.sparql import Group, Parser, PathExpr, QTPat, Var, _Compiler
+from jena_spark.queries.sparql import (
+    Group, Parser, PathExpr, QTPat, Var, _Compiler, dataset_view,
+)
 from jena_spark.terms import TERM_COLS
 
 QUAD_COLS = U.QUAD_COLS
@@ -165,13 +170,24 @@ class UpdateParser(Parser):
             insert_tmpl = self._quad_data(allow_vars=True)
             if self.kw("delete"):  # nonstandard order; accept
                 delete_tmpl = self._quad_data(allow_vars=True)
-        if self.kw("using"):
-            raise ValueError("SPARQL update: USING dataset clauses "
-                             "are out of profile")
+        using_graphs: list[str] = []
+        using_named: list[str] = []
+        while self.kw("using"):
+            named = self.kw("named")
+            t = self.term()
+            if isinstance(t, Var) or t[0] != "iri":
+                raise ValueError("SPARQL update: USING needs an IRI")
+            (using_named if named else using_graphs).append(t[1])
+        if with_graph and (using_graphs or using_named):
+            # SPARQL 1.1 Update 3.1.3: a request with both WITH and
+            # USING is an error (UpdateModify.java visit guards)
+            raise ValueError("SPARQL update: WITH and USING are "
+                             "mutually exclusive")
         self.expect_kw("where")
         where = self.group_graph_pattern()
         return {"op": "modify", "delete": delete_tmpl, "insert": insert_tmpl,
-                "where": where, "with": with_graph}
+                "where": where, "with": with_graph,
+                "using": using_graphs, "using_named": using_named}
 
 
 # --- execution --------------------------------------------------------------
@@ -348,7 +364,12 @@ def update_sparql(quads: DataFrame, text: str) -> DataFrame:
             store = _delete_quads(store, _instantiate(bindings, templates, None))
         elif kind == "modify":
             ctx = ("iri", op["with"], None, None) if op["with"] else None
-            comp = _Compiler(store, parser)
+            # USING/USING NAMED scope the WHERE's dataset only (the
+            # templates still target the full store); mutually
+            # exclusive with WITH, enforced at parse time
+            scope = dataset_view(
+                store, op.get("using"), op.get("using_named"))
+            comp = _Compiler(scope, parser)
             bindings = comp.compile_group(
                 op["where"],
                 graph_ctx=ctx,

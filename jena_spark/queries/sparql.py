@@ -1312,34 +1312,36 @@ def _has_aggregate(e) -> bool:
     return any(_has_aggregate(x) for x in e if isinstance(x, (tuple, list)))
 
 
-def _dynamic_dataset(df: DataFrame, q: ParsedQuery) -> DataFrame:
-    """Rewrite the quad frame per the query's dataset clauses
-    (``DynamicDatasets.dynamicDataset``): with any FROM/FROM NAMED
-    present the dataset is EXACTLY as described — the default graph is
-    the union of the FROM graphs (``GraphUnionRead`` dedups, hence the
+def dataset_view(df: DataFrame, from_graphs: list | None,
+                 from_named: list | None) -> DataFrame:
+    """Rewrite a quad frame per dataset clauses
+    (``DynamicDatasets.dynamicDataset``; shared by query FROM/FROM
+    NAMED and update USING/USING NAMED): with any clause present the
+    dataset is EXACTLY as described — the default graph is the union
+    of the FROM graphs (``GraphUnionRead`` dedups, hence the
     distinct), the named graphs are exactly the FROM NAMED set. A
     clause family that is absent yields that side empty (SPARQL 13.2).
 
     Pure narrow filter + union — partition-preserving, no shuffle
     beyond the default-graph distinct (which only runs over the
     selected graphs, not the whole store)."""
-    if not (q.from_graphs or q.from_named):
+    if not (from_graphs or from_named):
         return df
     if "graph" not in df.columns:
         raise ValueError("SPARQL: FROM/FROM NAMED need a quad frame "
                          "(input has no graph column)")
     cols = df.columns
     tcols = [c for c in cols if c != "graph"]
-    if q.from_graphs:
+    if from_graphs:
         default = (
-            df.where(F.col("graph").isin(q.from_graphs))
+            df.where(F.col("graph").isin(list(from_graphs)))
             .select(tcols).distinct()
             .withColumn("graph", F.lit(None).cast("string"))
         )
     else:
         default = df.limit(0)
-    named = (df.where(F.col("graph").isin(q.from_named) & F.col("graph").isNotNull())
-             if q.from_named else df.limit(0))
+    named = (df.where(F.col("graph").isin(list(from_named)) & F.col("graph").isNotNull())
+             if from_named else df.limit(0))
     return default.select(cols).unionByName(named.select(cols))
 
 
@@ -1355,7 +1357,7 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
 
     p = Parser(query)
     q = p.parse()
-    triples = _dynamic_dataset(triples, q)
+    triples = dataset_view(triples, q.from_graphs, q.from_named)
     c = _Compiler(triples, p)
 
     if q.form == "ask":

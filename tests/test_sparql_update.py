@@ -146,10 +146,12 @@ def test_load_into_graph(spark, store, tmp_path):
 
 
 def test_out_of_profile(store):
-    with pytest.raises(ValueError, match="USING"):
+    with pytest.raises(ValueError, match="USING needs an IRI"):
         update_sparql(store, f"""
-            DELETE {{ ?s <{EX}p> ?o }} USING <{EX}g1>
+            DELETE {{ ?s <{EX}p> ?o }} USING ?g
             WHERE {{ ?s <{EX}p> ?o }}""")
+    with pytest.raises(ValueError, match="unknown operation"):
+        update_sparql(store, "FROBNICATE ALL")
 
 
 def test_insert_data_ground_quoted_triple(store):
@@ -195,3 +197,43 @@ def test_star_delete_where_quoted_pattern(store):
     assert not any(r[0] == "triple" for r in quads(out))
     assert ("triple", qt, EX + "saidBy", "iri", EX + "alice",
             None, None, None) in quads(seeded)
+
+
+def test_using_dataset_clauses(store):
+    """USING / USING NAMED scope the WHERE evaluation only (SPARQL 1.1
+    Update 3.1.3; ARQ UpdateModify usingDataset): templates still hit
+    the full store, and WITH+USING together is a request error."""
+    # USING <g1>: WHERE's default graph = g1's triples only, so the
+    # default-graph p-triples (a,b) do NOT match; the rewrite fires
+    # for g1s alone, and the INSERT lands in the default graph
+    out = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:p ?o }} INSERT {{ ?s ex:seen ?o }}
+        USING ex:g1 WHERE {{ ?s ex:p ?o }}""")
+    got = quads(out)
+    # g1's quad is untouched (DELETE template is default-graph scoped)
+    assert ("iri", EX + "g1s", EX + "p", "literal", "g1", None, None,
+            EX + "g1") in got
+    assert ("iri", EX + "g1s", EX + "seen", "literal", "g1", None, None,
+            None) in got
+    # default-graph p-triples survive: WHERE never saw them
+    assert ("iri", EX + "a", EX + "p", "literal", "1", TM.XSD_INTEGER,
+            None, None) in got
+    assert not any(q[2] == EX + "seen" and q[1] != EX + "g1s" for q in got)
+
+    # USING NAMED ex:g1: GRAPH ?g matches only g1; delete inside it
+    out2 = update_sparql(store, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ GRAPH ?g {{ ?s ex:p ?o }} }}
+        USING NAMED ex:g1
+        WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }}""")
+    got2 = quads(out2)
+    assert not any(q[7] == EX + "g1" for q in got2)
+    assert ("iri", EX + "a", EX + "p", "literal", "1", TM.XSD_INTEGER,
+            None, None) in got2
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        update_sparql(store, f"""
+            PREFIX ex: <{EX}>
+            WITH ex:g1 DELETE {{ ?s ?p ?o }} USING ex:g1
+            WHERE {{ ?s ?p ?o }}""")
