@@ -2292,6 +2292,39 @@ _register(
 )
 
 
+def _q_results_roundtrip(spark, sf):
+    """Result-set reader family (``ResultSetFactory.load`` /
+    ``resultset/{TSVInput,JSONInput}.java``): run a SELECT, write the
+    result set as W3C results-TSV with the distributed sink, read it
+    back with the distributed reader (term-typed, lossless), and
+    return the flat lexical values. The oracle is the SELECT itself —
+    equality IS the round-trip."""
+    from jena_spark.queries.algebra import flatten
+    from jena_spark.sources.resultsets import read_tsv, write_tsv
+
+    t = _triples(spark, sf)
+    sel = (
+        t.where(F.col("p_val") == TM.P_MENTIONS)
+        .select(
+            F.struct(F.col("s_kind").alias("kind"), F.col("s_val").alias("val"),
+                     F.lit("").alias("datatype"), F.lit("").alias("lang")).alias("turn"),
+            F.struct(F.col("o_kind").alias("kind"), F.col("o_val").alias("val"),
+                     F.lit("").alias("datatype"), F.lit("").alias("lang")).alias("ent"),
+        )
+    )
+    path = _scratch_dir("rs-tsv", sf)
+    write_tsv(sel, path)
+    return flatten(read_tsv(spark, path), ["turn", "ent"])
+
+
+_register(
+    "kg_results_roundtrip",
+    _q_results_roundtrip,
+    _W + f"""SELECT s_val AS turn, o_val AS ent FROM triples
+    WHERE p_val = '{TM.P_MENTIONS}'""",
+)
+
+
 def _q_thrift_roundtrip(spark, sf):
     """RDF-Thrift (RDF Binary) round-trip (``riot/thrift/``,
     ``RDFLanguages.java:122``): serialize the role + turnIndex subgraph
@@ -2553,6 +2586,7 @@ _PRIORITY = [
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
+    "kg_results_roundtrip",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint + touched dedup)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",

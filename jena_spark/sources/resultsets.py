@@ -61,9 +61,12 @@ def to_xml_rows(results: DataFrame) -> DataFrame:
         else:
             term = F.concat(F.lit("<literal>"), esc(F.col(name).cast("string")),
                             F.lit("</literal>"))
-        parts.append(
-            F.concat(F.lit(f'    <binding name="{name}">'), term, F.lit("</binding>\n"))
-        )
+        binding = F.concat(
+            F.lit(f'    <binding name="{name}">'), term, F.lit("</binding>\n"))
+        # unbound variable (null struct / null value): omit the binding
+        # element entirely (XMLOutput does; a null would null the concat)
+        parts.append(F.coalesce(
+            F.when(F.col(name).isNotNull(), binding), F.lit("")))
     parts.append(F.lit("  </result>"))
     return results.select(F.concat(*parts).alias("xml"))
 
@@ -161,11 +164,237 @@ def write_tsv(results: DataFrame, path: str) -> None:
                 .when(c.getField("kind") == "bnode", c.getField("val"))
                 .otherwise(lit)
             )
-            cols.append(term.alias(name))
+            cols.append(term.alias("?" + name))
         else:
-            cols.append(_nt_escape(F.col(name)).alias(name))
+            cols.append(_nt_escape(F.col(name)).alias("?" + name))
     # disable the CSV writer's own quoting: terms are already quoted
-    # SPARQL-TSV style and tab/newline are escaped above
+    # SPARQL-TSV style and tab/newline are escaped above. Header vars
+    # carry the W3C results-TSV "?" prefix (TSVOutput.java does).
     results.select(*cols).write.mode("overwrite").option("sep", "\t").option(
         "header", True
     ).option("quote", "").csv(path)
+
+
+# --- readers (ResultSetFactory.load analog) ---------------------------------
+#
+# Reference: ``jena-arq/.../sparql/resultset/ResultSetFactory.java`` +
+# ``resultset/{TSVInput,CSVInput,JSONInput,XMLInput}.java``. Wide
+# formats (TSV/CSV) come back as one column per variable; document
+# formats (SPARQL-results+json / XML) come back as a LONG bindings
+# frame (fixed schema — fully distributed however many variables the
+# document has) widened on demand by :func:`bindings_wide`.
+
+BINDINGS_LONG_SCHEMA = (
+    "row_key string, var string, kind string, val string, "
+    "datatype string, lang string"
+)
+
+
+def _term_struct_cols(kind, val, datatype, lang):
+    return F.struct(
+        kind.alias("kind"), val.alias("val"),
+        F.coalesce(datatype, F.lit("")).alias("datatype"),
+        F.coalesce(lang, F.lit("")).alias("lang"),
+    )
+
+
+def read_tsv(spark, path: str) -> DataFrame:
+    """``TSVInput.java`` parity: header names the variables (leading
+    ``?`` stripped), each cell an N-Triples-style term — decoded with
+    the same JVM-side term machinery as the N-Triples reader; SPARQL
+    numeric shorthand (bare ``30`` / ``2.5`` / ``1e3`` cells, which
+    TSVInput also accepts) becomes a typed literal; empty cells are
+    unbound (null struct)."""
+    from jena_spark.sources.ntriples import _decode_term
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    df = (
+        spark.read.option("sep", "\t").option("header", True)
+        .option("quote", "").csv(path)
+    )
+    cols = []
+    for name in df.columns:
+        raw = df[name]
+        kind, val, dt, lang = _decode_term(raw)
+        bare_num = raw.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+        num_dt = (
+            F.when(raw.rlike("[eE]"), F.lit(XSD + "double"))
+            .when(raw.rlike(r"\."), F.lit(XSD + "decimal"))
+            .otherwise(F.lit(XSD + "integer"))
+        )
+        term = _term_struct_cols(
+            F.when(bare_num, F.lit("literal")).otherwise(kind),
+            F.when(bare_num, raw).otherwise(val),
+            F.when(bare_num, num_dt).otherwise(dt),
+            F.when(bare_num, F.lit(None).cast("string")).otherwise(lang),
+        )
+        cols.append(
+            F.when(raw.isNotNull() & (raw != ""), term).alias(name.lstrip("?"))
+        )
+    return df.select(*cols)
+
+
+def read_csv_results(spark, path: str) -> DataFrame:
+    """``CSVInput.java`` parity: the CSV results format is lossy by
+    design (plain lexical values, no term typing) — comes back as one
+    plain string column per variable."""
+    return spark.read.option("header", True).csv(path)
+
+
+def _srj_binding_json(results: DataFrame):
+    """Per-row W3C SPARQL-results+json binding object, rendered
+    JVM-side (``to_json`` drops null fields, which is exactly the
+    omit-unbound-variables rule)."""
+    fields = []
+    for name, dtype in results.dtypes:
+        if dtype.startswith("struct"):
+            c = F.col(name)
+            kind = c.getField("kind")
+            lang = F.nullif(c.getField("lang"), F.lit(""))
+            dt = F.nullif(c.getField("datatype"), F.lit(""))
+            typ = (
+                F.when(kind == "iri", "uri")
+                .when(kind == "bnode", "bnode")
+                .when(kind == "triple", "triple")
+                .otherwise("literal")
+            )
+            value = F.when(
+                kind == "bnode", F.regexp_replace(c.getField("val"), "^_:", "")
+            ).otherwise(c.getField("val"))
+            term = F.when(c.isNotNull(), F.struct(
+                typ.alias("type"), value.alias("value"),
+                lang.alias("xml:lang"), dt.alias("datatype"),
+            ))
+        else:
+            term = F.struct(
+                F.lit("literal").alias("type"),
+                F.col(name).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("xml:lang"),
+                F.lit(None).cast("string").alias("datatype"),
+            )
+        fields.append(term.alias(name))
+    return results.select(
+        F.to_json(F.struct(*fields), {"ignoreNullFields": "true"}).alias("json")
+    )
+
+
+def write_srj(results: DataFrame, path: str) -> None:
+    """W3C SPARQL-results+json document (``JSONOutput.java`` — Jena's
+    primary result format). One document; the envelope is O(#vars)
+    driver-side, binding objects render distributed and stream out via
+    ``toLocalIterator`` (same posture as :func:`write_xml`)."""
+    import os
+
+    names = [n for n, _ in results.dtypes]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import json as _json
+
+    with open(path, "w") as f:
+        f.write('{ "head": { "vars": %s },\n  "results": { "bindings": [\n'
+                % _json.dumps(names))
+        first = True
+        for r in _srj_binding_json(results).toLocalIterator():
+            if not first:
+                f.write(",\n")
+            f.write("    " + r["json"])
+            first = False
+        f.write("\n  ] } }\n")
+
+
+def read_srj(spark, path: str) -> DataFrame:
+    """``JSONInput.java`` parity: parse SPARQL-results+json documents
+    (one per file, ``wholetext`` + ``mapInPandas`` — the per-document
+    distribution every document reader here uses) into the LONG
+    bindings frame. ``row_key`` = md5(document) + row index, so rows
+    from different documents never collide; widen with
+    :func:`bindings_wide`."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def gen(it):
+        import hashlib
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc in pdf["value"]:
+                if not doc.strip():
+                    continue
+                d = _json.loads(doc)
+                key = hashlib.md5(doc.encode()).hexdigest()[:16]
+                for i, b in enumerate(d["results"]["bindings"]):
+                    for v, t in b.items():
+                        kind = {"uri": "iri", "bnode": "bnode",
+                                "triple": "triple"}.get(t["type"], "literal")
+                        val = t["value"]
+                        if kind == "bnode" and not val.startswith("_:"):
+                            val = "_:" + val
+                        rows.append((f"{key}:{i}", v, kind, val,
+                                     t.get("datatype"), t.get("xml:lang")))
+            yield pd.DataFrame(
+                rows, columns=["row_key", "var", "kind", "val",
+                               "datatype", "lang"])
+
+    return raw.mapInPandas(gen, BINDINGS_LONG_SCHEMA)
+
+
+def read_xml_results(spark, path: str) -> DataFrame:
+    """``XMLInput.java`` parity: parse SPARQL XML Results documents
+    (the :func:`write_xml` output) into the LONG bindings frame, one
+    document per file, distributed."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def gen(it):
+        import hashlib
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        NS = "{http://www.w3.org/2005/sparql-results#}"
+        for pdf in it:
+            rows = []
+            for doc in pdf["value"]:
+                if not doc.strip():
+                    continue
+                root = ET.fromstring(doc)
+                key = hashlib.md5(doc.encode()).hexdigest()[:16]
+                results_el = root.find(NS + "results")
+                for i, res in enumerate(results_el.findall(NS + "result")):
+                    for b in res.findall(NS + "binding"):
+                        v = b.get("name")
+                        el = list(b)[0]
+                        tag = el.tag.rsplit("}", 1)[-1]
+                        if tag == "uri":
+                            rows.append((f"{key}:{i}", v, "iri",
+                                         el.text or "", None, None))
+                        elif tag == "bnode":
+                            rows.append((f"{key}:{i}", v, "bnode",
+                                         "_:" + (el.text or ""), None, None))
+                        else:
+                            lang = el.get(
+                                "{http://www.w3.org/XML/1998/namespace}lang")
+                            rows.append((f"{key}:{i}", v, "literal",
+                                         el.text or "", el.get("datatype"),
+                                         lang))
+            yield pd.DataFrame(
+                rows, columns=["row_key", "var", "kind", "val",
+                               "datatype", "lang"])
+
+    import pandas as pd  # noqa: F401  (import check at def time)
+
+    return raw.mapInPandas(gen, BINDINGS_LONG_SCHEMA)
+
+
+def bindings_wide(long_df: DataFrame) -> DataFrame:
+    """LONG bindings frame -> one term-struct column per variable.
+    The variable list is O(#vars) on the driver (a result set's head,
+    never data-sized); the widen itself is one hash aggregation."""
+    names = sorted(r["var"] for r in long_df.select("var").distinct().collect())
+    term = _term_struct_cols(
+        F.col("kind"), F.col("val"), F.col("datatype"), F.col("lang"))
+    aggs = [
+        F.first(F.when(F.col("var") == v, term), ignorenulls=True).alias(v)
+        for v in names
+    ]
+    return long_df.groupBy("row_key").agg(*aggs).drop("row_key")

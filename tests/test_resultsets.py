@@ -34,7 +34,7 @@ def test_csv_json_tsv_roundtrip(spark, tmp_path):
     tsv_rows = set()
     for f in Path(p_tsv).glob("part-*.csv"):
         for ln in open(f):
-            if ln.startswith("x\t"):
+            if ln.startswith("?x\t"):
                 continue
             tsv_rows.add(tuple(ln.rstrip("\n").split("\t")))
     assert tsv_rows == {
@@ -67,7 +67,7 @@ def test_tsv_escapes_and_types(spark, tmp_path):
     for f in glob.glob(out + "/part-*"):
         with open(f) as fh:
             lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
-    body = {ln for ln in lines if ln != "x"}
+    body = {ln for ln in lines if ln != "?x"}
     assert '"has\\ttab and \\"quote\\" \\\\ and\\nnewline"' in body
     assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in body
     assert '"chat"@en' in body
@@ -113,7 +113,11 @@ def test_xml_distributed_matches_streamed(spark, tmp_path):
     from jena_spark.queries import algebra as A
     from jena_spark.sources import resultsets as RS
 
-    assert ".collect()" not in inspect.getsource(RS)
+    # no sink materializes rows on the driver (the only collect in the
+    # module is bindings_wide's O(#vars) head-list, data-independent)
+    for fn in (RS.write_csv, RS.write_json, RS.write_tsv, RS.write_xml,
+               RS.write_xml_distributed, RS.write_srj, RS.to_xml_rows):
+        assert ".collect()" not in inspect.getsource(fn)
 
     vals = A.values(
         spark, ["x"],
@@ -142,3 +146,108 @@ def test_xml_distributed_matches_streamed(spark, tmp_path):
             for r in ET.fromstring(d).find(f"{ns}results")
         )
     assert results_of(doc) == results_of(one)
+
+
+def test_tsv_reader_roundtrip(spark, tmp_path):
+    """read_tsv (TSVInput parity): write_tsv -> read_tsv is lossless on
+    term structs (kind/val/datatype/lang), bare numeric cells become
+    typed literals, empty cells unbound."""
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources.resultsets import read_tsv, write_tsv
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    vals = A.values(
+        spark, ["x", "y"],
+        [[("iri", "http://e/a"), ("literal", "tab\there", None, None)],
+         [("bnode", "_:b0"), ("literal", "42", XSD + "integer")],
+         [("literal", "chat", None, "fr"), None]],
+    )
+    out = str(tmp_path / "t")
+    write_tsv(vals, out)
+    back = read_tsv(spark, out)
+    orig = {tuple((tuple(r[n]) if r[n] is not None else None) for n in ("x", "y"))
+            for r in vals.collect()}
+    got = {tuple((tuple(r[n]) if r[n] is not None else None) for n in ("x", "y"))
+           for r in back.collect()}
+    assert got == orig
+
+    # bare-numeric interop (hand-written TSV, as TSVInput accepts)
+    p = tmp_path / "bare" ; p.mkdir()
+    (p / "part-0.csv").write_text("?n\n30\n2.5\n1e3\n")
+    rows = {tuple(r["n"]) for r in read_tsv(spark, str(p)).collect()}
+    assert rows == {("literal", "30", XSD + "integer", ""),
+                    ("literal", "2.5", XSD + "decimal", ""),
+                    ("literal", "1e3", XSD + "double", "")}
+
+
+def test_srj_roundtrip(spark, tmp_path):
+    """write_srj -> read_srj -> bindings_wide is lossless; the document
+    is valid W3C SPARQL-results+json (head.vars + results.bindings,
+    unbound variables omitted per spec)."""
+    import json
+
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources.resultsets import (
+        bindings_wide, read_srj, write_srj,
+    )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    vals = A.values(
+        spark, ["x", "y"],
+        [[("iri", "http://e/a"), ("literal", "5", XSD + "integer")],
+         [("bnode", "_:b0"), ("literal", "bonjour", None, "fr")],
+         [("literal", "plain"), None]],
+    )
+    path = str(tmp_path / "out.srj")
+    write_srj(vals, path)
+    doc = json.load(open(path))
+    assert doc["head"]["vars"] == ["x", "y"]
+    assert len(doc["results"]["bindings"]) == 3
+    kinds = {b["x"]["type"] for b in doc["results"]["bindings"]}
+    assert kinds == {"uri", "bnode", "literal"}
+    assert any("y" not in b for b in doc["results"]["bindings"])  # unbound omitted
+    assert any(b.get("y", {}).get("xml:lang") == "fr"
+               for b in doc["results"]["bindings"])
+
+    wide = bindings_wide(read_srj(spark, path))
+    orig = {tuple((tuple(r[n]) if r[n] is not None else None) for n in ("x", "y"))
+            for r in vals.collect()}
+    got = {tuple((tuple(r[n]) if r[n] is not None else None) for n in ("x", "y"))
+           for r in wide.collect()}
+    assert got == orig
+
+
+def test_xml_reader_roundtrip(spark, tmp_path):
+    """read_xml_results parses write_xml's document back to the same
+    bindings (long frame -> bindings_wide)."""
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources.resultsets import (
+        bindings_wide, read_xml_results, write_xml,
+    )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    vals = A.values(
+        spark, ["x", "y"],
+        [[("iri", "http://e/a?b=1&c=<2>"), ("literal", "5", XSD + "integer")],
+         [("bnode", "_:b0"), ("literal", "bonjour", None, "fr")]],
+    )
+    path = str(tmp_path / "out.xml")
+    write_xml(vals, path)
+    wide = bindings_wide(read_xml_results(spark, path))
+    orig = {tuple(tuple(r[n]) for n in ("x", "y")) for r in vals.collect()}
+    got = {tuple(tuple(r[n]) for n in ("x", "y")) for r in wide.collect()}
+    assert got == orig
+
+
+def test_csv_reader_lossy(spark, tmp_path):
+    """read_csv_results (CSVInput): plain lexical values, lossy by
+    design."""
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources.resultsets import read_csv_results, write_csv
+
+    vals = A.values(spark, ["x"], [[("iri", "http://e/a")], [("literal", "hi")]])
+    flat = A.flatten(vals, ["x"])
+    out = str(tmp_path / "c")
+    write_csv(flat, out)
+    back = read_csv_results(spark, out)
+    assert {r["x"] for r in back.collect()} == {"http://e/a", "hi"}
