@@ -116,8 +116,10 @@ def version(bindings: DataFrame, out_var: str) -> DataFrame:
 
 # --- registry (PropertyFunctionRegistry parity) -----------------------------
 # ``sparql/pfunction/PropertyFunctionRegistry.java:40`` maps property
-# IRIs to factories; same shape here — IRI -> callable. RDF-star
-# ``triple/*`` functions are a declared non-goal.
+# IRIs to factories; same shape here — IRI -> callable. The one
+# ``triple/*`` library member (``TripleTermFind``) registers at its
+# reference IRI ``http://arq/find`` with the graph-level signature
+# (it enumerates the graph, not a bindings column).
 
 APF = "http://jena.apache.org/ARQ/property#"
 LISTF = "http://jena.apache.org/ARQ/list#"
@@ -145,3 +147,36 @@ PROPERTY_FUNCTIONS = {
 def register(iri: str, fn) -> None:
     """PropertyFunctionRegistry.put analog."""
     PROPERTY_FUNCTIONS[iri] = fn
+
+
+def triple_term_find(triples: DataFrame, s_var: str, p_var: str,
+                     o_var: str, t_var: str) -> DataFrame:
+    """``<< ?s ?p ?o >> apf:find ?t`` (``pfunction/library/triple/
+    TripleTermFind.java``, registered at ``http://arq/find``): one
+    binding row per asserted triple of the graph — the component
+    variables bound to (s, p, o) and ``?t`` to the quoted-triple term
+    for that triple. The quoted lexical is built JVM-side
+    (:func:`jena_spark.queries.rdfstar.quoted_of_row`) — a narrow
+    projection of the scan, no shuffle."""
+    from jena_spark.queries.rdfstar import quoted_of_row
+
+    def var_struct(kind, val, datatype=None, lang=None):
+        return F.struct(
+            kind.alias("kind"), val.alias("val"),
+            (datatype if datatype is not None else F.lit("")).alias("datatype"),
+            (lang if lang is not None else F.lit("")).alias("lang"),
+        )
+
+    return triples.select(
+        var_struct(F.col("s_kind"), F.col("s_val")).alias(s_var),
+        var_struct(F.lit("iri"), F.col("p_val")).alias(p_var),
+        var_struct(F.col("o_kind"), F.col("o_val"),
+                   F.coalesce(F.col("o_datatype"), F.lit("")),
+                   F.coalesce(F.col("o_lang"), F.lit(""))).alias(o_var),
+        var_struct(F.lit("triple"), quoted_of_row()).alias(t_var),
+    )
+
+
+# TripleTermFind registers at its reference IRI (defined below the
+# registry literal, hence the post-assignment)
+PROPERTY_FUNCTIONS["http://arq/find"] = triple_term_find

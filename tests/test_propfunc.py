@@ -57,3 +57,32 @@ def test_registry(spark, b):
     assert fn(b, F.col("arr"), "n").collect()[0]["n"] == 3
     PF.register("http://ex/custom", lambda df, out: df.withColumn(out, F.lit(1)))
     assert PF.PROPERTY_FUNCTIONS["http://ex/custom"](b, "one").collect()[0]["one"] == 1
+
+
+def test_triple_term_find(spark):
+    """apf:find (pfunction/library/triple/TripleTermFind.java,
+    IRI http://arq/find): binds component vars + ?t as the
+    quoted-triple term for every asserted triple."""
+    from jena_spark import terms as TM
+    from jena_spark.queries.propfunc import (
+        PROPERTY_FUNCTIONS, triple_term_find,
+    )
+
+    assert PROPERTY_FUNCTIONS["http://arq/find"] is triple_term_find
+    rows = [
+        ("iri", "http://e/a", "http://e/p", "literal", "x", None, None),
+        ("bnode", "_:b", "http://e/q", "iri", "http://e/o", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string",
+    )
+    out = {(r["s"]["val"], r["t"]["kind"], r["t"]["val"])
+           for r in triple_term_find(df, "s", "p", "o", "t").collect()}
+    assert out == {
+        ("http://e/a", "triple",
+         TM.quote("iri", "http://e/a", "http://e/p", "literal", "x")),
+        ("_:b", "triple",
+         TM.quote("bnode", "_:b", "http://e/q", "iri", "http://e/o")),
+    }
