@@ -190,6 +190,10 @@ def rdfs_closure(triples: DataFrame) -> DataFrame:
     # against itself, then against base (null-safe: datatype/lang keys
     # are NULL on most derived rows). At scale this shuffles the
     # entailed fraction instead of the whole base∪derived table.
+    # (Measured negative result: coalescing this union before the dedup
+    # exchange to cut its 1472 tiny map tasks is SLOWER — the narrow
+    # merge serializes the branch scans inside fewer tasks and races
+    # the lazy checkpoint's block materialization. Keep the wide union.)
     derived_all = (
         inherited.unionByName(schema_derived)
         .unionByName(typed_new).unionByName(super_types)
