@@ -362,6 +362,27 @@ class Parser:
 
     def _construct(self) -> ParsedQuery:
         q = ParsedQuery(form="construct")
+        if self.peek().val != "{":
+            # CONSTRUCT WHERE { TriplesTemplate } shorthand (SPARQL 1.1
+            # 10.2.3; sparql_11.jj ConstructQuery second alternative):
+            # the template IS the pattern — triples only, no FILTER/
+            # OPTIONAL/paths (the triples-block parser enforces it)
+            self._dataset_clauses(q)
+            self.expect_kw("where")
+            self.expect_op("{")
+            q.templates = self._triples_block(stop="}")
+            self.expect_op("}")
+            for s, v, o in q.templates:
+                if isinstance(v, PathExpr):
+                    raise ValueError(
+                        "SPARQL: property paths not allowed in "
+                        "CONSTRUCT WHERE")
+            g = Group()
+            for tri in q.templates:
+                g.elements.append(("triple", tri))
+            q.where = g
+            self._modifiers(q)
+            return q
         self.expect_op("{")
         q.templates = self._triples_block(stop="}")
         self.expect_op("}")

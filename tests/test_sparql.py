@@ -373,3 +373,22 @@ def test_from_and_from_named(spark, people):
     import pytest as _pt
     with _pt.raises(ValueError, match="quad frame"):
         sparql_query(people, "SELECT ?s FROM <http://e/g> WHERE { ?s ?p ?o }")
+
+
+def test_construct_where_shorthand(spark, people):
+    """CONSTRUCT WHERE { ... } (SPARQL 1.1 10.2.3): the template is the
+    pattern; equivalent to the long form with both spelled out."""
+    short = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT WHERE {{ ?x ex:knows ?y }}""")
+    long_ = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?x ex:knows ?y }} WHERE {{ ?x ex:knows ?y }}""")
+    assert {tuple(r) for r in short.collect()} == {tuple(r) for r in long_.collect()}
+    assert short.count() == 4
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="CONSTRUCT WHERE"):
+        sparql_query(people, f"""
+            PREFIX ex: <{EX}>
+            CONSTRUCT WHERE {{ ?x ex:knows+ ?y }}""")
