@@ -204,21 +204,30 @@ def present_rep_dim(mentions: DataFrame, gazetteer: dict | None = None) -> DataF
     by the callers, so the job this triggers is the same extraction
     materialization the main pass needs anyway.
     """
-    from jena_spark.gazetteer import DEFAULT_GAZETTEER, validate_gazetteer
-
     spark = mentions.sparkSession
-    s2c = validate_gazetteer(gazetteer or DEFAULT_GAZETTEER)
     present = sorted(
         r["surface"] for r in mentions.select("surface").distinct().collect()
     )
+    rows = present_rep_rows(present, gazetteer)
+    return spark.createDataFrame(rows, "surface string, rep string")
+
+
+def present_rep_rows(present: list[str],
+                     gazetteer: dict | None = None) -> list[tuple[str, str]]:
+    """Pure-Python core of :func:`present_rep_dim`: (surface, rep)
+    pairs for a given present-surface list — shared by the batch path
+    and :func:`construct_incremental`'s re-election delta."""
+    from jena_spark.gazetteer import DEFAULT_GAZETTEER, validate_gazetteer
+
+    s2c = validate_gazetteer(gazetteer or DEFAULT_GAZETTEER)
+    present = sorted(present)
     edges = [
         (TM.entity_iri(s), TM.entity_iri(s2c[s]))
         for s in present
         if TM.entity_iri(s) != TM.entity_iri(s2c[s])
     ]
     comp = _unionfind(edges)
-    rows = [(s, comp.get(TM.entity_iri(s), TM.entity_iri(s))) for s in present]
-    return spark.createDataFrame(rows, "surface string, rep string")
+    return [(s, comp.get(TM.entity_iri(s), TM.entity_iri(s))) for s in present]
 
 
 def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -> DataFrame:
@@ -364,3 +373,137 @@ def construct_canonical(
         )
     )
     return structure.unionByName(edges).unionByName(labels)
+
+
+def construct_incremental(
+    existing: DataFrame, new_transcripts: DataFrame,
+    gazetteer: dict | None = None, mentions: DataFrame | None = None,
+) -> DataFrame:
+    """Fold a NEW batch of conversations into an existing canonical
+    triple table without reconstructing it — the operation a deployed
+    KG pipeline runs per arriving partition of a 10^12-turn corpus.
+
+    Contract: ``existing`` is a :func:`construct_canonical` output (or
+    this function's own output) and ``new_transcripts`` contains only
+    conv_ids not present in it (append-only batches; amending a
+    conversation is a DELETE + re-insert through the update ops).
+
+    Invariant (asserted by ``tests/test_incremental.py`` on fresh
+    seeds, including a forced re-election):
+
+        ``construct_incremental(construct_canonical(A), B)``
+        is row-identical to ``construct_canonical(A ∪ B)``.
+
+    Why this is sound — three structural facts:
+
+    1. *Components never merge.* A gazetteer component is a star
+       (``gazetteer.validate_gazetteer``): every present member links
+       to its hub, so all present members of a star are one component
+       regardless of WHICH members are present. New surfaces only add
+       nodes — so the only cross-batch effect is representative
+       re-election (the elected min can change), never a merge of two
+       existing components.
+    2. *The KG is self-describing.* Every present surface owns exactly
+       one ``(rep, rdfs:label, surface)`` row, so the prior batch's
+       present-surface set AND its surface→rep election are readable
+       from the label slice — no side state to carry between batches.
+       (That slice is gazetteer-bounded: O(|gazetteer|) rows via a
+       pushed ``p_val =`` filter, independent of corpus size.)
+    3. *Re-election rewrites are collision-free.* Old reps are unique
+       per component and the old→new map is per-component injective, so
+       rewriting the touched slice can never create a duplicate of an
+       untouched row (different components, different IRIs) nor of
+       another touched row (mention edges are unique per (turn,
+       component); labels per surface). No dedup shuffle at all.
+
+    Cost shape at scale: the common batch (no re-election) is a PURE
+    APPEND — the existing table is returned untouched and only the new
+    batch's narrow extraction runs. A re-election batch additionally
+    splits the existing table on a pushed ``isin(changed-reps)``
+    predicate (parquet row-group pruning applies; with the edge table
+    bucketed by object this touches only the affected buckets) and
+    broadcast-rewrites the touched fraction.
+    """
+    from jena_spark.pipeline.extract import (
+        _null_s,
+        extract_mentions,
+        turn_structure_triples,
+    )
+
+    spark = existing.sparkSession
+    out_cols = existing.columns
+
+    if mentions is None:
+        mentions = extract_mentions(new_transcripts, gazetteer).persist()
+    present_b = sorted(
+        r["surface"] for r in mentions.select("surface").distinct().collect()
+    )
+
+    # fact 2: recover the prior election from the label slice
+    label_rows = (
+        existing.where((F.col("p_val") == TM.RDFS_LABEL)
+                       & (F.col("o_kind") == "literal"))
+        .select("s_val", "o_val").collect()
+    )
+    old_rep = {r["o_val"]: r["s_val"] for r in label_rows}
+
+    present = sorted(set(old_rep) | set(present_b))
+    rep_rows = present_rep_rows(present, gazetteer)
+    new_rep = dict(rep_rows)
+
+    changed = sorted({(old_rep[s], new_rep[s]) for s in old_rep
+                      if old_rep[s] != new_rep[s]})
+    if changed:
+        old_list = [o for o, _ in changed]
+        remap = F.create_map(
+            *[F.lit(x) for pair in changed for x in pair])
+        s_hit = (F.col("s_kind") == "iri") & F.col("s_val").isin(old_list)
+        o_hit = (F.col("o_kind") == "iri") & F.col("o_val").isin(old_list)
+        untouched = existing.where(~(s_hit | o_hit))
+        rewritten = existing.where(s_hit | o_hit).select(
+            F.col("s_kind"),
+            F.when(s_hit, remap[F.col("s_val")])
+            .otherwise(F.col("s_val")).alias("s_val"),
+            F.col("p_val"), F.col("o_kind"),
+            F.when(o_hit, remap[F.col("o_val")])
+            .otherwise(F.col("o_val")).alias("o_val"),
+            *[F.col(c) for c in out_cols
+              if c not in ("s_kind", "s_val", "p_val", "o_kind", "o_val")],
+        )
+        kept = untouched.unionByName(rewritten.select(out_cols))
+    else:
+        kept = existing
+
+    structure = turn_structure_triples(new_transcripts)
+    rep_dim = spark.createDataFrame(rep_rows, "surface string, rep string")
+    canon_mentions = (
+        mentions.join(F.broadcast(rep_dim), "surface")
+        .select("conv_id", "turn_idx", "rep")
+        .distinct()
+    )
+    turn_bnode = TM.skolem_col(
+        F.col("conv_id"),
+        F.concat(F.lit("turn-"), F.col("turn_idx").cast("string")),
+    )
+    edges = canon_mentions.select(
+        F.lit("bnode").alias("s_kind"), turn_bnode.alias("s_val"),
+        F.lit(TM.P_MENTIONS).alias("p_val"),
+        F.lit("iri").alias("o_kind"), F.col("rep").alias("o_val"),
+        _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+        _null_s().alias("graph"), F.col("conv_id"),
+    )
+    new_surfaces = [(new_rep[s], s) for s in present_b if s not in old_rep]
+    labels = spark.createDataFrame(
+        new_surfaces or [], "rep string, surface string"
+    ).select(
+        F.lit("iri").alias("s_kind"), F.col("rep").alias("s_val"),
+        F.lit(TM.RDFS_LABEL).alias("p_val"),
+        F.lit("literal").alias("o_kind"), F.col("surface").alias("o_val"),
+        _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+        _null_s().alias("graph"), _null_s().alias("conv_id"),
+    )
+    return (
+        kept.unionByName(structure.select(out_cols))
+        .unionByName(edges.select(out_cols))
+        .unionByName(labels.select(out_cols))
+    )

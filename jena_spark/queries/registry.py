@@ -2292,6 +2292,33 @@ _register(
 )
 
 
+def _q_incremental(spark, sf):
+    """Incremental KG maintenance (the per-batch operation of a
+    deployed 10^12-turn pipeline): split the corpus into two
+    deterministic conv batches, build batch 1 with the fused
+    construction, fold batch 2 in with
+    :func:`jena_spark.pipeline.canonicalize.construct_incremental`
+    (label-slice election recovery + touched-only re-election rewrite +
+    append). The oracle is the FULL one-shot construction — equality is
+    the maintenance invariant."""
+    from jena_spark.pipeline.canonicalize import (
+        construct_canonical,
+        construct_incremental,
+    )
+
+    t = transcripts_df(spark, sf)
+    in_a = F.abs(F.xxhash64("conv_id")) % 2 == 0
+    canon_a = construct_canonical(t.where(in_a))
+    return construct_incremental(canon_a, t.where(~in_a)).select(*TM.TERM_COLS)
+
+
+_register(
+    "kg_incremental",
+    _q_incremental,
+    _W + "SELECT * FROM triples",
+)
+
+
 def _q_results_roundtrip(spark, sf):
     """Result-set reader family (``ResultSetFactory.load`` /
     ``resultset/{TSVInput,JSONInput}.java``): run a SELECT, write the
@@ -2586,7 +2613,7 @@ _PRIORITY = [
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
-    "kg_results_roundtrip",
+    "kg_results_roundtrip", "kg_incremental",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint + touched dedup)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
