@@ -431,7 +431,10 @@ def construct_incremental(
     )
 
     spark = existing.sparkSession
-    out_cols = existing.columns
+    # normalize to the canonical construction schema — storage-side
+    # columns (bucket, part_id lineage) are re-derived by the writer
+    out_cols = list(TM.TERM_COLS) + ["graph", "conv_id"]
+    existing = existing.select(out_cols)
 
     if mentions is None:
         mentions = extract_mentions(new_transcripts, gazetteer).persist()

@@ -46,6 +46,16 @@ def main() -> None:
                     help="encoded (default): TDB posture — id-tuple triple "
                          "table + node dictionary (term strings exist once); "
                          "strings: one denormalized string-triple table")
+    ap.add_argument("--append-from", default=None, metavar="PREV_OUT",
+                    help="incremental maintenance: read the canonical "
+                         "triple table of a PRIOR run (PREV_OUT/triples, "
+                         "strings format), fold --sf-dir's transcripts in "
+                         "as a NEW conversation batch (conv ids suffixed "
+                         "--conv-suffix) via construct_incremental, and "
+                         "write the next snapshot to --out/triples")
+    ap.add_argument("--conv-suffix", default="-b2",
+                    help="suffix making the appended batch's conv ids new "
+                         "(deployment appends genuinely new conversations)")
     args = ap.parse_args()
 
     from jena_spark.data.transcripts import transcripts_df
@@ -78,7 +88,21 @@ def main() -> None:
     n_turns = tr.count()
 
     t0 = time.perf_counter()
-    if args.noop_sink and args.format == "encoded":
+    if args.append_from:
+        from jena_spark.pipeline.canonicalize import construct_incremental
+        from jena_spark.pipeline.materialize import resume_or_write
+
+        existing = spark.read.parquet(f"{args.append_from}/triples")
+        if "bucket" in existing.columns:
+            existing = existing.drop("bucket")
+        batch = tr.withColumn(
+            "conv_id", F.concat("conv_id", F.lit(args.conv_suffix)))
+        folded = construct_incremental(existing, batch)
+        r = resume_or_write(
+            folded, f"{args.out}/triples", "triples", args.n_buckets)
+        n_triples = r.counters["rows_out"]
+        stages = {"triples_appended": r.counters}
+    elif args.noop_sink and args.format == "encoded":
         from pyspark.sql import Observation
 
         from jena_spark.pipeline.encoded import construct_canonical_encoded
