@@ -121,3 +121,82 @@ def test_incremental_chain(spark):
     for nxt in frames[1:]:
         acc = construct_incremental(acc, nxt)
     assert _rows(acc) == _rows(construct_canonical(full))
+
+
+# --- encoded (TDB-posture) incremental maintenance -----------------------
+
+
+def _enc_rows(pair):
+    t, n = pair
+    return _rows(t), _rows(n)
+
+
+@pytest.mark.parametrize("seed", [42, 911])
+def test_incremental_encoded_equals_full(spark, seed):
+    """Both output tables (id-tuple triples AND node dictionary) of the
+    incremental fold must be row-identical to the one-shot encoded
+    build over the union."""
+    from jena_spark.pipeline.encoded import (
+        construct_canonical_encoded,
+        construct_incremental_encoded,
+    )
+
+    a, b, full = _split_convs(spark, n_convs=30, seed=seed)
+    t_a, n_a = construct_canonical_encoded(a)
+    inc_t, inc_n = _enc_rows(construct_incremental_encoded(t_a, n_a, b))
+    want_t, want_n = _enc_rows(construct_canonical_encoded(full))
+    assert inc_t == want_t
+    assert inc_n == want_n
+
+
+def test_incremental_encoded_reelection(spark):
+    """Re-election in id space: every id referencing the old rep is
+    rewritten, the old rep's dictionary row is dropped, and decoding
+    the folded store equals the string-level full build."""
+    from jena_spark.pipeline.encode import decode_triples
+    from jena_spark.pipeline.encoded import (
+        construct_canonical_encoded,
+        construct_incremental_encoded,
+    )
+
+    rows_a = [
+        ("conv-a", 0, "Turing wrote the paper"),
+        ("conv-a", 1, "we discussed Turing at length"),
+        ("conv-b", 0, "Spark is fast"),
+    ]
+    rows_b = [("conv-c", 0, "A. Turing according to the archive")]
+    t_a, n_a = construct_canonical_encoded(_mini(spark, rows_a))
+    inc_t, inc_n = construct_incremental_encoded(
+        t_a, n_a, _mini(spark, rows_b))
+    want_t, want_n = construct_canonical_encoded(_mini(spark, rows_a + rows_b))
+    assert _rows(inc_t) == _rows(want_t)
+    assert _rows(inc_n) == _rows(want_n)
+    old_rep = TM.entity_iri("Alan Turing")
+    assert inc_n.where(f"val = '{old_rep}'").count() == 0
+    # decoded fold equals the oracle-checked string pipeline
+    dec = decode_triples(inc_t.drop("conv_id"), inc_n)
+    full_str = construct_canonical(_mini(spark, rows_a + rows_b))
+    assert _rows(dec.select(*TM.TERM_COLS)) == _rows(
+        full_str.select(*TM.TERM_COLS))
+
+
+def test_incremental_encoded_chain(spark):
+    from jena_spark.pipeline.encoded import (
+        construct_canonical_encoded,
+        construct_incremental_encoded,
+    )
+
+    pdf, _ = gen_transcripts(n_convs=18, seed=5)
+    convs = sorted(pdf["conv_id"].unique())
+    thirds = [set(convs[i::3]) for i in range(3)]
+    frames = [
+        spark.createDataFrame(pdf[pdf["conv_id"].isin(t)], TRANSCRIPTS_SCHEMA)
+        for t in thirds
+    ]
+    full = spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA)
+    acc_t, acc_n = construct_canonical_encoded(frames[0])
+    for nxt in frames[1:]:
+        acc_t, acc_n = construct_incremental_encoded(acc_t, acc_n, nxt)
+    want_t, want_n = construct_canonical_encoded(full)
+    assert _rows(acc_t) == _rows(want_t)
+    assert _rows(acc_n) == _rows(want_n)

@@ -48,11 +48,13 @@ def main() -> None:
                          "strings: one denormalized string-triple table")
     ap.add_argument("--append-from", default=None, metavar="PREV_OUT",
                     help="incremental maintenance: read the canonical "
-                         "triple table of a PRIOR run (PREV_OUT/triples, "
-                         "strings format), fold --sf-dir's transcripts in "
-                         "as a NEW conversation batch (conv ids suffixed "
-                         "--conv-suffix) via construct_incremental, and "
-                         "write the next snapshot to --out/triples")
+                         "store of a PRIOR run (PREV_OUT/triples for "
+                         "--format strings, PREV_OUT/{triples_enc,"
+                         "node_dict} for --format encoded), fold "
+                         "--sf-dir's transcripts in as a NEW conversation "
+                         "batch (conv ids suffixed --conv-suffix) via "
+                         "construct_incremental[_encoded], and write the "
+                         "next snapshot to --out")
     ap.add_argument("--conv-suffix", default="-b2",
                     help="suffix making the appended batch's conv ids new "
                          "(deployment appends genuinely new conversations)")
@@ -88,13 +90,35 @@ def main() -> None:
     n_turns = tr.count()
 
     t0 = time.perf_counter()
-    if args.append_from:
+    if args.append_from and args.format == "encoded":
+        from jena_spark.pipeline.encoded import construct_incremental_encoded
+        from jena_spark.pipeline.materialize import resume_or_write
+
+        def _prev(name):
+            # drop the physical partition column; the fold re-buckets
+            df = spark.read.parquet(f"{args.append_from}/{name}")
+            return df.drop(*[c for c in ("part_id", "bucket") if c in df.columns])
+
+        batch = tr.withColumn(
+            "conv_id", F.concat("conv_id", F.lit(args.conv_suffix)))
+        folded_t, folded_n = construct_incremental_encoded(
+            _prev("triples_enc"), _prev("node_dict"), batch)
+        r_t = resume_or_write(
+            folded_t, f"{args.out}/triples_enc", "triples_enc",
+            args.n_buckets, key="conv_id")
+        r_n = resume_or_write(
+            folded_n, f"{args.out}/node_dict", "node_dict",
+            args.n_buckets, key="val")
+        n_triples = r_t.counters["rows_out"]
+        stages = {"triples_enc_appended": r_t.counters,
+                  "node_dict_appended": r_n.counters}
+    elif args.append_from:
         from jena_spark.pipeline.canonicalize import construct_incremental
         from jena_spark.pipeline.materialize import resume_or_write
 
         existing = spark.read.parquet(f"{args.append_from}/triples")
-        if "bucket" in existing.columns:
-            existing = existing.drop("bucket")
+        existing = existing.drop(
+            *[c for c in ("part_id", "bucket") if c in existing.columns])
         batch = tr.withColumn(
             "conv_id", F.concat("conv_id", F.lit(args.conv_suffix)))
         folded = construct_incremental(existing, batch)
