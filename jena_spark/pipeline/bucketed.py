@@ -1,0 +1,105 @@
+"""Bucketed encoded store — the TDB triple-index posture as Spark
+bucketed tables.
+
+Reference: TDB keeps the triple table clustered three ways — SPO / POS
+/ OSP B+Tree indexes over fixed-width id-tuples
+(``jena-tdb/.../sys/Names.java:24-25``; bulk build "one write per sort
+order", ``store/bulkloader/BuilderSecondaryIndexesParallel.java``) —
+so that any bound-position lookup and any subject-subject merge join
+runs over co-located, pre-sorted ids.
+
+The Spark-native twin is a **bucketed, sorted table per access path**:
+``bucketBy(n, key).sortBy(key)`` at write time records the hash
+partitioning in the catalog, and every later join or aggregation keyed
+on that column reads the layout instead of shuffling — Catalyst plans
+``SortMergeJoin`` with NO Exchange on either side (asserted in
+``tests/test_bucketed.py``). At 100 TB this is the difference between
+a BGP star query shuffling the whole triple table per join and a
+zero-shuffle merge join per bucket; it is also exactly the "one write
+per sort-order" trade the TDB loader makes — pay sorted writes once,
+query forever.
+
+Two access paths cover the BGP workload (mirroring which TDB indexes
+the solver actually hits, ``solver/StageMatchTuple.java``):
+
+* ``<prefix>_spo`` — bucketed+sorted by ``s_id``: subject-star joins
+  (the dominant BGP shape), S?? lookups.
+* ``<prefix>_osp`` — bucketed+sorted by ``o_id``: object-position
+  joins (s-o chains), ??O lookups.
+
+POS is intentionally NOT materialized: predicates are few and the
+P-bound scan is served by parquet row-group min/max + dictionary
+pruning on ``p_id`` within either table (measured good enough; a
+third copy buys little for 50% more storage).
+
+Catalog note: tables are written EXTERNAL (explicit ``path``), so the
+parquet lives where the caller says; only the bucketing metadata lives
+in the session catalog. A cluster deployment would register the same
+layout in its shared metastore / Iceberg catalog (bucket transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ACCESS_PATHS = {"spo": "s_id", "osp": "o_id"}
+
+
+def write_bucketed_store(
+    triples_enc: DataFrame,
+    prefix: str,
+    path: str,
+    n_buckets: int = 32,
+    paths: tuple[str, ...] = ("spo", "osp"),
+) -> dict[str, str]:
+    """Write the encoded triple table once per access path, bucketed
+    and sorted by that path's key. Returns {access_path: table_name}.
+
+    One-file-per-bucket: rows are repartitioned on the bucket key
+    first, so each task owns whole buckets and the sorted-bucket
+    metadata lets later joins skip BOTH the exchange and the sort
+    (multi-file buckets keep the no-exchange property but re-sort).
+    """
+    spark = triples_enc.sparkSession
+    out: dict[str, str] = {}
+    for ap in paths:
+        key = ACCESS_PATHS[ap]
+        table = f"{prefix}_{ap}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            triples_enc.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .option("path", f"{path}/{ap}")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+        out[ap] = table
+    return out
+
+
+def bucketed_table(spark: SparkSession, prefix: str, access_path: str = "spo") -> DataFrame:
+    return spark.table(f"{prefix}_{access_path}")
+
+
+def star_join_bucketed(
+    spark: SparkSession, prefix: str, p_ids: list[int],
+) -> DataFrame:
+    """Subject-star BGP over the bucketed SPO table: one branch per
+    bound predicate, all joined on ``s_id`` — the canonical "star"
+    query shape. Every branch reads the SAME bucketed layout, so the
+    whole join tree plans with zero Exchange operators (the 100 TB
+    win this module exists for).
+
+    Returns one row per subject matching ALL predicates, with columns
+    ``s_id, o_id_0..o_id_{k-1}``.
+    """
+    t = bucketed_table(spark, prefix, "spo")
+    out: DataFrame | None = None
+    for i, pid in enumerate(p_ids):
+        branch = t.where(F.col("p_id") == pid).select(
+            "s_id", F.col("o_id").alias(f"o_id_{i}"))
+        out = branch if out is None else out.join(branch, "s_id")
+    assert out is not None
+    return out

@@ -2142,6 +2142,40 @@ _register(
 )
 
 
+def _q_sparql_service(spark, sf):
+    """SPARQL SERVICE (OpService, ``OpExecutor.java:311`` /
+    ``QueryIterService.java:36-55``): the entity-label slice is
+    registered as a separate dataset under a service IRI (the
+    ``ServiceExecutorRegistry`` analog — endpoints are registered
+    frames, not HTTP), and the query joins local mention bindings to
+    "remote" label bindings across the SERVICE boundary. Oracle: the
+    same join expressed over the one triples table."""
+    from jena_spark.queries.service import register_service
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _triples(spark, sf)
+    ep = TM.NS + "service/labels"
+    # the "remote" dataset: ONLY the rdfs:label slice
+    register_service(ep, t.where(F.col("p_val") == TM.RDFS_LABEL))
+    return sparql_query(t, f"""
+        PREFIX v: <{TM.NS_VOCAB}>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT DISTINCT ?e ?label WHERE {{
+          ?turn v:mentions ?e .
+          SERVICE <{ep}> {{ ?e rdfs:label ?label }}
+        }}""")
+
+
+_register(
+    "kg_sparql_service",
+    _q_sparql_service,
+    _W + f"""SELECT DISTINCT m.o_val AS e, l.o_val AS label
+    FROM triples m JOIN triples l
+      ON l.s_kind = m.o_kind AND l.s_val = m.o_val
+    WHERE m.p_val = '{TM.P_MENTIONS}' AND l.p_val = '{TM.RDFS_LABEL}'""",
+)
+
+
 def _q_sparql_agg(spark, sf):
     """SPARQL string: aggregation modifiers (GROUP BY / HAVING /
     ORDER BY / aggregate projection) through the parser."""
@@ -2315,6 +2349,35 @@ def _q_incremental(spark, sf):
 _register(
     "kg_incremental",
     _q_incremental,
+    _W + "SELECT * FROM triples",
+)
+
+
+def _q_incremental_encoded(spark, sf):
+    """Encoded-store incremental maintenance (the default deployment
+    format): build batch 1 as (id-tuple triples, node dictionary), fold
+    batch 2 in with
+    :func:`jena_spark.pipeline.encoded.construct_incremental_encoded`
+    (label-slice election recovery in id space, 8-byte remap on
+    re-election), then DECODE through the folded dictionary. The oracle
+    is the full one-shot string build — equality proves both the fold
+    and the dictionary delta."""
+    from jena_spark.pipeline.encode import decode_triples
+    from jena_spark.pipeline.encoded import (
+        construct_canonical_encoded,
+        construct_incremental_encoded,
+    )
+
+    t = transcripts_df(spark, sf)
+    in_a = F.abs(F.xxhash64("conv_id")) % 2 == 0
+    t_a, n_a = construct_canonical_encoded(t.where(in_a))
+    inc_t, inc_n = construct_incremental_encoded(t_a, n_a, t.where(~in_a))
+    return decode_triples(inc_t.drop("conv_id"), inc_n).select(*TM.TERM_COLS)
+
+
+_register(
+    "kg_incremental_encoded",
+    _q_incremental_encoded,
     _W + "SELECT * FROM triples",
 )
 
@@ -2611,9 +2674,10 @@ _PRIORITY = [
     "kg_star_roundtrip",
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
+    "kg_sparql_service",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
-    "kg_results_roundtrip", "kg_incremental",
+    "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint + touched dedup)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",

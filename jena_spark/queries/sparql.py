@@ -48,7 +48,12 @@ Supported profile (errors loudly outside it):
   expressions (term-valued calls bind whole term structs). Variable
   destructuring handles quoted terms nested to
   :data:`jena_spark.queries.rdfstar.MAX_REGEX_DEPTH`.
-* NOT supported (documented): SERVICE, federated queries.
+* ``SERVICE [SILENT] <iri> {...}`` — federated evaluation against the
+  dataset registered for the IRI in
+  :mod:`jena_spark.queries.service` (the ``ServiceExecutorRegistry``
+  analog; endpoints are registered frames/catalog tables, not HTTP —
+  documented in that module). SILENT + unknown endpoint -> unit table.
+  Variable endpoints are out of profile.
 
 Path endpoints carry (kind, val) only — a path step through a typed
 literal loses datatype/lang in the binding (same shape as
@@ -488,6 +493,16 @@ class Parser:
                 self.next()
                 gterm = self.term()
                 g.elements.append(("graph", gterm, self.group_graph_pattern()))
+            elif t.kind in ("KW", "PNAME") and low == "service":
+                self.next()
+                silent = self.kw("silent")
+                sterm = self.term()
+                if isinstance(sterm, Var):
+                    raise ValueError(
+                        "SPARQL: SERVICE with a variable endpoint is out "
+                        "of profile (register a concrete IRI)")
+                g.elements.append(
+                    ("service", silent, sterm, self.group_graph_pattern()))
             elif t.val == "{":
                 sub = self.group_graph_pattern()
                 branches = [sub]
@@ -533,7 +548,7 @@ class Parser:
             if t.kind == "EOF" or t.val == stop or (
                 t.kind in ("KW", "PNAME") and t.val.lower() in (
                     "optional", "minus", "filter", "bind", "values",
-                    "union", "graph")
+                    "union", "graph", "service")
             ) or t.val == "{":
                 return out
             subj = self.term()
@@ -1273,6 +1288,25 @@ class _Compiler:
                 flush()
                 sub = self.compile_group(el[2], graph_ctx=el[1])
                 df = sub if df is None else A.join(df, sub)
+            elif tag == "service":
+                flush()
+                from jena_spark.queries.service import service_frame
+
+                _, silent, sterm, sub_g = el
+                frame = service_frame(sterm[1], silent=silent)
+                if frame is None:
+                    # SILENT miss -> unit table (one solution, no
+                    # bindings): the join identity, so df is unchanged;
+                    # a group that is ONLY the failed service yields
+                    # the unit table itself.
+                    if df is None:
+                        df = self.spark.range(1).select()
+                else:
+                    # evaluate the group against the ENDPOINT's dataset
+                    # (fresh compiler: its default/named graphs are the
+                    # remote frame's), then compatible-binding join
+                    sub = _Compiler(frame, self.p).compile_group(sub_g)
+                    df = sub if df is None else A.join(df, sub)
             elif tag == "subselect":
                 flush()
                 sub = self._compile_subselect(el[1], graph_ctx)
@@ -1476,6 +1510,14 @@ def sparql_query(triples: DataFrame, query: str, flat: bool = True) -> DataFrame
             names = []
             for pt in proj:
                 if pt[0] == "var":
+                    if pt[1] not in df.columns:
+                        # projecting a nowhere-bound variable is legal
+                        # SPARQL (e.g. a group that is only a failed
+                        # SERVICE SILENT): bind it unbound (null term)
+                        df = df.withColumn(
+                            pt[1], F.lit(None).cast(
+                                "struct<kind:string,val:string,"
+                                "datatype:string,lang:string>"))
                     names.append(pt[1])
                 else:
                     df = A.extend(df, pt[2], c._binding_struct(pt[1]))

@@ -1,0 +1,106 @@
+"""Bucketed encoded store (TDB SPO/OSP index posture): correctness of
+the layout round-trip and — the point — plan-level proof that joins on
+the bucket key run with ZERO Exchange operators."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jena_spark import terms as TM  # noqa: E402
+from jena_spark.pipeline.bucketed import (  # noqa: E402
+    bucketed_table,
+    star_join_bucketed,
+    write_bucketed_store,
+)
+from jena_spark.pipeline.encode import const_term_id  # noqa: E402
+from jena_spark.pipeline.encoded import construct_canonical_encoded  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def store(spark, transcripts_df, tmp_path_factory):
+    triples_enc, node_dict = construct_canonical_encoded(transcripts_df)
+    base = str(tmp_path_factory.mktemp("bstore"))
+    tables = write_bucketed_store(triples_enc, "kg_test", base, n_buckets=8)
+    return triples_enc, tables
+
+
+def _pid(spark, iri: str) -> int:
+    return spark.range(1).select(
+        const_term_id("iri", iri).alias("p")).collect()[0]["p"]
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Disable broadcast joins so the assertions compare shuffle vs
+    bucket layout (at 100 TB neither triple-table side broadcasts —
+    small local inputs would otherwise take the broadcast path and
+    mask the property under test)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   str(64 * 1024 * 1024))
+
+
+def test_roundtrip_both_paths(spark, store):
+    triples_enc, tables = store
+    want = {tuple(r) for r in
+            triples_enc.select("s_id", "p_id", "o_id").collect()}
+    for ap in ("spo", "osp"):
+        got = {tuple(r) for r in
+               bucketed_table(spark, "kg_test", ap)
+               .select("s_id", "p_id", "o_id").collect()}
+        assert got == want, ap
+
+
+def test_star_join_no_exchange(spark, store, no_broadcast):
+    """The flagship property: a 3-way subject-star join over the
+    bucketed SPO table plans with NO Exchange (shuffle) at all —
+    the bucketing replaces it."""
+    pids = [_pid(spark, p) for p in (TM.P_ROLE, TM.P_TEXT, TM.P_TS)]
+    out = star_join_bucketed(spark, "kg_test", pids)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it's correct: every turn has role+text+ts
+    triples_enc, _ = store
+    n_turns = (triples_enc.where(F.col("p_id") == pids[0]).count())
+    assert out.count() == n_turns
+
+
+def test_self_join_on_bucket_key_no_exchange(spark, store, no_broadcast):
+    t = bucketed_table(spark, "kg_test", "spo")
+    a = t.select("s_id", F.col("o_id").alias("oa"))
+    b = t.select("s_id", F.col("o_id").alias("ob"))
+    plan = a.join(b, "s_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_object_path_join_no_exchange(spark, store, no_broadcast):
+    """s-o chain: mentions edges (object = entity id) joined to label
+    subjects through the OSP table on the object key."""
+    t_osp = bucketed_table(spark, "kg_test", "osp")
+    pid_m = _pid(spark, TM.P_MENTIONS)
+    edges = t_osp.where(F.col("p_id") == pid_m).select("o_id")
+    more = t_osp.where(F.col("p_id") == pid_m).select(
+        "o_id", F.col("s_id").alias("turn"))
+    plan = edges.join(more, "o_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_unbucketed_baseline_does_shuffle(spark, store, no_broadcast):
+    """Sanity check that the assertion above is meaningful: the SAME
+    join over the raw (unbucketed) frame DOES plan an Exchange."""
+    triples_enc, _ = store
+    pids = [_pid(spark, p) for p in (TM.P_ROLE, TM.P_TEXT)]
+    a = triples_enc.where(F.col("p_id") == pids[0]).select(
+        "s_id", F.col("o_id").alias("oa"))
+    b = triples_enc.where(F.col("p_id") == pids[1]).select(
+        "s_id", F.col("o_id").alias("ob"))
+    plan = a.join(b, "s_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
