@@ -1404,6 +1404,42 @@ _register(
 )
 
 
+def _q_hll_census(spark, sf):
+    """Mergeable-sketch census (the COUNT-DISTINCT scale path,
+    ``data/sketches.py``): per-language HLL distinct-doc estimates,
+    rolled up through ``estimate_union``, asserted within 5% of the
+    exact count — the assertion itself is the hash-checked value, so
+    the oracle verifies accuracy without needing DuckDB to reproduce
+    DataSketches registers."""
+    from jena_spark.data.sketches import estimate_union, sketch_by
+
+    d = _docs(spark, sf)
+    per_lang = sketch_by(d, F.col("doc_id").cast("string"),
+                         group_by=["lang", "source"])
+    rolled = estimate_union(per_lang, group_by=["lang"])
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_exact"))
+    return (
+        rolled.join(exact, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            (F.abs(F.col("n_est") - F.col("n_exact"))
+             <= F.greatest(F.col("n_exact") * 0.05, F.lit(2.0)))
+            .alias("within_tol"),
+        )
+    )
+
+
+_register(
+    "data_hll_census",
+    _q_hll_census,
+    """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+           true AS within_tol
+    FROM documents GROUP BY lang""",
+)
+
+
 def _q_custom_udaf(spark, sf):
     """Custom aggregate (§2.15): Arrow-batched GROUPED_AGG pandas UDF
     (AggregateRegistry parity) — geometric mean of event values per
@@ -2176,6 +2212,43 @@ _register(
 )
 
 
+def _q_motif(spark, sf):
+    """GraphFrames-style motif finding (``GraphFrame.find`` analog,
+    compiled onto OpBGP + anti-join): turns that mention an entity
+    carrying an rdfs:label, where the turn ran NO tool — two typed
+    edges plus a negated edge, '(t)-[:mentions]->(e);
+    (e)-[:label]->(l); !(t)-[:tool]->()'."""
+    from jena_spark.queries.motif import find_motif
+
+    t = _triples(spark, sf)
+    out = find_motif(
+        t,
+        "(t)-[:mentions]->(e); (e)-[:label]->(l); !(t)-[:tool]->()",
+        edge_types={"mentions": TM.P_MENTIONS, "label": TM.RDFS_LABEL,
+                    "tool": TM.P_TOOL},
+    )
+    return out.select(
+        F.col("t").getField("val").alias("turn"),
+        F.col("e").getField("val").alias("e"),
+        F.col("l").getField("val").alias("label"),
+    )
+
+
+_register(
+    "kg_motif",
+    _q_motif,
+    _W + f"""SELECT DISTINCT m.s_val AS turn, m.o_val AS e, l.o_val AS label
+    FROM triples m
+    JOIN triples l ON l.s_kind = m.o_kind AND l.s_val = m.o_val
+    WHERE m.p_val = '{TM.P_MENTIONS}' AND l.p_val = '{TM.RDFS_LABEL}'
+      AND NOT EXISTS (
+        SELECT 1 FROM triples x
+        WHERE x.p_val = '{TM.NS_VOCAB}tool'
+          AND x.s_kind = m.s_kind AND x.s_val = m.s_val
+      )""",
+)
+
+
 def _q_sparql_agg(spark, sf):
     """SPARQL string: aggregation modifiers (GROUP BY / HAVING /
     ORDER BY / aggregate projection) through the parser."""
@@ -2674,7 +2747,7 @@ _PRIORITY = [
     "kg_star_roundtrip",
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
-    "kg_sparql_service",
+    "kg_sparql_service", "kg_motif", "data_hll_census",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",
