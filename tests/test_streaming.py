@@ -110,3 +110,48 @@ def test_stateful_conv_progress(spark, transcripts_pdf, tmp_path):
         for cid, g in tdf.groupby("conv_id")
     }
     assert got == exp
+
+
+def test_streaming_canonical_maintenance(spark, transcripts_pdf, tmp_path):
+    """Stream-of-folds == one-shot build: three conversation waves
+    arrive as separate micro-batches (separate availableNow runs);
+    the final committed snapshot must equal construct_canonical over
+    everything, and each wave must have produced a new version with
+    the _CURRENT pointer advancing."""
+    import os
+
+    from jena_spark.pipeline.canonicalize import construct_canonical
+    from jena_spark.streaming.ingest import (
+        read_current_snapshot,
+        start_canonical_maintenance,
+    )
+
+    tdf, _ = transcripts_pdf
+    src = str(tmp_path / "csrc")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "cckpt")
+
+    convs = sorted(tdf["conv_id"].unique())
+    waves = [set(convs[i::3]) for i in range(3)]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            tdf[tdf["conv_id"].isin(wave)], TRANSCRIPTS_SCHEMA
+        ).write.mode("append").parquet(src)
+        q = start_canonical_maintenance(spark, src, store, ckpt)
+        q.awaitTermination(180)
+        assert read_current_snapshot(spark, store) is not None
+
+    got = {
+        tuple(r) for r in
+        read_current_snapshot(spark, store).select(*TERM_COLS).collect()
+    }
+    want = {
+        tuple(r) for r in
+        construct_canonical(
+            spark.createDataFrame(tdf, TRANSCRIPTS_SCHEMA)
+        ).select(*TERM_COLS).collect()
+    }
+    assert got == want
+    # three committed versions exist
+    versions = [d for d in os.listdir(store) if d.startswith("v")]
+    assert len(versions) >= 3
