@@ -83,6 +83,36 @@ def bucketed_table(spark: SparkSession, prefix: str, access_path: str = "spo") -
     return spark.table(f"{prefix}_{access_path}")
 
 
+def register_bucketed_store(
+    spark: SparkSession,
+    prefix: str,
+    path: str,
+    n_buckets: int = 32,
+    paths: tuple[str, ...] = ("spo", "osp"),
+) -> dict[str, str]:
+    """Re-attach an on-disk bucketed store in a NEW session: the
+    parquet outlives the session but the in-memory catalog does not,
+    so a fresh driver re-declares the layout with ``CREATE TABLE ...
+    CLUSTERED BY ... LOCATION`` (on a cluster this lives in the shared
+    metastore / Iceberg catalog and this step disappears). The declared
+    bucket spec MUST match what :func:`write_bucketed_store` wrote —
+    Spark validates file names against it at read time."""
+    out: dict[str, str] = {}
+    for ap in paths:
+        key = ACCESS_PATHS[ap]
+        table = f"{prefix}_{ap}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"""
+            CREATE TABLE {table}
+            (s_id BIGINT, p_id BIGINT, o_id BIGINT, conv_id STRING)
+            USING parquet
+            CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS
+            LOCATION '{path}/{ap}'
+        """)
+        out[ap] = table
+    return out
+
+
 def star_join_bucketed(
     spark: SparkSession, prefix: str, p_ids: list[int],
 ) -> DataFrame:

@@ -104,3 +104,30 @@ def test_unbucketed_baseline_does_shuffle(spark, store, no_broadcast):
         "s_id", F.col("o_id").alias("ob"))
     plan = a.join(b, "s_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_reregister_store_keeps_no_exchange(spark, store, tmp_path, no_broadcast):
+    """Deployment restart: drop the catalog entries, re-declare the
+    on-disk layout with register_bucketed_store, and the no-shuffle
+    join property must survive (the parquet + declared bucket spec is
+    the durable artifact, not the session catalog)."""
+    import re
+
+    from jena_spark.pipeline.bucketed import register_bucketed_store
+
+    # find where the store fixture wrote the spo table
+    loc = spark.sql("DESCRIBE TABLE EXTENDED kg_test_spo").collect()
+    path = next(r["data_type"] for r in loc if r["col_name"] == "Location")
+    base = re.sub(r"/spo$", "", path.replace("file:", ""))
+
+    spark.sql("DROP TABLE kg_test_spo")
+    spark.sql("DROP TABLE kg_test_osp")
+    register_bucketed_store(spark, "kg_test", base, n_buckets=8)
+
+    t = bucketed_table(spark, "kg_test", "spo")
+    a = t.select("s_id", F.col("o_id").alias("oa"))
+    b = t.select("s_id", F.col("o_id").alias("ob"))
+    joined = a.join(b, "s_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() > 0
