@@ -187,3 +187,42 @@ def difference(g1: DataFrame, g2: DataFrame) -> DataFrame:
               [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in TERM_COLS],
               "left_anti")
     )
+
+
+def cbd(triples: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Concise Bounded Description — Jena's default DESCRIBE handler
+    (``jena-arq/.../sparql/core/describe/DescribeBNodeClosure.java``,
+    closure calc ``jena-core/.../rdf/model/impl/ModelCom`` via
+    ``Closure.closure``): all triples whose subject is a seed resource,
+    recursing through blank-node OBJECTS (bnodes have no global
+    identity, so their description belongs to the seed's).
+
+    ``seeds`` is a ``(kind, val)`` frame. Distributed semi-naive loop:
+    each round semi-joins the triple table against the NEW frontier
+    only, and only bnode objects re-enter the frontier — bnode chains
+    terminate (our KG: depth 1, conv -> turn bnodes), so the loop runs
+    a handful of rounds; per-round frames are localCheckpointed to cut
+    the replayed-lineage blowup (CLAUDE.md union-replay note)."""
+    frontier = seeds.select("kind", "val").distinct().localCheckpoint(eager=True)
+    visited = frontier
+    out: DataFrame | None = None
+    while not frontier.isEmpty():
+        step = triples.alias("t").join(
+            frontier.alias("f"),
+            (F.col("t.s_kind") == F.col("f.kind"))
+            & (F.col("t.s_val") == F.col("f.val")),
+            "left_semi",
+        ).select(*TERM_COLS)
+        out = step if out is None else out.unionByName(step)
+        nxt = (
+            step.where(F.col("o_kind") == "bnode")
+            .select(F.col("o_kind").alias("kind"), F.col("o_val").alias("val"))
+            .distinct()
+            .join(visited, ["kind", "val"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if out is None:
+        return triples.limit(0).select(*TERM_COLS)
+    return out.dropDuplicates(TERM_COLS)

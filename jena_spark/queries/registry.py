@@ -233,6 +233,40 @@ _register(
     _W + f"SELECT * FROM triples WHERE s_kind = 'iri' AND s_val = '{ENT_TURING}'",
 )
 
+def _q_describe_cbd(spark, sf):
+    """Concise Bounded Description (Jena's default DESCRIBE handler,
+    ``DescribeBNodeClosure.java``): describe the lexicographically
+    first conversation — its own triples plus the full description of
+    every turn BNODE it points to (bnodes have no global identity, so
+    the closure pulls them in; IRIs/literals stop the recursion).
+    Oracle: recursive frontier in SQL."""
+    t = _triples(spark, sf)
+    seed = (
+        t.where(F.col("p_val") == TM.P_HAS_TURN)
+        .select(F.col("s_kind").alias("kind"), F.col("s_val").alias("val"))
+        .orderBy("val").limit(1)
+    )
+    return G.cbd(t, seed)
+
+
+_register(
+    "kg_describe_cbd",
+    _q_describe_cbd,
+    _WR + f""", seed AS (
+      SELECT s_kind AS kind, s_val AS val FROM triples
+      WHERE p_val = '{TM.P_HAS_TURN}' ORDER BY s_val LIMIT 1
+    ), nodes AS (
+      SELECT kind, val FROM seed
+      UNION
+      SELECT t.o_kind, t.o_val FROM triples t JOIN nodes n
+        ON t.s_kind = n.kind AND t.s_val = n.val
+      WHERE t.o_kind = 'bnode'
+    )
+    SELECT DISTINCT t.* FROM triples t JOIN nodes n
+      ON t.s_kind = n.kind AND t.s_val = n.val""",
+)
+
+
 # DESCRIBE-style: every triple where the resource is subject or object
 _register(
     "kg_describe",
@@ -2747,7 +2781,7 @@ _PRIORITY = [
     "kg_star_roundtrip",
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
-    "kg_sparql_service", "kg_motif", "data_hll_census",
+    "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",

@@ -891,19 +891,25 @@ class _Compiler:
                 col = self._value(args[0])
                 return F.count_distinct(col) if distinct else F.count(col)
             col = self._value(args[0], numeric=name in ("sum", "avg"))
+            if distinct and name in ("avg",):
+                raise ValueError(
+                    "SPARQL: AVG(DISTINCT) is out of profile (no "
+                    "distinct-avg aggregate; pre-deduplicate in a "
+                    "sub-select)")
             if name == "sum":
-                return F.sum(col)
+                return F.sum_distinct(col) if distinct else F.sum(col)
             if name == "avg":
                 return F.avg(col)
             if name == "min":
-                return F.min(col)
+                return F.min(col)  # DISTINCT is a no-op for min/max/sample
             if name == "max":
                 return F.max(col)
             if name == "sample":
                 return F.min(col)  # deterministic SAMPLE policy (min)
             if name == "group_concat":
-                base = F.array_sort(F.collect_list(col))
-                return F.array_join(base, sep if sep is not None else " ")
+                base = F.collect_set(col) if distinct else F.collect_list(col)
+                return F.array_join(
+                    F.array_sort(base), sep if sep is not None else " ")
         # term-accessor functions work on the STRUCT, not the value
         if name == "bound" and args and args[0][0] == "var":
             return F.col(args[0][1]).isNotNull()

@@ -82,3 +82,46 @@ def test_set_algebra(spark, mini):
 
 def test_union_idempotent(spark, mini):
     assert G.union(mini, mini).count() == 5
+
+
+def test_cbd_bnode_chain(spark):
+    """CBD follows bnode OBJECTS recursively (depth 2 here) and stops
+    at IRIs/literals; unrelated resources stay out."""
+    from jena_spark.queries.graph import cbd
+
+    EX = "http://ex.org/"
+    rows = [
+        ("iri", EX + "r", EX + "p", "bnode", "_:b1", None, None),
+        ("bnode", "_:b1", EX + "q", "bnode", "_:b2", None, None),
+        ("bnode", "_:b2", EX + "s", "literal", "leaf", None, None),
+        ("bnode", "_:b2", EX + "t", "iri", EX + "other", None, None),
+        # reachable IRI's own triples are NOT part of the description
+        ("iri", EX + "other", EX + "u", "literal", "nope", None, None),
+        # unrelated bnode
+        ("bnode", "_:zz", EX + "q", "literal", "nope", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string",
+    )
+    seeds = spark.createDataFrame([("iri", EX + "r")], "kind string, val string")
+    got = {(r["s_val"], r["p_val"], r["o_val"]) for r in cbd(t, seeds).collect()}
+    assert got == {
+        (EX + "r", EX + "p", "_:b1"),
+        ("_:b1", EX + "q", "_:b2"),
+        ("_:b2", EX + "s", "leaf"),
+        ("_:b2", EX + "t", EX + "other"),
+    }
+
+
+def test_cbd_empty_seed(spark):
+    from jena_spark.queries.graph import cbd
+
+    t = spark.createDataFrame(
+        [("iri", "http://e/a", "http://e/p", "literal", "x", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string",
+    )
+    seeds = spark.createDataFrame([], "kind string, val string")
+    assert cbd(t, seeds).count() == 0

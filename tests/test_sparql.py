@@ -392,3 +392,23 @@ def test_construct_where_shorthand(spark, people):
         sparql_query(people, f"""
             PREFIX ex: <{EX}>
             CONSTRUCT WHERE {{ ?x ex:knows+ ?y }}""")
+
+
+def test_aggregate_distinct_variants(people):
+    out = sparql_query(people, f"""
+        PREFIX ex: <{EX}>
+        SELECT (COUNT(DISTINCT ?c) AS ?nc) (SUM(DISTINCT ?a) AS ?sa)
+               (GROUP_CONCAT(DISTINCT ?c; SEPARATOR=",") AS ?cs)
+        WHERE {{ ?x ex:age ?a . OPTIONAL {{ ?x ex:city ?c }} }}""")
+    r = out.collect()[0]
+    assert str(r["nc"]) == "2"                   # paris, lyon
+    assert float(r["sa"]) == 118.0               # 30+25+35+28, all distinct
+    assert r["cs"] == f"{EX}lyon,{EX}paris"      # sorted distinct concat
+
+
+def test_avg_distinct_raises(people):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="AVG.DISTINCT"):
+        sparql_query(people, f"""
+            PREFIX ex: <{EX}>
+            SELECT (AVG(DISTINCT ?a) AS ?m) WHERE {{ ?x ex:age ?a }}""")
