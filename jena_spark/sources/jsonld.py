@@ -21,9 +21,11 @@ Supported profile (documented, errors loudly outside it):
   term-level ``@language`` overrides, ``null`` clears)
 * ``@container`` term definitions: ``@list`` (implicit rdf list),
   ``@set`` (no-op), ``@language`` (language maps), ``@index`` (index
-  stripped, values flattened — the RDF deserialization semantics)
+  stripped, values flattened — the RDF deserialization semantics),
+  ``@id`` / ``@type`` node maps (JSON-LD 1.1: map key supplies the
+  value's ``@id`` / an extra ``@type``; ``@none`` keys supply nothing)
 * NOT supported: remote/``@context`` IRIs (no network by design),
-  ``@container: @id/@type/@graph`` (JSON-LD 1.1 node maps), framing,
+  ``@container: @graph``, framing,
   ``@vocab``-less relative IRI resolution beyond ``@base``/``@vocab``
   prefixes.
 
@@ -206,6 +208,8 @@ class JsonLdParser:
             term_lang = defn.get("@language", _MISSING)
             lang = self.default_lang if term_lang is _MISSING else term_lang
             container = defn.get("@container")
+            if isinstance(container, list) and len(container) == 1:
+                container = container[0]  # JSON-LD 1.1 array form
             if container == "@list":
                 # list container: the whole (possibly implicit) array is
                 # ONE rdf:first/rest chain
@@ -232,6 +236,30 @@ class JsonLdParser:
                     raise ValueError("JSON-LD: @index container needs a map")
                 val = [one for vv in val.values()
                        for one in (vv if isinstance(vv, list) else [vv])]
+            elif container in ("@id", "@type"):
+                # JSON-LD 1.1 node maps: the map key supplies the
+                # value's @id / an extra @type when absent ("@none"
+                # keys supply nothing) — json-ld-api §, Jena reads
+                # these through titanium-json-ld
+                if not isinstance(val, dict):
+                    raise ValueError(f"JSON-LD: {container} container needs a map")
+                expanded = []
+                for k, vv in sorted(val.items()):
+                    for one in vv if isinstance(vv, list) else [vv]:
+                        if not isinstance(one, dict) or "@value" in one:
+                            raise ValueError(
+                                f"JSON-LD: {container}-map values must be "
+                                "node objects")
+                        node = dict(one)
+                        if k != "@none":
+                            if container == "@id":
+                                node.setdefault("@id", k)
+                            else:
+                                ts = node.get("@type", [])
+                                ts = ts if isinstance(ts, list) else [ts]
+                                node["@type"] = ts + [k]
+                        expanded.append(node)
+                val = expanded
             elif container not in (None, "@set"):
                 raise ValueError(f"JSON-LD: container {container!r} unsupported")
             for v in val if isinstance(val, list) else [val]:

@@ -194,10 +194,58 @@ def test_container_term_definitions():
           "@id": "http://e/s", "l": {"en": 5}}""")
     with pytest.raises(ValueError, match="unsupported"):
         parse_jsonld("""{
-          "@context": {"m": {"@id": "http://e/m", "@container": "@id"}},
+          "@context": {"m": {"@id": "http://e/m", "@container": "@graph"}},
           "@id": "http://e/s", "m": {"http://e/a": {}}}""")
     # implicit single value through a @list container is still a list
     single = parse_jsonld("""{
       "@context": {"steps": {"@id": "http://e/steps", "@container": "@list"}},
       "@id": "http://e/s", "steps": "only"}""")
     assert [r[4] for r in single if r[2] == RDF_NS + "first"] == ["only"]
+
+
+def test_container_id_and_type_node_maps():
+    """JSON-LD 1.1 node maps: @container:@id keys become @id,
+    @container:@type keys add @type, @none keys supply nothing."""
+    doc = """{
+      "@context": {
+        "ex": "http://e/",
+        "byId": {"@id": "http://e/member", "@container": "@id"},
+        "byType": {"@id": "http://e/item", "@container": ["@type"]}
+      },
+      "@id": "http://e/root",
+      "byId": {
+        "http://e/m1": {"http://e/name": "one"},
+        "http://e/m2": {"@id": "http://e/explicit", "http://e/name": "two"},
+        "@none": {"http://e/name": "anon"}
+      },
+      "byType": {
+        "http://e/Widget": {"@id": "http://e/w1"},
+        "@none": {"@id": "http://e/w2"}
+      }
+    }"""
+    rows = set(parse_jsonld(doc))
+    R = "http://e/root"
+    assert ("iri", R, "http://e/member", "iri", "http://e/m1", None, None) in rows
+    assert ("iri", "http://e/m1", "http://e/name", "literal", "one", None, None) in rows
+    # explicit @id wins over the map key
+    assert ("iri", R, "http://e/member", "iri", "http://e/explicit", None, None) in rows
+    assert not any(r[4] == "http://e/m2" for r in rows)
+    # @none: value kept, no @id from key -> bnode member with the name
+    assert any(r[2] == "http://e/member" and r[3] == "bnode" for r in rows)
+    assert any(r[2] == "http://e/name" and r[4] == "anon" for r in rows)
+    # type map
+    assert ("iri", R, "http://e/item", "iri", "http://e/w1", None, None) in rows
+    assert ("iri", "http://e/w1", RDF_NS + "type", "iri", "http://e/Widget",
+            None, None) in rows
+    assert ("iri", R, "http://e/item", "iri", "http://e/w2", None, None) in rows
+    assert not any(r[1] == "http://e/w2" and r[2] == RDF_NS + "type" for r in rows)
+
+
+def test_container_id_map_rejects_value_objects():
+    doc = """{
+      "@context": {"byId": {"@id": "http://e/p", "@container": "@id"}},
+      "@id": "http://e/r",
+      "byId": {"http://e/x": {"@value": "nope"}}
+    }"""
+    with pytest.raises(ValueError, match="node objects"):
+        parse_jsonld(doc)
