@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "kg_star_annotation",
     "kg_star_reification",
     "kg_sparql_star",
+    # round 3 late additions
+    "kg_incremental_encoded",
+    "kg_sparql_service",
+    "kg_motif",
+    "data_hll_census",
+    "kg_describe_cbd",
 ]
 
 
