@@ -42,10 +42,14 @@ def main() -> None:
                          "isolates compute/shuffle scaling from the sandbox's "
                          "single shared local disk (a real cluster writes to "
                          "distributed storage)")
-    ap.add_argument("--format", choices=["encoded", "strings"], default="encoded",
+    ap.add_argument("--format", choices=["encoded", "strings", "bucketed"],
+                    default="encoded",
                     help="encoded (default): TDB posture — id-tuple triple "
                          "table + node dictionary (term strings exist once); "
-                         "strings: one denormalized string-triple table")
+                         "strings: one denormalized string-triple table; "
+                         "bucketed: encoded PLUS the SPO/OSP bucketed+sorted "
+                         "tables (TDB index posture — later id-joins plan "
+                         "with zero Exchange)")
     ap.add_argument("--append-from", default=None, metavar="PREV_OUT",
                     help="incremental maintenance: read the canonical "
                          "store of a PRIOR run (PREV_OUT/triples for "
@@ -163,6 +167,30 @@ def main() -> None:
         ).mode("overwrite").save()
         n_triples = obs.get["rows"]
         stages = {"canonical_noop": {"rows_out": n_triples}}
+    elif args.format == "bucketed":
+        import time as _t
+
+        from jena_spark.pipeline.bucketed import write_bucketed_store
+        from jena_spark.pipeline.encoded import construct_canonical_encoded
+        from jena_spark.pipeline.materialize import resume_or_write
+
+        triples_enc, node_dict = construct_canonical_encoded(tr)
+        # one compute, three sinks: the encoded frame is persisted so
+        # the two access-path writes and the dictionary share it
+        triples_enc = triples_enc.persist()
+        t1 = _t.perf_counter()
+        tables = write_bucketed_store(
+            triples_enc, "kg", f"{args.out}/bucketed", args.n_buckets)
+        w_bucketed = _t.perf_counter() - t1
+        r_n = resume_or_write(
+            node_dict, f"{args.out}/node_dict", "node_dict",
+            args.n_buckets, key="val")
+        n_triples = spark.table(tables["spo"]).count()
+        stages = {
+            "bucketed_spo_osp": {"rows_out": n_triples,
+                                 "wall_sec": w_bucketed},
+            "node_dict": r_n.counters,
+        }
     elif args.format == "encoded":
         from concurrent.futures import ThreadPoolExecutor
 
