@@ -419,7 +419,13 @@ def write_thrift(df: DataFrame, path: str, quads: bool = False) -> None:
     parts are independently complete AND concatenable). Local/shared
     filesystem, same posture as the Turtle writer."""
     import os
+    import shutil
 
+    # overwrite semantics: a previous run with MORE partitions would
+    # otherwise leave stale part-N.trdf files that the directory reader
+    # happily concatenates (caught at sf0.1: 32-part leftovers under an
+    # 8-part rewrite inflated the round-trip row count)
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     cols = TERM_COLS7 + (["graph"] if quads else [])
     sel = df.select(*cols)
