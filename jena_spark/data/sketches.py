@@ -49,7 +49,10 @@ def sketch_by(
         F.hll_sketch_agg(col, F.lit(lg_k)).alias("sketch")
     ).select(
         *(group_by or []),
-        F.hll_sketch_estimate("sketch").alias("n_est"),
+        # an empty (ungrouped) frame aggregates to one row with a NULL
+        # sketch — the estimate of nothing is 0, not null (callers do
+        # arithmetic on n_est)
+        F.coalesce(F.hll_sketch_estimate("sketch"), F.lit(0)).alias("n_est"),
         "sketch",
     )
 
@@ -63,7 +66,7 @@ def estimate_union(sketches: DataFrame, group_by: list[str] | None = None) -> Da
         F.hll_union_agg("sketch").alias("sketch")
     ).select(
         *(group_by or []),
-        F.hll_sketch_estimate("sketch").alias("n_est"),
+        F.coalesce(F.hll_sketch_estimate("sketch"), F.lit(0)).alias("n_est"),
         "sketch",
     )
 

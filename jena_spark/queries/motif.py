@@ -47,20 +47,24 @@ _EDGE_RE = re.compile(
     re.VERBOSE,
 )
 
-_ANON = 0
-
-
-def _term(name: str | None, prefix: str):
-    global _ANON
-    if name:
-        return Var(name)
-    _ANON += 1
-    return Var(f"__{prefix}{_ANON}__")
-
-
 def parse_motif(pattern: str, edge_types: dict[str, str] | None = None):
     """Motif string -> (positive_patterns, negated_patterns) of
-    (s, p, o) triple patterns over :class:`Var` terms."""
+    (s, p, o) triple patterns over :class:`Var` terms. Anonymous
+    elements get parse-local ``__``-prefixed names (pruned from the
+    output); user names may not start with ``__`` so they can neither
+    collide with generated names nor be silently pruned."""
+    anon = [0]
+
+    def _term(name: str | None, prefix: str):
+        if name:
+            if name.startswith("__"):
+                raise ValueError(
+                    f"motif: names starting with '__' are reserved "
+                    f"for anonymous elements: {name!r}")
+            return Var(name)
+        anon[0] += 1
+        return Var(f"__{prefix}{anon[0]}__")
+
     pos, neg = [], []
     for raw in pattern.split(";"):
         if not raw.strip():

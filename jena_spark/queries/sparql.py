@@ -1300,18 +1300,28 @@ class _Compiler:
 
                 _, silent, sterm, sub_g = el
                 frame = service_frame(sterm[1], silent=silent)
-                if frame is None:
-                    # SILENT miss -> unit table (one solution, no
+                sub = None
+                if frame is not None:
+                    # evaluate the group against the ENDPOINT's dataset
+                    # (fresh compiler: its default/named graphs are the
+                    # remote frame's), then compatible-binding join.
+                    # SILENT swallows evaluation failures too — Jena's
+                    # QueryIterService catch yields the unit table for
+                    # ANY failure of the remote execution, not just
+                    # resolution misses.
+                    try:
+                        sub = _Compiler(frame, self.p).compile_group(sub_g)
+                    except Exception:
+                        if not silent:
+                            raise
+                if sub is None:
+                    # SILENT failure -> unit table (one solution, no
                     # bindings): the join identity, so df is unchanged;
                     # a group that is ONLY the failed service yields
                     # the unit table itself.
                     if df is None:
                         df = self.spark.range(1).select()
                 else:
-                    # evaluate the group against the ENDPOINT's dataset
-                    # (fresh compiler: its default/named graphs are the
-                    # remote frame's), then compatible-binding join
-                    sub = _Compiler(frame, self.p).compile_group(sub_g)
                     df = sub if df is None else A.join(df, sub)
             elif tag == "subselect":
                 flush()

@@ -208,8 +208,12 @@ class JsonLdParser:
             term_lang = defn.get("@language", _MISSING)
             lang = self.default_lang if term_lang is _MISSING else term_lang
             container = defn.get("@container")
-            if isinstance(container, list) and len(container) == 1:
-                container = container[0]  # JSON-LD 1.1 array form
+            if isinstance(container, list):
+                # JSON-LD 1.1 array form; "@set" combines with any
+                # other member and is a no-op for deserialization
+                members = [c for c in container if c != "@set"]
+                container = members[0] if len(members) == 1 else (
+                    "@set" if not members else container)
             if container == "@list":
                 # list container: the whole (possibly implicit) array is
                 # ONE rdf:first/rest chain

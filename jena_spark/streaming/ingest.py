@@ -147,11 +147,52 @@ def start_canonical_maintenance(
     (pure append when no representative re-election — the common
     case), never a rebuild. Crash safety: the snapshot is written to
     a fresh ``v{batch}`` directory and the ``_CURRENT`` pointer swaps
-    atomically AFTER the write; a crashed batch leaves the previous
-    snapshot live and the streaming checkpoint replays the batch into
-    the same version directory (overwrite => idempotent). The
-    invariant stream-of-folds == one-shot build is asserted in
-    ``tests/test_streaming.py``.
+    atomically AFTER the write. A crash BEFORE the pointer swap leaves
+    the previous snapshot live and the replayed batch rebuilds
+    ``v{batch}`` from it (reads only the older version — safe); a
+    crash AFTER the swap but before the streaming checkpoint commit
+    replays a batch that is already applied — the pointer==version
+    guard below detects that and skips (re-folding would both
+    duplicate the batch and overwrite the directory the fold is
+    reading). The invariant stream-of-folds == one-shot build is
+    asserted in ``tests/test_streaming.py``, including the
+    replay-after-commit case.
+    """
+    import os
+
+    os.makedirs(store_path, exist_ok=True)
+    stream = stream_transcripts(spark, input_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_canonical_batch(spark, batch_df, epoch_id, store_path, gazetteer)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_canonical_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_path: str,
+    gazetteer: dict | None = None,
+) -> bool:
+    """One fold of :func:`start_canonical_maintenance` (module-level so
+    the replay guard is directly testable). Returns True if the batch
+    was applied, False if skipped (empty, or already committed).
+
+    The pointer==version guard is the crash-window defense: a crash
+    AFTER the pointer swap but BEFORE the streaming checkpoint commit
+    makes the engine replay this epoch — re-folding would both
+    duplicate the batch (construct_incremental's append-only contract)
+    and overwrite the very snapshot directory the fold is reading
+    (verified to destroy it). A crash BEFORE the swap is safe without
+    the guard: the pointer still names the older version, and the
+    replay rebuilds ``v{epoch}`` reading only that older snapshot.
     """
     import os
 
@@ -160,23 +201,17 @@ def start_canonical_maintenance(
         construct_incremental,
     )
 
-    os.makedirs(store_path, exist_ok=True)
-    stream = stream_transcripts(spark, input_path)
-
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cur = read_current_snapshot(spark, store_path)
-        snap = (construct_canonical(batch_df, gazetteer) if cur is None
-                else construct_incremental(cur, batch_df, gazetteer))
-        version = f"v{epoch_id}"
-        snap.write.mode("overwrite").parquet(
-            os.path.join(store_path, version))
-        _commit_pointer(store_path, version)
-
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    if batch_df.isEmpty():
+        return False
+    version = f"v{epoch_id}"
+    ptr = os.path.join(store_path, CURRENT)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            if f.read().strip() == version:
+                return False  # already applied (replay after commit)
+    cur = read_current_snapshot(spark, store_path)
+    snap = (construct_canonical(batch_df, gazetteer) if cur is None
+            else construct_incremental(cur, batch_df, gazetteer))
+    snap.write.mode("overwrite").parquet(os.path.join(store_path, version))
+    _commit_pointer(store_path, version)
+    return True

@@ -249,3 +249,16 @@ def test_container_id_map_rejects_value_objects():
     }"""
     with pytest.raises(ValueError, match="node objects"):
         parse_jsonld(doc)
+
+
+def test_container_array_with_set():
+    doc = """{
+      "@context": {"byId": {"@id": "http://e/m", "@container": ["@id", "@set"]},
+                   "tags": {"@id": "http://e/t", "@container": ["@set"]}},
+      "@id": "http://e/r",
+      "byId": {"http://e/a": {"http://e/name": "x"}},
+      "tags": ["t1", "t2"]
+    }"""
+    rows = set(parse_jsonld(doc))
+    assert ("iri", "http://e/r", "http://e/m", "iri", "http://e/a", None, None) in rows
+    assert {r[4] for r in rows if r[2] == "http://e/t"} == {"t1", "t2"}

@@ -111,3 +111,10 @@ def test_matches_manual_join(graph):
         F.col("s_val").alias("b"), F.col("o_val").alias("c"))
     want = {tuple(r) for r in f.join(l, "b").select("a", "b", "c").collect()}
     assert vals(out, "a", "b", "c") == want
+
+
+def test_reserved_names_rejected(graph):
+    with pytest.raises(ValueError, match="reserved"):
+        parse_motif("(__a)-[]->(b)")
+    with pytest.raises(ValueError, match="reserved"):
+        parse_motif("(a)-[__e]->(b)")

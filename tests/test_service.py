@@ -151,3 +151,26 @@ def test_service_silent_callable_failure_is_unit(local):
                 }}""")
     finally:
         unregister_service(EP)
+
+
+def test_service_silent_swallows_evaluation_failure(local, remote):
+    # GRAPH inside a service whose frame has no graph column raises
+    # during compilation — SILENT must yield the unit table instead
+    register_service(EP, remote)
+    try:
+        out = sparql_query(local, f"""
+            PREFIX ex: <{EX}>
+            SELECT ?n WHERE {{
+              ?x ex:name ?n .
+              SERVICE SILENT <{EP}> {{ GRAPH ?g {{ ?x ex:age ?a }} }}
+            }}""")
+        assert rows(out, "n") == {("alice",), ("bob",), ("carol",)}
+        with pytest.raises(ValueError, match="GRAPH needs a quad frame"):
+            sparql_query(local, f"""
+                PREFIX ex: <{EX}>
+                SELECT ?n WHERE {{
+                  ?x ex:name ?n .
+                  SERVICE <{EP}> {{ GRAPH ?g {{ ?x ex:age ?a }} }}
+                }}""")
+    finally:
+        unregister_service(EP)

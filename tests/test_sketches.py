@@ -65,3 +65,13 @@ def test_documents_census(spark):
     est = distinct_estimate(docs, col)
     exact = docs.select(col).distinct().count()
     assert abs(est - exact) / max(exact, 1) < 0.05
+
+
+def test_empty_frame_estimates_zero(spark):
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    assert distinct_estimate(empty, "v") == 0
+    sk = sketch_by(empty, "v")
+    assert sk.collect()[0]["n_est"] == 0
+    assert estimate_union(sk).collect()[0]["n_est"] == 0

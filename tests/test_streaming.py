@@ -155,3 +155,50 @@ def test_streaming_canonical_maintenance(spark, transcripts_pdf, tmp_path):
     # three committed versions exist
     versions = [d for d in os.listdir(store) if d.startswith("v")]
     assert len(versions) >= 3
+
+
+def test_canonical_maintenance_replay_after_commit_is_noop(
+        spark, transcripts_pdf, tmp_path):
+    """Crash between pointer-commit and checkpoint-commit: the engine
+    replays the last epoch. The pointer==version guard must skip the
+    replay (re-folding would duplicate the batch AND overwrite the
+    directory being read) — snapshot unchanged, still equal to the
+    one-shot build. Exercised directly through apply_canonical_batch
+    (the foreachBatch body)."""
+    from jena_spark.pipeline.canonicalize import construct_canonical
+    from jena_spark.streaming.ingest import (
+        apply_canonical_batch,
+        read_current_snapshot,
+    )
+
+    tdf, _ = transcripts_pdf
+    store = str(tmp_path / "rstore")
+
+    convs = sorted(tdf["conv_id"].unique())
+    halves = [set(convs[0::2]), set(convs[1::2])]
+    frames = [
+        spark.createDataFrame(tdf[tdf["conv_id"].isin(h)], TRANSCRIPTS_SCHEMA)
+        for h in halves
+    ]
+    assert apply_canonical_batch(spark, frames[0], 0, store) is True
+    assert apply_canonical_batch(spark, frames[1], 1, store) is True
+
+    before = {
+        tuple(r) for r in
+        read_current_snapshot(spark, store).select(*TERM_COLS).collect()
+    }
+    # the crash-window replay: same epoch id again -> guard must skip
+    assert apply_canonical_batch(spark, frames[1], 1, store) is False
+    after = {
+        tuple(r) for r in
+        read_current_snapshot(spark, store).select(*TERM_COLS).collect()
+    }
+    want = {
+        tuple(r) for r in construct_canonical(
+            spark.createDataFrame(tdf, TRANSCRIPTS_SCHEMA)
+        ).select(*TERM_COLS).collect()
+    }
+    assert after == before == want
+    # empty batch is also a skip
+    empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    assert apply_canonical_batch(spark, empty, 2, store) is False

@@ -94,7 +94,7 @@ def main() -> None:
     n_turns = tr.count()
 
     t0 = time.perf_counter()
-    if args.append_from and args.format == "encoded":
+    if args.append_from and args.format in ("encoded", "bucketed"):
         from jena_spark.pipeline.encoded import construct_incremental_encoded
         from jena_spark.pipeline.materialize import resume_or_write
 
@@ -103,19 +103,39 @@ def main() -> None:
             df = spark.read.parquet(f"{args.append_from}/{name}")
             return df.drop(*[c for c in ("part_id", "bucket") if c in df.columns])
 
+        if args.format == "bucketed":
+            # a bucketed snapshot stores the id-triples under
+            # bucketed/spo (plain parquet files; the bucket metadata
+            # lives in the catalog, not the files)
+            prev_t = _prev("bucketed/spo")
+        else:
+            prev_t = _prev("triples_enc")
         batch = tr.withColumn(
             "conv_id", F.concat("conv_id", F.lit(args.conv_suffix)))
         folded_t, folded_n = construct_incremental_encoded(
-            _prev("triples_enc"), _prev("node_dict"), batch)
-        r_t = resume_or_write(
-            folded_t, f"{args.out}/triples_enc", "triples_enc",
-            args.n_buckets, key="conv_id")
-        r_n = resume_or_write(
-            folded_n, f"{args.out}/node_dict", "node_dict",
-            args.n_buckets, key="val")
-        n_triples = r_t.counters["rows_out"]
-        stages = {"triples_enc_appended": r_t.counters,
-                  "node_dict_appended": r_n.counters}
+            prev_t, _prev("node_dict"), batch)
+        if args.format == "bucketed":
+            from jena_spark.pipeline.bucketed import write_bucketed_store
+
+            folded_t = folded_t.persist()
+            write_bucketed_store(
+                folded_t, "kg", f"{args.out}/bucketed", args.n_buckets)
+            r_n = resume_or_write(
+                folded_n, f"{args.out}/node_dict", "node_dict",
+                args.n_buckets, key="val")
+            n_triples = folded_t.count()
+            stages = {"bucketed_appended": {"rows_out": n_triples},
+                      "node_dict_appended": r_n.counters}
+        else:
+            r_t = resume_or_write(
+                folded_t, f"{args.out}/triples_enc", "triples_enc",
+                args.n_buckets, key="conv_id")
+            r_n = resume_or_write(
+                folded_n, f"{args.out}/node_dict", "node_dict",
+                args.n_buckets, key="val")
+            n_triples = r_t.counters["rows_out"]
+            stages = {"triples_enc_appended": r_t.counters,
+                      "node_dict_appended": r_n.counters}
     elif args.append_from:
         from jena_spark.pipeline.canonicalize import construct_incremental
         from jena_spark.pipeline.materialize import resume_or_write
