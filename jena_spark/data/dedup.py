@@ -367,3 +367,42 @@ def embedding_near_dups(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, docs: DataFrame | None = None, id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS -> survivors: the final
+    step of every dedup pipeline (keep ONE document per connected
+    component of the similarity graph). Reuses the sameAs closure's
+    hybrid connected-components machinery
+    (:func:`jena_spark.pipeline.canonicalize.connected_components` —
+    driver union-find for small edge sets, distributed
+    large-star/small-star above the threshold), so the scale path is
+    the one already proven on the entity graph.
+
+    Returns ``(id_col, cluster, keep)``: ``cluster`` is the MINIMUM
+    doc id of the component (deterministic survivor election, the same
+    min-member rule as the sameAs representative), ``keep`` is true
+    exactly for the survivor. Pass ``docs`` to also emit singleton
+    rows (docs in no pair are their own cluster, keep=true) — the
+    frame a filter-and-write dedup job consumes directly.
+
+    Ids travel through CC as zero-padded decimal strings so the
+    lexicographic min the CC elects IS the numeric min.
+    """
+    from jena_spark.pipeline.canonicalize import connected_components
+
+    pad = lambda c: F.format_string("%020d", F.col(c).cast("long"))  # noqa: E731
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    mapping = connected_components(edges)
+    clusters = mapping.select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    if docs is not None:
+        all_ids = docs.select(id_col).distinct()
+        clusters = all_ids.join(clusters, id_col, "left").select(
+            id_col, F.coalesce("cluster", F.col(id_col)).alias("cluster"))
+    return clusters.select(
+        id_col, "cluster", (F.col(id_col) == F.col("cluster")).alias("keep"))

@@ -1190,6 +1190,61 @@ _register(
     _JACCARD_SQL,
 )
 
+def _q_dedup_clusters(spark, sf):
+    """Pairs -> clusters -> survivors (the final dedup step): connected
+    components over the Jaccard near-dup graph, min-doc-id survivor per
+    cluster, singletons kept. Oracle: recursive min-propagation over
+    the symmetrized pair graph in SQL."""
+    d = _docs(spark, sf)
+    pairs = DD.jaccard_pairs(d, threshold=0.3, ngram=3, max_df=_JACCARD_MAX_DF)
+    return DD.dedup_clusters(pairs, docs=d)
+
+
+_register(
+    "data_dedup_clusters",
+    _q_dedup_clusters,
+    rf"""WITH RECURSIVE ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, len(w) - 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM ws
+    ),
+    toks0 AS (SELECT DISTINCT doc_id AS doc, gram AS tok FROM grams),
+    toks AS (
+      SELECT doc, tok FROM toks0
+      QUALIFY count(*) OVER (PARTITION BY tok) <= {_JACCARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+           d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""",
+)
+
+
 # MinHash-LSH and SimHash: xxhash64 has no DuckDB twin -> rows-only
 # check here; pytest verifies candidate-recall against exact Jaccard.
 _register(
@@ -2782,6 +2837,7 @@ _PRIORITY = [
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
+    "data_dedup_clusters",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",

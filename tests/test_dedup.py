@@ -151,3 +151,29 @@ def test_jaccard_for_pairs_tokenless_docs(spark):
     out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
            for r in jaccard_for_pairs(pairs, docs).collect()}
     assert out == {("d1", "d2"): 0.0, ("d2", "d3"): 0.0, ("d1", "d3"): 0.0}
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """a-b, b-c, d-e pairs: {a,b,c} and {d,e} clusters, min id
+    survives; singleton f kept when docs frame is supplied."""
+    from pyspark.sql import functions as F
+
+    from jena_spark.data.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(12, 3), (3, 47), (100, 90)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(3,), (12,), (47,), (90,), (100,), (7,)], "doc_id long")
+    out = {(r["doc_id"], r["cluster"], r["keep"])
+           for r in dedup_clusters(pairs, docs=docs).collect()}
+    assert out == {
+        (3, 3, True), (12, 3, False), (47, 3, False),
+        (90, 90, True), (100, 90, False),
+        (7, 7, True),
+    }
+    # without docs: only paired ids appear
+    only = dedup_clusters(pairs)
+    assert only.count() == 5
+    # survivors per cluster == 1
+    k = only.where(F.col("keep")).count()
+    assert k == 2
