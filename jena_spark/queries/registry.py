@@ -1245,6 +1245,83 @@ _register(
 )
 
 
+def _q_curate(spark, sf):
+    """Composed corpus curation (lang allowlist + quality threshold +
+    exact-dup representative + near-dup survivor): the full per-doc
+    verdict table, hash-matched against a DuckDB twin that rebuilds
+    all four rules."""
+    from jena_spark.data.curate import curate_corpus
+
+    return curate_corpus(_docs(spark, sf), langs=("en", "de"),
+                         min_quality_bp=5000)
+
+
+_register(
+    "data_curate",
+    _q_curate,
+    rf"""WITH RECURSIVE ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, len(w) - 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM ws
+    ),
+    toks0 AS (SELECT DISTINCT doc_id AS doc, gram AS tok FROM grams),
+    toks AS (
+      SELECT doc, tok FROM toks0
+      QUALIFY count(*) OVER (PARTITION BY tok) <= {_JACCARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node),
+    flags AS (
+      SELECT d.doc_id,
+        d.lang IN ('en', 'de') AS lang_ok,
+        (4 * least(2 * length(text), 1000)
+         + 3 * (1000 - CASE WHEN length(text) = 0 THEN 0
+              ELSE least((5000 * length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g')))
+                         // length(text), 1000) END)
+         + 3 * (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE least((5000 * len(regexp_extract_all(lower(text),
+                          '\b(the|and|is|of|to|a|in|that|it|for)\b')))
+                         // (CASE WHEN length(trim(text)) = 0 THEN 1
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 1000) END)
+        ) >= 5000 AS q_ok,
+        d.doc_id = min(d.doc_id) OVER (PARTITION BY sha256(d.text)) AS exact_ok,
+        d.doc_id = coalesce(c.cluster, d.doc_id) AS near_ok
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id,
+      lang_ok AND q_ok AND exact_ok AND near_ok AS kept,
+      CASE WHEN NOT lang_ok THEN 'lang'
+           WHEN NOT q_ok THEN 'quality'
+           WHEN NOT exact_ok THEN 'exact_dup'
+           WHEN NOT near_ok THEN 'near_dup' END AS reason
+    FROM flags""",
+)
+
+
 # MinHash-LSH and SimHash: xxhash64 has no DuckDB twin -> rows-only
 # check here; pytest verifies candidate-recall against exact Jaccard.
 _register(
@@ -2837,7 +2914,7 @@ _PRIORITY = [
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
-    "data_dedup_clusters",
+    "data_dedup_clusters", "data_curate",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",

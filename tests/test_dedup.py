@@ -177,3 +177,32 @@ def test_dedup_clusters_transitive_chain(spark):
     # survivors per cluster == 1
     k = only.where(F.col("keep")).count()
     assert k == 2
+
+
+def test_curate_corpus_reasons_and_apply(spark):
+    """Verdicts: reason precedence (lang > quality > exact_dup >
+    near_dup), apply_curation keeps exactly the kept slice."""
+    from jena_spark.data.curate import apply_curation, curate_corpus
+
+    good = ("the cat and the dog is of a big house to a point that it "
+            "goes for a walk in the park and that is good ") * 4
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s", len(good)),          # kept
+            (2, good, "fr", "s", len(good)),          # lang (also exact dup)
+            (3, "x", "en", "s", 1),                   # quality
+            (4, good, "en", "s", len(good)),          # exact_dup of 1
+            (5, good + "slightly different tail here the end", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    v = curate_corpus(docs, langs=("en",), min_quality_bp=5000)
+    got = {(r["doc_id"], r["kept"], r["reason"]) for r in v.collect()}
+    assert (1, True, None) in got
+    assert (2, False, "lang") in got          # lang outranks exact_dup
+    assert (3, False, "quality") in got
+    assert (4, False, "exact_dup") in got
+    # doc 5 is a near-dup of the cluster around doc 1 (3-gram overlap)
+    assert (5, False, "near_dup") in got
+    kept = apply_curation(docs, v)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
