@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "kg_motif",
     "data_hll_census",
     "kg_describe_cbd",
+    "data_dedup_clusters",
+    "data_curate",
 ]
 
 

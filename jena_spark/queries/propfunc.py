@@ -138,6 +138,7 @@ PROPERTY_FUNCTIONS = {
     APF + "seq": seq,
     APF + "container": container,
     APF + "versionARQ": version,
+    APF + "version": version,  # version.java — same binding as versionARQ
     LISTF + "member": list_member,
     LISTF + "index": list_index,
     LISTF + "length": list_length,
