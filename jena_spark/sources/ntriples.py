@@ -11,9 +11,11 @@ SURVEY.md §5.3).
 Implementation notes:
 * Everything is JVM-side (``regexp_extract`` / nested ``regexp_replace``
   inside whole-stage codegen) — no Python in the parse path.
-* Escapes: ``\\\\ \\" \\n \\r \\t`` (the writer emits exactly these).
-  ``\\uXXXX`` escape decoding is not implemented (RDF 1.1 N-Triples is
-  UTF-8; we emit raw UTF-8) — documented v1 limitation.
+* Escapes: ``\\\\ \\" \\n \\r \\t`` (the writer emits exactly these;
+  RDF 1.1 N-Triples is UTF-8, so no UCHAR on the write side).
+  ``\\uXXXX``/``\\UXXXXXXXX`` decoding for FOREIGN files is opt-in
+  (``decode_uchar=True`` — one Arrow-batched pass) so the default
+  parse path stays all-JVM.
 * Unescape uses a NUL sentinel to make the backslash-backslash case
   order-independent; NUL cannot appear in N-Triples literals.
 """
@@ -134,11 +136,21 @@ def _decode_term(raw: Column) -> list[Column]:
     return [kind, val, *dtl]
 
 
-def read_ntriples(spark: SparkSession, path: str, quads: bool = False) -> DataFrame:
+def read_ntriples(
+    spark: SparkSession, path: str, quads: bool = False,
+    decode_uchar: bool = False,
+) -> DataFrame:
     """Parse into the triple-table schema. Blank-node labels are taken
     as given (``LabelToNode.createUseLabelAsGiven``,
     ``jena-arq/.../riot/lang/LabelToNode.java:71``) — our writers only
-    emit already-skolemized labels, so this is lossless."""
+    emit already-skolemized labels, so this is lossless.
+
+    ``decode_uchar=True`` additionally decodes RDF 1.1 ``\\uXXXX`` /
+    ``\\UXXXXXXXX`` numeric escapes in IRIs and literals via one
+    Arrow-batched pass over the parsed term columns (foreign files
+    only — our writer emits raw UTF-8, and the default all-JVM path
+    stays Python-free). Escaped foreign files also parse through
+    ``read_turtle`` (superset grammar, decodes UCHAR natively)."""
     lines = spark.read.text(path)
     lines = lines.where(
         (F.length(F.trim("value")) > 0) & ~F.trim(F.col("value")).startswith("#")
@@ -153,9 +165,42 @@ def read_ntriples(spark: SparkSession, path: str, quads: bool = False) -> DataFr
     s_kind, s_val, _, _ = _decode_term(F.col("raw_s"))
     o_kind, o_val, o_datatype, o_lang = _decode_term(F.col("raw_o"))
     graph = F.nullif(F.regexp_extract("raw_g", r"^<(.*)>$", 1), F.lit(""))
-    return parsed.select(
+    out = parsed.select(
         s_kind.alias("s_kind"), s_val.alias("s_val"), F.col("p_val"),
         o_kind.alias("o_kind"), o_val.alias("o_val"),
         o_datatype.alias("o_datatype"), o_lang.alias("o_lang"),
         graph.alias("graph"), F.lit(None).cast("string").alias("conv_id"),
     )
+    return decode_uchar_cols(out) if decode_uchar else out
+
+
+_UCHAR_RE = None
+
+
+def _decode_uchar_str(s):
+    import re
+
+    global _UCHAR_RE
+    if _UCHAR_RE is None:
+        _UCHAR_RE = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+    if s is None or "\\u" not in s and "\\U" not in s:
+        return s
+    return _UCHAR_RE.sub(
+        lambda m: chr(int(m.group(1) or m.group(2), 16)), s)
+
+
+def decode_uchar_cols(df: DataFrame) -> DataFrame:
+    """RDF 1.1 UCHAR (``\\uXXXX`` / ``\\UXXXXXXXX``) decode over every
+    string term column — one ``mapInPandas`` pass (Arrow-batched; the
+    per-string fast path is a substring check, so unescaped corpora
+    pay ~nothing)."""
+    cols = df.columns
+
+    def _fix(batches):
+        for pdf in batches:
+            for c in ("s_val", "p_val", "o_val", "o_datatype"):
+                if c in pdf.columns:
+                    pdf[c] = pdf[c].map(_decode_uchar_str)
+            yield pdf
+
+    return df.mapInPandas(_fix, df.schema).select(*cols)

@@ -44,7 +44,7 @@ _TOKEN = re.compile(
     | (?P<qt_close>>>)
     | (?P<ann_open>\{\|)
     | (?P<ann_close>\|\})
-    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<iri><(?:[^<>"{}|^`\\\s]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
     | (?P<str_long3>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
     | (?P<str_long1>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<str2>"(?:[^"\\\n]|\\.)*")
@@ -147,7 +147,10 @@ class TurtleParser:
         nested [ ... ] and ( ... ) by emitting their triples."""
         kind, val = self.toks.next()
         if kind == "iri":
-            return ("iri", self._resolve(val[1:-1]), None, None)
+            body = val[1:-1]
+            if "\\u" in body or "\\U" in body:
+                body = _unescape(body)  # IRIREF UCHAR (Turtle grammar [18])
+            return ("iri", self._resolve(body), None, None)
         if kind == "bnode":
             return ("bnode", val, None, None)
         if kind == "pname_full":

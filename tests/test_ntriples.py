@@ -81,3 +81,21 @@ def test_parser_skips_comments_and_blanks(spark, tmp_path):
     )
     back = read_ntriples(spark, str(p))
     assert back.count() == 2
+
+
+def test_read_uchar_escapes(spark, tmp_path):
+    """RDF 1.1 UCHAR decoding (foreign-file escapes): \\uXXXX and
+    \\UXXXXXXXX in IRIs and literals decode when requested; the
+    default path leaves them as-is (documented)."""
+    from jena_spark.sources.ntriples import read_ntriples
+
+    p = str(tmp_path / "u.nt")
+    with open(p, "w") as f:
+        f.write('<http://e/caf\\u00E9> <http://e/p> "sm\\U0001F600ile" .\n')
+        f.write('<http://e/plain> <http://e/p> "no escapes" .\n')
+    rows = {(r["s_val"], r["o_val"]) for r in
+            read_ntriples(spark, p, decode_uchar=True).collect()}
+    assert ("http://e/café", "sm\U0001F600ile") in rows
+    assert ("http://e/plain", "no escapes") in rows
+    raw = {r["s_val"] for r in read_ntriples(spark, p).collect()}
+    assert "http://e/caf\\u00E9" in raw
