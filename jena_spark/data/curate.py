@@ -9,7 +9,7 @@ near-dup cluster survivorship
 (:func:`jena_spark.data.dedup.dedup_clusters` over Jaccard pairs).
 ``curate_corpus`` evaluates all four in one job and labels every
 document with its fate — the audit table a data-governance review
-wants, and the filter frame the写-out job semi-joins against.
+wants, and the filter frame the write-out job semi-joins against.
 
 Design choices (documented, deterministic):
 

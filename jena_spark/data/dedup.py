@@ -389,7 +389,8 @@ def dedup_clusters(
     frame a filter-and-write dedup job consumes directly.
 
     Ids travel through CC as zero-padded decimal strings so the
-    lexicographic min the CC elects IS the numeric min.
+    lexicographic min the CC elects IS the numeric min (ids must be
+    non-negative integers; ANSI cast fails loudly otherwise).
     """
     from jena_spark.pipeline.canonicalize import connected_components
 
