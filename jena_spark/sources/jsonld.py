@@ -11,7 +11,10 @@ Supported profile (documented, errors loudly outside it):
   ``{"@id": ..., "@type": "@id" | datatype-IRI}``
 * node objects: ``@id`` (IRI or ``_:`` bnode; absent -> deterministic
   per-document skolem bnode), ``@type`` (string or list), nested node
-  objects (object embedding), ``@graph`` arrays (top-level or named)
+  objects (object embedding), ``@graph`` arrays — top-level (default
+  graph) AND named-graph node objects (the node's id names the graph;
+  quads via ``parse_jsonld_quads`` / ``read_jsonld(quads=True)``,
+  the triple API merges into the default graph)
 * value objects: ``@value`` with ``@language`` / ``@type``; JSON
   shorthand scalars (string / number / boolean -> xsd typed literals)
 * ``@list`` -> rdf:first/rest/nil
@@ -58,6 +61,7 @@ class JsonLdParser:
         self.scope = hashlib.md5(text.encode("utf-8")).hexdigest()
         self.anon = 0
         self.rows: list[tuple] = []
+        self._g: str | None = None  # current named-graph IRI/bnode (or None)
         self.terms: dict[str, dict] = {}
         self.base = ""
         self.vocab = ""
@@ -156,11 +160,11 @@ class JsonLdParser:
         heads = [self._fresh() for _ in items]
         for i, item in enumerate(items):
             o = self._object_term(item, type_coercion, lang)
-            self.rows.append(("bnode", heads[i], RDF_NS + "first",
+            self._emit(("bnode", heads[i], RDF_NS + "first",
                               o[0], o[1], o[2], o[3]))
             rest = (("bnode", heads[i + 1]) if i + 1 < len(items)
                     else ("iri", RDF_NS + "nil"))
-            self.rows.append(("bnode", heads[i], RDF_NS + "rest",
+            self._emit(("bnode", heads[i], RDF_NS + "rest",
                               rest[0], rest[1], None, None))
         return ("bnode", heads[0], None, None)
 
@@ -171,13 +175,21 @@ class JsonLdParser:
                 continue
             if key == "@type":
                 for t in val if isinstance(val, list) else [val]:
-                    self.rows.append(
+                    self._emit(
                         (subj[0], subj[1], RDF_NS + "type",
                          "iri", self._expand_iri(t, vocab=True), None, None))
                 continue
             if key == "@graph":
-                for child in val if isinstance(val, list) else [val]:
-                    self._node(child)
+                # named-graph node object: the node's OWN id names the
+                # graph for its @graph children (json-ld-api toRdf);
+                # the node's other properties stay in the parent graph
+                prev = self._g
+                self._g = subj[1]
+                try:
+                    for child in val if isinstance(val, list) else [val]:
+                        self._node(child)
+                finally:
+                    self._g = prev
                 continue
             if key == "@reverse":
                 # node-level reverse map: {pred: nodes} -> (node, pred, subj)
@@ -196,7 +208,7 @@ class JsonLdParser:
                     if o[0] == "literal":
                         raise ValueError(
                             "JSON-LD: @reverse value must be a node")
-                    self.rows.append(
+                    self._emit(
                         (o[0], o[1], self._expand_iri(defn["@reverse"], vocab=True),
                          subj[0], subj[1], None, None))
                 continue
@@ -219,7 +231,7 @@ class JsonLdParser:
                 # ONE rdf:first/rest chain
                 o = self._list(val if isinstance(val, list) else [val],
                                coercion, lang)
-                self.rows.append((subj[0], subj[1], pred,
+                self._emit((subj[0], subj[1], pred,
                                   o[0], o[1], o[2], o[3]))
                 continue
             if container == "@language":
@@ -231,7 +243,7 @@ class JsonLdParser:
                         if not isinstance(one, str):
                             raise ValueError(
                                 "JSON-LD: language-map values must be strings")
-                        self.rows.append((subj[0], subj[1], pred,
+                        self._emit((subj[0], subj[1], pred,
                                           "literal", one, None, lg))
                 continue
             if container == "@index":
@@ -268,7 +280,7 @@ class JsonLdParser:
                 raise ValueError(f"JSON-LD: container {container!r} unsupported")
             for v in val if isinstance(val, list) else [val]:
                 o = self._object_term(v, coercion, lang)
-                self.rows.append((subj[0], subj[1], pred, o[0], o[1], o[2], o[3]))
+                self._emit((subj[0], subj[1], pred, o[0], o[1], o[2], o[3]))
         return (subj[0], subj[1], None, None)
 
     def _reverse_emit(self, subj, rkey: str, rval) -> None:
@@ -279,7 +291,10 @@ class JsonLdParser:
             o = self._object_term(v, "@id")
             if o[0] == "literal":
                 raise ValueError("JSON-LD: @reverse value must be a node")
-            self.rows.append((o[0], o[1], pred, subj[0], subj[1], None, None))
+            self._emit((o[0], o[1], pred, subj[0], subj[1], None, None))
+
+    def _emit(self, row7: tuple) -> None:
+        self.rows.append(row7 + (self._g,))
 
     def parse(self) -> list[tuple]:
         doc = self.doc
@@ -301,7 +316,18 @@ class JsonLdParser:
 
 
 def parse_jsonld(text: str) -> list[tuple]:
-    """One JSON-LD document -> list of 7-tuples (TERM_COLS order)."""
+    """One JSON-LD document -> list of 7-tuples (TERM_COLS order);
+    named-graph membership is dropped (default-graph merge view). Use
+    :func:`parse_jsonld_quads` to keep it."""
+    return [r[:7] for r in JsonLdParser(text).parse()]
+
+
+def parse_jsonld_quads(text: str) -> list[tuple]:
+    """One JSON-LD document -> list of 8-tuples (TERM_COLS + graph):
+    a node object carrying ``@graph`` names a graph with its own
+    ``@id`` (JSON-LD 1.1 named graph node objects, json-ld-api toRdf);
+    top-level ``@graph`` arrays and plain nodes land in the default
+    graph (graph = None). The TriG twin of this reader's quad view."""
     return JsonLdParser(text).parse()
 
 
@@ -330,8 +356,11 @@ def format_jsonld(rows: list[tuple]) -> str:
     ) + "\n"
 
 
-def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
-    """Read .jsonld file(s) into the triple-table schema."""
+def read_jsonld(
+    spark: SparkSession, path: str, quads: bool = False,
+) -> DataFrame:
+    """Read .jsonld file(s) into the triple-table schema
+    (``quads=True``: + graph column from named-graph node objects)."""
     import pandas as pd
 
     files = spark.read.text(path, wholetext=True)
@@ -341,18 +370,18 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
             out = []
             for txt in pdf["value"]:
                 if txt.strip():
-                    out.extend(parse_jsonld(txt))
-            yield pd.DataFrame(out, columns=TERM_COLS7)
+                    out.extend(parse_jsonld_quads(txt))
+            yield pd.DataFrame(out, columns=TERM_COLS7 + ["graph"])
 
     schema = ("s_kind string, s_val string, p_val string, o_kind string, "
-              "o_val string, o_datatype string, o_lang string")
+              "o_val string, o_datatype string, o_lang string, graph string")
     from pyspark.sql import functions as F
 
-    return (
-        files.mapInPandas(_parse, schema)
-        .withColumn("graph", F.lit(None).cast("string"))
-        .withColumn("conv_id", F.lit(None).cast("string"))
-    )
+    out = files.mapInPandas(_parse, schema)
+    if not quads:
+        out = out.drop("graph").withColumn(
+            "graph", F.lit(None).cast("string"))
+    return out.withColumn("conv_id", F.lit(None).cast("string"))
 
 
 def write_jsonld(triples: DataFrame, path: str) -> None:
@@ -371,5 +400,51 @@ def write_jsonld(triples: DataFrame, path: str) -> None:
         yield pd.DataFrame({"value": [format_jsonld(rows)] if rows else []})
 
     triples.select(*TERM_COLS7).mapInPandas(_fmt, "value string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def format_jsonld_quads(rows: list[tuple]) -> str:
+    """8-tuples (TERM_COLS + graph) -> expanded-form JSON-LD whose
+    default-graph rows serialize exactly like :func:`format_jsonld`
+    and whose named graphs become named-graph node objects
+    (``{"@id": g, "@graph": [...]}``) — the inverse of
+    :func:`parse_jsonld_quads` (round-trip tested)."""
+    import json as _json
+
+    by_graph: dict[str | None, list[tuple]] = {}
+    for r in rows:
+        by_graph.setdefault(r[7], []).append(tuple(r[:7]))
+    nodes = []
+    default = by_graph.pop(None, [])
+    if default:
+        nodes.extend(_json.loads(format_jsonld(default))["@graph"])
+    for g in sorted(by_graph):
+        nodes.append({
+            "@id": g,
+            "@graph": _json.loads(format_jsonld(by_graph[g]))["@graph"],
+        })
+    return _json.dumps({"@graph": nodes}, indent=1, sort_keys=True)
+
+
+def write_jsonld_quads(quads: DataFrame, path: str) -> None:
+    """Distributed named-graph JSON-LD sink: one expanded-form document
+    per partition (graph blocks may span partitions — documents union
+    cleanly on read, like the TriG sink)."""
+    import pandas as pd
+
+    cols = TERM_COLS7 + ["graph"]
+
+    def _fmt(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend([
+                tuple(None if v is None or (isinstance(v, float) and pd.isna(v))
+                      else v for v in r)
+                for r in pdf[cols].itertuples(index=False)
+            ])
+        yield pd.DataFrame({"value": [format_jsonld_quads(rows)] if rows else []})
+
+    quads.select(*cols).mapInPandas(_fmt, "value string").write.mode(
         "overwrite"
     ).text(path)

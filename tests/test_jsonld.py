@@ -262,3 +262,58 @@ def test_container_array_with_set():
     rows = set(parse_jsonld(doc))
     assert ("iri", "http://e/r", "http://e/m", "iri", "http://e/a", None, None) in rows
     assert {r[4] for r in rows if r[2] == "http://e/t"} == {"t1", "t2"}
+
+
+def test_named_graph_node_objects_quads():
+    """JSON-LD 1.1 named-graph node objects: the node's id names the
+    graph for its @graph children; the node's own properties stay in
+    the parent (default) graph; plain nodes land in the default graph."""
+    from jena_spark.sources.jsonld import parse_jsonld_quads
+
+    doc = """{
+      "@context": {"p": "http://e/p", "name": "http://e/name"},
+      "@graph": [
+        {"@id": "http://e/g1", "name": "graph one",
+         "@graph": [{"@id": "http://e/a", "p": "in g1"}]},
+        {"@id": "http://e/plain", "p": "default"}
+      ]
+    }"""
+    rows = set(parse_jsonld_quads(doc))
+    assert ("iri", "http://e/a", "http://e/p", "literal", "in g1",
+            None, None, "http://e/g1") in rows
+    # the graph node's own property is in the DEFAULT graph
+    assert ("iri", "http://e/g1", "http://e/name", "literal", "graph one",
+            None, None, None) in rows
+    assert ("iri", "http://e/plain", "http://e/p", "literal", "default",
+            None, None, None) in rows
+    # triple API merges into the default graph view
+    assert {r[:7] for r in rows} == set(parse_jsonld(doc))
+
+
+def test_jsonld_quads_roundtrip_and_trig_equality(spark, tmp_path):
+    """write_jsonld_quads -> read_jsonld(quads=True) is lossless, and
+    the same quads through the TriG writer/reader land identically."""
+    from jena_spark.sources.jsonld import read_jsonld, write_jsonld_quads
+    from jena_spark.sources.turtle import read_trig, write_trig
+
+    rows = [
+        ("iri", "http://e/s", "http://e/p", "literal", "x", None, None, None),
+        ("iri", "http://e/s", "http://e/p", "iri", "http://e/o", None, None,
+         "http://e/g1"),
+        ("bnode", "_:b0", "http://e/q", "literal", "5",
+         XSD + "integer", None, "http://e/g2"),
+    ]
+    schema = ("s_kind string, s_val string, p_val string, o_kind string,"
+              "o_val string, o_datatype string, o_lang string, graph string")
+    quads = spark.createDataFrame(rows, schema)
+    jl = str(tmp_path / "g.jsonld")
+    tg = str(tmp_path / "g.trig")
+    write_jsonld_quads(quads, jl)
+    write_trig(quads, tg)
+    cols = ["s_kind", "s_val", "p_val", "o_kind", "o_val",
+            "o_datatype", "o_lang", "graph"]
+    from_jl = {tuple(r) for r in
+               read_jsonld(spark, jl, quads=True).select(*cols).collect()}
+    from_tg = {tuple(r) for r in
+               read_trig(spark, tg).select(*cols).collect()}
+    assert from_jl == set(rows) == from_tg
