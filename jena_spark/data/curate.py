@@ -50,6 +50,10 @@ def curate_corpus(
     """-> ``(doc_id, kept, reason)``: one verdict row per document;
     ``reason`` is null for kept docs, else the first failing rule
     (``lang`` / ``quality`` / ``exact_dup`` / ``near_dup``)."""
+    # docs feeds >=3 plan branches (flags select, the Jaccard token
+    # index, the singleton id set) — persist it or its upstream plan
+    # replays per consumer (CLAUDE.md union-replay rule)
+    docs = docs.persist()
     base = docs.select(
         "doc_id",
         F.col("lang").isin(*langs).alias("lang_ok"),

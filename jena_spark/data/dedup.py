@@ -389,11 +389,20 @@ def dedup_clusters(
     frame a filter-and-write dedup job consumes directly.
 
     Ids travel through CC as zero-padded decimal strings so the
-    lexicographic min the CC elects IS the numeric min (ids must be
-    non-negative integers; ANSI cast fails loudly otherwise).
+    lexicographic min the CC elects IS the numeric min — which requires
+    NON-NEGATIVE ids (a negative id zero-pads to a lexicographically
+    wrong position), so negatives are rejected loudly up front; ANSI
+    cast already rejects non-numeric ids.
     """
     from jena_spark.pipeline.canonicalize import connected_components
 
+    bad = pairs.where(
+        (F.col("doc_a").cast("long") < 0) | (F.col("doc_b").cast("long") < 0)
+    ).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            "dedup_clusters: negative doc ids break the padded-string "
+            "min election; remap ids to a non-negative domain first")
     pad = lambda c: F.format_string("%020d", F.col(c).cast("long"))  # noqa: E731
     edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     mapping = connected_components(edges)

@@ -1150,7 +1150,7 @@ _register(
 
 _JACCARD_MAX_DF = 1000
 
-_JACCARD_SQL = rf"""WITH ws AS (
+_JACCARD_CTES = rf"""ws AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
     ),
     grams AS (
@@ -1169,7 +1169,39 @@ _JACCARD_SQL = rf"""WITH ws AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
       GROUP BY a.doc, b.doc
-    )
+    )"""
+
+# pairs -> connected components by recursive min-propagation (shared by
+# the cluster and curation oracles; needs a WITH RECURSIVE prefix)
+_CLUSTER_CTES = """pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)"""
+
+# the integer-basis-point quality score (shared with data_text_quality)
+_QUALITY_BP_SQL = """(4 * least(2 * length(text), 1000)
+       + 3 * (1000 - CASE WHEN length(text) = 0 THEN 0
+            ELSE least((5000 * length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')))
+                       // length(text), 1000) END)
+       + 3 * (CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE least((5000 * len(regexp_extract_all(lower(text),
+                        '\\b(the|and|is|of|to|a|in|that|it|for)\\b')))
+                       // (CASE WHEN length(trim(text)) = 0 THEN 1
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1000) END))"""
+
+_JACCARD_SQL = "WITH " + _JACCARD_CTES + rf"""
     SELECT doc_a, doc_b,
            round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
     FROM inter
@@ -1203,42 +1235,7 @@ def _q_dedup_clusters(spark, sf):
 _register(
     "data_dedup_clusters",
     _q_dedup_clusters,
-    rf"""WITH RECURSIVE ws AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, unnest(list_transform(
-        range(1, len(w) - 1),
-        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
-      FROM ws
-    ),
-    toks0 AS (SELECT DISTINCT doc_id AS doc, gram AS tok FROM grams),
-    toks AS (
-      SELECT doc, tok FROM toks0
-      QUALIFY count(*) OVER (PARTITION BY tok) <= {_JACCARD_MAX_DF}
-    ),
-    sizes AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
-      GROUP BY a.doc, b.doc
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter JOIN sizes sa ON sa.doc = doc_a
-      JOIN sizes sb ON sb.doc = doc_b
-      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach AS (
-      SELECT a AS node, a AS comp FROM edges
-      UNION
-      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
-    ),
-    comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)
+    "WITH RECURSIVE " + _JACCARD_CTES + ",\n    " + _CLUSTER_CTES + """
     SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
            d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""",
@@ -1259,55 +1256,11 @@ def _q_curate(spark, sf):
 _register(
     "data_curate",
     _q_curate,
-    rf"""WITH RECURSIVE ws AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, unnest(list_transform(
-        range(1, len(w) - 1),
-        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
-      FROM ws
-    ),
-    toks0 AS (SELECT DISTINCT doc_id AS doc, gram AS tok FROM grams),
-    toks AS (
-      SELECT doc, tok FROM toks0
-      QUALIFY count(*) OVER (PARTITION BY tok) <= {_JACCARD_MAX_DF}
-    ),
-    sizes AS (SELECT doc, count(*) AS sz FROM toks GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
-      GROUP BY a.doc, b.doc
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter JOIN sizes sa ON sa.doc = doc_a
-      JOIN sizes sb ON sb.doc = doc_b
-      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.3
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach AS (
-      SELECT a AS node, a AS comp FROM edges
-      UNION
-      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
-    ),
-    comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node),
+    "WITH RECURSIVE " + _JACCARD_CTES + ",\n    " + _CLUSTER_CTES + f""",
     flags AS (
       SELECT d.doc_id,
         d.lang IN ('en', 'de') AS lang_ok,
-        (4 * least(2 * length(text), 1000)
-         + 3 * (1000 - CASE WHEN length(text) = 0 THEN 0
-              ELSE least((5000 * length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g')))
-                         // length(text), 1000) END)
-         + 3 * (CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE least((5000 * len(regexp_extract_all(lower(text),
-                          '\b(the|and|is|of|to|a|in|that|it|for)\b')))
-                         // (CASE WHEN length(trim(text)) = 0 THEN 1
-                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 1000) END)
-        ) >= 5000 AS q_ok,
+        {_QUALITY_BP_SQL} >= 5000 AS q_ok,
         d.doc_id = min(d.doc_id) OVER (PARTITION BY sha256(d.text)) AS exact_ok,
         d.doc_id = coalesce(c.cluster, d.doc_id) AS near_ok
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -1872,19 +1825,9 @@ def _q_text_quality(spark, sf):
 _register(
     "data_text_quality",
     _q_text_quality,
-    """SELECT CAST(least(CAST(q // 1000 AS BIGINT), 9) AS INT) AS decile,
+    f"""SELECT CAST(least(CAST(q // 1000 AS BIGINT), 9) AS INT) AS decile,
            count(*) AS n_docs
-    FROM (SELECT
-       4 * least(2 * length(text), 1000)
-       + 3 * (1000 - CASE WHEN length(text) = 0 THEN 0
-            ELSE least((5000 * length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')))
-                       // length(text), 1000) END)
-       + 3 * (CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE least((5000 * len(regexp_extract_all(lower(text),
-                        '\\b(the|and|is|of|to|a|in|that|it|for)\\b')))
-                       // (CASE WHEN length(trim(text)) = 0 THEN 1
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1000) END)
-       AS q
+    FROM (SELECT {_QUALITY_BP_SQL} AS q
     FROM documents) GROUP BY CAST(least(CAST(q // 1000 AS BIGINT), 9) AS INT)""",
 )
 

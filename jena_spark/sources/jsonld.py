@@ -424,7 +424,8 @@ def format_jsonld_quads(rows: list[tuple]) -> str:
             "@id": g,
             "@graph": _json.loads(format_jsonld(by_graph[g]))["@graph"],
         })
-    return _json.dumps({"@graph": nodes}, indent=1, sort_keys=True)
+    return _json.dumps({"@graph": nodes}, indent=1, sort_keys=True,
+                       ensure_ascii=False)
 
 
 def write_jsonld_quads(quads: DataFrame, path: str) -> None:

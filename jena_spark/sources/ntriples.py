@@ -112,8 +112,11 @@ def write_ntriples(triples: DataFrame, path: str, quads: bool = False) -> None:
     format_ntriples(triples, quads).write.mode("overwrite").text(path)
 
 
-def _decode_term(raw: Column) -> list[Column]:
-    """raw N-Triples(-star) term -> (kind, val, datatype, lang) columns."""
+def _decode_term(raw: Column, unescape: bool = True) -> list[Column]:
+    """raw N-Triples(-star) term -> (kind, val, datatype, lang) columns.
+    ``unescape=False`` keeps literal lexicals RAW (escapes intact) for
+    the decode_uchar path, which must run ECHAR and UCHAR in ONE pass
+    (layering them double-decodes ``\\\\uXXXX``)."""
     is_qt = raw.startswith("<<")
     is_iri = raw.startswith("<") & ~is_qt
     is_bnode = raw.startswith("_:")
@@ -127,7 +130,7 @@ def _decode_term(raw: Column) -> list[Column]:
     val = (
         F.when(is_qt | is_bnode, raw)
         .when(is_iri, F.regexp_extract(raw, r"^<(.*)>$", 1))
-        .otherwise(_unescape(quoted))
+        .otherwise(_unescape(quoted) if unescape else quoted)
     )
     dtl = [
         F.when(is_qt, F.lit(None).cast("string")).otherwise(datatype),
@@ -162,8 +165,9 @@ def read_ntriples(
         (F.regexp_extract("value", _LINE, 4) if quads else F.lit("")).alias("raw_g"),
     ).where(F.col("raw_s") != "")
 
-    s_kind, s_val, _, _ = _decode_term(F.col("raw_s"))
-    o_kind, o_val, o_datatype, o_lang = _decode_term(F.col("raw_o"))
+    s_kind, s_val, _, _ = _decode_term(F.col("raw_s"), unescape=not decode_uchar)
+    o_kind, o_val, o_datatype, o_lang = _decode_term(
+        F.col("raw_o"), unescape=not decode_uchar)
     graph = F.nullif(F.regexp_extract("raw_g", r"^<(.*)>$", 1), F.lit(""))
     out = parsed.select(
         s_kind.alias("s_kind"), s_val.alias("s_val"), F.col("p_val"),
@@ -174,33 +178,37 @@ def read_ntriples(
     return decode_uchar_cols(out) if decode_uchar else out
 
 
-_UCHAR_RE = None
-
-
-def _decode_uchar_str(s):
-    import re
-
-    global _UCHAR_RE
-    if _UCHAR_RE is None:
-        _UCHAR_RE = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
-    if s is None or "\\u" not in s and "\\U" not in s:
+def _full_unescape_str(s):
+    # ONE pass over ECHAR + UCHAR (turtle._unescape: surrogate-pairing,
+    # loud on lone surrogates); cheap substring check fast path
+    if s is None or "\\" not in s:
         return s
-    return _UCHAR_RE.sub(
-        lambda m: chr(int(m.group(1) or m.group(2), 16)), s)
+    from jena_spark.sources.turtle import _unescape as _tu
+
+    return _tu(s)
 
 
 def decode_uchar_cols(df: DataFrame) -> DataFrame:
-    """RDF 1.1 UCHAR (``\\uXXXX`` / ``\\UXXXXXXXX``) decode over every
-    string term column — one ``mapInPandas`` pass (Arrow-batched; the
-    per-string fast path is a substring check, so unescaped corpora
-    pay ~nothing)."""
+    """Full escape decode (ECHAR + UCHAR in one pass) over every string
+    term column INCLUDING the graph IRI — one ``mapInPandas`` pass
+    (Arrow-batched; the per-string fast path is a substring check, so
+    unescaped corpora pay ~nothing). Quoted-triple lexicals
+    (kind='triple') are left as-is: their embedded terms carry their
+    own escaping and decode at destructure time."""
     cols = df.columns
 
     def _fix(batches):
         for pdf in batches:
-            for c in ("s_val", "p_val", "o_val", "o_datatype"):
-                if c in pdf.columns:
-                    pdf[c] = pdf[c].map(_decode_uchar_str)
+            for c, kind_col in (("s_val", "s_kind"), ("o_val", "o_kind"),
+                                ("p_val", None), ("o_datatype", None),
+                                ("graph", None)):
+                if c not in pdf.columns:
+                    continue
+                if kind_col is not None and kind_col in pdf.columns:
+                    mask = pdf[kind_col] != "triple"
+                    pdf.loc[mask, c] = pdf.loc[mask, c].map(_full_unescape_str)
+                else:
+                    pdf[c] = pdf[c].map(_full_unescape_str)
             yield pdf
 
     return df.mapInPandas(_fix, df.schema).select(*cols)

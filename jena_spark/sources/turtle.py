@@ -71,18 +71,50 @@ _ESC = {
 
 
 def _unescape(s: str) -> str:
+    """Single left-to-right pass over ECHAR + UCHAR escapes (the only
+    correct order — a decoded backslash must never be re-examined).
+    JSON-style surrogate PAIRS (``\\uD83D\\uDE00``) combine into one
+    code point; a lone surrogate raises (it is not a Unicode scalar
+    value and would crash Arrow serialization later, opaquely)."""
     out, i = [], 0
+    pending_hi: int | None = None
+
+    def emit_cp(cp: int) -> None:
+        nonlocal pending_hi
+        if pending_hi is not None:
+            if 0xDC00 <= cp <= 0xDFFF:
+                out.append(chr(0x10000 + ((pending_hi - 0xD800) << 10)
+                               + (cp - 0xDC00)))
+                pending_hi = None
+                return
+            raise ValueError(
+                f"lone surrogate \\u{pending_hi:04X} in escaped string")
+        if 0xD800 <= cp <= 0xDBFF:
+            pending_hi = cp
+            return
+        if 0xDC00 <= cp <= 0xDFFF:
+            raise ValueError(f"lone surrogate \\u{cp:04X} in escaped string")
+        out.append(chr(cp))
+
+    def flush() -> None:
+        if pending_hi is not None:
+            raise ValueError(
+                f"lone surrogate \\u{pending_hi:04X} in escaped string")
+
     while i < len(s):
         ch = s[i]
         if ch == "\\" and i + 1 < len(s):
             nxt = s[i + 1]
+            if nxt == "u":
+                emit_cp(int(s[i + 2:i + 6], 16)); i += 6; continue
+            if nxt == "U":
+                emit_cp(int(s[i + 2:i + 10], 16)); i += 10; continue
+            flush()
             if nxt in _ESC:
                 out.append(_ESC[nxt]); i += 2; continue
-            if nxt == "u":
-                out.append(chr(int(s[i + 2:i + 6], 16))); i += 6; continue
-            if nxt == "U":
-                out.append(chr(int(s[i + 2:i + 10], 16))); i += 10; continue
+        flush()
         out.append(ch); i += 1
+    flush()
     return "".join(out)
 
 
@@ -97,6 +129,12 @@ class _Tokens:
                 self.toks.append(("pname_full", m.group(0)))
             elif kind == "pname":
                 self.toks.append(("pname_full", m.group(0)))
+            elif kind == "iri" and ("\\u" in m.group(0) or "\\U" in m.group(0)):
+                # IRIREF UCHAR (grammar [18]) decoded ONCE at the token,
+                # so every consumer — subject/object AND predicate,
+                # datatype, @prefix, @base — sees one spelling per IRI
+                self.toks.append(
+                    ("iri", "<" + _unescape(m.group(0)[1:-1]) + ">"))
             else:
                 self.toks.append((kind, m.group(0)))
         self.i = 0
@@ -147,10 +185,7 @@ class TurtleParser:
         nested [ ... ] and ( ... ) by emitting their triples."""
         kind, val = self.toks.next()
         if kind == "iri":
-            body = val[1:-1]
-            if "\\u" in body or "\\U" in body:
-                body = _unescape(body)  # IRIREF UCHAR (Turtle grammar [18])
-            return ("iri", self._resolve(body), None, None)
+            return ("iri", self._resolve(val[1:-1]), None, None)
         if kind == "bnode":
             return ("bnode", val, None, None)
         if kind == "pname_full":

@@ -206,3 +206,13 @@ def test_curate_corpus_reasons_and_apply(spark):
     assert (5, False, "near_dup") in got
     kept = apply_curation(docs, v)
     assert {r["doc_id"] for r in kept.collect()} == {1}
+
+
+def test_dedup_clusters_rejects_negative_ids(spark):
+    from jena_spark.data.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(-9, -10)], "doc_a long, doc_b long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="negative doc ids"):
+        dedup_clusters(pairs)

@@ -99,3 +99,39 @@ def test_read_uchar_escapes(spark, tmp_path):
     assert ("http://e/plain", "no escapes") in rows
     raw = {r["s_val"] for r in read_ntriples(spark, p).collect()}
     assert "http://e/caf\\u00E9" in raw
+
+
+def test_uchar_single_pass_and_graph(spark, tmp_path):
+    """Review regressions: (1) an ESCAPED backslash followed by uXXXX
+    must NOT double-decode ('\\\\u0041' means backslash + text);
+    (2) the graph IRI of an N-Quads line decodes too; (3) surrogate
+    pairs combine; (4) matches the Turtle reader on the same content."""
+    from jena_spark.sources.ntriples import read_ntriples
+    from jena_spark.sources.turtle import read_turtle
+
+    p = str(tmp_path / "u2.nq")
+    with open(p, "w") as f:
+        f.write('<http://e/s> <http://e/p> "back\\\\u0041slash" <http://e/caf\\u00E9> .\n')
+        f.write('<http://e/s> <http://e/p> "pair\\uD83D\\uDE00" .\n')
+    got = {(r["o_val"], r["graph"]) for r in
+           read_ntriples(spark, p, quads=True, decode_uchar=True).collect()}
+    assert ("back\\u0041slash", "http://e/café") in got   # no double decode
+    assert ("pair\U0001F600", None) in got                 # surrogate pair
+    # cross-reader agreement on the literal content (turtle, no graph)
+    p2 = str(tmp_path / "u2.nt")
+    with open(p2, "w") as f:
+        f.write('<http://e/s> <http://e/p> "back\\\\u0041slash" .\n')
+    t = {r["o_val"] for r in read_turtle(spark, p2).collect()}
+    assert t == {"back\\u0041slash"}
+
+
+def test_uchar_lone_surrogate_raises(spark, tmp_path):
+    from jena_spark.sources.ntriples import read_ntriples
+
+    p = str(tmp_path / "u3.nt")
+    with open(p, "w") as f:
+        f.write('<http://e/s> <http://e/p> "bad\\uD83Dend" .\n')
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="lone surrogate"):
+        read_ntriples(spark, p, decode_uchar=True).collect()

@@ -170,3 +170,24 @@ def test_read_trig_distributed(spark, tmp_path):
             .select("s_kind", "s_val", "p_val", "o_kind", "o_val",
                     "o_datatype", "o_lang", "graph").collect()}
     assert back == set(rows)
+
+
+def test_uchar_in_all_iri_positions(spark, tmp_path):
+    """Review regression: UCHAR decodes in EVERY IRIREF position —
+    predicate, datatype, @prefix and @base included — so one IRI has
+    one spelling in the graph."""
+    from jena_spark.sources.turtle import read_turtle
+
+    p = str(tmp_path / "u.ttl")
+    with open(p, "w") as f:
+        f.write('@prefix ex: <http://e/caf\\u00E9#> .\n')
+        f.write('@base <http://base/\\u00FC/> .\n')
+        f.write('<http://e/caf\\u00E9> <http://e/caf\\u00E9> '
+                '"x"^^<http://e/caf\\u00E9> .\n')
+        f.write('ex:a <http://e/p> <rel> .\n')
+    rows = {(r["s_val"], r["p_val"], r["o_kind"], r["o_val"], r["o_datatype"])
+            for r in read_turtle(spark, p).collect()}
+    assert ("http://e/café", "http://e/café", "literal", "x",
+            "http://e/café") in rows
+    assert ("http://e/café#a", "http://e/p", "iri", "http://base/ü/rel",
+            None) in rows
