@@ -2287,6 +2287,56 @@ _register(
 )
 
 
+def _q_shacl_report(spark, sf):
+    """SHACL core validation (``jena-shacl/.../ShaclValidator.java:77``
+    analog): validate every turn of the canonical KG against a shape —
+    role must match ^(user|assistant)$ (tool turns violate), at most
+    one mention per turn (co-mention turns violate), turnIndex present
+    and xsd:integer (clean — exercises the conforming path). The
+    violation table is the result; oracle rebuilds it in SQL."""
+    from jena_spark.queries.shacl import SH, validate
+
+    XSD_I = TM.XSD + "integer"
+    shape = TM.NS_VOCAB + "TurnShape"
+    shapes_rows = [
+        ("iri", shape, SH + "targetSubjectsOf", "iri", TM.P_ROLE, None, None),
+        ("iri", shape, SH + "property", "bnode", "_:r", None, None),
+        ("bnode", "_:r", SH + "path", "iri", TM.P_ROLE, None, None),
+        ("bnode", "_:r", SH + "pattern", "literal", "^(user|assistant)$",
+         None, None),
+        ("iri", shape, SH + "property", "bnode", "_:m", None, None),
+        ("bnode", "_:m", SH + "path", "iri", TM.P_MENTIONS, None, None),
+        ("bnode", "_:m", SH + "maxCount", "literal", "1", XSD_I, None),
+        ("iri", shape, SH + "property", "bnode", "_:i", None, None),
+        ("bnode", "_:i", SH + "path", "iri", TM.P_TURN_INDEX, None, None),
+        ("bnode", "_:i", SH + "minCount", "literal", "1", XSD_I, None),
+        ("bnode", "_:i", SH + "datatype", "iri", XSD_I, None, None),
+    ]
+    shapes = spark.createDataFrame(
+        shapes_rows,
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string")
+    return validate(_triples(spark, sf), shapes)
+
+
+_register(
+    "kg_shacl_report",
+    _q_shacl_report,
+    _W + f"""SELECT '{TM.NS_VOCAB}TurnShape' AS shape,
+           s_kind AS focus_kind, s_val AS focus,
+           '{TM.P_ROLE}' AS path, 'value' AS constraint, o_val AS value
+    FROM triples
+    WHERE p_val = '{TM.P_ROLE}' AND NOT regexp_matches(o_val, '^(user|assistant)$')
+    UNION
+    SELECT '{TM.NS_VOCAB}TurnShape', s_kind, s_val,
+           '{TM.P_MENTIONS}', 'maxCount', CAST(n AS VARCHAR)
+    FROM (
+      SELECT s_kind, s_val, count(*) AS n FROM triples
+      WHERE p_val = '{TM.P_MENTIONS}' GROUP BY s_kind, s_val
+    ) WHERE n > 1""",
+)
+
+
 def _q_sparql_service(spark, sf):
     """SPARQL SERVICE (OpService, ``OpExecutor.java:311`` /
     ``QueryIterService.java:36-55``): the entity-label slice is
@@ -2857,7 +2907,7 @@ _PRIORITY = [
     "kg_order_mixed_terms", "kg_quads_union_graph",
     "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
-    "data_dedup_clusters", "data_curate",
+    "data_dedup_clusters", "data_curate", "kg_shacl_report",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",

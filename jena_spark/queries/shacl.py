@@ -1,0 +1,380 @@
+"""SHACL core validation over the triple table (jena-shacl analog).
+
+Reference: ``jena-shacl/.../ShaclValidator.java:77`` (validate(shapes,
+data) -> ValidationReport), shape parsing ``shacl/Shapes.java`` /
+``shacl/parser/``, constraint library ``shacl/engine/constraint/``
+(MinCount/MaxCount ``CardinalityConstraint.java``, Datatype/Class/
+NodeKind/Pattern/In/HasValue/StrMin-MaxLength/ValueMin-Max* —
+one class per SHACL core component).
+
+Spark-first posture: a SHAPES graph is tiny and static (like the
+inference TBox), so it parses ONCE on the driver into plain constraint
+records and every constraint compiles to a declarative DataFrame step
+over the DATA graph — target selection is a filtered scan/join,
+cardinality is a groupBy over the focus-value frame, and the term
+constraints are per-row JVM predicates. No per-row Python anywhere;
+the report is itself a DataFrame (the distributed twin of
+``ValidationReport``) so at 100 TB the violations land as a table, not
+a driver list.
+
+Supported core components (errors loudly outside the profile):
+targets ``sh:targetClass``/``sh:targetNode``/``sh:targetSubjectsOf``/
+``sh:targetObjectsOf``; property shapes with an IRI path or
+``sh:inversePath``; constraints ``sh:minCount``, ``sh:maxCount``,
+``sh:datatype``, ``sh:class``, ``sh:nodeKind``, ``sh:pattern``
+(+``sh:flags``), ``sh:in``, ``sh:hasValue``, ``sh:minLength``,
+``sh:maxLength``, ``sh:minInclusive``/``sh:maxInclusive``/
+``sh:minExclusive``/``sh:maxExclusive`` (numeric value space).
+Node-shape-level ``sh:nodeKind``/``sh:class``/``sh:in`` apply to the
+focus node itself. NOT covered: logical combinators (sh:and/or/not/
+xone), sh:node recursion, qualified value shapes, SPARQL constraints,
+sh:closed, sh:uniqueLang, pairwise (equals/disjoint/lessThan).
+
+RDF 1.1 note: a plain literal (datatype column NULL) IS an
+``xsd:string`` for ``sh:datatype`` comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+_NODEKINDS = {
+    SH + "IRI": ("iri",),
+    SH + "BlankNode": ("bnode",),
+    SH + "Literal": ("literal",),
+    SH + "BlankNodeOrIRI": ("bnode", "iri"),
+    SH + "BlankNodeOrLiteral": ("bnode", "literal"),
+    SH + "IRIOrLiteral": ("iri", "literal"),
+}
+
+_TERM_CONSTRAINTS = (
+    "datatype", "class", "nodeKind", "pattern", "flags", "in", "hasValue",
+    "minLength", "maxLength", "minInclusive", "maxInclusive",
+    "minExclusive", "maxExclusive",
+)
+
+
+@dataclass
+class PropertyShape:
+    path: str
+    inverse: bool = False
+    min_count: int | None = None
+    max_count: int | None = None
+    constraints: dict = field(default_factory=dict)
+
+
+@dataclass
+class NodeShape:
+    iri: str
+    target_class: list = field(default_factory=list)
+    target_node: list = field(default_factory=list)
+    target_subjects_of: list = field(default_factory=list)
+    target_objects_of: list = field(default_factory=list)
+    constraints: dict = field(default_factory=dict)  # on the focus itself
+    properties: list = field(default_factory=list)
+
+
+def _collect_shapes_rows(shapes: DataFrame, max_rows: int = 100_000):
+    n = shapes.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"SHACL: shapes graph exceeds {max_rows} triples — shapes "
+            "are driver-parsed (TBox posture); split the graph")
+    return [tuple(r) for r in shapes.select(
+        "s_kind", "s_val", "p_val", "o_kind", "o_val",
+        "o_datatype", "o_lang").collect()]
+
+
+def _rdf_list(by_subj: dict, head: tuple) -> list:
+    """rdf:first/rest chain -> python list of (kind,val,dt,lang)."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    out = []
+    while not (head[0] == "iri" and head[1] == rdf + "nil"):
+        po = by_subj.get(head[:2], {})
+        first = po.get(rdf + "first")
+        rest = po.get(rdf + "rest")
+        if first is None or rest is None:
+            raise ValueError("SHACL: malformed sh:in list")
+        out.append(first[0])
+        head = rest[0]
+    return out
+
+
+def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
+    """Shapes graph -> NodeShape records (``shacl/parser/`` analog,
+    restricted to the documented core profile)."""
+    rows = _collect_shapes_rows(shapes)
+    by_subj: dict[tuple, dict] = {}
+    for s_kind, s_val, p_val, o_kind, o_val, o_dt, o_lang in rows:
+        by_subj.setdefault((s_kind, s_val), {}).setdefault(p_val, []).append(
+            (o_kind, o_val, o_dt, o_lang))
+
+    def one(po: dict, p: str):
+        v = po.get(SH + p)
+        return v[0] if v else None
+
+    def _term_constraints(po: dict, out: dict) -> None:
+        for key in _TERM_CONSTRAINTS:
+            v = one(po, key)
+            if v is None:
+                continue
+            if key == "in":
+                out["in"] = _rdf_list(by_subj, v)
+            elif key == "hasValue":
+                out["hasValue"] = v
+            elif key in ("datatype", "class", "nodeKind"):
+                out[key] = v[1]
+            elif key in ("minLength", "maxLength"):
+                out[key] = int(v[1])
+            elif key in ("minInclusive", "maxInclusive",
+                         "minExclusive", "maxExclusive"):
+                out[key] = float(v[1])
+            else:  # pattern / flags
+                out[key] = v[1]
+        unknown = {p for p in po
+                   if p.startswith(SH) and p[len(SH):] not in
+                   _TERM_CONSTRAINTS + (
+                       "path", "inversePath", "minCount", "maxCount",
+                       "property", "targetClass", "targetNode",
+                       "targetSubjectsOf", "targetObjectsOf")}
+        if unknown:
+            raise ValueError(f"SHACL: unsupported constraint(s) {sorted(unknown)}")
+
+    shapes_out = []
+    node_shape_subjects = [
+        s for s, po in by_subj.items()
+        if any(p.startswith(SH + "target") for p in po)
+    ]
+    for subj in sorted(node_shape_subjects):
+        po = by_subj[subj]
+        ns = NodeShape(iri=subj[1])
+        for p, attr in (("targetClass", ns.target_class),
+                        ("targetNode", ns.target_node),
+                        ("targetSubjectsOf", ns.target_subjects_of),
+                        ("targetObjectsOf", ns.target_objects_of)):
+            attr.extend(po.get(SH + p, []))
+        _term_constraints(po, ns.constraints)
+        for prop_ref in po.get(SH + "property", []):
+            ppo = by_subj.get(prop_ref[:2], {})
+            path = one(ppo, "path")
+            if path is None:
+                raise ValueError("SHACL: property shape without sh:path")
+            inverse = False
+            if path[0] == "bnode":
+                inner = by_subj.get(path[:2], {}).get(SH + "inversePath")
+                if not inner:
+                    raise ValueError("SHACL: only IRI or sh:inversePath paths")
+                path, inverse = inner[0], True
+            ps = PropertyShape(path=path[1], inverse=inverse)
+            mn, mx = one(ppo, "minCount"), one(ppo, "maxCount")
+            ps.min_count = int(mn[1]) if mn else None
+            ps.max_count = int(mx[1]) if mx else None
+            _term_constraints(ppo, ps.constraints)
+            ns.properties.append(ps)
+        shapes_out.append(ns)
+    if not shapes_out:
+        raise ValueError("SHACL: no node shape with a target found")
+    return shapes_out
+
+
+REPORT_COLS = ["shape", "focus_kind", "focus", "path", "constraint", "value"]
+
+
+def _focus_frame(data: DataFrame, ns: NodeShape) -> DataFrame:
+    """Target selection -> (focus_kind, focus) frame."""
+    spark = data.sparkSession
+    parts = []
+    for t in ns.target_class:
+        parts.append(
+            data.where((F.col("p_val") == RDF_TYPE)
+                       & (F.col("o_kind") == "iri")
+                       & (F.col("o_val") == t[1]))
+            .select(F.col("s_kind").alias("focus_kind"),
+                    F.col("s_val").alias("focus")))
+    for p in ns.target_subjects_of:
+        parts.append(data.where(F.col("p_val") == p[1]).select(
+            F.col("s_kind").alias("focus_kind"), F.col("s_val").alias("focus")))
+    for p in ns.target_objects_of:
+        parts.append(data.where(F.col("p_val") == p[1]).select(
+            F.col("o_kind").alias("focus_kind"), F.col("o_val").alias("focus")))
+    if ns.target_node:
+        parts.append(spark.createDataFrame(
+            [(t[0], t[1]) for t in ns.target_node],
+            "focus_kind string, focus string"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _value_violation_cond(data: DataFrame, cons: dict) -> tuple[Column, DataFrame | None]:
+    """Per-row violation predicate over (v_kind, v_val, v_dt, v_lang)
+    columns; sh:class additionally needs a typed-nodes frame (returned
+    for the caller to anti-join)."""
+    c = F.lit(False)
+    if "nodeKind" in cons:
+        kinds = _NODEKINDS.get(cons["nodeKind"])
+        if kinds is None:
+            raise ValueError(f"SHACL: unknown nodeKind {cons['nodeKind']}")
+        c = c | ~F.col("v_kind").isin(*kinds)
+    if "datatype" in cons:
+        dt = cons["datatype"]
+        # RDF 1.1: plain literal == xsd:string; lang-tagged ==
+        # rdf:langString; non-literals never match any datatype
+        eff = F.when(F.col("v_kind") != "literal", F.lit("\x00")).otherwise(
+            F.when(F.col("v_lang").isNotNull(),
+                   F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .otherwise(F.coalesce(F.col("v_dt"), F.lit(XSD_STRING))))
+        c = c | (eff != dt)
+    if "pattern" in cons:
+        # sh:pattern applies to the STRING REPRESENTATION of the value
+        # (IRIs included); blank nodes always violate (PatternConstraint)
+        pat = cons["pattern"]
+        if cons.get("flags"):
+            pat = f"(?{cons['flags']}){pat}"
+        c = c | (F.col("v_kind") == "bnode") | ~F.col("v_val").rlike(pat)
+    if "in" in cons:
+        terms = cons["in"]
+        m = F.lit(False)
+        for k, v, dt, lang in terms:
+            mm = (F.col("v_kind") == k) & (F.col("v_val") == v)
+            if k == "literal":
+                mm = mm & (F.coalesce(F.col("v_dt"), F.lit("")) == (dt or "")) \
+                    & (F.coalesce(F.col("v_lang"), F.lit("")) == (lang or ""))
+            m = m | mm
+        c = c | ~m
+    if "minLength" in cons:
+        c = c | (F.length("v_val") < cons["minLength"])
+    if "maxLength" in cons:
+        c = c | (F.length("v_val") > cons["maxLength"])
+    num = F.col("v_val").try_cast("double")
+    if "minInclusive" in cons:
+        c = c | num.isNull() | (num < cons["minInclusive"])
+    if "maxInclusive" in cons:
+        c = c | num.isNull() | (num > cons["maxInclusive"])
+    if "minExclusive" in cons:
+        c = c | num.isNull() | (num <= cons["minExclusive"])
+    if "maxExclusive" in cons:
+        c = c | num.isNull() | (num >= cons["maxExclusive"])
+    class_types = None
+    if "class" in cons:
+        class_types = data.where(
+            (F.col("p_val") == RDF_TYPE) & (F.col("o_kind") == "iri")
+            & (F.col("o_val") == cons["class"])
+        ).select(F.col("s_kind").alias("v_kind"), F.col("s_val").alias("v_val"))
+    return c, class_types
+
+
+def _report(shape, path, constraint, frame, vk="v_kind", vv="v_val") -> DataFrame:
+    return frame.select(
+        F.lit(shape).alias("shape"),
+        F.col("focus_kind"), F.col("focus"),
+        F.lit(path).alias("path"),
+        F.lit(constraint).alias("constraint"),
+        (F.col(vv) if vv in frame.columns else F.lit(None).cast("string"))
+        .alias("value"),
+    )
+
+
+def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
+    """``ShaclValidator.validate`` analog: returns the violation table
+    (``REPORT_COLS``); empty == conforms. Every constraint is a
+    declarative step over ``data`` — counts are groupBys, term checks
+    are predicates, sh:class is an anti-join against the typed nodes."""
+    report: DataFrame | None = None
+
+    def add(df: DataFrame) -> None:
+        nonlocal report
+        report = df if report is None else report.unionByName(df)
+
+    for ns in parse_shapes(shapes):
+        focus = _focus_frame(data, ns).persist()
+
+        # node-level constraints apply to the focus term itself
+        if ns.constraints:
+            nf = focus.select(
+                "focus_kind", "focus",
+                F.col("focus_kind").alias("v_kind"),
+                F.col("focus").alias("v_val"),
+                F.lit(None).cast("string").alias("v_dt"),
+                F.lit(None).cast("string").alias("v_lang"),
+            )
+            cond, class_types = _value_violation_cond(data, ns.constraints)
+            bad = nf.where(cond)
+            if class_types is not None:
+                bad = bad.unionByName(
+                    nf.join(class_types, ["v_kind", "v_val"], "left_anti"))
+            add(_report(ns.iri, None, "node", bad.distinct()))
+
+        for ps in ns.properties:
+            if ps.inverse:
+                vals = focus.join(
+                    data.where(F.col("p_val") == ps.path).select(
+                        F.col("o_kind").alias("focus_kind"),
+                        F.col("o_val").alias("focus"),
+                        F.col("s_kind").alias("v_kind"),
+                        F.col("s_val").alias("v_val"),
+                        F.lit(None).cast("string").alias("v_dt"),
+                        F.lit(None).cast("string").alias("v_lang"),
+                    ), ["focus_kind", "focus"])
+            else:
+                vals = focus.join(
+                    data.where(F.col("p_val") == ps.path).select(
+                        F.col("s_kind").alias("focus_kind"),
+                        F.col("s_val").alias("focus"),
+                        F.col("o_kind").alias("v_kind"),
+                        F.col("o_val").alias("v_val"),
+                        F.col("o_datatype").alias("v_dt"),
+                        F.col("o_lang").alias("v_lang"),
+                    ), ["focus_kind", "focus"])
+            path_str = ("^" if ps.inverse else "") + ps.path
+
+            if ps.min_count is not None or ps.max_count is not None:
+                counts = focus.join(
+                    vals.groupBy("focus_kind", "focus")
+                        .agg(F.count("*").alias("n")),
+                    ["focus_kind", "focus"], "left",
+                ).select("focus_kind", "focus",
+                         F.coalesce("n", F.lit(0)).alias("n"))
+                if ps.min_count is not None:
+                    add(_report(ns.iri, path_str, "minCount",
+                                counts.where(F.col("n") < ps.min_count)
+                                .withColumn("v_val", F.col("n").cast("string"))))
+                if ps.max_count is not None:
+                    add(_report(ns.iri, path_str, "maxCount",
+                                counts.where(F.col("n") > ps.max_count)
+                                .withColumn("v_val", F.col("n").cast("string"))))
+
+            if ps.constraints:
+                if "hasValue" in ps.constraints:
+                    k, v, dt, lang = ps.constraints["hasValue"]
+                    have = vals.where(
+                        (F.col("v_kind") == k) & (F.col("v_val") == v)
+                    ).select("focus_kind", "focus")
+                    add(_report(ns.iri, path_str, "hasValue",
+                                focus.join(have, ["focus_kind", "focus"],
+                                           "left_anti")))
+                rest = {k: v for k, v in ps.constraints.items()
+                        if k != "hasValue"}
+                if rest:
+                    cond, class_types = _value_violation_cond(data, rest)
+                    bad = vals.where(cond)
+                    if class_types is not None:
+                        bad = bad.unionByName(
+                            vals.join(class_types, ["v_kind", "v_val"],
+                                      "left_anti"))
+                    add(_report(ns.iri, path_str, "value", bad.distinct()))
+
+    assert report is not None
+    return report.select(*REPORT_COLS).distinct()
+
+
+def conforms(data: DataFrame, shapes: DataFrame) -> bool:
+    return validate(data, shapes).isEmpty()

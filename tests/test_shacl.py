@@ -1,0 +1,192 @@
+"""SHACL core validation (jena-shacl analog): each supported
+constraint component exercised with conforming AND violating data;
+shapes graphs built as plain triple frames."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from jena_spark.queries.shacl import (  # noqa: E402
+    RDF_TYPE,
+    SH,
+    conforms,
+    validate,
+)
+
+EX = "http://ex.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_SCHEMA = (
+    "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+    "o_datatype string, o_lang string"
+)
+
+
+def _g(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _shape_rows(extra):
+    """A NodeShape targeting ex:Person with one property shape on
+    ex:name carrying `extra` constraint triples (on the bnode _:p)."""
+    base = [
+        ("iri", EX + "PersonShape", SH + "targetClass", "iri", EX + "Person",
+         None, None),
+        ("iri", EX + "PersonShape", SH + "property", "bnode", "_:p", None, None),
+        ("bnode", "_:p", SH + "path", "iri", EX + "name", None, None),
+    ]
+    return base + extra
+
+
+def _person(name_rows):
+    return [("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None)] + [
+        ("iri", EX + "a", EX + "name", *obj) for obj in name_rows
+    ]
+
+
+def viol(spark, data_rows, shape_extra):
+    data = _g(spark, data_rows)
+    shapes = _g(spark, _shape_rows(shape_extra))
+    return {(r["constraint"], r["value"]) for r in
+            validate(data, shapes).collect()}
+
+
+def test_min_max_count(spark):
+    extra = [
+        ("bnode", "_:p", SH + "minCount", "literal", "1", XSD + "integer", None),
+        ("bnode", "_:p", SH + "maxCount", "literal", "2", XSD + "integer", None),
+    ]
+    assert viol(spark, _person([("literal", "x", None, None)]), extra) == set()
+    assert viol(spark, _person([]), extra) == {("minCount", "0")}
+    three = [("literal", v, None, None) for v in "xyz"]
+    assert viol(spark, _person(three), extra) == {("maxCount", "3")}
+
+
+def test_datatype_and_string_semantics(spark):
+    extra = [("bnode", "_:p", SH + "datatype", "iri", XSD + "string", None, None)]
+    # plain literal IS xsd:string
+    assert viol(spark, _person([("literal", "ok", None, None)]), extra) == set()
+    # typed-int literal, lang literal, IRI all violate
+    assert viol(spark, _person([("literal", "5", XSD + "integer", None)]),
+                extra) == {("value", "5")}
+    assert viol(spark, _person([("literal", "hi", None, "en")]),
+                extra) == {("value", "hi")}
+    assert viol(spark, _person([("iri", EX + "o", None, None)]),
+                extra) == {("value", EX + "o")}
+
+
+def test_nodekind_pattern_in_lengths_ranges(spark):
+    extra = [
+        ("bnode", "_:p", SH + "nodeKind", "iri", SH + "Literal", None, None),
+        ("bnode", "_:p", SH + "pattern", "literal", "^[a-z]+$", None, None),
+        ("bnode", "_:p", SH + "minLength", "literal", "2", XSD + "integer", None),
+        ("bnode", "_:p", SH + "maxLength", "literal", "5", XSD + "integer", None),
+    ]
+    assert viol(spark, _person([("literal", "abc", None, None)]), extra) == set()
+    assert ("value", "ABC") in viol(
+        spark, _person([("literal", "ABC", None, None)]), extra)
+    assert ("value", "a") in viol(
+        spark, _person([("literal", "a", None, None)]), extra)
+    assert ("value", "abcdefgh") in viol(
+        spark, _person([("literal", "abcdefgh", None, None)]), extra)
+
+
+def test_numeric_ranges(spark):
+    extra = [
+        ("bnode", "_:p", SH + "minInclusive", "literal", "1",
+         XSD + "integer", None),
+        ("bnode", "_:p", SH + "maxExclusive", "literal", "10",
+         XSD + "integer", None),
+    ]
+    ok = [("literal", "1", XSD + "integer", None),
+          ("literal", "9.5", XSD + "decimal", None)]
+    assert viol(spark, _person(ok), extra) == set()
+    assert ("value", "10") in viol(
+        spark, _person([("literal", "10", XSD + "integer", None)]), extra)
+    assert ("value", "zero") in viol(
+        spark, _person([("literal", "zero", None, None)]), extra)
+
+
+def test_in_and_hasvalue(spark):
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    extra = [
+        ("bnode", "_:p", SH + "in", "bnode", "_:l1", None, None),
+        ("bnode", "_:l1", rdf + "first", "literal", "red", None, None),
+        ("bnode", "_:l1", rdf + "rest", "bnode", "_:l2", None, None),
+        ("bnode", "_:l2", rdf + "first", "literal", "blue", None, None),
+        ("bnode", "_:l2", rdf + "rest", "iri", rdf + "nil", None, None),
+        ("bnode", "_:p", SH + "hasValue", "literal", "red", None, None),
+    ]
+    assert viol(spark, _person([("literal", "red", None, None)]), extra) == set()
+    got = viol(spark, _person([("literal", "blue", None, None)]), extra)
+    assert got == {("hasValue", None)}
+    got = viol(spark, _person([("literal", "green", None, None)]), extra)
+    assert ("value", "green") in got and ("hasValue", None) in got
+
+
+def test_class_constraint_and_inverse_path(spark):
+    shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetSubjectsOf", "iri", EX + "owns",
+         None, None),
+        ("iri", EX + "S", SH + "targetObjectsOf", "iri", EX + "owns",
+         None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:p", None, None),
+        ("bnode", "_:p", SH + "path", "iri", EX + "owns", None, None),
+        ("bnode", "_:p", SH + "class", "iri", EX + "Thing", None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:q", None, None),
+        ("bnode", "_:q", SH + "path", "bnode", "_:inv", None, None),
+        ("bnode", "_:inv", SH + "inversePath", "iri", EX + "owns", None, None),
+        ("bnode", "_:q", SH + "maxCount", "literal", "1", XSD + "integer", None),
+    ])
+    data = _g(spark, [
+        ("iri", EX + "u", EX + "owns", "iri", EX + "t1", None, None),
+        ("iri", EX + "t1", RDF_TYPE, "iri", EX + "Thing", None, None),
+        ("iri", EX + "v", EX + "owns", "iri", EX + "t2", None, None),  # untyped
+    ])
+    got = {(r["focus"], r["constraint"], r["value"]) for r in
+           validate(data, shapes).collect()}
+    assert (EX + "v", "value", EX + "t2") in got
+    assert all(f != EX + "u" for f, _, _ in got)
+    # inverse path: two owners of one thing -> maxCount on ^owns
+    data2 = _g(spark, [
+        ("iri", EX + "u", EX + "owns", "iri", EX + "t1", None, None),
+        ("iri", EX + "v", EX + "owns", "iri", EX + "t1", None, None),
+        ("iri", EX + "t1", RDF_TYPE, "iri", EX + "Thing", None, None),
+    ])
+    got2 = {(r["focus"], r["path"], r["constraint"]) for r in
+            validate(data2, shapes).collect()}
+    assert (EX + "t1", "^" + EX + "owns", "maxCount") in got2
+
+
+def test_node_level_constraints_and_target_node(spark):
+    shapes = _g(spark, [
+        ("iri", EX + "N", SH + "targetNode", "iri", EX + "good", None, None),
+        ("iri", EX + "N", SH + "targetNode", "bnode", "_:b", None, None),
+        ("iri", EX + "N", SH + "nodeKind", "iri", SH + "IRI", None, None),
+    ])
+    data = _g(spark, [
+        ("iri", EX + "good", EX + "p", "literal", "x", None, None),
+    ])
+    got = {(r["focus_kind"], r["focus"]) for r in
+           validate(data, shapes).collect()}
+    assert got == {("bnode", "_:b")}
+
+
+def test_conforms_and_unsupported(spark):
+    shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "minCount", "literal", "1", XSD + "integer", None),
+    ]))
+    assert conforms(_g(spark, _person([("literal", "x", None, None)])), shapes)
+    with pytest.raises(ValueError, match="unsupported constraint"):
+        validate(_g(spark, _person([])), _g(spark, _shape_rows([
+            ("bnode", "_:p", SH + "uniqueLang", "literal", "true",
+             XSD + "boolean", None),
+        ])))
+    with pytest.raises(ValueError, match="no node shape"):
+        validate(_g(spark, _person([])), _g(spark, [
+            ("iri", EX + "x", EX + "p", "literal", "1", None, None)]))
