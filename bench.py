@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "kg_describe_cbd",
     "data_dedup_clusters",
     "data_curate",
+    "kg_shacl_report",
 ]
 
 
