@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "data_dedup_clusters",
     "data_curate",
     "kg_shacl_report",
+    # spatial family (grid-bin distance join is the scale operator)
+    "kg_spatial_nearby",
+    "kg_spatial_join",
 ]
 
 

@@ -2883,6 +2883,144 @@ _register(
 )
 
 
+# === spatial (jena-spatial / jena-geosparql surface) ========================
+
+# Deterministic point per id: lat in [-66, 66), lon in [-180, 180),
+# exactly two decimals, pure integer arithmetic so Spark and DuckDB
+# derive bit-compatible doubles. The grid join's uniform-cell
+# precondition (|lat| <= 66, spatial.MAX_ABS_LAT) is met by
+# construction; oracle-side mirrors the same expressions.
+_SQL_GEO_LAT = "((({id} * 7919) % 13200) / 100.0 - 66.0)"
+_SQL_GEO_LON = "((({id} * 104729) % 36000) / 100.0 - 180.0)"
+
+# DuckDB haversine — formula-for-formula GreatCircleDistance.java:177-193
+_SQL_HAVERSINE_M = """(6371008.7714 * 2 * atan2(
+    sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)
+         + cos(radians({lat1})) * cos(radians({lat2}))
+           * pow(sin(radians({lon2} - {lon1}) / 2), 2)),
+    sqrt(1 - (pow(sin(radians({lat2} - {lat1}) / 2), 2)
+              + cos(radians({lat1})) * cos(radians({lat2}))
+                * pow(sin(radians({lon2} - {lon1}) / 2), 2)))))"""
+
+
+def _geo_points(spark, sf, key: str = "event_id"):
+    """Locate each ``key`` at its deterministic point, THROUGH the RDF
+    literal machinery: emit ``?ent geo:asWKT "POINT(lon lat)"^^wkt``
+    triples, then parse them back with the distributed WKT reader —
+    so the registry queries exercise the geometry-literal round trip
+    (GeometryWrapper.extract analog), not just the math."""
+    from jena_spark.queries import spatial as SP
+
+    ids = _events(spark, sf).select(key).distinct()
+    lat = ((F.col(key) * 7919) % 13200) / 100.0 - 66.0
+    lon = ((F.col(key) * 104729) % 36000) / 100.0 - 180.0
+    geo_triples = ids.select(
+        F.lit("iri").alias("s_kind"),
+        F.concat(F.lit(TM.NS_ENTITY), F.col(key).cast("string")).alias("s_val"),
+        F.lit(SP.GEO_AS_WKT).alias("p_val"),
+        F.lit("literal").alias("o_kind"),
+        SP.wkt_point(lon, lat).alias("o_val"),
+        F.lit(SP.GEO_WKT_LITERAL).alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    return SP.points_from_triples(geo_triples)
+
+
+def _q_spatial_nearby(spark, sf):
+    """spatial:nearby (NearbyPF/NearbyFF, strict <): event points
+    within 1000 km of (20, 10) — bbox prefilter + exact haversine."""
+    from jena_spark.queries import spatial as SP
+
+    pts = _geo_points(spark, sf)
+    return SP.nearby(pts, lat=20.0, lon=10.0, radius_m=1_000_000.0).select(
+        "ent",
+        F.round("lat", 2).alias("lat"),
+        F.round("lon", 2).alias("lon"),
+        F.round(F.col("dist_m") / 1000.0, 4).alias("dist_km"),
+    )
+
+
+_register(
+    "kg_spatial_nearby",
+    _q_spatial_nearby,
+    f"""WITH pts AS (
+      SELECT DISTINCT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events),
+    d AS (SELECT ent, lat, lon,
+             {_SQL_HAVERSINE_M.format(lat1='20.0', lon1='10.0', lat2='lat', lon2='lon')} AS dist_m
+          FROM pts)
+    SELECT ent, round(lat, 2) AS lat, round(lon, 2) AS lon,
+           round(dist_m / 1000.0, 4) AS dist_km
+    FROM d WHERE dist_m < 1000000.0""",
+)
+
+
+def _q_spatial_box(spark, sf):
+    """spatial:withinBox (WithinBoxPF, inclusive envelope): event-type
+    census of points in lat [10,30] x lon [-20,40] — a pure pushable
+    range predicate joined back to the located entities."""
+    from jena_spark.queries import spatial as SP
+
+    pts = _geo_points(spark, sf)
+    inside = SP.within_box(pts, 10.0, 30.0, -20.0, 40.0)
+    ev = _events(spark, sf).select(
+        F.concat(F.lit(TM.NS_ENTITY), F.col("event_id").cast("string")).alias("ent"),
+        "event_type",
+    )
+    return (
+        inside.join(ev, "ent")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "kg_spatial_box",
+    _q_spatial_box,
+    f"""WITH pts AS (
+      SELECT event_id, event_type,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events)
+    SELECT event_type, count(*) AS n
+    FROM pts
+    WHERE lat BETWEEN 10.0 AND 30.0 AND lon BETWEEN -20.0 AND 40.0
+    GROUP BY event_type""",
+)
+
+
+def _q_spatial_join(spark, sf):
+    """Distance self-join (the jena-spatial Lucene-index query as one
+    distributed grid-cell bin join): user points within 800 km of each
+    other. The oracle is the exact O(N^2) cross join — tractable on the
+    user dimension — so the grid join's candidate generation is proven
+    lossless, antimeridian cells included."""
+    from jena_spark.queries import spatial as SP
+
+    pts = _geo_points(spark, sf, key="user_id")
+    pairs = SP.distance_join(pts, radius_m=800_000.0)
+    return pairs.select(
+        "ent_a", "ent_b", F.round(F.col("dist_m") / 1000.0, 4).alias("dist_km")
+    )
+
+
+_register(
+    "kg_spatial_join",
+    _q_spatial_join,
+    f"""WITH pts AS (
+      SELECT DISTINCT '{TM.NS_ENTITY}' || CAST(user_id AS VARCHAR) AS ent,
+             {_SQL_GEO_LAT.format(id='user_id')} AS lat,
+             {_SQL_GEO_LON.format(id='user_id')} AS lon
+      FROM events)
+    SELECT a.ent AS ent_a, b.ent AS ent_b,
+           round({_SQL_HAVERSINE_M.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} / 1000.0, 4) AS dist_km
+    FROM pts a JOIN pts b ON a.ent < b.ent
+    WHERE {_SQL_HAVERSINE_M.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} < 800000.0""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2901,6 +3039,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
+    "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
     "kg_star_roundtrip",

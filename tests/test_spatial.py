@@ -1,0 +1,167 @@
+"""Spatial surface (jena-spatial / jena-geosparql analog): haversine
+parity with the reference formula, grid-join losslessness vs brute
+force (antimeridian and lat-boundary cases included), and plan-level
+proof that the distance join never degenerates to a cross join."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jena_spark.queries import spatial as SP  # noqa: E402
+
+
+def _ref_haversine_m(lat1, lon1, lat2, lon2):
+    """Pure-Python twin of GreatCircleDistance.haversineFormula
+    (GreatCircleDistance.java:177-193)."""
+    lat1r, lat2r = math.radians(lat1), math.radians(lat2)
+    dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(lat1r) * math.cos(lat2r) * math.sin(dlon / 2) ** 2
+    return SP.EARTH_MEAN_RADIUS_M * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+def _points(spark, n=400, seed=7):
+    """Deterministic pseudo-random points with antimeridian and
+    lat-boundary mass: ids 0..n-1, lat in [-66, 66], lon in [-180, 180)."""
+    rows = []
+    for i in range(n):
+        h = (i * 2654435761 + seed) % (2**32)
+        lat = ((h % 13200) / 100.0) - 66.0
+        lon = (((h // 13200) % 36000) / 100.0) - 180.0
+        if i % 10 == 0:  # force antimeridian neighbourhoods
+            lon = 179.0 + (i % 20) / 10.0  # 179.0..180.9 -> wraps
+            if lon >= 180.0:
+                lon -= 360.0
+        if i % 17 == 0:  # force the lat boundary
+            lat = 65.0 + (i % 11) / 10.0
+            if lat > 66.0:
+                lat = 66.0
+        rows.append((f"e{i:04d}", float(lon), float(lat)))
+    return spark.createDataFrame(rows, "ent string, lon double, lat double")
+
+
+def _brute_pairs(pts, radius_m):
+    a = pts.select(F.col("ent").alias("ent_a"), F.col("lat").alias("lat_a"),
+                   F.col("lon").alias("lon_a"))
+    b = pts.select(F.col("ent").alias("ent_b"), F.col("lat").alias("lat_b"),
+                   F.col("lon").alias("lon_b"))
+    d = SP.haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .withColumn("dist_m", d)
+        .where(F.col("dist_m") < radius_m)
+    )
+
+
+def test_haversine_matches_reference_formula(spark):
+    cases = [
+        (0.0, 0.0, 0.0, 1.0),
+        (51.5, -0.12, 48.85, 2.35),     # London-Paris
+        (-33.9, 151.2, 40.7, -74.0),    # Sydney-NYC (antipodal-ish)
+        (65.9, 179.9, 65.9, -179.9),    # antimeridian, high lat
+        (20.0, 10.0, 20.0, 10.0),       # identical points
+    ]
+    df = spark.createDataFrame(cases, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = df.select(
+        SP.haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()
+    for (lat1, lon1, lat2, lon2), row in zip(cases, got):
+        want = _ref_haversine_m(lat1, lon1, lat2, lon2)
+        assert abs(row["d"] - want) <= max(1e-6 * max(want, 1.0), 1e-6)
+
+
+def test_wkt_point_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(-179.99, -66.0), (0.0, 0.0), (179.99, 66.0), (10.25, -45.5)],
+        "lon double, lat double",
+    )
+    wkt = df.select(SP.wkt_point(F.col("lon"), F.col("lat")).alias("w"),
+                    "lon", "lat")
+    lon2, lat2 = SP.parse_wkt_point(F.col("w"))
+    back = wkt.select("lon", "lat", lon2.alias("lon2"), lat2.alias("lat2")).collect()
+    for r in back:
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+    bad = spark.createDataFrame([("LINESTRING(0 0, 1 1)",), ("POINT(x y)",)], "w string")
+    lonb, latb = SP.parse_wkt_point(F.col("w"))
+    assert bad.select(lonb.alias("l")).where(F.col("l").isNotNull()).count() == 0
+
+
+@pytest.mark.parametrize("radius_km", [150.0, 800.0])
+def test_distance_join_equals_brute_force(spark, radius_km):
+    pts = _points(spark)
+    radius_m = radius_km * 1000.0
+    got = {
+        (r["ent_a"], r["ent_b"], round(r["dist_m"], 3))
+        for r in SP.distance_join(pts, radius_m, validate=True).collect()
+    }
+    want = {
+        (r["ent_a"], r["ent_b"], round(r["dist_m"], 3))
+        for r in _brute_pairs(pts, radius_m).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise pairs
+
+
+def test_distance_join_ab_sides(spark):
+    pts = _points(spark, n=200)
+    left = pts.where(F.col("ent") < "e0100")
+    right = pts.where(F.col("ent") >= "e0100")
+    radius_m = 500_000.0
+    got = {
+        (r["ent_a"], r["ent_b"])
+        for r in SP.distance_join(left, radius_m, right=right).collect()
+    }
+    d = SP.haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    want = {
+        (r["ent_a"], r["ent_b"])
+        for r in left.select(F.col("ent").alias("ent_a"), F.col("lat").alias("lat_a"),
+                             F.col("lon").alias("lon_a"))
+        .crossJoin(right.select(F.col("ent").alias("ent_b"), F.col("lat").alias("lat_b"),
+                                F.col("lon").alias("lon_b")))
+        .withColumn("dist_m", d).where(F.col("dist_m") < radius_m).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_nearby_equals_brute_force_and_antimeridian_center(spark):
+    pts = _points(spark)
+    for lat, lon, radius_m in [(20.0, 10.0, 1_000_000.0),
+                               (65.5, 179.8, 800_000.0),   # box crosses antimeridian
+                               (0.0, -179.9, 500_000.0)]:
+        got = {r["ent"] for r in SP.nearby(pts, lat, lon, radius_m).collect()}
+        d = SP.haversine_m(F.lit(lat), F.lit(lon), F.col("lat"), F.col("lon"))
+        want = {r["ent"] for r in pts.withColumn("d", d).where(F.col("d") < radius_m).collect()}
+        assert got == want
+
+
+def test_within_box_inclusive_bounds(spark):
+    pts = spark.createDataFrame(
+        [("a", 10.0, 5.0), ("b", 30.0, 40.0), ("c", 9.99, 5.0), ("d", 20.0, 40.01)],
+        "ent string, lat double, lon double",
+    )
+    got = {r["ent"] for r in SP.within_box(pts, 10.0, 30.0, -20.0, 40.0).collect()}
+    assert got == {"a", "b"}
+
+
+def test_distance_join_plan_is_equi_join(spark):
+    pts = _points(spark, n=100)
+    plan = SP.distance_join(pts, 500_000.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_validate_rejects_polar_points(spark):
+    pts = spark.createDataFrame(
+        [("a", 0.0, 80.0), ("b", 1.0, 10.0)], "ent string, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="lat"):
+        SP.distance_join(pts, 100_000.0, validate=True)
