@@ -3021,6 +3021,61 @@ _register(
 )
 
 
+# === query builder + permissions (jena-querybuilder / jena-permissions) =====
+
+def _q_querybuilder(spark, sf):
+    """Fluent-builder query (jena-querybuilder SelectBuilder analog):
+    the builder renders SPARQL text consumed by this engine's own
+    string front-end — one parser/optimizer, two authoring styles.
+    Mention census per document with OPTIONAL role, HAVING over the
+    projected aggregate."""
+    from jena_spark.queries import builder as B
+
+    q = (
+        B.SelectBuilder()
+        .add_var("doc").add_var("count(?ent)", as_var="n_mentions")
+        .add_where("?doc", TM.P_MENTIONS, "?ent")
+        .add_group_by("doc")
+        .add_having("?n_mentions > 1")
+    )
+    return q.execute(_triples(spark, sf))
+
+
+_register(
+    "kg_querybuilder",
+    _q_querybuilder,
+    _W + f"""SELECT s_val AS doc, count(o_val) AS n_mentions
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    GROUP BY s_val HAVING count(o_val) > 1""",
+)
+
+
+def _q_secured_find(spark, sf):
+    """jena-permissions SecuredGraph read path: the 'analyst'
+    principal's triple-level Read filter hides message text; the
+    secured census proves hidden triples simply don't exist in any
+    downstream count (hard read lock, SecuredGraph.java posture)."""
+    from jena_spark.queries.permissions import (
+        READ, PolicyEvaluator, SecuredGraph,
+    )
+
+    ev = PolicyEvaluator(
+        grants={"analyst": {READ}},
+        filters={("analyst", READ): lambda: F.col("p_val") != TM.P_TEXT},
+    )
+    g = SecuredGraph(_triples(spark, sf), ev, "analyst")
+    return g.frame().groupBy("p_val").agg(F.count("*").alias("n"))
+
+
+_register(
+    "kg_secured_find",
+    _q_secured_find,
+    _W + f"""SELECT p_val, count(*) AS n
+    FROM triples WHERE p_val <> '{TM.P_TEXT}'
+    GROUP BY p_val""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3040,6 +3095,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
+    "kg_querybuilder", "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
     "kg_star_roundtrip",
