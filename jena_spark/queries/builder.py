@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame
 
 from jena_spark.terms import nt_escape
 
-_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # absolute IRI scheme
+# absolute IRI: a scheme AND an IRI-safe remainder — a colon alone must
+# not turn prose like "note: call Bob" into an IRI with whitespace
+_IRI_RE = re.compile(r'^[A-Za-z][A-Za-z0-9+.-]*:[^\s<>"{}|^`\\]*$')
 
 
 class iri(str):
@@ -155,8 +157,10 @@ class _SolutionModifiers:
         out = []
         if self._group:
             out.append("GROUP BY " + " ".join(self._group))
-        for h in self._having:
-            out.append(f"HAVING ({h})")
+        if self._having:
+            # one HAVING clause, constraints conjoined — repeated
+            # HAVING keywords are not legal SPARQL
+            out.append("HAVING (" + " && ".join(f"({h})" for h in self._having) + ")")
         if self._order:
             out.append("ORDER BY " + " ".join(self._order))
         if self._limit is not None:
@@ -198,8 +202,12 @@ class SelectBuilder(WhereBuilder, _SolutionModifiers):
         o = order.upper()
         if o not in ("ASC", "DESC"):
             raise ValueError("order must be ASC or DESC")
-        self._order.append(f"{o}({_var(var_or_expr)})" if not var_or_expr.startswith("(")
-                           else f"{o}{var_or_expr}")
+        # bare names get the ?-prefix; anything else (an expression like
+        # strlen(?x)) passes through unmodified — the extra wrapping
+        # parens stay a legal bracketted expression
+        key = _var(var_or_expr) if re.fullmatch(r"[?$]?\w+", var_or_expr) \
+            else var_or_expr
+        self._order.append(f"{o}({key})")
         return self
 
     def set_limit(self, n: int) -> "SelectBuilder":

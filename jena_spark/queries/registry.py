@@ -2893,14 +2893,17 @@ _register(
 _SQL_GEO_LAT = "((({id} * 7919) % 13200) / 100.0 - 66.0)"
 _SQL_GEO_LON = "((({id} * 104729) % 36000) / 100.0 - 180.0)"
 
-# DuckDB haversine — formula-for-formula GreatCircleDistance.java:177-193
+# DuckDB haversine — formula-for-formula GreatCircleDistance.java:177-193.
+# least(..., 1.0) clamp matches spatial.haversine_m: float rounding can
+# push `a` past 1 for (near-)antipodal pairs, where DuckDB's sqrt(1-a)
+# ERRORS (Spark would yield NaN) — clamped identically on both sides.
 _SQL_HAVERSINE_M = """(6371008.7714 * 2 * atan2(
-    sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)
+    sqrt(least(pow(sin(radians({lat2} - {lat1}) / 2), 2)
          + cos(radians({lat1})) * cos(radians({lat2}))
-           * pow(sin(radians({lon2} - {lon1}) / 2), 2)),
-    sqrt(1 - (pow(sin(radians({lat2} - {lat1}) / 2), 2)
+           * pow(sin(radians({lon2} - {lon1}) / 2), 2), 1.0)),
+    sqrt(1 - least(pow(sin(radians({lat2} - {lat1}) / 2), 2)
               + cos(radians({lat1})) * cos(radians({lat2}))
-                * pow(sin(radians({lon2} - {lon1}) / 2), 2)))))"""
+                * pow(sin(radians({lon2} - {lon1}) / 2), 2), 1.0))))"""
 
 
 def _geo_points(spark, sf, key: str = "event_id"):

@@ -62,7 +62,10 @@ GEO_WKT_LITERAL = GEO_NS + "wktLiteral"
 #: Uniform-grid latitude bound for :func:`distance_join` (degrees).
 MAX_ABS_LAT = 66.0
 
-_WKT_POINT_RE = r"^POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)$"
+#: case-insensitive keyword, optional sign, decimal or exponent forms —
+#: the lexical space the reference WKTReader accepts for points
+_WKT_NUM = r"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+_WKT_POINT_RE = rf"(?i)^POINT\s*\(\s*({_WKT_NUM})\s+({_WKT_NUM})\s*\)$"
 
 
 # --- WKT point literals -----------------------------------------------------
@@ -110,6 +113,10 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
         * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
     )
+    # clamp: float rounding can push a to 1+ulp for (near-)antipodal
+    # pairs; sqrt(1-a) would be NaN here and an ERROR in the DuckDB
+    # oracle twin
+    a = F.least(a, F.lit(1.0))
     c = 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
     return F.lit(EARTH_MEAN_RADIUS_M) * c
 
@@ -172,9 +179,22 @@ def _grid(radius_m: float) -> tuple[float, float, int]:
     """(cell_h_deg, cell_w_deg, n_x): cell sized so two points within
     ``radius_m`` anywhere in |lat| <= MAX_ABS_LAT differ by at most one
     cell index in each axis. Width divides 360 exactly so modular
-    adjacency is exact across the antimeridian."""
+    adjacency is exact across the antimeridian.
+
+    Latitude: haversine gives sin^2(d/2R) >= sin^2(dlat/2), so
+    dlat <= d/R — the linear bound is exact. Longitude: for two points
+    at latitude phi, sin(dlon/2) = sin(d/2R)/cos(phi), maximized at
+    phi = MAX_ABS_LAT, so the exact bound is
+    2*asin(sin(d/2R)/cos(MAX_ABS_LAT)) — NOT the linear
+    (d/R)/cos(MAX_ABS_LAT), which under-reaches by up to a few permil
+    and (verified) drops qualifying pairs at radii where the 360//w
+    floor leaves no slack (e.g. 707 km: true span 15.66 deg vs linear
+    15.63, cell 15.65 -> a 706.5 km pair lands two cells apart)."""
     h = math.degrees(radius_m / EARTH_MEAN_RADIUS_M)
-    w_min = h / math.cos(math.radians(MAX_ABS_LAT))
+    s = math.sin(radius_m / (2.0 * EARTH_MEAN_RADIUS_M)) / math.cos(
+        math.radians(MAX_ABS_LAT)
+    )
+    w_min = 360.0 if s >= 1.0 else math.degrees(2.0 * math.asin(s))
     n_x = max(1, int(360.0 // w_min))
     return h, 360.0 / n_x, n_x
 

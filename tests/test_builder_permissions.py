@@ -167,6 +167,47 @@ def test_subquery_builder(spark, canonical_triples):
     assert _rows(got) == _rows(want) and got.count() > 0
 
 
+def test_prose_with_colon_is_a_literal():
+    """A colon alone must not promote prose to an IRI: 'note: call Bob'
+    contains whitespace, which no IRI may."""
+    assert B.term("note: call Bob") == '"note: call Bob"'
+    assert B.term("TODO: fix parser") == '"TODO: fix parser"'
+    assert B.term("mailto:bob@example.org") == "<mailto:bob@example.org>"
+
+
+def test_multiple_having_renders_one_clause(spark, canonical_triples):
+    q = (
+        B.SelectBuilder()
+        .add_var("doc").add_var("count(?ent)", as_var="n")
+        .add_where("?doc", TM.P_MENTIONS, "?ent")
+        .add_group_by("doc")
+        .add_having("?n > 1").add_having("?n < 4")
+    )
+    assert q.build().count("HAVING") == 1
+    got = q.execute(canonical_triples)
+    want = sparql_query(canonical_triples, f"""
+        SELECT ?doc (count(?ent) AS ?n)
+        WHERE {{ ?doc <{TM.P_MENTIONS}> ?ent }}
+        GROUP BY ?doc HAVING ((?n > 1) && (?n < 4))""")
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_order_by_expression_passthrough(spark, canonical_triples):
+    q = (
+        B.SelectBuilder().add_var("s").add_var("role")
+        .add_where("?s", TM.P_ROLE, "?role")
+        .add_order_by("strlen(?role)", "DESC")
+        .add_order_by("s")
+        .set_limit(3)
+    )
+    assert "DESC(strlen(?role))" in q.build()
+    got = q.execute(canonical_triples)
+    want = sparql_query(canonical_triples, f"""
+        SELECT ?s ?role WHERE {{ ?s <{TM.P_ROLE}> ?role }}
+        ORDER BY DESC(strlen(?role)) ASC(?s) LIMIT 3""")
+    assert _rows(got) == _rows(want)
+
+
 # --- permissions --------------------------------------------------------------
 
 @pytest.fixture()

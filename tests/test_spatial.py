@@ -159,6 +159,69 @@ def test_distance_join_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_grid_width_exact_bound_regression(spark):
+    """The linear cell-width bound h/cos(MAX_ABS_LAT) under-reaches:
+    at radius 707 km two points at lat 66.0 with lons 7.8211/23.4837
+    are 706.5 km apart but span 15.66 deg of longitude (> the linear
+    15.63) and used to land two cells apart — silently dropped. The
+    exact bound 2*asin(sin(d/2R)/cos(MAX_ABS_LAT)) must keep them."""
+    pts = spark.createDataFrame(
+        [("a", 7.8211, 66.0), ("b", 23.4837, 66.0)],
+        "ent string, lon double, lat double",
+    )
+    got = SP.distance_join(pts, 707_000.0).collect()
+    assert len(got) == 1 and got[0]["dist_m"] < 707_000.0
+    # sweep the floor-slack-critical band against brute force
+    pts2 = _points(spark, n=150, seed=13)
+    for radius_m in (660_000.0, 707_000.0, 761_000.0, 843_000.0, 901_000.0):
+        got = {(r["ent_a"], r["ent_b"]) for r in SP.distance_join(pts2, radius_m).collect()}
+        want = {(r["ent_a"], r["ent_b"]) for r in _brute_pairs(pts2, radius_m).collect()}
+        assert got == want, f"radius {radius_m}"
+
+
+def test_haversine_antipodal_clamp(spark):
+    """Exact antipodes: rounding can push the haversine 'a' term past 1
+    — must clamp to the half-circumference, never NaN (and the DuckDB
+    oracle twin must not error on sqrt of a negative)."""
+    df = spark.createDataFrame(
+        [(20.0, 10.0, -20.0, -170.0), (0.0, 0.0, 0.0, 180.0)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    rows = df.select(
+        SP.haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()
+    half_circumference = math.pi * SP.EARTH_MEAN_RADIUS_M
+    for r in rows:
+        assert not math.isnan(r["d"])
+        assert r["d"] == pytest.approx(half_circumference, abs=1.0)
+    import duckdb
+    got = duckdb.sql("""SELECT (6371008.7714 * 2 * atan2(
+        sqrt(least(pow(sin(radians(-20.0 - 20.0) / 2), 2)
+             + cos(radians(20.0)) * cos(radians(-20.0))
+               * pow(sin(radians(-170.0 - 10.0) / 2), 2), 1.0)),
+        sqrt(1 - least(pow(sin(radians(-20.0 - 20.0) / 2), 2)
+                  + cos(radians(20.0)) * cos(radians(-20.0))
+                    * pow(sin(radians(-170.0 - 10.0) / 2), 2), 1.0)))) AS d""").fetchone()[0]
+    assert got == pytest.approx(half_circumference, abs=1.0)
+
+
+def test_wkt_parse_lexical_variants(spark):
+    """Reference WKTReader accepts case-insensitive keywords, signed
+    and exponent-form coordinates — parsing must not silently drop
+    such externally-sourced literals."""
+    df = spark.createDataFrame(
+        [("point(10.5 20.5)", 10.5, 20.5),
+         ("POINT(+10.5 -20.5)", 10.5, -20.5),
+         ("Point( 1.05e1   -2.05E1 )", 10.5, -20.5),
+         ("POINT(.5 5.)", 0.5, 5.0)],
+        "w string, want_lon double, want_lat double",
+    )
+    lon, lat = SP.parse_wkt_point(F.col("w"))
+    for r in df.select("want_lon", "want_lat", lon.alias("lon"), lat.alias("lat")).collect():
+        assert r["lon"] == pytest.approx(r["want_lon"], abs=1e-9)
+        assert r["lat"] == pytest.approx(r["want_lat"], abs=1e-9)
+
+
 def test_validate_rejects_polar_points(spark):
     pts = spark.createDataFrame(
         [("a", 0.0, 80.0), ("b", 1.0, 10.0)], "ent string, lon double, lat double"
