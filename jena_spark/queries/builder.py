@@ -264,6 +264,65 @@ class ConstructBuilder(WhereBuilder):
         return sparql_query(triples, self.build(), **kw)
 
 
+class UpdateBuilder(WhereBuilder):
+    """``UpdateBuilder.java`` analog — renders SPARQL Update text for
+    :func:`jena_spark.pipeline.sparql_update.update_sparql`.
+
+    Shapes (same dispatch as the reference's ``updatebuilder/``
+    handlers): ``add_insert``/``add_delete`` WITHOUT a WHERE clause
+    render ``INSERT DATA``/``DELETE DATA`` (ground quads); with WHERE
+    patterns they render the template form
+    ``DELETE {...} INSERT {...} WHERE {...}``; ``add_delete`` + the
+    same triples as WHERE is expressible directly via
+    ``delete_where``."""
+
+    def __init__(self):
+        super().__init__()
+        self._inserts: list[str] = []
+        self._deletes: list[str] = []
+        self._delete_where: list[str] = []
+
+    def add_insert(self, s, p, o) -> "UpdateBuilder":
+        self._inserts.append(f"{term(s)} {term(p)} {term(o)} .")
+        return self
+
+    def add_delete(self, s, p, o) -> "UpdateBuilder":
+        self._deletes.append(f"{term(s)} {term(p)} {term(o)} .")
+        return self
+
+    def delete_where(self, s, p, o) -> "UpdateBuilder":
+        self._delete_where.append(f"{term(s)} {term(p)} {term(o)} .")
+        return self
+
+    def build(self) -> str:
+        if self._delete_where:
+            if self._inserts or self._deletes or self._elems:
+                raise ValueError("delete_where cannot mix with other clauses")
+            return "DELETE WHERE { %s }" % " ".join(self._delete_where)
+        if not self._elems:
+            out = []
+            if self._deletes:
+                out.append("DELETE DATA { %s }" % " ".join(self._deletes))
+            if self._inserts:
+                out.append("INSERT DATA { %s }" % " ".join(self._inserts))
+            if not out:
+                raise ValueError("empty update")
+            return " ;\n".join(out)
+        parts = []
+        if self._deletes:
+            parts.append("DELETE { %s }" % " ".join(self._deletes))
+        if self._inserts:
+            parts.append("INSERT { %s }" % " ".join(self._inserts))
+        if not parts:
+            raise ValueError("WHERE clause without INSERT/DELETE template")
+        return " ".join(parts) + " WHERE { %s }" % self.where_text()
+
+    def execute(self, quads: DataFrame) -> DataFrame:
+        from jena_spark.pipeline.sparql_update import update_sparql
+
+        return update_sparql(quads, self.build())
+
+
 class DescribeBuilder(WhereBuilder):
     """``DescribeBuilder.java`` analog."""
 

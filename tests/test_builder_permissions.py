@@ -208,6 +208,47 @@ def test_order_by_expression_passthrough(spark, canonical_triples):
     assert _rows(got) == _rows(want)
 
 
+def test_update_builder(spark, canonical_triples):
+    from jena_spark.pipeline.sparql_update import update_sparql
+
+    ex = "http://ex.org/"
+    # INSERT DATA / DELETE DATA (ground)
+    u = (
+        B.UpdateBuilder()
+        .add_insert(B.iri(ex + "d1"), B.iri(ex + "tag"), "new")
+        .add_delete(B.iri(ex + "d1"), B.iri(ex + "tag"), "old")
+    )
+    want = update_sparql(canonical_triples, f"""
+        DELETE DATA {{ <{ex}d1> <{ex}tag> "old" . }} ;
+        INSERT DATA {{ <{ex}d1> <{ex}tag> "new" . }}""")
+    got = u.execute(canonical_triples)
+    assert _rows(got) == _rows(want)
+    assert got.where(
+        (F.col("s_val") == ex + "d1") & (F.col("o_val") == "new")).count() == 1
+
+    # template form: retag every role triple
+    u2 = (
+        B.UpdateBuilder()
+        .add_delete("?s", TM.P_ROLE, "?r")
+        .add_insert("?s", B.iri(ex + "hadRole"), "?r")
+        .add_where("?s", TM.P_ROLE, "?r")
+    )
+    got2 = u2.execute(canonical_triples)
+    assert got2.where(F.col("p_val") == TM.P_ROLE).count() == 0
+    assert got2.where(F.col("p_val") == ex + "hadRole").count() == \
+        canonical_triples.where(F.col("p_val") == TM.P_ROLE).count()
+
+    # DELETE WHERE
+    u3 = B.UpdateBuilder().delete_where("?s", TM.P_TOOL, "?t")
+    got3 = u3.execute(canonical_triples)
+    assert got3.where(F.col("p_val") == TM.P_TOOL).count() == 0
+    with pytest.raises(ValueError, match="cannot mix"):
+        B.UpdateBuilder().delete_where("?s", "?p", "?o").add_insert(
+            B.iri(ex + "x"), B.iri(ex + "y"), "z").build()
+    with pytest.raises(ValueError, match="empty update"):
+        B.UpdateBuilder().build()
+
+
 # --- permissions --------------------------------------------------------------
 
 @pytest.fixture()
