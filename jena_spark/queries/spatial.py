@@ -20,23 +20,20 @@ Reference semantics (all paths relative to /root/reference):
 
 Spark-first design, not a port: the reference answers nearby/box
 queries from a driver-local Lucene R-tree. At 100 TB the analog is a
-**grid-cell bin join**: every point is keyed by a (cell_x, cell_y)
-bucket whose size guarantees any two points within ``radius`` are in
-the same or an adjacent cell, candidates meet on an equi shuffle join
-on the cell key (AQE skew-split handles hot cells), and the exact
-haversine predicate filters candidates. No cross join, no driver
-index. Longitude cells are modular, so candidate pairs straddling the
-antimeridian (lon +179.9 vs -179.9) meet in adjacent cells — the
-haversine already treats them as near via sin(dLon/2).
-
-Latitude domain: the uniform-grid cell width is sized for
-``|lat| <= MAX_ABS_LAT`` (66 deg). Above it, one lat-degree spans ever
-fewer lon-metres and a uniform grid under-reaches; the production
-extension is per-latitude-band cell widths (w_band =
-h / cos(band_edge)) — same join, banded key. ``distance_join``
-validates the precondition cheaply via an accumulator-free filter
-count only when ``validate=True`` (an extra action; off by default in
-pipelines, on in tests).
+**grid-cell bin join**: every point is keyed by a (band, lon-cell)
+bucket, candidates meet on an equi shuffle join on the bucket key
+(AQE skew-split handles hot cells), and the exact haversine predicate
+filters candidates. No cross join, no driver index. The grid is
+latitude-banded and valid over the FULL sphere: bands are one radius
+tall (dlat <= d/R is exact), each band carries its own longitude cell
+count (fewer cells toward the poles), and a probe enumerates the
+candidate cell range [lon-delta, lon+delta] per reachable band, with
+delta the per-band-pair great-circle bound
+sin(dlon/2) <= sin(d/2R)/sqrt(cos lat1 cos lat2). Modular cell
+indexing makes pairs straddling the antimeridian (lon +179.9 vs
+-179.9) meet — the haversine already treats them as near via
+sin(dLon/2); pole-touching bands degrade to a handful of cells, never
+to O(N*M).
 
 Single-point predicates (``nearby``, ``within_box``) are plain column
 filters: a lat/lon bounding-box prefilter that Catalyst pushes to the
@@ -59,7 +56,9 @@ GEO_NS = "http://www.opengis.net/ont/geosparql#"
 GEO_AS_WKT = GEO_NS + "asWKT"
 GEO_WKT_LITERAL = GEO_NS + "wktLiteral"
 
-#: Uniform-grid latitude bound for :func:`distance_join` (degrees).
+#: Latitude bound for the UNIFORM write-time cell key (:func:`with_cell`
+#: / :func:`_grid`) only — :func:`distance_join` uses the banded grid
+#: and has no latitude restriction.
 MAX_ABS_LAT = 66.0
 
 #: case-insensitive keyword, optional sign, decimal or exponent forms —
@@ -210,60 +209,125 @@ def with_cell(points: DataFrame, radius_m: float) -> DataFrame:
     ).withColumn("cell_y", F.floor((F.col("lat") + 90.0) / h).cast("int"))
 
 
+def _cos_min_band(band: Column, h: float) -> Column:
+    """Minimum cos(lat) over latitude band ``band`` (bands of height
+    ``h`` degrees from -90). cos is unimodal on [-90, 90] with its max
+    at 0, so the interval minimum is at whichever edge is closer to a
+    pole; clamped at 0 for pole-touching bands."""
+    lo = band.cast("double") * h - 90.0
+    return F.greatest(
+        F.lit(0.0), F.least(F.cos(F.radians(lo)), F.cos(F.radians(lo + h)))
+    )
+
+
+def _delta_deg(sin_half: float, cos1: Column, cos2: Column) -> Column:
+    """Upper bound (degrees) on the longitude separation of two points
+    within the join radius at latitudes with cos >= cos1 / cos2:
+    haversine gives sin(dlon/2) <= sin(d/2R)/sqrt(cos(lat1)cos(lat2)).
+    Pole-touching bands (cos 0) degrade to the full circle. The 1e-7
+    margin absorbs the few-ulp rounding of the trig chain so a pair
+    exactly on the bound is never dropped."""
+    denom = F.sqrt(cos1 * cos2)
+    ratio = F.when(
+        denom > 0.0, F.least(F.lit(1.0), F.lit(sin_half) / denom)
+    ).otherwise(F.lit(1.0))
+    return F.degrees(F.lit(2.0) * F.asin(ratio)) + F.lit(1e-7)
+
+
+def _n_cells(sin_half: float, cos_min: Column) -> Column:
+    """Per-band longitude bucket count — a pure performance knob
+    (correctness comes from the explicit [lon-delta, lon+delta] probe
+    range, not from cell adjacency): one cell per own-band delta keeps
+    the candidate range a small constant at every latitude."""
+    ratio = F.when(
+        cos_min > 0.0, F.least(F.lit(1.0), F.lit(sin_half) / cos_min)
+    ).otherwise(F.lit(1.0))
+    w = F.degrees(F.lit(2.0) * F.asin(ratio))
+    return F.greatest(F.lit(1).cast("long"), F.floor(360.0 / w).cast("long"))
+
+
 def distance_join(
     points: DataFrame,
     radius_m: float,
     right: DataFrame | None = None,
-    validate: bool = False,
 ) -> DataFrame:
     """All pairs strictly within ``radius_m`` — the query jena-spatial
     answers per-probe from a driver-local Lucene index
-    (``SpatialIndexLucene.java``), here as one distributed bin join.
+    (``SpatialIndexLucene.java``), here as one distributed bin join,
+    valid over the FULL sphere (poles and antimeridian included).
 
-    Shape: key both sides by grid cell, explode the LEFT side to its
-    3x3 neighbourhood (lon modular), equi-join on the cell key, then
-    the exact haversine filter. Each qualifying pair meets in exactly
-    one (dx, dy) combination, so no post-join dedup is needed; the
-    self-join case keeps ``ent_a < ent_b``. Cost is O(candidates in
-    shared cells), never O(N*M); the join is a plain shuffle-hash equi
-    join AQE can skew-split.
-
-    Precondition: |lat| <= MAX_ABS_LAT (uniform grid sizing — see
-    module docstring). ``validate=True`` spends one count() to assert.
+    Shape: latitude bands of height radius (dlat <= d/R is exact), a
+    per-band longitude grid whose cell count shrinks toward the poles,
+    and probes exploded to the candidate cell RANGE
+    ``[lon - delta, lon + delta]`` (modular) in each of the <=3
+    reachable bands, where delta is the per-band-pair great-circle
+    bound sin(dlon/2) <= sin(d/2R)/sqrt(cos lat1 cos lat2). A target's
+    (band, cell) key is unique and each probe range enumerates distinct
+    cells, so every qualifying pair meets exactly once — no post-join
+    dedup; the self-join case keeps ``ent_a < ent_b``. The range stays
+    O(1) cells at every latitude (pole-touching bands have few cells by
+    construction), so cost is O(candidates in shared cells), never
+    O(N*M) — a plain shuffle-hash equi join AQE can skew-split.
     """
     self_join = right is None
-    h, w, n_x = _grid(radius_m)
-    if validate:
-        for side in (points,) if self_join else (points, right):
-            n_bad = side.where(F.abs(F.col("lat")) > MAX_ABS_LAT).count()
-            if n_bad:
-                raise ValueError(
-                    f"{n_bad} points above |lat|={MAX_ABS_LAT} — uniform grid "
-                    "under-reaches there; use per-band cell widths"
-                )
-    left = with_cell(points, radius_m)
-    rgt = left if self_join else with_cell(right, radius_m)
-    # distinct-per-row neighbour cells: modulo can alias dx=-1/+1 when
-    # n_x <= 3 (planet-scale radius) — array_distinct keeps pairs unique
-    nbr_x = F.array_distinct(
-        F.array(*[(F.col("cell_x") + F.lit(d) + n_x) % n_x for d in (-1, 0, 1)])
-    )
+    h = math.degrees(radius_m / EARTH_MEAN_RADIUS_M)
+    n_bands = max(1, math.ceil(180.0 / h))
+    sin_half = math.sin(radius_m / (2.0 * EARTH_MEAN_RADIUS_M))
+
+    def keyed(df: DataFrame) -> DataFrame:
+        band = F.least(
+            F.floor((F.col("lat") + 90.0) / h).cast("long"), F.lit(n_bands - 1)
+        )
+        df = df.withColumn("band", band)
+        ncells = _n_cells(sin_half, _cos_min_band(F.col("band"), h))
+        cx = F.pmod(
+            F.floor((F.col("lon") + 180.0) * ncells / 360.0).cast("long"), ncells
+        )
+        return df.withColumn("cx", cx)
+
+    left = keyed(points)
+    rgt = left if self_join else keyed(right)
+    nb = F.col("nb")
     probes = (
-        left.withColumn("nx", F.explode(nbr_x))
-        .withColumn("ny", F.explode(F.array(*[F.col("cell_y") + d for d in (-1, 0, 1)])))
+        left.withColumn(
+            "nb", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+        )
+        .where((nb >= 0) & (nb < n_bands))
+        .withColumn("ncells_nb", _n_cells(sin_half, _cos_min_band(nb, h)))
+        .withColumn(
+            "delta",
+            _delta_deg(sin_half, _cos_min_band(F.col("band"), h), _cos_min_band(nb, h)),
+        )
+        .withColumn(
+            "lo",
+            F.floor(
+                (F.col("lon") - F.col("delta") + 180.0) * F.col("ncells_nb") / 360.0
+            ).cast("long"),
+        )
+        .withColumn(
+            "hi",
+            F.least(
+                F.floor(
+                    (F.col("lon") + F.col("delta") + 180.0) * F.col("ncells_nb") / 360.0
+                ).cast("long"),
+                F.col("lo") + F.col("ncells_nb") - 1,  # <= one full circle
+            ),
+        )
+        .withColumn("ncx", F.explode(F.sequence(F.col("lo"), F.col("hi"))))
         .select(
             F.col("ent").alias("ent_a"),
             F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
-            "nx", "ny",
+            nb.alias("band"),
+            F.pmod(F.col("ncx"), F.col("ncells_nb")).alias("cx"),
         )
     )
     cand = probes.join(
         rgt.select(
             F.col("ent").alias("ent_b"),
             F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"),
-            F.col("cell_x").alias("nx"), F.col("cell_y").alias("ny"),
+            "band", "cx",
         ),
-        ["nx", "ny"],
+        ["band", "cx"],
     )
     if self_join:
         cand = cand.where(F.col("ent_a") < F.col("ent_b"))
@@ -273,5 +337,5 @@ def distance_join(
     return (
         cand.withColumn("dist_m", dist)
         .where(F.col("dist_m") < radius_m)
-        .drop("nx", "ny")
+        .drop("band", "cx")
     )

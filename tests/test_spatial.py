@@ -101,7 +101,7 @@ def test_distance_join_equals_brute_force(spark, radius_km):
     radius_m = radius_km * 1000.0
     got = {
         (r["ent_a"], r["ent_b"], round(r["dist_m"], 3))
-        for r in SP.distance_join(pts, radius_m, validate=True).collect()
+        for r in SP.distance_join(pts, radius_m).collect()
     }
     want = {
         (r["ent_a"], r["ent_b"], round(r["dist_m"], 3))
@@ -222,9 +222,20 @@ def test_wkt_parse_lexical_variants(spark):
         assert r["lat"] == pytest.approx(r["want_lat"], abs=1e-9)
 
 
-def test_validate_rejects_polar_points(spark):
-    pts = spark.createDataFrame(
-        [("a", 0.0, 80.0), ("b", 1.0, 10.0)], "ent string, lon double, lat double"
-    )
-    with pytest.raises(ValueError, match="lat"):
-        SP.distance_join(pts, 100_000.0, validate=True)
+def test_distance_join_polar_full_sphere(spark):
+    """The banded grid has NO latitude restriction: clusters at and
+    around both poles (where one lon-degree is near zero metres and a
+    uniform grid under-reaches) must match brute force exactly."""
+    rows = []
+    for i in range(60):  # dense north-pole cap, all longitudes
+        rows.append((f"n{i:02d}", float((i * 37) % 360 - 180), 89.0 + (i % 10) * 0.1))
+    for i in range(40):  # south-pole cap
+        rows.append((f"s{i:02d}", float((i * 91) % 360 - 180), -90.0 + (i % 8) * 0.3))
+    rows += [("p1", 0.0, 90.0), ("p2", 180.0, 90.0),   # the pole itself, twice
+             ("eq", 10.0, 0.0)]
+    pts = spark.createDataFrame(rows, "ent string, lon double, lat double")
+    for radius_m in (50_000.0, 120_000.0, 707_000.0):
+        got = {(r["ent_a"], r["ent_b"]) for r in SP.distance_join(pts, radius_m).collect()}
+        want = {(r["ent_a"], r["ent_b"]) for r in _brute_pairs(pts, radius_m).collect()}
+        assert got == want, f"radius {radius_m}"
+    assert ("p1", "p2") in got  # identical location, distance 0
