@@ -86,9 +86,11 @@ BENCH_QUERIES = [
     "data_dedup_clusters",
     "data_curate",
     "kg_shacl_report",
-    # spatial family (grid-bin distance join is the scale operator)
+    # spatial family (grid-bin distance join is the scale operator;
+    # _dense runs it over 100k event points at 100 km)
     "kg_spatial_nearby",
     "kg_spatial_join",
+    "kg_spatial_join_dense",
 ]
 
 

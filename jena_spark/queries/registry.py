@@ -3024,6 +3024,73 @@ _register(
 )
 
 
+def _q_spatial_join_dense(spark, sf):
+    """Grid join at event granularity (10k points at sf0.01, 100k at
+    sf0.1) with a 100 km radius — the density regime where the bin
+    join's pruning actually matters; result folded to count/min/max so
+    the oracle's O(N^2) cross join stays the verifier, not the output."""
+    from jena_spark.queries import spatial as SP
+
+    pts = _geo_points(spark, sf)
+    pairs = SP.distance_join(pts, radius_m=100_000.0)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.min("dist_m") / 1000.0, 4).alias("min_km"),
+        F.round(F.max("dist_m") / 1000.0, 4).alias("max_km"),
+    )
+
+
+_register(
+    "kg_spatial_join_dense",
+    _q_spatial_join_dense,
+    f"""WITH pts AS (
+      SELECT DISTINCT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events),
+    d AS (
+      SELECT {_SQL_HAVERSINE_M.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} AS dist_m
+      FROM pts a JOIN pts b ON a.ent < b.ent)
+    SELECT count(*) AS n_pairs,
+           round(min(dist_m) / 1000.0, 4) AS min_km,
+           round(max(dist_m) / 1000.0, 4) AS max_km
+    FROM d WHERE dist_m < 100000.0""",
+)
+
+
+def _q_spatial_directional(spark, sf):
+    """spatial:north/south/east/west (NorthPF.java:37-41 family:
+    half-plane boxes against the world bounds) — quadrant census of
+    the located events around (20, 10)."""
+    from jena_spark.queries import spatial as SP
+
+    pts = _geo_points(spark, sf)
+    return (
+        SP.north_of(pts, 20.0).agg(F.count("*").alias("n")).select(F.lit("north").alias("direction"), "n")
+        .unionByName(SP.south_of(pts, 20.0).agg(F.count("*").alias("n")).select(F.lit("south").alias("direction"), "n"))
+        .unionByName(SP.east_of(pts, 10.0).agg(F.count("*").alias("n")).select(F.lit("east").alias("direction"), "n"))
+        .unionByName(SP.west_of(pts, 10.0).agg(F.count("*").alias("n")).select(F.lit("west").alias("direction"), "n"))
+    )
+
+
+_register(
+    "kg_spatial_directional",
+    _q_spatial_directional,
+    f"""WITH pts AS (
+      SELECT event_id,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events)
+    SELECT 'north' AS direction, count(*) AS n FROM pts WHERE lat >= 20.0
+    UNION ALL
+    SELECT 'south' AS direction, count(*) AS n FROM pts WHERE lat <= 20.0
+    UNION ALL
+    SELECT 'east' AS direction, count(*) AS n FROM pts WHERE lon >= 10.0
+    UNION ALL
+    SELECT 'west' AS direction, count(*) AS n FROM pts WHERE lon <= 10.0""",
+)
+
+
 # === query builder + permissions (jena-querybuilder / jena-permissions) =====
 
 def _q_querybuilder(spark, sf):
@@ -3098,6 +3165,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
+    "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_querybuilder", "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",

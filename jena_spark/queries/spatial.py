@@ -172,6 +172,30 @@ def within_box(
     )
 
 
+def north_of(points: DataFrame, lat: float) -> DataFrame:
+    """``spatial:north`` (``pfunction/library/NorthPF.java:37-41``: box
+    from the given latitude to the world's north edge, longitude
+    unbounded)."""
+    return within_box(points, lat, 90.0, -180.0, 180.0)
+
+
+def south_of(points: DataFrame, lat: float) -> DataFrame:
+    """``spatial:south`` (``SouthPF.java``)."""
+    return within_box(points, -90.0, lat, -180.0, 180.0)
+
+
+def east_of(points: DataFrame, lon: float) -> DataFrame:
+    """``spatial:east`` (``EastPF.java:37-42``: box from the given
+    longitude to the world's east edge, latitude unbounded — no
+    antimeridian wrap, matching the reference's world-bounds box)."""
+    return within_box(points, -90.0, 90.0, lon, 180.0)
+
+
+def west_of(points: DataFrame, lon: float) -> DataFrame:
+    """``spatial:west`` (``WestPF.java``)."""
+    return within_box(points, -90.0, 90.0, -180.0, lon)
+
+
 # --- distance self/AB join (the scale operator) ------------------------------
 
 def _grid(radius_m: float) -> tuple[float, float, int]:

@@ -143,6 +143,19 @@ def test_nearby_equals_brute_force_and_antimeridian_center(spark):
         assert got == want
 
 
+def test_directional_half_planes(spark):
+    """spatial:north/south/east/west (NorthPF.java:37-41 family) are
+    half-plane boxes against the world bounds, bounds inclusive."""
+    pts = spark.createDataFrame(
+        [("a", 20.0, 0.0), ("b", 20.0, 35.0), ("c", -10.0, -35.0), ("d", 10.0, 35.0)],
+        "ent string, lon double, lat double",
+    )
+    assert {r["ent"] for r in SP.north_of(pts, 35.0).collect()} == {"b", "d"}
+    assert {r["ent"] for r in SP.south_of(pts, 0.0).collect()} == {"a", "c"}
+    assert {r["ent"] for r in SP.east_of(pts, 10.0).collect()} == {"a", "b", "d"}
+    assert {r["ent"] for r in SP.west_of(pts, -10.0).collect()} == {"c"}
+
+
 def test_within_box_inclusive_bounds(spark):
     pts = spark.createDataFrame(
         [("a", 10.0, 5.0), ("b", 30.0, 40.0), ("c", 9.99, 5.0), ("d", 20.0, 40.01)],
