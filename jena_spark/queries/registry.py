@@ -2887,9 +2887,9 @@ _register(
 
 # Deterministic point per id: lat in [-66, 66), lon in [-180, 180),
 # exactly two decimals, pure integer arithmetic so Spark and DuckDB
-# derive bit-compatible doubles. The grid join's uniform-cell
-# precondition (|lat| <= 66, spatial.MAX_ABS_LAT) is met by
-# construction; oracle-side mirrors the same expressions.
+# derive bit-compatible doubles (the banded distance_join itself has
+# NO latitude restriction — the [-66, 66) range is just a property of
+# this synthetic corpus); oracle-side mirrors the same expressions.
 _SQL_GEO_LAT = "((({id} * 7919) % 13200) / 100.0 - 66.0)"
 _SQL_GEO_LON = "((({id} * 104729) % 36000) / 100.0 - 180.0)"
 
@@ -3061,15 +3061,20 @@ _register(
 def _q_spatial_directional(spark, sf):
     """spatial:north/south/east/west (NorthPF.java:37-41 family:
     half-plane boxes against the world bounds) — quadrant census of
-    the located events around (20, 10)."""
-    from jena_spark.queries import spatial as SP
-
+    the located events around (20, 10). Computed in ONE pass (four
+    conditional counts + stack): a 4-way union of aggs over the same
+    frame would re-execute the scan/distinct/WKT-parse subtree once
+    per branch (Spark reuses no common subplans — CLAUDE.md quirk)."""
     pts = _geo_points(spark, sf)
-    return (
-        SP.north_of(pts, 20.0).agg(F.count("*").alias("n")).select(F.lit("north").alias("direction"), "n")
-        .unionByName(SP.south_of(pts, 20.0).agg(F.count("*").alias("n")).select(F.lit("south").alias("direction"), "n"))
-        .unionByName(SP.east_of(pts, 10.0).agg(F.count("*").alias("n")).select(F.lit("east").alias("direction"), "n"))
-        .unionByName(SP.west_of(pts, 10.0).agg(F.count("*").alias("n")).select(F.lit("west").alias("direction"), "n"))
+    counts = pts.agg(
+        F.count(F.when(F.col("lat") >= 20.0, 1)).alias("n_north"),
+        F.count(F.when(F.col("lat") <= 20.0, 1)).alias("n_south"),
+        F.count(F.when(F.col("lon") >= 10.0, 1)).alias("n_east"),
+        F.count(F.when(F.col("lon") <= 10.0, 1)).alias("n_west"),
+    )
+    return counts.selectExpr(
+        "stack(4, 'north', n_north, 'south', n_south, "
+        "'east', n_east, 'west', n_west) AS (direction, n)"
     )
 
 
@@ -3184,8 +3189,12 @@ _PRIORITY = [
     # token-set / scratch-path changes
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",
-    # checked in r01 only — rotate back under driver watch
-    "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
+    # checked in r01 only — the first two rotate back under driver
+    # watch; the window is full after them
+    "kg_find_pattern", "kg_find_by_subject",
+    # --- driver cap (50) falls here. Everything below was driver-green
+    # in r01 or r02 and is re-checked by pytest/check_oracle each round.
+    "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
@@ -3193,9 +3202,7 @@ _PRIORITY = [
     "kg_characteristic_sets", "kg_node_dictionary",
     "expr_strings", "expr_hash", "expr_numeric", "expr_datetime",
     "expr_conditional", "data_dedup_exact",
-    # representative core fill (green r01+r02)
     "kg_bgp_comention", "kg_bgp_star",
-    # --- driver cap (50) falls here; tail re-checked by pytest/check_oracle
     "kg_optional", "kg_exists", "kg_not_exists",
     "kg_agg_entity_mentions", "kg_agg_global",
     "kg_agg_numeric",

@@ -56,10 +56,6 @@ GEO_NS = "http://www.opengis.net/ont/geosparql#"
 GEO_AS_WKT = GEO_NS + "asWKT"
 GEO_WKT_LITERAL = GEO_NS + "wktLiteral"
 
-#: Latitude bound for the UNIFORM write-time cell key (:func:`with_cell`
-#: / :func:`_grid`) only — :func:`distance_join` uses the banded grid
-#: and has no latitude restriction.
-MAX_ABS_LAT = 66.0
 
 #: case-insensitive keyword, optional sign, decimal or exponent forms —
 #: the lexical space the reference WKTReader accepts for points
@@ -198,40 +194,6 @@ def west_of(points: DataFrame, lon: float) -> DataFrame:
 
 # --- distance self/AB join (the scale operator) ------------------------------
 
-def _grid(radius_m: float) -> tuple[float, float, int]:
-    """(cell_h_deg, cell_w_deg, n_x): cell sized so two points within
-    ``radius_m`` anywhere in |lat| <= MAX_ABS_LAT differ by at most one
-    cell index in each axis. Width divides 360 exactly so modular
-    adjacency is exact across the antimeridian.
-
-    Latitude: haversine gives sin^2(d/2R) >= sin^2(dlat/2), so
-    dlat <= d/R — the linear bound is exact. Longitude: for two points
-    at latitude phi, sin(dlon/2) = sin(d/2R)/cos(phi), maximized at
-    phi = MAX_ABS_LAT, so the exact bound is
-    2*asin(sin(d/2R)/cos(MAX_ABS_LAT)) — NOT the linear
-    (d/R)/cos(MAX_ABS_LAT), which under-reaches by up to a few permil
-    and (verified) drops qualifying pairs at radii where the 360//w
-    floor leaves no slack (e.g. 707 km: true span 15.66 deg vs linear
-    15.63, cell 15.65 -> a 706.5 km pair lands two cells apart)."""
-    h = math.degrees(radius_m / EARTH_MEAN_RADIUS_M)
-    s = math.sin(radius_m / (2.0 * EARTH_MEAN_RADIUS_M)) / math.cos(
-        math.radians(MAX_ABS_LAT)
-    )
-    w_min = 360.0 if s >= 1.0 else math.degrees(2.0 * math.asin(s))
-    n_x = max(1, int(360.0 // w_min))
-    return h, 360.0 / n_x, n_x
-
-
-def with_cell(points: DataFrame, radius_m: float) -> DataFrame:
-    """Attach (cell_x, cell_y) grid keys. At write time this pair is
-    the natural partition/bucket key — a stored spatial index in the
-    TDB-index sense (one sort order per access path,
-    ``jena-tdb/.../sys/Names.java:24-25``)."""
-    h, w, n_x = _grid(radius_m)
-    return points.withColumn(
-        "cell_x", F.floor((F.col("lon") + 180.0) / w).cast("int") % n_x
-    ).withColumn("cell_y", F.floor((F.col("lat") + 90.0) / h).cast("int"))
-
 
 def _cos_min_band(band: Column, h: float) -> Column:
     """Minimum cos(lat) over latitude band ``band`` (bands of height
@@ -270,6 +232,26 @@ def _n_cells(sin_half: float, cos_min: Column) -> Column:
     return F.greatest(F.lit(1).cast("long"), F.floor(360.0 / w).cast("long"))
 
 
+def with_cell(points: DataFrame, radius_m: float) -> DataFrame:
+    """Attach the banded grid key (``band``, ``cx``) sized for
+    ``radius_m`` — the SAME key :func:`distance_join` joins on, so at
+    write time this pair is the natural partition/bucket column set: a
+    stored spatial index in the TDB-index sense (one sort order per
+    access path, ``jena-tdb/.../sys/Names.java:24-25``)."""
+    h = math.degrees(radius_m / EARTH_MEAN_RADIUS_M)
+    n_bands = max(1, math.ceil(180.0 / h))
+    sin_half = math.sin(radius_m / (2.0 * EARTH_MEAN_RADIUS_M))
+    band = F.least(
+        F.floor((F.col("lat") + 90.0) / h).cast("long"), F.lit(n_bands - 1)
+    )
+    out = points.withColumn("band", band)
+    ncells = _n_cells(sin_half, _cos_min_band(F.col("band"), h))
+    cx = F.pmod(
+        F.floor((F.col("lon") + 180.0) * ncells / 360.0).cast("long"), ncells
+    )
+    return out.withColumn("cx", cx)
+
+
 def distance_join(
     points: DataFrame,
     radius_m: float,
@@ -298,19 +280,8 @@ def distance_join(
     n_bands = max(1, math.ceil(180.0 / h))
     sin_half = math.sin(radius_m / (2.0 * EARTH_MEAN_RADIUS_M))
 
-    def keyed(df: DataFrame) -> DataFrame:
-        band = F.least(
-            F.floor((F.col("lat") + 90.0) / h).cast("long"), F.lit(n_bands - 1)
-        )
-        df = df.withColumn("band", band)
-        ncells = _n_cells(sin_half, _cos_min_band(F.col("band"), h))
-        cx = F.pmod(
-            F.floor((F.col("lon") + 180.0) * ncells / 360.0).cast("long"), ncells
-        )
-        return df.withColumn("cx", cx)
-
-    left = keyed(points)
-    rgt = left if self_join else keyed(right)
+    left = with_cell(points, radius_m)
+    rgt = left if self_join else with_cell(right, radius_m)
     nb = F.col("nb")
     probes = (
         left.withColumn(
