@@ -144,6 +144,35 @@ PROPERTY_FUNCTIONS = {
     LISTF + "length": list_length,
 }
 
+# jena-spatial property functions (graph-level signature, like
+# apf:find below): registered lazily to keep this module's import
+# light — ``pfunction/library/IsNearByPF.java`` etc.
+def _spatial_pfs():
+    from jena_spark.queries import spatial as SP
+
+    return {
+        SP.SPATIAL_NS + "nearby": SP.nearby_pf,
+        SP.SPATIAL_NS + "withinCircle": SP.nearby_pf,
+        SP.SPATIAL_NS + "withinBox": SP.within_box_pf,
+        SP.SPATIAL_NS + "intersectBox": SP.within_box_pf,
+        SP.SPATIAL_NS + "north": SP.north_pf,
+        SP.SPATIAL_NS + "south": SP.south_pf,
+        SP.SPATIAL_NS + "east": SP.east_pf,
+        SP.SPATIAL_NS + "west": SP.west_pf,
+    }
+
+
+_SPATIAL_LOADED = False
+
+
+def lookup(iri: str):
+    """Registry lookup incl. the lazily-registered spatial family."""
+    global _SPATIAL_LOADED
+    if iri not in PROPERTY_FUNCTIONS and not _SPATIAL_LOADED:
+        PROPERTY_FUNCTIONS.update(_spatial_pfs())
+        _SPATIAL_LOADED = True
+    return PROPERTY_FUNCTIONS.get(iri)
+
 
 def register(iri: str, fn) -> None:
     """PropertyFunctionRegistry.put analog."""

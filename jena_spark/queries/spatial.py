@@ -192,6 +192,68 @@ def west_of(points: DataFrame, lon: float) -> DataFrame:
     return within_box(points, -90.0, 90.0, -180.0, lon)
 
 
+# --- property-function adapters (jena-spatial pfunction/library) -------------
+#
+# jena-spatial exposes the spatial predicates as SPARQL property
+# functions (``pfunction/library/IsNearByPF.java``, ``IsWithinBoxPF``,
+# ``IntersectsBoxPF``, ``IsWithinCirclePF``, ``NorthPF`` ...); radius
+# arguments default to kilometres (``DistanceUnitsUtils.java:28``).
+# These graph-level adapters register in the engine's
+# PropertyFunctionRegistry analog under the reference IRIs: they take
+# the triple table, locate subjects via geo:asWKT, and return binding
+# rows. ``limit`` (the reference's optional last argument) is a
+# deterministic distance-ordered top-N (TakeOrderedAndProject), not an
+# arbitrary cut.
+
+SPATIAL_NS = "http://jena.apache.org/spatial#"
+
+
+def _limited(df: DataFrame, limit: int) -> DataFrame:
+    if limit and limit > 0:
+        return df.orderBy("dist_m", "ent").limit(limit)
+    return df
+
+
+def nearby_pf(triples: DataFrame, lat: float, lon: float,
+              radius_km: float, limit: int = -1) -> DataFrame:
+    """``?ent spatial:nearby (lat lon radius [units] [limit])``
+    (``IsNearByPF.java``; also registered as spatial:withinCircle —
+    ``IsWithinCirclePF.java`` shares the circle semantics)."""
+    return _limited(
+        nearby(points_from_triples(triples), lat, lon, radius_km * 1000.0), limit
+    )
+
+
+def within_box_pf(triples: DataFrame, lat_min: float, lon_min: float,
+                  lat_max: float, lon_max: float) -> DataFrame:
+    """``?ent spatial:withinBox (latMin lonMin latMax lonMax)``
+    (``IsWithinBoxPF.java``; for point geometries intersection equals
+    containment, so spatial:intersectBox — ``IntersectsBoxPF.java`` —
+    registers to the same adapter)."""
+    return within_box(points_from_triples(triples), lat_min, lat_max,
+                      lon_min, lon_max)
+
+
+def north_pf(triples: DataFrame, lat: float) -> DataFrame:
+    """``?ent spatial:north (lat)`` (``NorthPF.java:37-41``)."""
+    return north_of(points_from_triples(triples), lat)
+
+
+def south_pf(triples: DataFrame, lat: float) -> DataFrame:
+    """``SouthPF.java``."""
+    return south_of(points_from_triples(triples), lat)
+
+
+def east_pf(triples: DataFrame, lon: float) -> DataFrame:
+    """``EastPF.java``."""
+    return east_of(points_from_triples(triples), lon)
+
+
+def west_pf(triples: DataFrame, lon: float) -> DataFrame:
+    """``WestPF.java``."""
+    return west_of(points_from_triples(triples), lon)
+
+
 # --- distance self/AB join (the scale operator) ------------------------------
 
 

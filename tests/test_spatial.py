@@ -143,6 +143,41 @@ def test_nearby_equals_brute_force_and_antimeridian_center(spark):
         assert got == want
 
 
+def test_spatial_property_function_registry(spark):
+    """The jena-spatial property functions resolve through the
+    PropertyFunctionRegistry analog and agree with the direct API
+    (IsNearByPF / IsWithinBoxPF / NorthPF family; radius in km per
+    DistanceUnitsUtils.java:28, limit = distance-ordered top-N)."""
+    from jena_spark.queries import propfunc
+
+    rows = [("iri", f"http://ex.org/e{i}", SP.GEO_AS_WKT, "literal",
+             f"POINT({(i * 37) % 340 - 170}.50 {(i * 11) % 120 - 60}.25)",
+             SP.GEO_WKT_LITERAL, None) for i in range(80)]
+    triples = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              " o_val string, o_datatype string, o_lang string")
+    nearby_fn = propfunc.lookup(SP.SPATIAL_NS + "nearby")
+    circle_fn = propfunc.lookup(SP.SPATIAL_NS + "withinCircle")
+    assert nearby_fn is circle_fn is SP.nearby_pf
+    got = {r["ent"] for r in nearby_fn(triples, 10.0, 20.0, 3000.0).collect()}
+    want = {r["ent"] for r in SP.nearby(
+        SP.points_from_triples(triples), 10.0, 20.0, 3_000_000.0).collect()}
+    assert got == want and len(want) > 0
+    # limit: distance-ordered top-N, deterministic
+    top2 = nearby_fn(triples, 10.0, 20.0, 3000.0, limit=2).collect()
+    assert len(top2) == 2
+    assert top2[0]["dist_m"] <= top2[1]["dist_m"]
+    box_fn = propfunc.lookup(SP.SPATIAL_NS + "intersectBox")
+    assert {r["ent"] for r in box_fn(triples, -10.0, -20.0, 30.0, 40.0).collect()} == {
+        r["ent"] for r in SP.within_box(
+            SP.points_from_triples(triples), -10.0, 30.0, -20.0, 40.0).collect()}
+    north_fn = propfunc.lookup(SP.SPATIAL_NS + "north")
+    assert {r["ent"] for r in north_fn(triples, 30.0).collect()} == {
+        r["ent"] for r in SP.north_of(SP.points_from_triples(triples), 30.0).collect()}
+    # unknown IRIs still miss cleanly
+    assert propfunc.lookup("http://jena.apache.org/spatial#bogus") is None
+
+
 def test_directional_half_planes(spark):
     """spatial:north/south/east/west (NorthPF.java:37-41 family) are
     half-plane boxes against the world bounds, bounds inclusive."""
