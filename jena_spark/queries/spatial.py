@@ -192,6 +192,29 @@ def west_of(points: DataFrame, lon: float) -> DataFrame:
     return within_box(points, -90.0, 90.0, -180.0, lon)
 
 
+def geof_distance(wkt1: Column, wkt2: Column, units: str = "metre") -> Column:
+    """geof:distance filter function
+    (``geof/nontopological/filter_functions/DistanceFF.java``): great-
+    circle distance between two WKT point literals; units metre or
+    kilometre (``UnitsOfMeasure.java`` URIs map to the same pair)."""
+    lon1, lat1 = parse_wkt_point(wkt1)
+    lon2, lat2 = parse_wkt_point(wkt2)
+    d = haversine_m(lat1, lon1, lat2, lon2)
+    if units in ("kilometre", "kilometer", "km",
+                 "http://www.opengis.net/def/uom/OGC/1.0/kilometre"):
+        return d / 1000.0
+    return d
+
+
+def register_functions() -> None:
+    """Register geof: filter functions in the FunctionRegistry analog
+    (``FunctionRegistry.put``) under the GeoSPARQL function namespace."""
+    from jena_spark.functions import scalar
+
+    scalar.register("http://www.opengis.net/def/function/geosparql/distance",
+                    geof_distance)
+
+
 # --- property-function adapters (jena-spatial pfunction/library) -------------
 #
 # jena-spatial exposes the spatial predicates as SPARQL property

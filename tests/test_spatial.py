@@ -143,6 +143,22 @@ def test_nearby_equals_brute_force_and_antimeridian_center(spark):
         assert got == want
 
 
+def test_geof_distance_function_registry(spark):
+    """geof:distance (DistanceFF.java) registers in the FunctionRegistry
+    analog and prices WKT literal pairs in metres or kilometres."""
+    from jena_spark.functions import scalar
+
+    SP.register_functions()
+    fn = scalar.SPARQL_FUNCTIONS["http://www.opengis.net/def/function/geosparql/distance"]
+    df = spark.createDataFrame(
+        [("POINT(0.00 0.00)", "POINT(1.00 0.00)")], "w1 string, w2 string")
+    m = df.select(fn(F.col("w1"), F.col("w2")).alias("d")).collect()[0]["d"]
+    km = df.select(fn(F.col("w1"), F.col("w2"), "kilometre").alias("d")).collect()[0]["d"]
+    want = _ref_haversine_m(0.0, 0.0, 0.0, 1.0)
+    assert m == pytest.approx(want, rel=1e-9)
+    assert km == pytest.approx(want / 1000.0, rel=1e-9)
+
+
 def test_spatial_property_function_registry(spark):
     """The jena-spatial property functions resolve through the
     PropertyFunctionRegistry analog and agree with the direct API
