@@ -283,6 +283,17 @@ SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "xsd_boolean": lambda c: c.cast("boolean"),
     "xsd_string": lambda c: c.cast("string"),
     "xsd_datetime": lambda c: c.cast("timestamp"),
+    # the same casting constructors by full IRI — ARQ dispatches
+    # ``xsd:double(expr)`` through the function registry
+    # (``E_Function`` + ``CastXSD``); reachable from SPARQL strings
+    # via the IRI-call syntax
+    "http://www.w3.org/2001/XMLSchema#integer": lambda c: c.cast("long"),
+    "http://www.w3.org/2001/XMLSchema#decimal": lambda c: c.cast("decimal(38,18)"),
+    "http://www.w3.org/2001/XMLSchema#double": lambda c: c.cast("double"),
+    "http://www.w3.org/2001/XMLSchema#float": lambda c: c.cast("float"),
+    "http://www.w3.org/2001/XMLSchema#boolean": lambda c: c.cast("boolean"),
+    "http://www.w3.org/2001/XMLSchema#string": lambda c: c.cast("string"),
+    "http://www.w3.org/2001/XMLSchema#dateTime": lambda c: c.cast("timestamp"),
 }
 
 

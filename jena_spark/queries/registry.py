@@ -2906,18 +2906,15 @@ _SQL_HAVERSINE_M = """(6371008.7714 * 2 * atan2(
                 * pow(sin(radians({lon2} - {lon1}) / 2), 2), 1.0))))"""
 
 
-def _geo_points(spark, sf, key: str = "event_id"):
-    """Locate each ``key`` at its deterministic point, THROUGH the RDF
-    literal machinery: emit ``?ent geo:asWKT "POINT(lon lat)"^^wkt``
-    triples, then parse them back with the distributed WKT reader —
-    so the registry queries exercise the geometry-literal round trip
-    (GeometryWrapper.extract analog), not just the math."""
+def _geo_triples(spark, sf, key: str = "event_id"):
+    """``?ent geo:asWKT "POINT(lon lat)"^^wkt`` triples locating each
+    ``key`` at its deterministic point."""
     from jena_spark.queries import spatial as SP
 
     ids = _events(spark, sf).select(key).distinct()
     lat = ((F.col(key) * 7919) % 13200) / 100.0 - 66.0
     lon = ((F.col(key) * 104729) % 36000) / 100.0 - 180.0
-    geo_triples = ids.select(
+    return ids.select(
         F.lit("iri").alias("s_kind"),
         F.concat(F.lit(TM.NS_ENTITY), F.col(key).cast("string")).alias("s_val"),
         F.lit(SP.GEO_AS_WKT).alias("p_val"),
@@ -2926,7 +2923,17 @@ def _geo_points(spark, sf, key: str = "event_id"):
         F.lit(SP.GEO_WKT_LITERAL).alias("o_datatype"),
         F.lit(None).cast("string").alias("o_lang"),
     )
-    return SP.points_from_triples(geo_triples)
+
+
+def _geo_points(spark, sf, key: str = "event_id"):
+    """Locate each ``key`` at its deterministic point, THROUGH the RDF
+    literal machinery: emit the geo triples, then parse them back with
+    the distributed WKT reader — so the registry queries exercise the
+    geometry-literal round trip (GeometryWrapper.extract analog), not
+    just the math."""
+    from jena_spark.queries import spatial as SP
+
+    return SP.points_from_triples(_geo_triples(spark, sf, key))
 
 
 def _q_spatial_nearby(spark, sf):
@@ -3096,6 +3103,47 @@ _register(
 )
 
 
+def _q_sparql_custom_fn(spark, sf):
+    """Custom function invocation FROM the SPARQL string (ARQ
+    E_Function -> FunctionRegistry dispatch, ``expr/E_Function.java``):
+    geof:distance called by IRI inside FILTER and projection over the
+    geo:asWKT triples — the whole chain (registry lookup, lexical-value
+    args, codegen haversine) rides the string front-end."""
+    from jena_spark.queries import spatial as SP
+    from jena_spark.queries.sparql import sparql_query
+
+    SP.register_functions()
+    t = _geo_triples(spark, sf)
+    # SPARQL ROUND is 1-arg, so 4-decimal rounding is spelled as
+    # floor(x*10^4 + 0.5)/10^4 (half-up, distances are positive);
+    # xsd:double() is the casting constructor (CastXSD via the
+    # function registry) so the output column is a double like the
+    # oracle's, not the decimal the SPARQL arithmetic promotes to
+    q = f"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?ent
+           (xsd:double(floor(geof:distance(?w, "POINT(10.00 20.00)") / 1000.0 * 10000.0 + 0.5) / 10000.0) AS ?dist_km)
+    WHERE {{ ?ent <{SP.GEO_AS_WKT}> ?w .
+      FILTER (geof:distance(?w, "POINT(10.00 20.00)") < 1000000.0) }}"""
+    return sparql_query(t, q)
+
+
+_register(
+    "kg_sparql_custom_fn",
+    _q_sparql_custom_fn,
+    f"""WITH pts AS (
+      SELECT DISTINCT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events),
+    d AS (SELECT ent,
+             {_SQL_HAVERSINE_M.format(lat1='20.0', lon1='10.0', lat2='lat', lon2='lon')} AS dist_m
+          FROM pts)
+    SELECT ent, round(dist_m / 1000.0, 4) AS dist_km
+    FROM d WHERE dist_m < 1000000.0""",
+)
+
+
 # === query builder + permissions (jena-querybuilder / jena-permissions) =====
 
 def _q_querybuilder(spark, sf):
@@ -3171,7 +3219,7 @@ _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
-    "kg_querybuilder", "kg_secured_find",
+    "kg_sparql_custom_fn", "kg_querybuilder", "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
     "kg_star_roundtrip",
@@ -3189,12 +3237,12 @@ _PRIORITY = [
     # token-set / scratch-path changes
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",
-    # checked in r01 only — the first two rotate back under driver
-    # watch; the window is full after them
-    "kg_find_pattern", "kg_find_by_subject",
+    # checked in r01 only — the first rotates back under driver
+    # watch; the window is full after it
+    "kg_find_pattern",
     # --- driver cap (50) falls here. Everything below was driver-green
     # in r01 or r02 and is re-checked by pytest/check_oracle each round.
-    "kg_describe", "kg_ask",
+    "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",

@@ -718,6 +718,20 @@ class Parser:
             return self._bracketed_expr()
         if t.kind == "VAR":
             return ("var", self.next().val[1:])
+        if t.kind in ("IRI", "PNAME") and self.peek(1).val == "(":
+            # custom function call by IRI (ARQ E_Function /
+            # FunctionRegistry dispatch, ``sparql/expr/E_Function.java``):
+            # <http://...>(args) or pname:local(args); the IRI must be
+            # registered via functions.scalar.register
+            term = self.term()  # ("iri", full_iri, None, None)
+            self.expect_op("(")
+            args = []
+            if self.peek().val != ")":
+                args.append(self.expression())
+                while self.op(","):
+                    args.append(self.expression())
+            self.expect_op(")")
+            return ("call_iri", term[1], args)
         if t.kind == "KW" and t.val.lower() not in _KEYWORDS:
             # function call: STRLEN(?x), REGEX(...), COUNT(...)
             name = self.next().val
@@ -862,6 +876,14 @@ class _Compiler:
             return -self._value(e[1], numeric=True)
         if kind == "call":
             return self._call(e)
+        if kind == "call_iri":
+            # ARQ E_Function: dispatch through the FunctionRegistry
+            # analog; args are evaluated to lexical-value columns
+            from jena_spark.functions.scalar import SPARQL_FUNCTIONS as FN
+
+            if e[1] not in FN:
+                raise ValueError(f"SPARQL: unregistered function <{e[1]}>")
+            return FN[e[1]](*[self._value(a) for a in e[2]])
         if kind in ("or", "and", "not", "cmp", "in"):
             return self._bool(e)  # boolean value used as a value
         raise ValueError(f"SPARQL: unsupported expression {kind!r}")

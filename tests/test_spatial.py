@@ -143,6 +143,45 @@ def test_nearby_equals_brute_force_and_antimeridian_center(spark):
         assert got == want
 
 
+def test_sparql_iri_function_call(spark):
+    """ARQ E_Function: custom functions invoked by IRI (full or
+    prefixed) from SPARQL strings, dispatched through the
+    FunctionRegistry analog; xsd:double() casting constructor too."""
+    from jena_spark.queries.sparql import sparql_query
+
+    SP.register_functions()
+    rows = [("iri", f"http://ex.org/p{i}", SP.GEO_AS_WKT, "literal",
+             f"POINT({i * 5 - 20}.00 {i * 3 - 12}.00)", SP.GEO_WKT_LITERAL, None)
+            for i in range(9)]
+    t = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              " o_val string, o_datatype string, o_lang string")
+    # full-IRI call in FILTER
+    got = sparql_query(t, f"""SELECT ?s WHERE {{ ?s <{SP.GEO_AS_WKT}> ?w .
+      FILTER (<http://www.opengis.net/def/function/geosparql/distance>(?w, "POINT(0.00 0.00)") < 1000000) }}""")
+    pts = SP.points_from_triples(t)
+    want = SP.nearby(pts, 0.0, 0.0, 1_000_000.0).count()
+    assert got.count() == want > 0
+    # prefixed call in projection + xsd:double constructor
+    got2 = sparql_query(t, f"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+      PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      SELECT ?s (xsd:double(geof:distance(?w, "POINT(0.00 0.00)")) AS ?d)
+      WHERE {{ ?s <{SP.GEO_AS_WKT}> ?w }}""")
+    # flat results canonicalize typed literals to lexical strings —
+    # the values must equal the direct-API distances
+    got_d = {r["s"]: float(r["d"]) for r in got2.collect()}
+    want_d = {r["ent"]: r["d"] for r in pts.withColumn(
+        "d", SP.haversine_m(F.lit(0.0), F.lit(0.0), F.col("lat"), F.col("lon"))
+    ).collect()}
+    assert len(got_d) == 9
+    for k, d in got_d.items():
+        assert d == pytest.approx(want_d[k], rel=1e-12)
+    # unregistered IRI fails loudly
+    with pytest.raises(ValueError, match="unregistered function"):
+        sparql_query(t, """SELECT ?s WHERE { ?s ?p ?w .
+          FILTER (<http://ex.org/nosuch>(?w) > 0) }""").collect()
+
+
 def test_geof_distance_function_registry(spark):
     """geof:distance (DistanceFF.java) registers in the FunctionRegistry
     analog and prices WKT literal pairs in metres or kilometres."""
