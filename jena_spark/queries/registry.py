@@ -3103,6 +3103,38 @@ _register(
 )
 
 
+def _q_sparql_propfunc(spark, sf):
+    """Property-function dispatch FROM the SPARQL string (OpPropFunc,
+    exec ``OpExecutor.java:198``): ``?ent spatial:nearby (lat lon km)``
+    resolves through the PropertyFunctionRegistry analog, runs the
+    graph-level adapter, and joins the bound entities back onto an
+    ordinary triple pattern — the exact shape jena-spatial queries are
+    written in."""
+    from jena_spark.queries import spatial as SP
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _geo_triples(spark, sf)
+    q = f"""PREFIX spatial: <http://jena.apache.org/spatial#>
+    SELECT ?ent ?w
+    WHERE {{ ?ent spatial:nearby (20.0 10.0 1000.0) ;
+                  <{SP.GEO_AS_WKT}> ?w . }}"""
+    return sparql_query(t, q)
+
+
+_register(
+    "kg_sparql_propfunc",
+    _q_sparql_propfunc,
+    f"""WITH pts AS (
+      SELECT DISTINCT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events)
+    SELECT ent, 'POINT(' || printf('%.2f', lon) || ' ' || printf('%.2f', lat) || ')' AS w
+    FROM pts
+    WHERE {_SQL_HAVERSINE_M.format(lat1='20.0', lon1='10.0', lat2='lat', lon2='lon')} < 1000000.0""",
+)
+
+
 def _q_sparql_custom_fn(spark, sf):
     """Custom function invocation FROM the SPARQL string (ARQ
     E_Function -> FunctionRegistry dispatch, ``expr/E_Function.java``):
@@ -3219,7 +3251,8 @@ _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
-    "kg_sparql_custom_fn", "kg_querybuilder", "kg_secured_find",
+    "kg_sparql_custom_fn", "kg_sparql_propfunc",
+    "kg_querybuilder", "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
     "kg_star_roundtrip",
@@ -3237,12 +3270,9 @@ _PRIORITY = [
     # token-set / scratch-path changes
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",
-    # checked in r01 only — the first rotates back under driver
-    # watch; the window is full after it
-    "kg_find_pattern",
     # --- driver cap (50) falls here. Everything below was driver-green
     # in r01 or r02 and is re-checked by pytest/check_oracle each round.
-    "kg_find_by_subject", "kg_describe", "kg_ask",
+    "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",

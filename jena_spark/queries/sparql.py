@@ -131,6 +131,18 @@ class QTPat:
 
 
 @dataclass
+class PFPat:
+    """Property-function pattern (``OpPropFunc``, exec
+    ``OpExecutor.java:198``): ``?s <pf-iri> (arg ...)`` where the
+    predicate IRI resolves in the PropertyFunctionRegistry analog and
+    the object is an argument list of constants. Dispatch covers the
+    graph-level library adapters (the jena-spatial family)."""
+    subj: object
+    iri: str
+    args: list
+
+
+@dataclass
 class Group:
     """One group graph pattern, in syntactic order."""
     elements: list = field(default_factory=list)  # ("triple"|...)-tagged
@@ -512,7 +524,9 @@ class Parser:
                                   else ("group", sub))
             else:
                 for tri in self._triples_block(stop="}"):
-                    g.elements.append(("triple", tri))
+                    g.elements.append(
+                        ("propfunc", tri) if isinstance(tri, PFPat)
+                        else ("triple", tri))
             self.op(".")
         return g
 
@@ -540,6 +554,12 @@ class Parser:
             rows.append(row)
         return (names, rows)
 
+    @staticmethod
+    def _pf_registered(iri: str) -> bool:
+        from jena_spark.queries import propfunc
+
+        return propfunc.lookup(iri) is not None
+
     def _triples_block(self, stop: str) -> list:
         """TriplesSameSubject(Path) with ';' and ',' lists."""
         out = []
@@ -554,6 +574,23 @@ class Parser:
             subj = self.term()
             while True:
                 verb = self.path()
+                # property-function pattern: registered IRI verb with a
+                # list object -> PFPat (never valid collection syntax
+                # otherwise; plain collections are out of profile)
+                if (isinstance(verb, tuple) and not isinstance(verb, Var)
+                        and verb[0] == "iri" and self.peek().val == "("
+                        and self._pf_registered(verb[1])):
+                    self.next()  # '('
+                    pf_args = []
+                    while self.peek().val != ")":
+                        pf_args.append(self.term())
+                    self.expect_op(")")
+                    out.append(PFPat(subj, verb[1], pf_args))
+                    if not self.op(";"):
+                        break
+                    if self.peek().val in (".", stop):  # dangling ';'
+                        break
+                    continue
                 while True:
                     obj = self.term()
                     out.append((subj, verb, obj))
@@ -1089,6 +1126,45 @@ class _Compiler:
                     else zero_or_one(inner, domain))
         raise ValueError(f"SPARQL: unsupported path op {pe.op!r}")
 
+    def _pf_bindings(self, pf: PFPat, graph_ctx) -> DataFrame:
+        """OpPropFunc (exec ``OpExecutor.java:198``): dispatch a
+        registered graph-level property function (the jena-spatial
+        library) and bind the subject variable to the produced
+        entities as IRI term structs."""
+        from jena_spark.queries import propfunc as PFR
+
+        if isinstance(graph_ctx, Var):
+            raise ValueError("SPARQL: property functions inside "
+                             "GRAPH ?var are out of profile")
+        if not isinstance(pf.subj, Var):
+            raise ValueError(
+                "SPARQL: property-function subject must be a variable")
+        fn = PFR.lookup(pf.iri)
+        args = []
+        for a in pf.args:
+            if isinstance(a, Var):
+                raise ValueError("SPARQL: property-function arguments "
+                                 "must be constants")
+            k, val, dt, _lang = a
+            if k == "literal" and dt and dt.startswith(XSD):
+                local = dt[len(XSD):]
+                if local in ("integer", "int", "long"):
+                    args.append(int(val))
+                    continue
+                if local in ("decimal", "double", "float"):
+                    args.append(float(val))
+                    continue
+            args.append(val)
+        out = fn(self._ctx_frame(graph_ctx), *args)
+        if "ent" not in out.columns:
+            raise ValueError(
+                f"SPARQL: <{pf.iri}> has no graph-level adapter usable "
+                "from query strings")
+        return out.select(F.struct(
+            F.lit("iri").alias("kind"), F.col("ent").alias("val"),
+            F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        ).alias(pf.subj.name))
+
     def _path_bindings(self, s, pe: PathExpr, o, frame: DataFrame) -> DataFrame:
         """Path triple -> bindings frame with var-struct columns."""
         pairs = self._path_pairs(pe, frame)
@@ -1312,6 +1388,10 @@ class _Compiler:
                 else:
                     patterns.append((s, verb if not isinstance(verb, Var)
                                      else verb, o))
+            elif tag == "propfunc":
+                flush()
+                step = self._pf_bindings(el[1], graph_ctx)
+                df = step if df is None else A.join(df, step)
             elif tag == "graph":
                 flush()
                 sub = self.compile_group(el[2], graph_ctx=el[1])

@@ -143,6 +143,34 @@ def test_nearby_equals_brute_force_and_antimeridian_center(spark):
         assert got == want
 
 
+def test_sparql_property_function_pattern(spark):
+    """OpPropFunc from the string front-end: ``?s spatial:nearby (lat
+    lon km)`` dispatches the registered graph-level adapter and joins
+    with ordinary patterns; non-var subjects and var args raise."""
+    from jena_spark.queries.sparql import sparql_query
+
+    rows = [("iri", f"http://ex.org/p{i}", SP.GEO_AS_WKT, "literal",
+             f"POINT({i * 7 - 30}.00 {i * 4 - 18}.00)", SP.GEO_WKT_LITERAL, None)
+            for i in range(10)]
+    t = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              " o_val string, o_datatype string, o_lang string")
+    got = {r["s"] for r in sparql_query(t, """
+        PREFIX spatial: <http://jena.apache.org/spatial#>
+        SELECT ?s WHERE { ?s spatial:nearby (0.0 0.0 3000.0) . }""").collect()}
+    want = {r["ent"] for r in SP.nearby(
+        SP.points_from_triples(t), 0.0, 0.0, 3_000_000.0).collect()}
+    assert got == want and len(want) > 0
+    # ';'-chained with an ordinary pattern joins on the subject
+    joined = sparql_query(t, f"""PREFIX spatial: <http://jena.apache.org/spatial#>
+        SELECT ?s ?w WHERE {{ ?s spatial:nearby (0.0 0.0 3000.0) ;
+                                 <{SP.GEO_AS_WKT}> ?w . }}""")
+    assert joined.count() == len(want) and set(joined.columns) == {"s", "w"}
+    with pytest.raises(ValueError, match="must be constants"):
+        sparql_query(t, """PREFIX spatial: <http://jena.apache.org/spatial#>
+            SELECT ?s WHERE { ?s spatial:nearby (?x 0.0 10.0) . }""")
+
+
 def test_sparql_iri_function_call(spark):
     """ARQ E_Function: custom functions invoked by IRI (full or
     prefixed) from SPARQL strings, dispatched through the
