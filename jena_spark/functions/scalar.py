@@ -276,25 +276,33 @@ SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "isblank": is_blank,                      # E_IsBlank
     "isliteral": is_literal,                  # E_IsLiteral
     "isnumeric": is_numeric,                  # E_IsNumeric
-    # constructors / casts honor XSD lexical rules via Spark cast
-    "xsd_integer": lambda c: c.cast("long"),
-    "xsd_decimal": lambda c: c.cast("decimal(38,18)"),
-    "xsd_double": lambda c: c.cast("double"),
-    "xsd_boolean": lambda c: c.cast("boolean"),
-    "xsd_string": lambda c: c.cast("string"),
-    "xsd_datetime": lambda c: c.cast("timestamp"),
-    # the same casting constructors by full IRI — ARQ dispatches
-    # ``xsd:double(expr)`` through the function registry
-    # (``E_Function`` + ``CastXSD``); reachable from SPARQL strings
-    # via the IRI-call syntax
-    "http://www.w3.org/2001/XMLSchema#integer": lambda c: c.cast("long"),
-    "http://www.w3.org/2001/XMLSchema#decimal": lambda c: c.cast("decimal(38,18)"),
-    "http://www.w3.org/2001/XMLSchema#double": lambda c: c.cast("double"),
-    "http://www.w3.org/2001/XMLSchema#float": lambda c: c.cast("float"),
-    "http://www.w3.org/2001/XMLSchema#boolean": lambda c: c.cast("boolean"),
-    "http://www.w3.org/2001/XMLSchema#string": lambda c: c.cast("string"),
-    "http://www.w3.org/2001/XMLSchema#dateTime": lambda c: c.cast("timestamp"),
+    # constructors / casts honor XSD lexical rules; try_cast so a
+    # malformed lexical yields NULL (ARQ's CastXSD raises a per-row
+    # expression error; NULL is this engine's error value) instead of
+    # aborting the whole query under Spark 4 ANSI mode
+    "xsd_integer": lambda c: c.try_cast("long"),
+    "xsd_decimal": lambda c: c.try_cast("decimal(38,18)"),
+    "xsd_double": lambda c: c.try_cast("double"),
+    "xsd_float": lambda c: c.try_cast("float"),
+    "xsd_boolean": lambda c: c.try_cast("boolean"),
+    "xsd_string": lambda c: c.cast("string"),  # total — every lexical casts
+    "xsd_datetime": lambda c: c.try_cast("timestamp"),
 }
+
+# the same casting constructors by full IRI — ARQ dispatches
+# ``xsd:double(expr)`` through the function registry (``E_Function``
+# + ``CastXSD``); reachable from SPARQL strings via the IRI-call
+# syntax. Aliases of the xsd_* entries — one definition per cast.
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+SPARQL_FUNCTIONS.update({
+    _XSD_NS + local: SPARQL_FUNCTIONS["xsd_" + key]
+    for local, key in (
+        ("integer", "integer"), ("decimal", "decimal"),
+        ("double", "double"), ("float", "float"),
+        ("boolean", "boolean"), ("string", "string"),
+        ("dateTime", "datetime"),
+    )
+})
 
 
 def datetime_timezone(lex: Column) -> Column:

@@ -164,19 +164,51 @@ def _spatial_pfs():
 
 _SPATIAL_LOADED = False
 
+#: IRIs whose registered callable follows the GRAPH-LEVEL calling
+#: convention — ``fn(triple_table, *constant_args) -> DataFrame`` with
+#: an ``ent`` binding column (optionally ``ent_kind``) — the only
+#: convention the SPARQL string front-end can dispatch. The rest of
+#: the library is bindings-level (``fn(bindings, Column, out_var,...)``)
+#: and is reachable from the Python algebra surface only.
+GRAPH_LEVEL_IRIS: set[str] = set()
+
+
+def _ensure_spatial() -> None:
+    """Lazy one-shot spatial registration. ``setdefault`` per key —
+    never clobbers an IRI the user already ``register()``-ed
+    (PropertyFunctionRegistry.put wins over the library default)."""
+    global _SPATIAL_LOADED
+    if _SPATIAL_LOADED:
+        return
+    for iri, fn in _spatial_pfs().items():
+        PROPERTY_FUNCTIONS.setdefault(iri, fn)
+        GRAPH_LEVEL_IRIS.add(iri)
+    _SPATIAL_LOADED = True
+
 
 def lookup(iri: str):
     """Registry lookup incl. the lazily-registered spatial family."""
-    global _SPATIAL_LOADED
-    if iri not in PROPERTY_FUNCTIONS and not _SPATIAL_LOADED:
-        PROPERTY_FUNCTIONS.update(_spatial_pfs())
-        _SPATIAL_LOADED = True
+    if iri not in PROPERTY_FUNCTIONS:
+        _ensure_spatial()
     return PROPERTY_FUNCTIONS.get(iri)
 
 
-def register(iri: str, fn) -> None:
-    """PropertyFunctionRegistry.put analog."""
+def graph_level(iri: str) -> bool:
+    """True iff ``iri`` is registered with the graph-level calling
+    convention (dispatchable from SPARQL strings)."""
+    _ensure_spatial()
+    return iri in GRAPH_LEVEL_IRIS
+
+
+def register(iri: str, fn, *, graph_level: bool = False) -> None:
+    """PropertyFunctionRegistry.put analog. ``graph_level=True``
+    declares the string-front-end calling convention (see
+    :data:`GRAPH_LEVEL_IRIS`)."""
     PROPERTY_FUNCTIONS[iri] = fn
+    if graph_level:
+        GRAPH_LEVEL_IRIS.add(iri)
+    else:
+        GRAPH_LEVEL_IRIS.discard(iri)
 
 
 def triple_term_find(triples: DataFrame, s_var: str, p_var: str,

@@ -560,6 +560,12 @@ class Parser:
 
         return propfunc.lookup(iri) is not None
 
+    @staticmethod
+    def _pf_graph_level(iri: str) -> bool:
+        from jena_spark.queries import propfunc
+
+        return propfunc.graph_level(iri)
+
     def _triples_block(self, stop: str) -> list:
         """TriplesSameSubject(Path) with ';' and ',' lists."""
         out = []
@@ -578,19 +584,43 @@ class Parser:
                 # list object -> PFPat (never valid collection syntax
                 # otherwise; plain collections are out of profile)
                 if (isinstance(verb, tuple) and not isinstance(verb, Var)
-                        and verb[0] == "iri" and self.peek().val == "("
+                        and verb[0] == "iri"
                         and self._pf_registered(verb[1])):
-                    self.next()  # '('
-                    pf_args = []
-                    while self.peek().val != ")":
-                        pf_args.append(self.term())
-                    self.expect_op(")")
-                    out.append(PFPat(subj, verb[1], pf_args))
-                    if not self.op(";"):
-                        break
-                    if self.peek().val in (".", stop):  # dangling ';'
-                        break
-                    continue
+                    if not self._pf_graph_level(verb[1]):
+                        if self.peek().val == "(":
+                            # bindings-level library member (strSplit,
+                            # list:member, ...): consumes a bindings
+                            # frame + Column — no string-front-end
+                            # calling convention. Error loudly instead
+                            # of dispatching with the wrong signature.
+                            raise ValueError(
+                                f"SPARQL: <{verb[1]}> is a bindings-"
+                                "level property function; call it from "
+                                "the Python algebra surface "
+                                "(queries.propfunc), not a query string")
+                        # non-list object: fall through — an ordinary
+                        # triple pattern over that predicate is the
+                        # only sensible reading for a bindings-level PF
+                    elif self.peek().val != "(":
+                        # graph-level PF with a single-node object:
+                        # matching data triples for a magic predicate
+                        # would silently return nothing — out of
+                        # profile, error loudly (module contract)
+                        raise ValueError(
+                            f"SPARQL: property function <{verb[1]}> "
+                            "needs a list object, e.g. ?s <iri> (arg ...)")
+                    else:
+                        self.next()  # '('
+                        pf_args = []
+                        while self.peek().val != ")":
+                            pf_args.append(self.term())
+                        self.expect_op(")")
+                        out.append(PFPat(subj, verb[1], pf_args))
+                        if not self.op(";"):
+                            break
+                        if self.peek().val in (".", stop):  # dangling ';'
+                            break
+                        continue
                 while True:
                     obj = self.term()
                     out.append((subj, verb, obj))
@@ -1088,6 +1118,10 @@ class _Compiler:
             return col.isin([self._value(x) for x in e[2]])
         if kind == "call":
             return self._call(e).cast("boolean")
+        if kind == "call_iri":
+            # boolean-valued custom function as the FILTER predicate —
+            # same cast the name-based call form gets
+            return self._value(e).cast("boolean")
         if kind == "var":
             from jena_spark.queries.algebra import v
 
@@ -1160,8 +1194,14 @@ class _Compiler:
             raise ValueError(
                 f"SPARQL: <{pf.iri}> has no graph-level adapter usable "
                 "from query strings")
+        # subject term kind: carried through by the adapter when the
+        # scan preserves it (points_from_triples exports ent_kind —
+        # bnode-subject geometries keep their kind and join correctly
+        # with ordinary patterns); 'iri' only as a last resort
+        kind = (F.col("ent_kind") if "ent_kind" in out.columns
+                else F.lit("iri"))
         return out.select(F.struct(
-            F.lit("iri").alias("kind"), F.col("ent").alias("val"),
+            kind.alias("kind"), F.col("ent").alias("val"),
             F.lit("").alias("datatype"), F.lit("").alias("lang"),
         ).alias(pf.subj.name))
 

@@ -91,7 +91,9 @@ def points_from_triples(triples: DataFrame) -> DataFrame:
     )
     lon, lat = parse_wkt_point(F.col("o_val"))
     return (
-        wkt.select(F.col("s_val").alias("ent"), lon.alias("lon"), lat.alias("lat"))
+        wkt.select(F.col("s_val").alias("ent"),
+                   F.col("s_kind").alias("ent_kind"),
+                   lon.alias("lon"), lat.alias("lat"))
         .where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
     )
 
@@ -192,18 +194,25 @@ def west_of(points: DataFrame, lon: float) -> DataFrame:
     return within_box(points, -90.0, 90.0, -180.0, lon)
 
 
-def geof_distance(wkt1: Column, wkt2: Column, units: str = "metre") -> Column:
+def geof_distance(wkt1: Column, wkt2: Column,
+                  units: str | Column = "metre") -> Column:
     """geof:distance filter function
     (``geof/nontopological/filter_functions/DistanceFF.java``): great-
     circle distance between two WKT point literals; units metre or
-    kilometre (``UnitsOfMeasure.java`` URIs map to the same pair)."""
+    kilometre (``UnitsOfMeasure.java`` URIs map to the same pair).
+
+    ``units`` may be a Column (the SPARQL-string front-end evaluates
+    the third argument to a lexical column, value unknown at compile
+    time), so the conversion is a conditional expression, never a
+    Python branch on the column."""
     lon1, lat1 = parse_wkt_point(wkt1)
     lon2, lat2 = parse_wkt_point(wkt2)
     d = haversine_m(lat1, lon1, lat2, lon2)
-    if units in ("kilometre", "kilometer", "km",
-                 "http://www.opengis.net/def/uom/OGC/1.0/kilometre"):
-        return d / 1000.0
-    return d
+    units_c = F.lit(units) if isinstance(units, str) else units
+    is_km = units_c.isin(
+        "kilometre", "kilometer", "km",
+        "http://www.opengis.net/def/uom/OGC/1.0/kilometre")
+    return F.when(is_km, d / 1000.0).otherwise(d)
 
 
 def register_functions() -> None:
@@ -231,50 +240,100 @@ def register_functions() -> None:
 SPATIAL_NS = "http://jena.apache.org/spatial#"
 
 
+#: unit name -> metres-per-unit (``DistanceUnitsUtils.java:36-51``
+#: SUPPORTED_UNITS; mile factor = R_M/R_MI of spatial4j's
+#: ``DistanceUtils`` = the international mile). "degrees"/"de" convert
+#: through arc length on the mean radius (``dist2Degrees`` inverse).
+_UNIT_M = {
+    "kilometres": 1000.0, "kilometers": 1000.0, "km": 1000.0,
+    "meters": 1.0, "metres": 1.0, "m": 1.0,
+    "centimeters": 0.01, "centimetres": 0.01, "cm": 0.01,
+    "millimetres": 0.001, "millimeters": 0.001, "mm": 0.001,
+    "miles": 1609.344, "mi": 1609.344,
+    "degrees": math.radians(1.0) * EARTH_MEAN_RADIUS_M,
+    "de": math.radians(1.0) * EARTH_MEAN_RADIUS_M,
+}
+
+
+def _units_limit(rest: tuple, where: str) -> tuple[float, int]:
+    """Parse the reference's optional trailing ``[units] [limit]``
+    arguments (``SpatialOperationWithCircleBase.java:124-166``:
+    literals after the required ones are a unit string and/or an
+    integer limit, in that order). Returns (metres-per-unit, limit);
+    raises the module's documented ValueError outside the profile."""
+    factor, limit = _UNIT_M["kilometres"], -1
+    rest = list(rest)
+    if rest and isinstance(rest[0], str):
+        unit = rest.pop(0)
+        if unit not in _UNIT_M:
+            raise ValueError(f"spatial: unknown distance units {unit!r} "
+                             f"in {where} (DistanceUnitsUtils)")
+        factor = _UNIT_M[unit]
+    if rest and isinstance(rest[0], (int, float)):
+        v = rest.pop(0)
+        limit = int(v) if v >= 0 else -1
+    if rest:
+        raise ValueError(f"spatial: unexpected trailing arguments "
+                         f"{rest!r} in {where} (expected [units] [limit])")
+    return factor, limit
+
+
 def _limited(df: DataFrame, limit: int) -> DataFrame:
-    if limit and limit > 0:
-        return df.orderBy("dist_m", "ent").limit(limit)
+    """Deterministic top-N: the reference caps by index iteration
+    order; here distance-ordered (ent tiebreak) when a distance is
+    present, ent-ordered otherwise — TakeOrderedAndProject either way."""
+    if limit is not None and limit > 0:
+        keys = ["dist_m", "ent"] if "dist_m" in df.columns else ["ent"]
+        return df.orderBy(*keys).limit(limit)
     return df
 
 
 def nearby_pf(triples: DataFrame, lat: float, lon: float,
-              radius_km: float, limit: int = -1) -> DataFrame:
+              radius: float, *rest) -> DataFrame:
     """``?ent spatial:nearby (lat lon radius [units] [limit])``
     (``IsNearByPF.java``; also registered as spatial:withinCircle —
-    ``IsWithinCirclePF.java`` shares the circle semantics)."""
+    ``IsWithinCirclePF.java`` shares the circle semantics). Radius
+    units default to kilometres (``DistanceUnitsUtils.java:28``)."""
+    factor, limit = _units_limit(rest, "spatial:nearby")
     return _limited(
-        nearby(points_from_triples(triples), lat, lon, radius_km * 1000.0), limit
+        nearby(points_from_triples(triples), lat, lon, radius * factor), limit
     )
 
 
 def within_box_pf(triples: DataFrame, lat_min: float, lon_min: float,
-                  lat_max: float, lon_max: float) -> DataFrame:
-    """``?ent spatial:withinBox (latMin lonMin latMax lonMax)``
+                  lat_max: float, lon_max: float, *rest) -> DataFrame:
+    """``?ent spatial:withinBox (latMin lonMin latMax lonMax [limit])``
     (``IsWithinBoxPF.java``; for point geometries intersection equals
     containment, so spatial:intersectBox — ``IntersectsBoxPF.java`` —
     registers to the same adapter)."""
-    return within_box(points_from_triples(triples), lat_min, lat_max,
-                      lon_min, lon_max)
+    _, limit = _units_limit(rest, "spatial:withinBox")
+    return _limited(
+        within_box(points_from_triples(triples), lat_min, lat_max,
+                   lon_min, lon_max), limit)
 
 
-def north_pf(triples: DataFrame, lat: float) -> DataFrame:
-    """``?ent spatial:north (lat)`` (``NorthPF.java:37-41``)."""
-    return north_of(points_from_triples(triples), lat)
+def north_pf(triples: DataFrame, lat: float, *rest) -> DataFrame:
+    """``?ent spatial:north (lat [limit])`` (``NorthPF.java:37-41``)."""
+    _, limit = _units_limit(rest, "spatial:north")
+    return _limited(north_of(points_from_triples(triples), lat), limit)
 
 
-def south_pf(triples: DataFrame, lat: float) -> DataFrame:
+def south_pf(triples: DataFrame, lat: float, *rest) -> DataFrame:
     """``SouthPF.java``."""
-    return south_of(points_from_triples(triples), lat)
+    _, limit = _units_limit(rest, "spatial:south")
+    return _limited(south_of(points_from_triples(triples), lat), limit)
 
 
-def east_pf(triples: DataFrame, lon: float) -> DataFrame:
+def east_pf(triples: DataFrame, lon: float, *rest) -> DataFrame:
     """``EastPF.java``."""
-    return east_of(points_from_triples(triples), lon)
+    _, limit = _units_limit(rest, "spatial:east")
+    return _limited(east_of(points_from_triples(triples), lon), limit)
 
 
-def west_pf(triples: DataFrame, lon: float) -> DataFrame:
+def west_pf(triples: DataFrame, lon: float, *rest) -> DataFrame:
     """``WestPF.java``."""
-    return west_of(points_from_triples(triples), lon)
+    _, limit = _units_limit(rest, "spatial:west")
+    return _limited(west_of(points_from_triples(triples), lon), limit)
 
 
 # --- distance self/AB join (the scale operator) ------------------------------

@@ -246,10 +246,26 @@ def test_spatial_property_function_registry(spark):
     want = {r["ent"] for r in SP.nearby(
         SP.points_from_triples(triples), 10.0, 20.0, 3_000_000.0).collect()}
     assert got == want and len(want) > 0
-    # limit: distance-ordered top-N, deterministic
-    top2 = nearby_fn(triples, 10.0, 20.0, 3000.0, limit=2).collect()
+    # limit: distance-ordered top-N, deterministic (trailing positional
+    # arg, SpatialOperationWithCircleBase arg-list order)
+    top2 = nearby_fn(triples, 10.0, 20.0, 3000.0, 2).collect()
     assert len(top2) == 2
     assert top2[0]["dist_m"] <= top2[1]["dist_m"]
+    # units string before the limit (DistanceUnitsUtils): 3000 km
+    # spelled in miles must select the same entity set
+    miles = {r["ent"] for r in
+             nearby_fn(triples, 10.0, 20.0, 3000.0 / 1.609344, "miles").collect()}
+    assert miles == got
+    # metres spelling
+    metres = {r["ent"] for r in
+              nearby_fn(triples, 10.0, 20.0, 3_000_000.0, "metres").collect()}
+    assert metres == got
+    # unknown units / stray trailing args error loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="units"):
+        nearby_fn(triples, 10.0, 20.0, 3000.0, "leagues")
+    with _pytest.raises(ValueError, match="trailing"):
+        nearby_fn(triples, 10.0, 20.0, 3000.0, "km", 2, 9)
     box_fn = propfunc.lookup(SP.SPATIAL_NS + "intersectBox")
     assert {r["ent"] for r in box_fn(triples, -10.0, -20.0, 30.0, 40.0).collect()} == {
         r["ent"] for r in SP.within_box(
@@ -370,3 +386,99 @@ def test_distance_join_polar_full_sphere(spark):
         want = {(r["ent_a"], r["ent_b"]) for r in _brute_pairs(pts, radius_m).collect()}
         assert got == want, f"radius {radius_m}"
     assert ("p1", "p2") in got  # identical location, distance 0
+
+
+def test_pf_bnode_subject_keeps_kind(spark):
+    """A bnode-subject geometry binds with its OWN term kind from the
+    string front-end (PropFuncArg subjects are any node kind), so the
+    struct equi-join with ordinary patterns over the same subject
+    matches instead of silently dropping rows."""
+    from jena_spark.queries.sparql import sparql_query
+
+    rows = [
+        ("bnode", "b0", SP.GEO_AS_WKT, "literal",
+         "POINT(1.00 1.00)", SP.GEO_WKT_LITERAL, None),
+        ("iri", "http://ex.org/i1", SP.GEO_AS_WKT, "literal",
+         "POINT(2.00 2.00)", SP.GEO_WKT_LITERAL, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              " o_val string, o_datatype string, o_lang string")
+    got = sparql_query(t, f"""PREFIX spatial: <http://jena.apache.org/spatial#>
+        SELECT ?s ?w WHERE {{ ?s spatial:nearby (0.0 0.0 1000.0) ;
+                                 <{SP.GEO_AS_WKT}> ?w . }}""").collect()
+    assert {r["s"] for r in got} == {"b0", "http://ex.org/i1"}
+
+
+def test_pf_registry_contract_errors(spark):
+    """String-front-end property-function contract: bindings-level
+    library IRIs error loudly (wrong calling convention), a graph-level
+    IRI without a list object errors loudly (a silent empty ordinary
+    pattern would mask the mistake), and register() overrides survive
+    the lazy spatial load."""
+    from jena_spark.queries import propfunc
+    from jena_spark.queries.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("iri", "http://ex.org/i1", SP.GEO_AS_WKT, "literal",
+          "POINT(2.00 2.00)", SP.GEO_WKT_LITERAL, None)],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string")
+    with pytest.raises(ValueError, match="bindings-level"):
+        sparql_query(t, """PREFIX apf: <http://jena.apache.org/ARQ/property#>
+            SELECT ?s WHERE { ?s apf:strSplit ("a b" " ") . }""")
+    with pytest.raises(ValueError, match="list object"):
+        sparql_query(t, """PREFIX spatial: <http://jena.apache.org/spatial#>
+            SELECT ?s WHERE { ?s spatial:north 40.0 . }""")
+    # a user registration is never clobbered by the lazy library load
+    iri = SP.SPATIAL_NS + "nearby"
+    prev = propfunc.lookup(iri)
+    try:
+        marker = lambda triples, *a: SP.nearby_pf(triples, *a)  # noqa: E731
+        propfunc.register(iri, marker, graph_level=True)
+        propfunc.lookup(SP.SPATIAL_NS + "no-such-pf")  # miss -> lazy load path
+        assert propfunc.lookup(iri) is marker
+    finally:
+        propfunc.register(iri, prev, graph_level=True)
+
+
+def test_call_iri_as_filter_predicate(spark):
+    """A boolean-valued custom function invoked by IRI is usable
+    directly as the FILTER predicate (same cast the name-based call
+    form gets)."""
+    from jena_spark.functions import scalar
+    from jena_spark.queries.sparql import sparql_query
+
+    scalar.register("http://ex.org/fn/nearOrigin",
+                    lambda w: SP.geof_distance(
+                        w, F.lit("POINT(0.00 0.00)")) < 500_000.0)
+    rows = [("iri", "http://ex.org/a", SP.GEO_AS_WKT, "literal",
+             "POINT(1.00 1.00)", SP.GEO_WKT_LITERAL, None),
+            ("iri", "http://ex.org/b", SP.GEO_AS_WKT, "literal",
+             "POINT(90.00 40.00)", SP.GEO_WKT_LITERAL, None)]
+    t = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              " o_val string, o_datatype string, o_lang string")
+    got = sparql_query(t, f"""SELECT ?s WHERE {{ ?s <{SP.GEO_AS_WKT}> ?w .
+        FILTER (<http://ex.org/fn/nearOrigin>(?w)) }}""").collect()
+    assert {r["s"] for r in got} == {"http://ex.org/a"}
+
+
+def test_geof_distance_units_column_and_cast_null(spark):
+    """geof:distance's units argument works as a Column (the string
+    front-end passes one); xsd casting constructors yield NULL on
+    malformed lexicals instead of an ANSI runtime abort."""
+    from jena_spark.functions.scalar import SPARQL_FUNCTIONS as FN
+
+    df = spark.range(1).select(
+        F.lit("POINT(0.00 0.00)").alias("a"),
+        F.lit("POINT(0.00 1.00)").alias("b"))
+    m = df.select(SP.geof_distance(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    km = df.select(SP.geof_distance(
+        F.col("a"), F.col("b"), F.lit("kilometre")).alias("d")).first()["d"]
+    assert km == pytest.approx(m / 1000.0)
+    bad = spark.range(1).select(
+        FN["http://www.w3.org/2001/XMLSchema#integer"](F.lit("not-a-number")).alias("i"),
+        FN["http://www.w3.org/2001/XMLSchema#double"](F.lit("xyz")).alias("d"))
+    row = bad.first()
+    assert row["i"] is None and row["d"] is None
