@@ -251,6 +251,10 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
     """
     if mapping is None:
         mapping = connected_components(sameas_edges(triples))
+    # lineage columns are carried when present (the pipeline path) and
+    # simply absent for bare 7-column Graph-API frames (e.g. the output
+    # of inference.owl_functional_sameas unioned onto a loaded graph)
+    lineage = [c for c in ("graph", "conv_id") if c in triples.columns]
     s_map = F.broadcast(mapping.withColumnRenamed("node", "s_val")
                         .withColumnRenamed("component", "s_canon"))
     o_map = F.broadcast(mapping.withColumnRenamed("node", "o_val")
@@ -266,7 +270,8 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
             F.col("o_kind"),
             F.when(F.col("o_kind") == "iri", F.coalesce("o_canon", "o_val"))
             .otherwise(F.col("o_val")).alias("o_val"),
-            F.col("o_datatype"), F.col("o_lang"), F.col("graph"), F.col("conv_id"),
+            F.col("o_datatype"), F.col("o_lang"),
+            *[F.col(c) for c in lineage],
             (
                 ((F.col("s_kind") == "iri") & F.col("s_canon").isNotNull())
                 | ((F.col("o_kind") == "iri") & F.col("o_canon").isNotNull())
@@ -282,11 +287,12 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
     # byte-identical even in graph/conv_id. (In the current emission
     # rules duplicates always share conv_id — the turn bnode is
     # conv-scoped — but min() makes that a theorem, not an accident.)
-    touched = (
-        joined.where(F.col("_touched")).drop("_touched")
-        .groupBy(*TM.TERM_COLS)
-        .agg(F.min("graph").alias("graph"), F.min("conv_id").alias("conv_id"))
-    )
+    touched = joined.where(F.col("_touched")).drop("_touched")
+    if lineage:
+        touched = touched.groupBy(*TM.TERM_COLS).agg(
+            *[F.min(c).alias(c) for c in lineage])
+    else:
+        touched = touched.dropDuplicates(TM.TERM_COLS)
     return untouched.unionByName(touched)
 
 

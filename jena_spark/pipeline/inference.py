@@ -330,3 +330,134 @@ def owl_property_closure(triples: DataFrame, max_iter: int = 30) -> DataFrame:
             break
         sig = new_sig
     return out
+
+
+# --- FunctionalProperty / InverseFunctionalProperty -> owl:sameAs -----------
+
+OWL_FUNCTIONAL = OWL + "FunctionalProperty"
+OWL_INVERSE_FUNCTIONAL = OWL + "InverseFunctionalProperty"
+
+_DECL_LIMIT = 1_000_000
+
+
+def _declared_props(triples: DataFrame, characteristic: str) -> set[str]:
+    """Property IRIs declared with ``characteristic`` (driver-size TBox
+    collect, guarded like :func:`_schema`)."""
+    rows = (
+        triples.where(
+            (F.col("p_val") == TM.RDF_TYPE) & (F.col("o_val") == characteristic)
+        )
+        .select("s_val").distinct().limit(_DECL_LIMIT + 1).collect()
+    )
+    if len(rows) > _DECL_LIMIT:
+        raise ValueError(
+            f"more than {_DECL_LIMIT:,} properties declared "
+            f"<{characteristic}> — the broadcast property-set strategy "
+            "assumes a driver-size schema")
+    return {r["s_val"] for r in rows}
+
+
+def owl_functional_sameas(triples: DataFrame) -> DataFrame:
+    """owl:sameAs recognition from property characteristics — the
+    forward instance-equality rules of the reference's OWL rule set
+    (``jena-core/src/main/resources/etc/owl-fb.rules:458-475``):
+
+      fp1:  (p a owl:FunctionalProperty), (a p b), (a p c),
+            b,c non-literal, b != c                  -> (b owl:sameAs c)
+      ifp1: (p a owl:InverseFunctionalProperty), (a p b), (c p b),
+            a != c                                   -> (a owl:sameAs c)
+
+    plus the subPropertyOf propagation rules (fpEarlyProp /
+    ifpEarlyProp: a sub-property of a functional property is
+    functional), evaluated on the driver-side TBox closure like the
+    rest of this module.
+
+    This is the entity-resolution primitive of the construction
+    pipeline: two accounts sharing an inverse-functional key (an email,
+    an external id) are the same individual; feed the output into
+    :func:`jena_spark.pipeline.canonicalize.connected_components` /
+    ``canonicalize_triples`` to rewrite the graph onto representatives.
+
+    Spark-first shape, 100 TB posture: the reference's rule engine
+    enumerates O(k^2) pairs per witness group; here each group —
+    keyed (subject, p) for fp1, (p, object) for ifp1 — elects its min
+    member with ONE partial-aggregatable ``min`` (map-side combine),
+    and members join the group representative back on the same key
+    (one shuffle, exchange reused), emitting the canonical STAR
+    ``(member owl:sameAs rep)``. The star's symmetric-transitive
+    closure equals the closure of the reference's pairwise emission
+    (both connect exactly the witness group), and star form is what
+    the CC pass consumes anyway. Emitted rows carry NULL
+    datatype/lang and inherit no lineage (same policy as the other
+    derived-triple emitters)."""
+    base = triples.select(*TM.TERM_COLS)
+    spark = triples.sparkSession
+
+    sub_prop = _transitive_close(set(_schema(triples)[RDFS_SUBPROP]))
+    fp = _declared_props(base, OWL_FUNCTIONAL)
+    ifp = _declared_props(base, OWL_INVERSE_FUNCTIONAL)
+
+    def _lift_dim(declared: set[str]):
+        """(asserted property q -> witness-group property p) pairs: the
+        identity for declared properties plus the subPropertyOf lift —
+        the second fp1/ifp1 rule forms match (a P b), (c Q b) with
+        Q subPropertyOf P, i.e. a q-assertion witnesses under its
+        functional super-property's group. Broadcast dimension
+        (TBox-size)."""
+        pairs = sorted(
+            {(p, p) for p in declared}
+            | {(q, p) for q, p in sub_prop if p in declared}
+        )
+        if not pairs:
+            return None
+        return spark.createDataFrame(pairs, "q string, p string")
+
+    outs = []
+
+    def _star(scan: DataFrame, keys: list[str], m_kind: str, m_val: str) -> DataFrame:
+        member = F.struct(F.col(m_kind).alias("kind"), F.col(m_val).alias("val"))
+        grp = scan.groupBy(*keys).agg(F.min(member).alias("rep"))
+        return (
+            scan.join(grp, keys)
+            .where(member != F.col("rep"))
+            .select(
+                F.col(m_kind).alias("s_kind"), F.col(m_val).alias("s_val"),
+                F.lit(TM.OWL_SAMEAS).alias("p_val"),
+                F.col("rep.kind").alias("o_kind"), F.col("rep.val").alias("o_val"),
+                _null_s().alias("o_datatype"), _null_s().alias("o_lang"),
+            )
+        )
+
+    fp_dim = _lift_dim(fp)
+    if fp_dim is not None:
+        fp_scan = (
+            base.where(F.col("o_kind") != "literal")
+            .join(F.broadcast(fp_dim), base["p_val"] == F.col("q"))
+            .select("s_kind", "s_val", F.col("p").alias("p_group"),
+                    "o_kind", "o_val")
+            .distinct()
+        )
+        outs.append(_star(fp_scan, ["s_kind", "s_val", "p_group"],
+                          "o_kind", "o_val"))
+    ifp_dim = _lift_dim(ifp)
+    if ifp_dim is not None:
+        # ifp1 has no notLiteral guard: a shared literal key (email,
+        # external id) is the normal witness
+        ifp_scan = (
+            base.join(F.broadcast(ifp_dim), base["p_val"] == F.col("q"))
+            .select(
+                "s_kind", "s_val", F.col("p").alias("p_group"),
+                "o_kind", "o_val",
+                F.coalesce(F.col("o_datatype"), F.lit("")).alias("o_datatype"),
+                F.coalesce(F.col("o_lang"), F.lit("")).alias("o_lang"),
+            ).distinct()
+        )
+        outs.append(_star(
+            ifp_scan, ["p_group", "o_kind", "o_val", "o_datatype", "o_lang"],
+            "s_kind", "s_val"))
+    if not outs:
+        return base.limit(0)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.dropDuplicates(TM.TERM_COLS)

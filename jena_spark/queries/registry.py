@@ -2092,6 +2092,77 @@ _register(
 )
 
 
+def _q_owl_ifp_sameas(spark, sf):
+    """owl:sameAs recognition from property characteristics — the
+    fp1/ifp1 forward rules (``etc/owl-fb.rules:458-475``), the
+    entity-resolution primitive: accounts (one IRI per event) sharing
+    an inverse-functional key literal (their user id) merge, the
+    subPropertyOf lift routes ``altKey`` assertions (odd events) into
+    the same witness groups, and a functional ``locatedIn`` collapses
+    each user's distinct city objects. Output = the emitted sameAs
+    star edges (member, rep)."""
+    from jena_spark.pipeline.inference import (
+        OWL_FUNCTIONAL,
+        OWL_INVERSE_FUNCTIONAL,
+        RDFS_SUBPROP,
+        owl_functional_sameas,
+    )
+
+    V = TM.NS_VOCAB
+    ev = _events(spark, sf)
+    null_s = F.lit(None).cast("string")
+    acct = F.concat(F.lit(TM.NS + "acct/"), F.col("event_id").cast("string"))
+    keyp = F.when(F.col("event_id") % 2 == 0, F.lit(V + "key")).otherwise(
+        F.lit(V + "altKey"))
+    ifp_rows = ev.select(
+        F.lit("iri").alias("s_kind"), acct.alias("s_val"), keyp.alias("p_val"),
+        F.lit("literal").alias("o_kind"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("o_val"),
+        null_s.alias("o_datatype"), null_s.alias("o_lang"),
+    )
+    fp_rows = ev.select(
+        F.lit("iri").alias("s_kind"),
+        F.concat(F.lit(TM.NS + "user/"), F.col("user_id").cast("string")).alias("s_val"),
+        F.lit(V + "locatedIn").alias("p_val"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit(TM.NS + "city/"), (F.col("event_id") % 5).cast("string")).alias("o_val"),
+        null_s.alias("o_datatype"), null_s.alias("o_lang"),
+    )
+    tbox = spark.createDataFrame(
+        [
+            ("iri", V + "key", TM.RDF_TYPE, "iri", OWL_INVERSE_FUNCTIONAL, None, None),
+            ("iri", V + "altKey", RDFS_SUBPROP, "iri", V + "key", None, None),
+            ("iri", V + "locatedIn", TM.RDF_TYPE, "iri", OWL_FUNCTIONAL, None, None),
+        ],
+        "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+        "o_datatype string, o_lang string",
+    )
+    g = ifp_rows.unionByName(fp_rows).unionByName(tbox)
+    out = owl_functional_sameas(g)
+    return out.select(F.col("s_val").alias("member"), F.col("o_val").alias("rep"))
+
+
+_register(
+    "kg_owl_ifp_sameas",
+    _q_owl_ifp_sameas,
+    f"""WITH ifp AS (
+      SELECT '{TM.NS}acct/' || CAST(event_id AS VARCHAR) AS member,
+             'u' || CAST(user_id AS VARCHAR) AS grp
+      FROM events),
+    ifp_star AS (
+      SELECT member, min(member) OVER (PARTITION BY grp) AS rep FROM ifp),
+    fp AS (
+      SELECT DISTINCT '{TM.NS}user/' || CAST(user_id AS VARCHAR) AS subj,
+             '{TM.NS}city/' || CAST(event_id % 5 AS VARCHAR) AS member
+      FROM events),
+    fp_star AS (
+      SELECT member, min(member) OVER (PARTITION BY subj) AS rep FROM fp)
+    SELECT DISTINCT member, rep FROM ifp_star WHERE member <> rep
+    UNION
+    SELECT DISTINCT member, rep FROM fp_star WHERE member <> rep""",
+)
+
+
 # === round 3: mixed-term ORDER BY, union graph, path identities ============
 
 def _q_quads_union_graph(spark, sf):
@@ -3249,6 +3320,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
+    "kg_owl_ifp_sameas",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",

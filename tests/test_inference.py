@@ -194,3 +194,93 @@ def test_owl_symmetric_inverse_of_transitive_fixpoint(spark):
     # idempotent at the fixpoint
     assert _rows(owl_property_closure(
         spark.createDataFrame(sorted(out), SCHEMA))) == out
+
+
+def _pairwise_sameas_closure(groups: list[set[tuple[str, str]]]) -> set:
+    """Tiny reference twin of fp1/ifp1: pairwise emission per witness
+    group + symmetric-transitive closure (what the reference's rule
+    engine reaches at fixpoint), as a set of frozenset clusters."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for g in groups:
+        members = sorted(g)
+        for m in members[1:]:
+            parent[find(m)] = find(members[0])
+    clusters: dict = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+    return {frozenset(c) for c in clusters.values() if len(c) > 1}
+
+
+def test_owl_functional_sameas_rules(spark):
+    """fp1 / ifp1 forward instance-equality rules
+    (owl-fb.rules:458-475) incl. fpEarlyProp subPropertyOf
+    propagation: the emitted star's closure equals the reference's
+    pairwise-emission closure, literal witnesses count for ifp1 only,
+    and bnodes participate."""
+    from jena_spark.pipeline.canonicalize import connected_components
+    from jena_spark.pipeline.inference import (
+        OWL_FUNCTIONAL,
+        OWL_INVERSE_FUNCTIONAL,
+        owl_functional_sameas,
+    )
+
+    E = "http://e/"
+    triples = [
+        # ifp: email key shared by three accounts (one a bnode)
+        ("iri", E + "email", TM.RDF_TYPE, "iri", OWL_INVERSE_FUNCTIONAL, None, None),
+        ("iri", E + "acct1", E + "email", "literal", "x@e.org", None, None),
+        ("iri", E + "acct2", E + "email", "literal", "x@e.org", None, None),
+        ("bnode", "b9", E + "email", "literal", "x@e.org", None, None),
+        ("iri", E + "acct3", E + "email", "literal", "y@e.org", None, None),
+        # same lexical under a DIFFERENT datatype is a different witness
+        ("iri", E + "acct4", E + "email", "literal", "x@e.org",
+         "http://e/dt", None),
+        # fp: one subject, two non-literal objects -> objects sameAs
+        ("iri", E + "homePort", TM.RDF_TYPE, "iri", OWL_FUNCTIONAL, None, None),
+        ("iri", E + "ship", E + "homePort", "iri", E + "oslo", None, None),
+        ("iri", E + "ship", E + "homePort", "iri", E + "osloHavn", None, None),
+        # fp with literal objects derives NOTHING (notLiteral guard)
+        ("iri", E + "age", TM.RDF_TYPE, "iri", OWL_FUNCTIONAL, None, None),
+        ("iri", E + "ship", E + "age", "literal", "4", None, None),
+        ("iri", E + "ship", E + "age", "literal", "5", None, None),
+        # fpEarlyProp: subPropertyOf an IFP is an IFP
+        ("iri", E + "workEmail", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+         "iri", E + "email", None, None),
+        ("iri", E + "acct5", E + "workEmail", "literal", "y@e.org", None, None),
+    ]
+    t = spark.createDataFrame(triples, SCHEMA)
+    got = owl_functional_sameas(t)
+    rows = {(r["s_kind"], r["s_val"], r["o_kind"], r["o_val"])
+            for r in got.collect()}
+    # every emitted row is a star edge member -> group-min rep
+    assert rows == {
+        ("iri", E + "acct1", "bnode", "b9"),   # struct order: bnode < iri
+        ("iri", E + "acct2", "bnode", "b9"),
+        ("iri", E + "osloHavn", "iri", E + "oslo"),
+        ("iri", E + "acct5", "iri", E + "acct3"),  # via subPropertyOf lift
+    }
+    # closure equality with the reference's pairwise emission
+    edges = got.select(
+        F.concat("s_kind", F.lit("|"), "s_val").alias("src"),
+        F.concat("o_kind", F.lit("|"), "o_val").alias("dst"))
+    cc = connected_components(edges)
+    comp: dict = {}
+    for r in cc.collect():
+        comp.setdefault(r["component"], set()).add(r["node"])
+    got_clusters = {frozenset(v) for v in comp.values() if len(v) > 1}
+    want = _pairwise_sameas_closure([
+        {("iri", E + "acct1"), ("iri", E + "acct2"), ("bnode", "b9")},
+        {("iri", E + "oslo"), ("iri", E + "osloHavn")},
+        {("iri", E + "acct3"), ("iri", E + "acct5")},
+    ])
+    want = {frozenset(f"{k}|{v}" for k, v in c) for c in want}
+    assert got_clusters == want
+    # acct4 (different datatype) is in no cluster
+    assert not any("acct4" in m for c in got_clusters for m in c)
