@@ -2408,6 +2408,69 @@ _register(
 )
 
 
+def _q_shacl_advanced(spark, sf):
+    """SHACL beyond the core term constraints: ``sh:closed`` (+
+    ``sh:ignoredProperties``) — turns may only carry the declared
+    role/turnIndex/text/mentions paths plus the ignored timestamp, so
+    every ``v:tool`` assertion violates with the offending predicate
+    as the report path — and a SPARQL-based constraint
+    (``SparqlConstraint.java``): ``$this``-rewritten SELECT flags
+    tool-role turns that mention entities, evaluated set-based through
+    the engine's own front-end."""
+    from jena_spark.queries.shacl import SH, validate
+
+    V = TM.NS_VOCAB
+    shape = V + "ClosedTurnShape"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    select = (f"SELECT ?this ?value WHERE {{ ?this <{TM.P_ROLE}> \"tool\" . "
+              f"?this <{TM.P_MENTIONS}> ?value . }}")
+    shapes_rows = [
+        ("iri", shape, SH + "targetSubjectsOf", "iri", TM.P_ROLE, None, None),
+        ("iri", shape, SH + "closed", "literal", "true",
+         TM.XSD + "boolean", None),
+        ("iri", shape, SH + "ignoredProperties", "bnode", "_:ig", None, None),
+        ("bnode", "_:ig", RDF + "first", "iri", TM.P_TS, None, None),
+        ("bnode", "_:ig", RDF + "rest", "iri", RDF + "nil", None, None),
+        ("iri", shape, SH + "sparql", "bnode", "_:sq", None, None),
+        ("bnode", "_:sq", SH + "select", "literal", select, None, None),
+        ("bnode", "_:sq", SH + "message", "literal", "tool-turn-mention",
+         None, None),
+    ] + [
+        ("iri", shape, SH + "property", "bnode", f"_:p{i}", None, None)
+        for i in range(4)
+    ] + [
+        ("bnode", f"_:p{i}", SH + "path", "iri", p, None, None)
+        for i, p in enumerate(
+            (TM.P_ROLE, TM.P_TURN_INDEX, TM.P_TEXT, TM.P_MENTIONS))
+    ]
+    shapes = spark.createDataFrame(
+        shapes_rows,
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string")
+    return validate(_triples(spark, sf), shapes)
+
+
+_register(
+    "kg_shacl_advanced",
+    _q_shacl_advanced,
+    _W + f"""SELECT '{TM.NS_VOCAB}ClosedTurnShape' AS shape,
+           t.s_kind AS focus_kind, t.s_val AS focus,
+           t.p_val AS path, 'closed' AS constraint, t.o_val AS value
+    FROM triples t
+    WHERE t.p_val = '{TM.P_TOOL}'
+      AND EXISTS (SELECT 1 FROM triples r
+                  WHERE r.p_val = '{TM.P_ROLE}'
+                    AND r.s_kind = t.s_kind AND r.s_val = t.s_val)
+    UNION
+    SELECT '{TM.NS_VOCAB}ClosedTurnShape', r.s_kind, r.s_val,
+           NULL, 'tool-turn-mention', m.o_val
+    FROM triples r JOIN triples m
+      ON m.s_kind = r.s_kind AND m.s_val = r.s_val
+     AND m.p_val = '{TM.P_MENTIONS}'
+    WHERE r.p_val = '{TM.P_ROLE}' AND r.o_val = 'tool'""",
+)
+
+
 def _q_sparql_service(spark, sf):
     """SPARQL SERVICE (OpService, ``OpExecutor.java:311`` /
     ``QueryIterService.java:36-55``): the entity-label slice is
@@ -3320,7 +3383,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
-    "kg_owl_ifp_sameas",
+    "kg_owl_ifp_sameas", "kg_shacl_advanced",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",

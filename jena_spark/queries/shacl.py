@@ -26,9 +26,18 @@ targets ``sh:targetClass``/``sh:targetNode``/``sh:targetSubjectsOf``/
 ``sh:maxLength``, ``sh:minInclusive``/``sh:maxInclusive``/
 ``sh:minExclusive``/``sh:maxExclusive`` (numeric value space).
 Node-shape-level ``sh:nodeKind``/``sh:class``/``sh:in`` apply to the
-focus node itself. NOT covered: logical combinators (sh:and/or/not/
-xone), sh:node recursion, qualified value shapes, SPARQL constraints,
-sh:closed, sh:uniqueLang, pairwise (equals/disjoint/lessThan).
+focus node itself. Also covered: ``sh:closed`` (+
+``sh:ignoredProperties``), ``sh:uniqueLang``, the pairwise property
+constraints ``sh:equals``/``sh:disjoint``/``sh:lessThan``/
+``sh:lessThanOrEquals`` (``EqualsConstraint.java`` family), and
+SPARQL-based constraints (``sh:sparql`` with ``sh:select`` on a node
+shape — ``SparqlConstraint.java``/``SparqlValidation.java``):
+evaluated SET-BASED, not per-focus — ``$this`` is rewritten to the
+variable ``?this``, the query runs ONCE through this engine's own
+SPARQL front-end (term-struct results), and the result joins the
+focus frame on the ``this`` binding; each joined row is a violation
+(``?value`` projected if present). NOT covered: logical combinators
+(sh:and/or/not/xone), sh:node recursion, qualified value shapes.
 
 RDF 1.1 note: a plain literal (datatype column NULL) IS an
 ``xsd:string`` for ``sh:datatype`` comparison.
@@ -68,6 +77,8 @@ class PropertyShape:
     min_count: int | None = None
     max_count: int | None = None
     constraints: dict = field(default_factory=dict)
+    unique_lang: bool = False
+    pairwise: list = field(default_factory=list)  # (component, predicate IRI)
 
 
 @dataclass
@@ -79,6 +90,9 @@ class NodeShape:
     target_objects_of: list = field(default_factory=list)
     constraints: dict = field(default_factory=dict)  # on the focus itself
     properties: list = field(default_factory=list)
+    closed: bool = False
+    ignored: list = field(default_factory=list)  # predicate IRIs
+    sparql: list = field(default_factory=list)  # (select string, message)
 
 
 def _collect_shapes_rows(shapes: DataFrame, max_rows: int = 100_000):
@@ -143,7 +157,10 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                    _TERM_CONSTRAINTS + (
                        "path", "inversePath", "minCount", "maxCount",
                        "property", "targetClass", "targetNode",
-                       "targetSubjectsOf", "targetObjectsOf")}
+                       "targetSubjectsOf", "targetObjectsOf",
+                       "closed", "ignoredProperties", "sparql",
+                       "uniqueLang", "equals", "disjoint",
+                       "lessThan", "lessThanOrEquals")}
         if unknown:
             raise ValueError(f"SHACL: unsupported constraint(s) {sorted(unknown)}")
 
@@ -161,6 +178,18 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                         ("targetObjectsOf", ns.target_objects_of)):
             attr.extend(po.get(SH + p, []))
         _term_constraints(po, ns.constraints)
+        closed = one(po, "closed")
+        ns.closed = bool(closed) and closed[1] == "true"
+        ign = one(po, "ignoredProperties")
+        if ign is not None:
+            ns.ignored = [t[1] for t in _rdf_list(by_subj, ign)]
+        for sref in po.get(SH + "sparql", []):
+            spo = by_subj.get(sref[:2], {})
+            sel = one(spo, "select")
+            if sel is None:
+                raise ValueError("SHACL: sh:sparql without sh:select")
+            msg = one(spo, "message")
+            ns.sparql.append((sel[1], msg[1] if msg else "sparql"))
         for prop_ref in po.get(SH + "property", []):
             ppo = by_subj.get(prop_ref[:2], {})
             path = one(ppo, "path")
@@ -176,6 +205,13 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
             mn, mx = one(ppo, "minCount"), one(ppo, "maxCount")
             ps.min_count = int(mn[1]) if mn else None
             ps.max_count = int(mx[1]) if mx else None
+            ul = one(ppo, "uniqueLang")
+            ps.unique_lang = bool(ul) and ul[1] == "true"
+            for comp in ("equals", "disjoint", "lessThan", "lessThanOrEquals"):
+                for t in ppo.get(SH + comp, []):
+                    if t[0] != "iri":
+                        raise ValueError(f"SHACL: sh:{comp} needs an IRI object")
+                    ps.pairwise.append((comp, t[1]))
             _term_constraints(ppo, ps.constraints)
             ns.properties.append(ps)
         shapes_out.append(ns)
@@ -313,6 +349,48 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     nf.join(class_types, ["v_kind", "v_val"], "left_anti"))
             add(_report(ns.iri, None, "node", bad.distinct()))
 
+        if ns.closed:
+            # ClosedConstraint.java: every (focus p o) with p outside
+            # the declared property paths + ignoredProperties violates;
+            # the offending predicate is the report path (per-row)
+            allowed = ([ps.path for ps in ns.properties if not ps.inverse]
+                       + list(ns.ignored))
+            subj = data.select(
+                F.col("s_kind").alias("focus_kind"),
+                F.col("s_val").alias("focus"),
+                "p_val", F.col("o_val").alias("v_val"))
+            bad = focus.join(subj, ["focus_kind", "focus"])
+            if allowed:
+                bad = bad.where(~F.col("p_val").isin(allowed))
+            add(bad.select(
+                F.lit(ns.iri).alias("shape"), "focus_kind", "focus",
+                F.col("p_val").alias("path"),
+                F.lit("closed").alias("constraint"),
+                F.col("v_val").alias("value")).distinct())
+
+        for sel, msg in ns.sparql:
+            # SparqlConstraint.java — SET-BASED twin of the per-focus
+            # reference loop: $this becomes a variable, the constraint
+            # query runs once over the data graph through this engine's
+            # own front-end, and results join the focus frame (each
+            # joined row = one violation; ?value projected if present)
+            import re as _re
+
+            from jena_spark.queries.sparql import sparql_query
+
+            res = sparql_query(data, _re.sub(r"\$this\b", "?this", sel),
+                               flat=False)
+            if "this" not in res.columns:
+                raise ValueError(
+                    "SHACL: sh:select must project $this")
+            proj = res.select(
+                F.col("this").getField("kind").alias("focus_kind"),
+                F.col("this").getField("val").alias("focus"),
+                (F.col("value").getField("val") if "value" in res.columns
+                 else F.lit(None).cast("string")).alias("v_val"))
+            add(_report(ns.iri, None, msg,
+                        proj.join(focus, ["focus_kind", "focus"]).distinct()))
+
         for ps in ns.properties:
             if ps.inverse:
                 vals = focus.join(
@@ -351,6 +429,61 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     add(_report(ns.iri, path_str, "maxCount",
                                 counts.where(F.col("n") > ps.max_count)
                                 .withColumn("v_val", F.col("n").cast("string"))))
+
+            if ps.unique_lang:
+                # UniqueLangConstraint: >1 value sharing a language tag
+                dup = (
+                    vals.where(F.col("v_lang").isNotNull()
+                               & (F.col("v_lang") != ""))
+                    .groupBy("focus_kind", "focus", "v_lang")
+                    .agg(F.count("*").alias("n"))
+                    .where(F.col("n") > 1)
+                    .select("focus_kind", "focus",
+                            F.col("v_lang").alias("v_val"))
+                )
+                add(_report(ns.iri, path_str, "uniqueLang", dup))
+
+            if ps.pairwise:
+                vt = vals.select(
+                    "focus_kind", "focus", "v_kind", "v_val",
+                    F.coalesce("v_dt", F.lit("")).alias("v_dt"),
+                    F.coalesce("v_lang", F.lit("")).alias("v_lang"))
+                term_cols = ["focus_kind", "focus", "v_kind", "v_val",
+                             "v_dt", "v_lang"]
+            for comp, pred in ps.pairwise:
+                # EqualsConstraint / DisjointConstraint / LessThan[OrEquals]
+                # (pairwise value comparison with the other property's
+                # values at the SAME focus node — per-focus equi joins)
+                other = data.where(F.col("p_val") == pred).select(
+                    F.col("s_kind").alias("focus_kind"),
+                    F.col("s_val").alias("focus"),
+                    F.col("o_kind").alias("v_kind"),
+                    F.col("o_val").alias("v_val"),
+                    F.coalesce("o_datatype", F.lit("")).alias("v_dt"),
+                    F.coalesce("o_lang", F.lit("")).alias("v_lang"))
+                cname = f"{comp}(<{pred}>)"
+                if comp == "equals":
+                    missing = vt.join(other, term_cols, "left_anti")
+                    extra = other.join(vt, term_cols, "left_anti") \
+                        .join(focus, ["focus_kind", "focus"], "left_semi")
+                    add(_report(ns.iri, path_str, cname,
+                                missing.unionByName(extra).distinct()))
+                elif comp == "disjoint":
+                    shared = vt.join(other, term_cols, "left_semi")
+                    add(_report(ns.iri, path_str, cname, shared.distinct()))
+                else:  # lessThan / lessThanOrEquals (numeric value space)
+                    w = other.select(
+                        "focus_kind", "focus",
+                        F.col("v_val").try_cast("double").alias("w_num"))
+                    pairs = vt.withColumn(
+                        "v_num", F.col("v_val").try_cast("double")
+                    ).join(w, ["focus_kind", "focus"])
+                    viol = (F.col("v_num").isNull() | F.col("w_num").isNull()
+                            | (F.col("v_num") >= F.col("w_num")
+                               if comp == "lessThan"
+                               else F.col("v_num") > F.col("w_num")))
+                    add(_report(ns.iri, path_str, cname,
+                                pairs.where(viol).distinct()))
 
             if ps.constraints:
                 if "hasValue" in ps.constraints:

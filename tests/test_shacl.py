@@ -184,9 +184,130 @@ def test_conforms_and_unsupported(spark):
     assert conforms(_g(spark, _person([("literal", "x", None, None)])), shapes)
     with pytest.raises(ValueError, match="unsupported constraint"):
         validate(_g(spark, _person([])), _g(spark, _shape_rows([
-            ("bnode", "_:p", SH + "uniqueLang", "literal", "true",
-             XSD + "boolean", None),
+            ("bnode", "_:p", SH + "qualifiedValueShape", "bnode", "_:qv",
+             None, None),
         ])))
     with pytest.raises(ValueError, match="no node shape"):
         validate(_g(spark, _person([])), _g(spark, [
             ("iri", EX + "x", EX + "p", "literal", "1", None, None)]))
+
+
+def test_closed_and_ignored_properties(spark):
+    """sh:closed (ClosedConstraint.java): predicates outside the
+    declared property paths + ignoredProperties violate, with the
+    offending predicate as the report path."""
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    shapes = _g(spark, _shape_rows([
+        ("iri", EX + "PersonShape", SH + "closed", "literal", "true",
+         XSD + "boolean", None),
+        ("iri", EX + "PersonShape", SH + "ignoredProperties", "bnode", "_:l0",
+         None, None),
+        ("bnode", "_:l0", RDF + "first", "iri", RDF_TYPE, None, None),
+        ("bnode", "_:l0", RDF + "rest", "iri", RDF + "nil", None, None),
+    ]))
+    data = _g(spark, _person([("literal", "Ada", None, None)]) + [
+        ("iri", EX + "a", EX + "nickname", "literal", "A.", None, None),
+    ])
+    rep = validate(data, shapes).collect()
+    assert [(r["path"], r["constraint"], r["value"]) for r in rep] == [
+        (EX + "nickname", "closed", "A.")]
+    ok = _g(spark, _person([("literal", "Ada", None, None)]))
+    assert conforms(ok, shapes)
+
+
+def test_unique_lang(spark):
+    """sh:uniqueLang: two values sharing a language tag violate once
+    per (focus, lang)."""
+    shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "uniqueLang", "literal", "true",
+         XSD + "boolean", None),
+    ]))
+    bad = _g(spark, _person([
+        ("literal", "Ada", None, "en"), ("literal", "Adah", None, "en"),
+        ("literal", "Ada", None, "fr"),
+    ]))
+    rep = validate(bad, shapes).collect()
+    assert [(r["constraint"], r["value"]) for r in rep] == [("uniqueLang", "en")]
+    ok = _g(spark, _person([
+        ("literal", "Ada", None, "en"), ("literal", "Ada", None, "fr"),
+        ("literal", "plain", None, None),
+    ]))
+    assert conforms(ok, shapes)
+
+
+def test_pairwise_equals_disjoint_lessthan(spark):
+    """sh:equals / sh:disjoint / sh:lessThan[OrEquals]
+    (EqualsConstraint.java family): per-focus value-set comparisons."""
+    eq_shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "equals", "iri", EX + "alias", None, None),
+    ]))
+    data = _g(spark, _person([("literal", "Ada", None, None)]) + [
+        ("iri", EX + "a", EX + "alias", "literal", "Lovelace", None, None),
+    ])
+    rep = validate(data, eq_shapes).collect()
+    assert {r["value"] for r in rep} == {"Ada", "Lovelace"}  # sym. difference
+    both = _g(spark, _person([("literal", "Ada", None, None)]) + [
+        ("iri", EX + "a", EX + "alias", "literal", "Ada", None, None),
+    ])
+    assert conforms(both, eq_shapes)
+
+    dis_shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "disjoint", "iri", EX + "alias", None, None),
+    ]))
+    assert conforms(data, dis_shapes)
+    rep = validate(both, dis_shapes).collect()
+    assert [(r["constraint"].startswith("disjoint"), r["value"]) for r in rep] \
+        == [(True, "Ada")]
+
+    lt_shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetSubjectsOf", "iri", EX + "start", None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:q", None, None),
+        ("bnode", "_:q", SH + "path", "iri", EX + "start", None, None),
+        ("bnode", "_:q", SH + "lessThan", "iri", EX + "end", None, None),
+    ])
+    ok = _g(spark, [
+        ("iri", EX + "e1", EX + "start", "literal", "1", XSD + "integer", None),
+        ("iri", EX + "e1", EX + "end", "literal", "5", XSD + "integer", None),
+    ])
+    assert conforms(ok, lt_shapes)
+    bad = _g(spark, [
+        ("iri", EX + "e2", EX + "start", "literal", "7", XSD + "integer", None),
+        ("iri", EX + "e2", EX + "end", "literal", "5", XSD + "integer", None),
+        # equal start/end also violates strict lessThan
+        ("iri", EX + "e3", EX + "start", "literal", "5", XSD + "integer", None),
+        ("iri", EX + "e3", EX + "end", "literal", "5", XSD + "integer", None),
+    ])
+    rep = validate(bad, lt_shapes).collect()
+    assert {(r["focus"], r["value"]) for r in rep} == {
+        (EX + "e2", "7"), (EX + "e3", "5")}
+    lte_shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetSubjectsOf", "iri", EX + "start", None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:q", None, None),
+        ("bnode", "_:q", SH + "path", "iri", EX + "start", None, None),
+        ("bnode", "_:q", SH + "lessThanOrEquals", "iri", EX + "end", None, None),
+    ])
+    rep = validate(bad, lte_shapes).collect()
+    assert {(r["focus"], r["value"]) for r in rep} == {(EX + "e2", "7")}
+
+
+def test_sparql_constraint_set_based(spark):
+    """sh:sparql (SparqlConstraint.java): the SELECT runs ONCE with
+    $this as a variable through the engine's own SPARQL front-end and
+    joins the focus frame — rows outside the target set do not
+    report."""
+    select = (f"SELECT ?this ?value WHERE {{ ?this <{EX}name> ?value . "
+              f"FILTER (STRLEN(?value) < 3) }}")
+    shapes = _g(spark, _shape_rows([]) + [
+        ("iri", EX + "PersonShape", SH + "sparql", "bnode", "_:c", None, None),
+        ("bnode", "_:c", SH + "select", "literal", select, None, None),
+        ("bnode", "_:c", SH + "message", "literal", "name too short", None, None),
+    ])
+    data = _g(spark, _person([("literal", "Al", None, None)]) + [
+        # NOT a Person: same short name, must not report
+        ("iri", EX + "z", EX + "name", "literal", "Zo", None, None),
+    ])
+    rep = validate(data, shapes).collect()
+    assert [(r["focus"], r["constraint"], r["value"]) for r in rep] == [
+        (EX + "a", "name too short", "Al")]
+    ok = _g(spark, _person([("literal", "Ada", None, None)]))
+    assert conforms(ok, shapes)
