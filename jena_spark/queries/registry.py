@@ -2471,6 +2471,42 @@ _register(
 )
 
 
+def _q_txn_snapshot(spark, sf):
+    """MVCC transactions (TDB2 / jena-dboe-transaction analog,
+    ``pipeline/txn.py``): a committed write flags every mentioned
+    entity (INSERT..WHERE through the update front-end inside the
+    transaction), then an ABORTED write deletes the whole mention
+    slice — the final census must show the committed flags and zero
+    trace of the aborted delete (snapshot-swap commit, rollback by
+    discard)."""
+    from jena_spark.pipeline.txn import TransactionalStore
+
+    V = TM.NS_VOCAB
+    t = _triples(spark, sf).where(F.col("p_val") == TM.P_MENTIONS)
+    store = TransactionalStore(spark, t)
+    store.execute_write(lambda w: w.update(
+        f'INSERT {{ ?e <{V}flag> "y" . }} '
+        f'WHERE {{ ?s <{TM.P_MENTIONS}> ?e . }}'))
+    try:
+        with store.write() as w:
+            w.update(f"DELETE WHERE {{ ?s <{TM.P_MENTIONS}> ?e . }}")
+            raise RuntimeError("deliberate abort")
+    except RuntimeError:
+        pass
+    return store.dataset().groupBy("p_val").agg(F.count("*").alias("n"))
+
+
+_register(
+    "kg_txn_snapshot",
+    _q_txn_snapshot,
+    _W + f"""SELECT '{TM.P_MENTIONS}' AS p_val, count(*) AS n
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    UNION ALL
+    SELECT '{TM.NS_VOCAB}flag', count(DISTINCT o_val)
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'""",
+)
+
+
 def _q_sparql_service(spark, sf):
     """SPARQL SERVICE (OpService, ``OpExecutor.java:311`` /
     ``QueryIterService.java:36-55``): the entity-label slice is
@@ -3383,7 +3419,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
-    "kg_owl_ifp_sameas", "kg_shacl_advanced",
+    "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
