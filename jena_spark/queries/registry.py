@@ -2471,6 +2471,55 @@ _register(
 )
 
 
+def _q_assembler(spark, sf):
+    """Assembler (jena-core ``ja:`` vocabulary, ``pipeline/assembler.py``):
+    a ja:InfModel whose base unions an external-content model — the
+    mention subgraph serialized to Turtle by the engine's own
+    distributed writer — with a literal-content TBox declaring
+    ``v:mentions rdfs:subPropertyOf v:references``; the assembled model
+    must contain every mention edge twice (asserted + rdfs7-derived
+    under the super-property). Output: per-predicate census."""
+    from jena_spark.pipeline.assembler import JA, assemble_model
+    from jena_spark.sources.turtle import parse_turtle, write_turtle
+
+    V = TM.NS_VOCAB
+    t = _triples(spark, sf)
+    # the .ttl suffix on the directory lets the RDFLanguages dispatch
+    # infer the content language (file-extension map, RDFLanguages.java)
+    path = _scratch_dir("asm", sf) + ".ttl"
+    write_turtle(t.where(F.col("p_val") == TM.P_MENTIONS), path)
+    cfg = f"""
+    @prefix ja: <{JA}> .
+    <{TM.NS}cfg/base> a ja:MemoryModel ;
+        ja:content [ ja:externalContent <file://{path}> ] ;
+        ja:content [ ja:literalContent
+          "<{TM.P_MENTIONS}> rdfs:subPropertyOf <{V}references> ." ] .
+    <{TM.NS}cfg/inf> a ja:InfModel ;
+        ja:baseModel <{TM.NS}cfg/base> ;
+        ja:reasoner [ ja:reasonerURL
+          <http://jena.hpl.hp.com/2003/RDFSRuleReasoner> ] .
+    """
+    config = spark.createDataFrame(
+        parse_turtle(cfg),
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string")
+    m = assemble_model(spark, config, root=TM.NS + "cfg/inf")
+    return m.groupBy("p_val").agg(F.count("*").alias("n"))
+
+
+_register(
+    "kg_assembler",
+    _q_assembler,
+    _W + f"""SELECT '{TM.P_MENTIONS}' AS p_val, count(*) AS n
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    UNION ALL
+    SELECT '{TM.NS_VOCAB}references', count(*)
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    UNION ALL
+    SELECT 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 1""",
+)
+
+
 def _q_txn_snapshot(spark, sf):
     """MVCC transactions (TDB2 / jena-dboe-transaction analog,
     ``pipeline/txn.py``): a committed write flags every mentioned
@@ -3420,6 +3469,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
+    "kg_assembler",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
