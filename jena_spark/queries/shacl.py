@@ -36,8 +36,15 @@ evaluated SET-BASED, not per-focus — ``$this`` is rewritten to the
 variable ``?this``, the query runs ONCE through this engine's own
 SPARQL front-end (term-struct results), and the result joins the
 focus frame on the ``this`` binding; each joined row is a violation
-(``?value`` projected if present). NOT covered: logical combinators
-(sh:and/or/not/xone), sh:node recursion, qualified value shapes.
+(``?value`` projected if present). Logical combinators ``sh:not``/
+``sh:and``/``sh:or``/``sh:xone`` and ``sh:node``
+(``ShNot.java``/``ShAnd``/``ShOr``/``ShXone``/``ShNode``) are
+evaluated set-based too: the inner shape compiles to a per-node
+conformance FLAG frame (term constraints as predicates, inner property
+shapes as per-node aggregations, recursion depth-bounded), and the
+combinator is a boolean fold over the flags — one pass over the
+candidate nodes per inner shape, never a per-focus loop. NOT covered:
+qualified value shapes.
 
 RDF 1.1 note: a plain literal (datatype column NULL) IS an
 ``xsd:string`` for ``sh:datatype`` comparison.
@@ -79,6 +86,16 @@ class PropertyShape:
     constraints: dict = field(default_factory=dict)
     unique_lang: bool = False
     pairwise: list = field(default_factory=list)  # (component, predicate IRI)
+    logic: list = field(default_factory=list)  # (op, [InnerShape...])
+
+
+@dataclass
+class InnerShape:
+    """A shape referenced from sh:not/and/or/xone/node — term
+    constraints, property shapes, and (recursively) more logic."""
+    constraints: dict = field(default_factory=dict)
+    properties: list = field(default_factory=list)
+    logic: list = field(default_factory=list)
 
 
 @dataclass
@@ -93,6 +110,7 @@ class NodeShape:
     closed: bool = False
     ignored: list = field(default_factory=list)  # predicate IRIs
     sparql: list = field(default_factory=list)  # (select string, message)
+    logic: list = field(default_factory=list)  # (op, [InnerShape...])
 
 
 def _collect_shapes_rows(shapes: DataFrame, max_rows: int = 100_000):
@@ -160,9 +178,61 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                        "targetSubjectsOf", "targetObjectsOf",
                        "closed", "ignoredProperties", "sparql",
                        "uniqueLang", "equals", "disjoint",
-                       "lessThan", "lessThanOrEquals")}
+                       "lessThan", "lessThanOrEquals",
+                       "not", "and", "or", "xone", "node")}
         if unknown:
             raise ValueError(f"SHACL: unsupported constraint(s) {sorted(unknown)}")
+
+    def _inner_shape(ref: tuple, depth: int = 0) -> InnerShape:
+        """A shape referenced from sh:not/and/or/xone/node (bnode or
+        named shape in the same graph)."""
+        if depth > 10:
+            raise ValueError("SHACL: shape recursion deeper than 10")
+        ipo = by_subj.get(ref[:2], {})
+        sh = InnerShape()
+        _term_constraints(ipo, sh.constraints)
+        for prop_ref in ipo.get(SH + "property", []):
+            sh.properties.append(_property_shape(prop_ref, depth + 1))
+        sh.logic = _logic(ipo, depth + 1)
+        return sh
+
+    def _logic(po: dict, depth: int = 0) -> list:
+        out = []
+        for t in po.get(SH + "not", []):
+            out.append(("not", [_inner_shape(t, depth)]))
+        for t in po.get(SH + "node", []):
+            out.append(("node", [_inner_shape(t, depth)]))
+        for op in ("and", "or", "xone"):
+            for t in po.get(SH + op, []):
+                refs = _rdf_list(by_subj, t)
+                out.append((op, [_inner_shape(r, depth) for r in refs]))
+        return out
+
+    def _property_shape(prop_ref: tuple, depth: int = 0) -> PropertyShape:
+        ppo = by_subj.get(prop_ref[:2], {})
+        path = one(ppo, "path")
+        if path is None:
+            raise ValueError("SHACL: property shape without sh:path")
+        inverse = False
+        if path[0] == "bnode":
+            inner = by_subj.get(path[:2], {}).get(SH + "inversePath")
+            if not inner:
+                raise ValueError("SHACL: only IRI or sh:inversePath paths")
+            path, inverse = inner[0], True
+        ps = PropertyShape(path=path[1], inverse=inverse)
+        mn, mx = one(ppo, "minCount"), one(ppo, "maxCount")
+        ps.min_count = int(mn[1]) if mn else None
+        ps.max_count = int(mx[1]) if mx else None
+        ul = one(ppo, "uniqueLang")
+        ps.unique_lang = bool(ul) and ul[1] == "true"
+        for comp in ("equals", "disjoint", "lessThan", "lessThanOrEquals"):
+            for t in ppo.get(SH + comp, []):
+                if t[0] != "iri":
+                    raise ValueError(f"SHACL: sh:{comp} needs an IRI object")
+                ps.pairwise.append((comp, t[1]))
+        ps.logic = _logic(ppo, depth)
+        _term_constraints(ppo, ps.constraints)
+        return ps
 
     shapes_out = []
     node_shape_subjects = [
@@ -190,30 +260,9 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                 raise ValueError("SHACL: sh:sparql without sh:select")
             msg = one(spo, "message")
             ns.sparql.append((sel[1], msg[1] if msg else "sparql"))
+        ns.logic = _logic(po)
         for prop_ref in po.get(SH + "property", []):
-            ppo = by_subj.get(prop_ref[:2], {})
-            path = one(ppo, "path")
-            if path is None:
-                raise ValueError("SHACL: property shape without sh:path")
-            inverse = False
-            if path[0] == "bnode":
-                inner = by_subj.get(path[:2], {}).get(SH + "inversePath")
-                if not inner:
-                    raise ValueError("SHACL: only IRI or sh:inversePath paths")
-                path, inverse = inner[0], True
-            ps = PropertyShape(path=path[1], inverse=inverse)
-            mn, mx = one(ppo, "minCount"), one(ppo, "maxCount")
-            ps.min_count = int(mn[1]) if mn else None
-            ps.max_count = int(mx[1]) if mx else None
-            ul = one(ppo, "uniqueLang")
-            ps.unique_lang = bool(ul) and ul[1] == "true"
-            for comp in ("equals", "disjoint", "lessThan", "lessThanOrEquals"):
-                for t in ppo.get(SH + comp, []):
-                    if t[0] != "iri":
-                        raise ValueError(f"SHACL: sh:{comp} needs an IRI object")
-                    ps.pairwise.append((comp, t[1]))
-            _term_constraints(ppo, ps.constraints)
-            ns.properties.append(ps)
+            ns.properties.append(_property_shape(prop_ref))
         shapes_out.append(ns)
     if not shapes_out:
         raise ValueError("SHACL: no node shape with a target found")
@@ -319,6 +368,118 @@ def _report(shape, path, constraint, frame, vk="v_kind", vv="v_val") -> DataFram
     )
 
 
+def _nk() -> Column:
+    """Null-safe node key for flag joins (coalesced struct fields are
+    non-null, so plain struct equality is total)."""
+    return F.struct(
+        F.col("v_kind"), F.col("v_val"),
+        F.coalesce(F.col("v_dt"), F.lit("")).alias("v_dt"),
+        F.coalesce(F.col("v_lang"), F.lit("")).alias("v_lang"))
+
+
+def _conform_flags(data: DataFrame, sh: InnerShape, nodes: DataFrame) -> DataFrame:
+    """(_nk, _ok) per candidate node: does the node conform to the
+    inner shape? Term constraints are row predicates, inner property
+    shapes are per-node aggregations (count + any-value-violation),
+    nested logic recurses — everything one set-based pass, the
+    distributed twin of ``ValidationProc.execValidateShape`` called
+    per-node by ShNot/ShAnd/ShOr/ShXone/ShNode."""
+    base = nodes.select(_nk().alias("_nk"), "v_kind", "v_val",
+                        "v_dt", "v_lang").dropDuplicates(["_nk"])
+    cond, class_types = _value_violation_cond(data, sh.constraints)
+    out = base.withColumn("_bad", cond)
+    if class_types is not None:
+        marked = class_types.withColumn("_in_cls", F.lit(True)) \
+            .dropDuplicates(["v_kind", "v_val"])
+        out = out.join(marked, ["v_kind", "v_val"], "left")
+        out = out.withColumn(
+            "_bad", F.col("_bad") | F.col("_in_cls").isNull()).drop("_in_cls")
+    for ps in sh.properties:
+        if ps.inverse:
+            tri = data.where(F.col("p_val") == ps.path).select(
+                F.col("o_kind").alias("n_kind"), F.col("o_val").alias("n_val"),
+                F.col("s_kind").alias("v_kind"), F.col("s_val").alias("v_val"),
+                F.lit(None).cast("string").alias("v_dt"),
+                F.lit(None).cast("string").alias("v_lang"))
+        else:
+            tri = data.where(F.col("p_val") == ps.path).select(
+                F.col("s_kind").alias("n_kind"), F.col("s_val").alias("n_val"),
+                F.col("o_kind").alias("v_kind"), F.col("o_val").alias("v_val"),
+                F.col("o_datatype").alias("v_dt"), F.col("o_lang").alias("v_lang"))
+        vals = base.select("_nk", F.col("v_kind").alias("n_kind"),
+                           F.col("v_val").alias("n_val")) \
+            .join(tri, ["n_kind", "n_val"])
+        vcond, vclass = _value_violation_cond(data, ps.constraints)
+        if vclass is not None:
+            marked = vclass.withColumn("_in_cls", F.lit(True)) \
+                .dropDuplicates(["v_kind", "v_val"])
+            vals = vals.join(marked, ["v_kind", "v_val"], "left")
+            vcond = vcond | F.col("_in_cls").isNull()
+        if ps.logic:
+            lf = _logic_flags(data, ps.logic, vals)
+            vals = vals.withColumn("_vnk", _nk()).join(
+                lf.withColumnRenamed("_nk", "_vnk"), "_vnk")
+            vcond = vcond | F.col("_lbad")
+        agg = vals.groupBy("_nk").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(vcond.cast("int")).alias("_vbad"))
+        out = out.join(agg, "_nk", "left")
+        n = F.coalesce(F.col("_n"), F.lit(0))
+        bad = F.col("_bad") | (F.coalesce(F.col("_vbad"), F.lit(0)) == 1)
+        if ps.min_count is not None:
+            bad = bad | (n < ps.min_count)
+        if ps.max_count is not None:
+            bad = bad | (n > ps.max_count)
+        out = out.withColumn("_bad", bad).drop("_n", "_vbad")
+    if sh.logic:
+        lf = _logic_flags(data, sh.logic, base)
+        out = out.join(lf, "_nk").withColumn(
+            "_bad", F.col("_bad") | F.col("_lbad")).drop("_lbad")
+    return out.select("_nk", (~F.col("_bad")).alias("_ok"))
+
+
+def _logic_flags(data: DataFrame, logic: list, nodes: DataFrame) -> DataFrame:
+    """(_nk, _lbad) per node: violation of any combinator in ``logic``.
+    Each sub-shape contributes one conformance flag frame; the
+    combinator folds the flags:
+
+      not  -> violates when the inner shape CONFORMS
+      node -> violates when the inner shape does not conform
+      and  -> violates unless ALL conform
+      or   -> violates unless AT LEAST ONE conforms
+      xone -> violates unless EXACTLY ONE conforms
+    """
+    base = nodes.select(_nk().alias("_nk"), "v_kind", "v_val",
+                        "v_dt", "v_lang").dropDuplicates(["_nk"])
+    out = base.select("_nk").withColumn("_lbad", F.lit(False))
+    for i, (op, subs) in enumerate(logic):
+        oks = []
+        for j, sub in enumerate(subs):
+            name = f"_ok_{i}_{j}"
+            out = out.join(
+                _conform_flags(data, sub, base).withColumnRenamed("_ok", name),
+                "_nk")
+            oks.append(F.col(name))
+        if op == "not":
+            bad = oks[0]
+        elif op in ("and", "node"):
+            bad = ~oks[0]
+            for ok in oks[1:]:
+                bad = bad | ~ok
+        elif op == "or":
+            bad = ~oks[0]
+            for ok in oks[1:]:
+                bad = bad & ~ok
+        else:  # xone
+            total = oks[0].cast("int")
+            for ok in oks[1:]:
+                total = total + ok.cast("int")
+            bad = total != 1
+        out = out.withColumn("_lbad", F.col("_lbad") | bad).drop(
+            *[f"_ok_{i}_{j}" for j in range(len(subs))])
+    return out
+
+
 def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
     """``ShaclValidator.validate`` analog: returns the violation table
     (``REPORT_COLS``); empty == conforms. Every constraint is a
@@ -367,6 +528,21 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                 F.col("p_val").alias("path"),
                 F.lit("closed").alias("constraint"),
                 F.col("v_val").alias("value")).distinct())
+
+        if ns.logic:
+            nf = focus.select(
+                "focus_kind", "focus",
+                F.col("focus_kind").alias("v_kind"),
+                F.col("focus").alias("v_val"),
+                F.lit(None).cast("string").alias("v_dt"),
+                F.lit(None).cast("string").alias("v_lang"))
+            for op, subs in ns.logic:
+                lf = _logic_flags(data, [(op, subs)], nf)
+                bad_keys = lf.where(F.col("_lbad")).select(
+                    F.col("_nk").alias("_nkk"))
+                bad = nf.withColumn("_nkk", _nk()).join(bad_keys, "_nkk")
+                add(_report(ns.iri, None, op,
+                            bad.select("focus_kind", "focus").distinct()))
 
         for sel, msg in ns.sparql:
             # SparqlConstraint.java — SET-BASED twin of the per-focus
@@ -429,6 +605,13 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     add(_report(ns.iri, path_str, "maxCount",
                                 counts.where(F.col("n") > ps.max_count)
                                 .withColumn("v_val", F.col("n").cast("string"))))
+
+            for op, subs in ps.logic:
+                lf = _logic_flags(data, [(op, subs)], vals)
+                bad_keys = lf.where(F.col("_lbad")).select(
+                    F.col("_nk").alias("_nkk"))
+                bad = vals.withColumn("_nkk", _nk()).join(bad_keys, "_nkk")
+                add(_report(ns.iri, path_str, op, bad.distinct()))
 
             if ps.unique_lang:
                 # UniqueLangConstraint: >1 value sharing a language tag

@@ -311,3 +311,78 @@ def test_sparql_constraint_set_based(spark):
         (EX + "a", "name too short", "Al")]
     ok = _g(spark, _person([("literal", "Ada", None, None)]))
     assert conforms(ok, shapes)
+
+
+def test_logical_combinators_property_level(spark):
+    """sh:or of datatype alternatives (the canonical use), sh:not, and
+    sh:xone over value nodes."""
+    or_shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "or", "bnode", "_:l1", None, None),
+        ("bnode", "_:l1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#first",
+         "bnode", "_:s1", None, None),
+        ("bnode", "_:l1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+         "bnode", "_:l2", None, None),
+        ("bnode", "_:l2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#first",
+         "bnode", "_:s2", None, None),
+        ("bnode", "_:l2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+         "iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil", None, None),
+        ("bnode", "_:s1", SH + "datatype", "iri", XSD + "integer", None, None),
+        ("bnode", "_:s2", SH + "datatype", "iri", XSD + "string", None, None),
+    ]))
+    data = _g(spark, _person([
+        ("literal", "42", XSD + "integer", None),     # conforms via s1
+        ("literal", "plain", None, None),             # conforms via s2 (RDF 1.1)
+        ("literal", "3.14", XSD + "decimal", None),   # violates both
+    ]))
+    rep = validate(data, or_shapes).collect()
+    assert [(r["constraint"], r["value"]) for r in rep] == [("or", "3.14")]
+
+    not_shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "not", "bnode", "_:n", None, None),
+        ("bnode", "_:n", SH + "pattern", "literal", "^secret", None, None),
+    ]))
+    data2 = _g(spark, _person([
+        ("literal", "secret-x", None, None),   # matches inner -> violates not
+        ("literal", "public", None, None),
+    ]))
+    rep = validate(data2, not_shapes).collect()
+    assert [(r["constraint"], r["value"]) for r in rep] == [("not", "secret-x")]
+
+
+def test_sh_node_and_node_level_logic(spark):
+    """sh:node: value nodes must conform to a referenced node shape
+    (with its own property shape); node-level sh:not on the focus."""
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetSubjectsOf", "iri", EX + "knows", None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:p", None, None),
+        ("bnode", "_:p", SH + "path", "iri", EX + "knows", None, None),
+        ("bnode", "_:p", SH + "node", "iri", EX + "NamedThing", None, None),
+        # referenced shape: must have >=1 ex:name
+        ("iri", EX + "NamedThing", SH + "property", "bnode", "_:q", None, None),
+        ("bnode", "_:q", SH + "path", "iri", EX + "name", None, None),
+        ("bnode", "_:q", SH + "minCount", "literal", "1", XSD + "integer", None),
+    ])
+    data = _g(spark, [
+        ("iri", EX + "a", EX + "knows", "iri", EX + "b", None, None),
+        ("iri", EX + "a", EX + "knows", "iri", EX + "c", None, None),
+        ("iri", EX + "b", EX + "name", "literal", "B", None, None),
+        # c has no name -> a violates via the value node c
+    ])
+    rep = validate(data, shapes).collect()
+    assert [(r["focus"], r["constraint"], r["value"]) for r in rep] == [
+        (EX + "a", "node", EX + "c")]
+    # node-level sh:not: Persons must NOT conform to "has an ex:ban"
+    shapes2 = _g(spark, _shape_rows([
+        ("iri", EX + "PersonShape", SH + "not", "bnode", "_:n", None, None),
+        ("bnode", "_:n", SH + "property", "bnode", "_:np", None, None),
+        ("bnode", "_:np", SH + "path", "iri", EX + "ban", None, None),
+        ("bnode", "_:np", SH + "minCount", "literal", "1", XSD + "integer", None),
+    ]))
+    data2 = _g(spark, _person([("literal", "Ada", None, None)]) + [
+        ("iri", EX + "a", EX + "ban", "literal", "yes", None, None),
+    ])
+    rep = validate(data2, shapes2).collect()
+    assert [(r["focus"], r["constraint"]) for r in rep] == [(EX + "a", "not")]
+    ok = _g(spark, _person([("literal", "Ada", None, None)]))
+    assert conforms(ok, shapes2)
