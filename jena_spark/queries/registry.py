@@ -2471,6 +2471,70 @@ _register(
 )
 
 
+def _q_ont_individuals(spark, sf):
+    """Ontology API (``ontology/OntModel.java`` / ``OntClass.java``,
+    ``queries/ontology.py``): a two-level class hierarchy over event
+    types — ``type/<et> subClassOf cat/<len(et)%2> subClassOf Event``
+    — and the entailed-instance census per class: every class (and
+    super-class, through the transitive subClassOf closure) with its
+    distinct-individual count, the distributed
+    ``OntClass.listInstances(direct=false)`` for all classes at once."""
+    from jena_spark.queries import ontology as O
+
+    V = TM.NS_VOCAB
+    ev = _events(spark, sf).select("event_id", "event_type").distinct()
+    null_s = F.lit(None).cast("string")
+    typ = F.concat(F.lit(TM.NS + "type/"), F.col("event_type"))
+    cat = F.concat(F.lit(TM.NS + "cat/"),
+                   (F.length("event_type") % 2).cast("string"))
+    abox = ev.select(
+        F.lit("iri").alias("s_kind"),
+        F.concat(F.lit(TM.NS_ENTITY), F.col("event_id").cast("string")).alias("s_val"),
+        F.lit(TM.RDF_TYPE).alias("p_val"),
+        F.lit("iri").alias("o_kind"), typ.alias("o_val"),
+        null_s.alias("o_datatype"), null_s.alias("o_lang"))
+    tbox = ev.select(
+        F.lit("iri").alias("s_kind"), typ.alias("s_val"),
+        F.lit(O.RDFS_SUBCLASS).alias("p_val"),
+        F.lit("iri").alias("o_kind"), cat.alias("o_val"),
+        null_s.alias("o_datatype"), null_s.alias("o_lang")).distinct()
+    cats = ev.select(
+        F.lit("iri").alias("s_kind"), cat.alias("s_val"),
+        F.lit(O.RDFS_SUBCLASS).alias("p_val"),
+        F.lit("iri").alias("o_kind"), F.lit(V + "Event").alias("o_val"),
+        null_s.alias("o_datatype"), null_s.alias("o_lang")).distinct()
+    t = abox.unionByName(tbox).unionByName(cats)
+    cc = O._subclass_closure(t)
+    classes = cc.select(F.col("sub").alias("cls")).unionByName(
+        cc.select(F.col("sup").alias("cls"))).distinct()
+    cc_id = cc.unionByName(
+        classes.select(F.col("cls").alias("sub"), F.col("cls").alias("sup")))
+    typed = t.where(F.col("p_val") == TM.RDF_TYPE).select(
+        "s_val", F.col("o_val").alias("sub"))
+    return (
+        typed.join(cc_id, "sub")
+        .groupBy(F.col("sup").alias("cls"))
+        .agg(F.count_distinct("s_val").alias("n"))
+    )
+
+
+_register(
+    "kg_ont_individuals",
+    _q_ont_individuals,
+    f"""WITH e AS (SELECT DISTINCT event_id, event_type FROM events)
+    SELECT '{TM.NS}type/' || event_type AS cls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n
+    FROM e GROUP BY event_type
+    UNION ALL
+    SELECT '{TM.NS}cat/' || CAST(length(event_type) % 2 AS VARCHAR),
+           CAST(count(DISTINCT event_id) AS BIGINT)
+    FROM e GROUP BY length(event_type) % 2
+    UNION ALL
+    SELECT '{TM.NS_VOCAB}Event', CAST(count(DISTINCT event_id) AS BIGINT)
+    FROM e""",
+)
+
+
 def _q_assembler(spark, sf):
     """Assembler (jena-core ``ja:`` vocabulary, ``pipeline/assembler.py``):
     a ja:InfModel whose base unions an external-content model — the
@@ -3469,7 +3533,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
-    "kg_assembler",
+    "kg_assembler", "kg_ont_individuals",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
