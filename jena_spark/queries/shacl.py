@@ -43,8 +43,11 @@ evaluated set-based too: the inner shape compiles to a per-node
 conformance FLAG frame (term constraints as predicates, inner property
 shapes as per-node aggregations, recursion depth-bounded), and the
 combinator is a boolean fold over the flags — one pass over the
-candidate nodes per inner shape, never a per-focus loop. NOT covered:
-qualified value shapes.
+candidate nodes per inner shape, never a per-focus loop.
+``sh:qualifiedValueShape`` (+ ``qualifiedMin/MaxCount``) rides the
+same flag machinery: conforming-value counts per focus, bound-checked
+(``QualifiedValueShape.java``; sibling disjointness —
+``sh:qualifiedValueShapesDisjoint`` — is NOT supported).
 
 RDF 1.1 note: a plain literal (datatype column NULL) IS an
 ``xsd:string`` for ``sh:datatype`` comparison.
@@ -87,6 +90,7 @@ class PropertyShape:
     unique_lang: bool = False
     pairwise: list = field(default_factory=list)  # (component, predicate IRI)
     logic: list = field(default_factory=list)  # (op, [InnerShape...])
+    qualified: tuple | None = None  # (InnerShape, min | None, max | None)
 
 
 @dataclass
@@ -179,7 +183,9 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                        "closed", "ignoredProperties", "sparql",
                        "uniqueLang", "equals", "disjoint",
                        "lessThan", "lessThanOrEquals",
-                       "not", "and", "or", "xone", "node")}
+                       "not", "and", "or", "xone", "node",
+                       "qualifiedValueShape", "qualifiedMinCount",
+                       "qualifiedMaxCount")}
         if unknown:
             raise ValueError(f"SHACL: unsupported constraint(s) {sorted(unknown)}")
 
@@ -231,6 +237,17 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                     raise ValueError(f"SHACL: sh:{comp} needs an IRI object")
                 ps.pairwise.append((comp, t[1]))
         ps.logic = _logic(ppo, depth)
+        qv = one(ppo, "qualifiedValueShape")
+        if qv is not None:
+            qmin, qmax = one(ppo, "qualifiedMinCount"), one(ppo, "qualifiedMaxCount")
+            if qmin is None and qmax is None:
+                raise ValueError(
+                    "SHACL: sh:qualifiedValueShape needs "
+                    "sh:qualifiedMinCount and/or sh:qualifiedMaxCount")
+            ps.qualified = (
+                _inner_shape(qv, depth),
+                int(qmin[1]) if qmin else None,
+                int(qmax[1]) if qmax else None)
         _term_constraints(ppo, ps.constraints)
         return ps
 
@@ -612,6 +629,31 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     F.col("_nk").alias("_nkk"))
                 bad = vals.withColumn("_nkk", _nk()).join(bad_keys, "_nkk")
                 add(_report(ns.iri, path_str, op, bad.distinct()))
+
+            if ps.qualified:
+                # QualifiedValueShape: count the value nodes CONFORMING
+                # to the inner shape per focus, then bound-check — one
+                # flag pass + one aggregation (sibling disjointness not
+                # supported; no sh:qualifiedValueShapesDisjoint)
+                ish, qmin, qmax = ps.qualified
+                flags = _conform_flags(data, ish, vals)
+                qv = vals.withColumn("_nkk", _nk()).join(
+                    flags.where(F.col("_ok")).select(
+                        F.col("_nk").alias("_nkk")), "_nkk")
+                qcounts = focus.join(
+                    qv.groupBy("focus_kind", "focus")
+                      .agg(F.count(F.lit(1)).alias("qn")),
+                    ["focus_kind", "focus"], "left",
+                ).select("focus_kind", "focus",
+                         F.coalesce("qn", F.lit(0)).alias("qn"))
+                if qmin is not None:
+                    add(_report(ns.iri, path_str, "qualifiedMinCount",
+                                qcounts.where(F.col("qn") < qmin)
+                                .withColumn("v_val", F.col("qn").cast("string"))))
+                if qmax is not None:
+                    add(_report(ns.iri, path_str, "qualifiedMaxCount",
+                                qcounts.where(F.col("qn") > qmax)
+                                .withColumn("v_val", F.col("qn").cast("string"))))
 
             if ps.unique_lang:
                 # UniqueLangConstraint: >1 value sharing a language tag

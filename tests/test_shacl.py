@@ -184,8 +184,7 @@ def test_conforms_and_unsupported(spark):
     assert conforms(_g(spark, _person([("literal", "x", None, None)])), shapes)
     with pytest.raises(ValueError, match="unsupported constraint"):
         validate(_g(spark, _person([])), _g(spark, _shape_rows([
-            ("bnode", "_:p", SH + "qualifiedValueShape", "bnode", "_:qv",
-             None, None),
+            ("bnode", "_:p", SH + "languageIn", "bnode", "_:li", None, None),
         ])))
     with pytest.raises(ValueError, match="no node shape"):
         validate(_g(spark, _person([])), _g(spark, [
@@ -386,3 +385,37 @@ def test_sh_node_and_node_level_logic(spark):
     assert [(r["focus"], r["constraint"]) for r in rep] == [(EX + "a", "not")]
     ok = _g(spark, _person([("literal", "Ada", None, None)]))
     assert conforms(ok, shapes2)
+
+
+def test_qualified_value_shape(spark):
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount: per-focus count
+    of values CONFORMING to the inner shape, bound-checked."""
+    shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "qualifiedValueShape", "bnode", "_:qv", None, None),
+        ("bnode", "_:p", SH + "qualifiedMinCount", "literal", "1",
+         XSD + "integer", None),
+        ("bnode", "_:p", SH + "qualifiedMaxCount", "literal", "2",
+         XSD + "integer", None),
+        ("bnode", "_:qv", SH + "pattern", "literal", "^[A-Z]", None, None),
+    ]))
+    # one capitalized name among three -> qn=1, conforms
+    ok = _g(spark, _person([
+        ("literal", "Ada", None, None), ("literal", "ada", None, None),
+        ("literal", "lovelace", None, None)]))
+    assert conforms(ok, shapes)
+    # none capitalized -> qualifiedMinCount
+    bad = _g(spark, _person([("literal", "ada", None, None)]))
+    rep = validate(bad, shapes).collect()
+    assert [(r["constraint"], r["value"]) for r in rep] == [
+        ("qualifiedMinCount", "0")]
+    # three capitalized -> qualifiedMaxCount
+    bad2 = _g(spark, _person([
+        ("literal", "A", None, None), ("literal", "B", None, None),
+        ("literal", "C", None, None)]))
+    rep2 = validate(bad2, shapes).collect()
+    assert [(r["constraint"], r["value"]) for r in rep2] == [
+        ("qualifiedMaxCount", "3")]
+    with pytest.raises(ValueError, match="qualifiedMinCount"):
+        validate(bad, _g(spark, _shape_rows([
+            ("bnode", "_:p", SH + "qualifiedValueShape", "bnode", "_:qv",
+             None, None)])))
