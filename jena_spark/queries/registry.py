@@ -3549,14 +3549,17 @@ _PRIORITY = [
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
     "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",
     # r3 "done"-gate queries: behavior touched this round (shared
-    # mention frame, MINUS split, inference fixpoint + touched dedup)
+    # mention frame, MINUS split, inference fixpoint, lineage-optional
+    # canonicalize_triples)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
-    "kg_difference", "kg_minus", "kg_rdfs_inference", "kg_owl_inference",
-    # token-set / scratch-path changes
+    "kg_difference", "kg_minus", "kg_rdfs_inference",
+    # --- driver cap (50) falls here. Everything below was driver-green
+    # in r01 or r02 and is re-checked by pytest/check_oracle each round
+    # (minhash/simhash are rows-only for the driver but brute-force
+    # property-verified in pytest; the roundtrips are pytest-tested).
+    "kg_owl_inference",
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",
-    # --- driver cap (50) falls here. Everything below was driver-green
-    # in r01 or r02 and is re-checked by pytest/check_oracle each round.
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
