@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "kg_spatial_nearby",
     "kg_spatial_join",
     "kg_spatial_join_dense",
+    # round 3 final additions (entity-resolution rules, extended SHACL,
+    # transactions, assembler, ontology closure census)
+    "kg_owl_ifp_sameas",
+    "kg_shacl_advanced",
+    "kg_txn_snapshot",
+    "kg_ont_individuals",
 ]
 
 

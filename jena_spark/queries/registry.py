@@ -2535,6 +2535,70 @@ _register(
 )
 
 
+def _q_shortest_path(spark, sf):
+    """``OntTools.findShortestPath`` (``ontology/OntTools.java``) as a
+    distributed BFS: a deterministic graph over the user dimension —
+    chain edges user_i -> user_{i+1} (successive present users) plus
+    skip edges user_i -> user_{i+7} — and the lexicographic-min
+    shortest path from the first user to the 21st. The oracle is a
+    DuckDB recursive-CTE BFS with the same (length, path) ordering."""
+    from pyspark.sql import Window
+
+    from jena_spark.queries import ontology as O
+
+    users = (
+        _events(spark, sf).select("user_id").distinct()
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy("user_id")) - 1)
+    )
+    iri = F.concat(F.lit(TM.NS + "user/"), F.col("user_id").cast("string"))
+    nodes = users.select(iri.alias("u"), "rn")
+    hops = nodes.alias("a").join(
+        nodes.alias("b"),
+        (F.col("b.rn") == F.col("a.rn") + 1) | (F.col("b.rn") == F.col("a.rn") + 7))
+    null_s = F.lit(None).cast("string")
+    triples = hops.select(
+        F.lit("iri").alias("s_kind"), F.col("a.u").alias("s_val"),
+        F.lit(TM.NS_VOCAB + "next").alias("p_val"),
+        F.lit("iri").alias("o_kind"), F.col("b.u").alias("o_val"),
+        null_s.alias("o_datatype"), null_s.alias("o_lang"))
+    n = users.count()
+    target = min(20, n - 1)
+    ends = users.where(F.col("rn").isin(0, target)).orderBy("rn").collect()
+    src = TM.NS + "user/" + str(ends[0]["user_id"])
+    dst = TM.NS + "user/" + str(ends[-1]["user_id"])
+    path = O.shortest_path(triples, src, dst, TM.NS_VOCAB + "next")
+    return spark.createDataFrame(
+        [(">".join(path), len(path) - 1)], "path string, hops int")
+
+
+_register(
+    "kg_shortest_path",
+    _q_shortest_path,
+    f"""WITH RECURSIVE u AS (
+      SELECT '{TM.NS}user/' || CAST(user_id AS VARCHAR) AS node,
+             row_number() OVER (ORDER BY user_id) - 1 AS rn
+      FROM (SELECT DISTINCT user_id FROM events)),
+    e AS (
+      SELECT a.node AS src, b.node AS dst FROM u a JOIN u b
+      ON b.rn = a.rn + 1 OR b.rn = a.rn + 7),
+    ends AS (
+      SELECT max(CASE WHEN rn = 0 THEN node END) AS s,
+             max(CASE WHEN rn = least(20, (SELECT max(rn) FROM u))
+                 THEN node END) AS d FROM u),
+    walk AS (
+      SELECT s AS node, [s] AS path FROM ends
+      UNION ALL
+      SELECT e.dst, list_append(walk.path, e.dst)
+      FROM walk JOIN e ON e.src = walk.node
+      WHERE NOT list_contains(walk.path, e.dst) AND len(walk.path) <= 9)
+    SELECT array_to_string(path, '>') AS path,
+           CAST(len(path) - 1 AS INT) AS hops
+    FROM walk, ends WHERE node = ends.d
+    ORDER BY len(path), path LIMIT 1""",
+)
+
+
 def _q_assembler(spark, sf):
     """Assembler (jena-core ``ja:`` vocabulary, ``pipeline/assembler.py``):
     a ja:InfModel whose base unions an external-content model — the
@@ -3533,7 +3597,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
-    "kg_assembler", "kg_ont_individuals",
+    "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
