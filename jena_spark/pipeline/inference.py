@@ -415,10 +415,17 @@ def owl_functional_sameas(triples: DataFrame) -> DataFrame:
     outs = []
 
     def _star(scan: DataFrame, keys: list[str], m_kind: str, m_val: str) -> DataFrame:
+        # per-group min via a window, NOT groupBy + join-back: Spark
+        # replays unshared subplans per consumer, so the join form
+        # scans and shuffles the witness table twice (plus a
+        # SortMergeJoin); the window is ONE shuffle on the group key
+        # and one scan
+        from pyspark.sql import Window
+
         member = F.struct(F.col(m_kind).alias("kind"), F.col(m_val).alias("val"))
-        grp = scan.groupBy(*keys).agg(F.min(member).alias("rep"))
+        rep = F.min(member).over(Window.partitionBy(*keys))
         return (
-            scan.join(grp, keys)
+            scan.withColumn("rep", rep)
             .where(member != F.col("rep"))
             .select(
                 F.col(m_kind).alias("s_kind"), F.col(m_val).alias("s_val"),
