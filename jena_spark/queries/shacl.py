@@ -76,7 +76,7 @@ _NODEKINDS = {
 _TERM_CONSTRAINTS = (
     "datatype", "class", "nodeKind", "pattern", "flags", "in", "hasValue",
     "minLength", "maxLength", "minInclusive", "maxInclusive",
-    "minExclusive", "maxExclusive",
+    "minExclusive", "maxExclusive", "languageIn",
 )
 
 
@@ -163,6 +163,8 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                 continue
             if key == "in":
                 out["in"] = _rdf_list(by_subj, v)
+            elif key == "languageIn":
+                out["languageIn"] = [t[1] for t in _rdf_list(by_subj, v)]
             elif key == "hasValue":
                 out["hasValue"] = v
             elif key in ("datatype", "class", "nodeKind"):
@@ -352,6 +354,19 @@ def _value_violation_cond(data: DataFrame, cons: dict) -> tuple[Column, DataFram
                     & (F.coalesce(F.col("v_lang"), F.lit("")) == (lang or ""))
             m = m | mm
         c = c | ~m
+    if "languageIn" in cons:
+        # StrLanguageIn: value must be a lang-tagged literal whose tag
+        # matches a basic language range (langMatches semantics:
+        # case-insensitive exact or range-prefix; "*" = any tag)
+        lang = F.lower(F.coalesce(F.col("v_lang"), F.lit("")))
+        m = F.lit(False)
+        for rng in cons["languageIn"]:
+            r = rng.lower()
+            if r == "*":
+                m = m | (lang != "")
+            else:
+                m = m | (lang == r) | lang.startswith(r + "-")
+        c = c | (F.col("v_kind") != "literal") | (lang == "") | ~m
     if "minLength" in cons:
         c = c | (F.length("v_val") < cons["minLength"])
     if "maxLength" in cons:

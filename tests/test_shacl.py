@@ -184,7 +184,7 @@ def test_conforms_and_unsupported(spark):
     assert conforms(_g(spark, _person([("literal", "x", None, None)])), shapes)
     with pytest.raises(ValueError, match="unsupported constraint"):
         validate(_g(spark, _person([])), _g(spark, _shape_rows([
-            ("bnode", "_:p", SH + "languageIn", "bnode", "_:li", None, None),
+            ("bnode", "_:p", SH + "expression", "bnode", "_:ex", None, None),
         ])))
     with pytest.raises(ValueError, match="no node shape"):
         validate(_g(spark, _person([])), _g(spark, [
@@ -419,3 +419,27 @@ def test_qualified_value_shape(spark):
         validate(bad, _g(spark, _shape_rows([
             ("bnode", "_:p", SH + "qualifiedValueShape", "bnode", "_:qv",
              None, None)])))
+
+
+def test_language_in(spark):
+    """sh:languageIn (StrLanguageIn): lang tag must match a basic
+    language range — case-insensitive, range-prefix semantics."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "languageIn", "bnode", "_:l1", None, None),
+        ("bnode", "_:l1", rdf + "first", "literal", "en", None, None),
+        ("bnode", "_:l1", rdf + "rest", "bnode", "_:l2", None, None),
+        ("bnode", "_:l2", rdf + "first", "literal", "fr", None, None),
+        ("bnode", "_:l2", rdf + "rest", "iri", rdf + "nil", None, None),
+    ]))
+    ok = _g(spark, _person([
+        ("literal", "hello", None, "en"),
+        ("literal", "hi", None, "EN-GB"),      # range prefix, case-insensitive
+        ("literal", "salut", None, "fr"),
+    ]))
+    assert conforms(ok, shapes)
+    rep = validate(_g(spark, _person([
+        ("literal", "hallo", None, "de"),
+        ("literal", "plain", None, None),       # untagged violates
+    ])), shapes).collect()
+    assert {r["value"] for r in rep} == {"hallo", "plain"}
