@@ -32,7 +32,8 @@ Supported (errors loudly outside this profile):
 * ``ja:InfModel`` with ``ja:baseModel`` and ``ja:reasoner
   [ja:reasonerURL <...#RDFSRuleReasoner|...#OWLFBRuleReasoner>]``
   (RDFS closure; OWL additionally runs the property-characteristic
-  rules — ``GenericRuleReasoner`` URLs map to the same two)
+  rules; ``GenericRuleReasoner`` — custom rule files — is out of
+  profile and rejected loudly)
 * ``ja:RDFDataset`` with ``ja:defaultGraph`` and ``ja:namedGraph
   [ja:graphName <g> ; ja:graph <model>]`` -> Connection over quads
 """
@@ -148,7 +149,12 @@ def _content(spark: SparkSession, desc: _Desc, node: tuple) -> DataFrame:
         "ja:externalContent")
 
 
-def _model(spark: SparkSession, desc: _Desc, node: tuple) -> DataFrame:
+def _model(spark: SparkSession, desc: _Desc, node: tuple,
+           _seen: frozenset = frozenset()) -> DataFrame:
+    if node[:2] in _seen:
+        raise ValueError(
+            f"assembler: cyclic model description at <{node[1]}>")
+    _seen = _seen | {node[:2]}
     types = desc.types(node)
     if types & set(_MODEL_TYPES) or not types:
         # a bare node with only ja:content is a MemoryModel by default
@@ -162,15 +168,15 @@ def _model(spark: SparkSession, desc: _Desc, node: tuple) -> DataFrame:
         members = desc.many(node, "rootModel") + desc.many(node, "subModel")
         if not members:
             raise ValueError("assembler: ja:UnionModel without members")
-        out = _model(spark, desc, members[0])
+        out = _model(spark, desc, members[0], _seen)
         for m in members[1:]:
-            out = out.unionByName(_model(spark, desc, m))
+            out = out.unionByName(_model(spark, desc, m, _seen))
         return out.dropDuplicates(TM.TERM_COLS)
     if JA + "InfModel" in types:
         base = desc.one(node, "baseModel")
         if base is None:
             raise ValueError("assembler: ja:InfModel without ja:baseModel")
-        g = _model(spark, desc, base)
+        g = _model(spark, desc, base, _seen)
         reasoner = desc.one(node, "reasoner")
         url = desc.one(reasoner, "reasonerURL") if reasoner else None
         if url is None:

@@ -247,7 +247,11 @@ class TransactionalStore:
                 _commit_pointer(self.path, f"v{new_version}")
                 self._current = self.spark.read.parquet(vdir)
             else:
-                self._current = quads
+                # cut lineage per commit: without this, each version's
+                # plan nests the previous version's unions/anti-joins
+                # and a long-lived store pays unbounded analysis cost
+                # (the durable path cuts it by re-reading parquet)
+                self._current = quads.localCheckpoint(eager=False)
             self._version = new_version
 
     def _release_writer(self, txn: Transaction) -> None:

@@ -181,8 +181,11 @@ def _ensure_spatial() -> None:
     if _SPATIAL_LOADED:
         return
     for iri, fn in _spatial_pfs().items():
-        PROPERTY_FUNCTIONS.setdefault(iri, fn)
-        GRAPH_LEVEL_IRIS.add(iri)
+        if iri not in PROPERTY_FUNCTIONS:
+            PROPERTY_FUNCTIONS[iri] = fn
+            GRAPH_LEVEL_IRIS.add(iri)
+        # else: the user registered this IRI first — keep BOTH their
+        # function and their declared calling convention
     _SPATIAL_LOADED = True
 
 

@@ -492,6 +492,12 @@ def _logic_flags(data: DataFrame, logic: list, nodes: DataFrame) -> DataFrame:
                 _conform_flags(data, sub, base).withColumnRenamed("_ok", name),
                 "_nk")
             oks.append(F.col(name))
+        if not oks:
+            # empty member list (object rdf:nil): and() is vacuously
+            # true, or()/xone() can never be satisfied
+            if op in ("or", "xone"):
+                out = out.withColumn("_lbad", F.lit(True))
+            continue
         if op == "not":
             bad = oks[0]
         elif op in ("and", "node"):
@@ -672,10 +678,12 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
 
             if ps.unique_lang:
                 # UniqueLangConstraint: >1 value sharing a language tag
+                # (BCP47 tags are case-insensitive — "en" == "EN")
+                tag = F.lower(F.col("v_lang"))
                 dup = (
                     vals.where(F.col("v_lang").isNotNull()
                                & (F.col("v_lang") != ""))
-                    .groupBy("focus_kind", "focus", "v_lang")
+                    .groupBy("focus_kind", "focus", tag.alias("v_lang"))
                     .agg(F.count("*").alias("n"))
                     .where(F.col("n") > 1)
                     .select("focus_kind", "focus",

@@ -107,3 +107,13 @@ def test_assembler_profile_errors(spark):
         @prefix ja: <{JA}> .
         <{EX}m> a ja:MemoryModel ; ja:content [ ja:prefix "x" ] .
         """))
+
+
+def test_cyclic_description_raises(spark):
+    cfg = _config(spark, f"""
+    @prefix ja: <{JA}> .
+    <{EX}m1> a ja:UnionModel ; ja:subModel <{EX}m2> .
+    <{EX}m2> a ja:UnionModel ; ja:subModel <{EX}m1> .
+    """)
+    with pytest.raises(ValueError, match="cyclic"):
+        assemble_model(spark, cfg, root=EX + "m1")

@@ -443,3 +443,23 @@ def test_language_in(spark):
         ("literal", "plain", None, None),       # untagged violates
     ])), shapes).collect()
     assert {r["value"] for r in rep} == {"hallo", "plain"}
+
+
+def test_empty_combinator_lists_and_case_insensitive_uniquelang(spark):
+    """Empty sh:and conforms vacuously; empty sh:or/xone can never be
+    satisfied; uniqueLang compares tags case-insensitively."""
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    data = _g(spark, _person([("literal", "Ada", None, None)]))
+    empty_and = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "and", "iri", RDF + "nil", None, None)]))
+    assert conforms(data, empty_and)
+    empty_or = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "or", "iri", RDF + "nil", None, None)]))
+    assert not conforms(data, empty_or)
+    ul = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "uniqueLang", "literal", "true",
+         XSD + "boolean", None)]))
+    mixed = _g(spark, _person([
+        ("literal", "hello", None, "en"), ("literal", "Hallo", None, "EN")]))
+    rep = validate(mixed, ul).collect()
+    assert [(r["constraint"], r["value"]) for r in rep] == [("uniqueLang", "en")]

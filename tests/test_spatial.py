@@ -482,3 +482,23 @@ def test_geof_distance_units_column_and_cast_null(spark):
         FN["http://www.w3.org/2001/XMLSchema#double"](F.lit("xyz")).alias("d"))
     row = bad.first()
     assert row["i"] is None and row["d"] is None
+
+
+def test_user_bindings_level_registration_wins(spark):
+    """A user registration made BEFORE the lazy spatial load keeps both
+    its function AND its bindings-level convention — the library load
+    must not flip the IRI to graph-level."""
+    import importlib
+
+    from jena_spark.queries import propfunc
+
+    importlib.reload(propfunc)  # fresh registry, spatial not yet loaded
+    try:
+        iri = SP.SPATIAL_NS + "nearby"
+        marker = lambda bindings, col, out: bindings  # noqa: E731
+        propfunc.register(iri, marker)  # bindings-level
+        propfunc.lookup(SP.SPATIAL_NS + "missing")  # triggers lazy load
+        assert propfunc.lookup(iri) is marker
+        assert not propfunc.graph_level(iri)
+    finally:
+        importlib.reload(propfunc)
