@@ -46,10 +46,19 @@ def curate_corpus(
     jaccard_threshold: float = 0.3,
     ngram: int = 3,
     max_df: int = 1000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """-> ``(doc_id, kept, reason)``: one verdict row per document;
     ``reason`` is null for kept docs, else the first failing rule
-    (``lang`` / ``quality`` / ``exact_dup`` / ``near_dup``)."""
+    (``lang`` / ``quality`` / ``exact_dup`` / ``near_dup``).
+
+    ``pairs``: a precomputed near-dup pair frame (the
+    :func:`jena_spark.data.dedup.jaccard_pairs` output). Callers that
+    already hold the pair graph (a dedup stage upstream in the same
+    pipeline) pass it here so the inverted-index self-join — the
+    dominant cost — runs once per corpus, not once per consumer; the
+    caller owns parameter consistency (threshold/ngram/max_df are
+    ignored when ``pairs`` is given)."""
     # docs feeds >=3 plan branches (flags select, the Jaccard token
     # index, the singleton id set) — persist it or its upstream plan
     # replays per consumer (CLAUDE.md union-replay rule)
@@ -65,8 +74,9 @@ def curate_corpus(
         "doc_id", "lang_ok", "q_ok",
         (F.col("doc_id") == F.col("rep_id")).alias("exact_ok"),
     )
-    pairs = DD.jaccard_pairs(
-        docs, threshold=jaccard_threshold, ngram=ngram, max_df=max_df)
+    if pairs is None:
+        pairs = DD.jaccard_pairs(
+            docs, threshold=jaccard_threshold, ngram=ngram, max_df=max_df)
     near = DD.dedup_clusters(pairs, docs=docs).select(
         "doc_id", F.col("keep").alias("near_ok"))
     v = exact.join(near, "doc_id")

@@ -1214,11 +1214,23 @@ _JACCARD_SQL = "WITH " + _JACCARD_CTES + rf"""
 # quadratic in that group. The oracle applies the identical cap; dropped
 # tokens stay visible via DD.hot_tokens (no silent caps — see
 # tests/test_dedup.py::test_hot_tokens_visibility).
+def _jaccard_pairs_cached(spark, sf):
+    """The (0.3, 3-gram, max_df) near-dup pair graph, computed once per
+    corpus and shared by the pair/cluster/curation queries — the same
+    materialized-intermediate posture as the shared path closures (the
+    inverted-index self-join is the dominant cost of all three)."""
+    key = (id(spark), sf, "jpairs")
+    if key not in _CACHE:
+        _conf(spark)
+        _CACHE[key] = DD.jaccard_pairs(
+            _docs(spark, sf), threshold=0.3, ngram=3, max_df=_JACCARD_MAX_DF
+        ).persist()
+    return _CACHE[key]
+
+
 _register(
     "data_dedup_jaccard",
-    lambda spark, sf: DD.jaccard_pairs(
-        _docs(spark, sf), threshold=0.3, ngram=3, max_df=_JACCARD_MAX_DF
-    ),
+    _jaccard_pairs_cached,
     _JACCARD_SQL,
 )
 
@@ -1228,8 +1240,7 @@ def _q_dedup_clusters(spark, sf):
     cluster, singletons kept. Oracle: recursive min-propagation over
     the symmetrized pair graph in SQL."""
     d = _docs(spark, sf)
-    pairs = DD.jaccard_pairs(d, threshold=0.3, ngram=3, max_df=_JACCARD_MAX_DF)
-    return DD.dedup_clusters(pairs, docs=d)
+    return DD.dedup_clusters(_jaccard_pairs_cached(spark, sf), docs=d)
 
 
 _register(
@@ -1250,7 +1261,8 @@ def _q_curate(spark, sf):
     from jena_spark.data.curate import curate_corpus
 
     return curate_corpus(_docs(spark, sf), langs=("en", "de"),
-                         min_quality_bp=5000)
+                         min_quality_bp=5000,
+                         pairs=_jaccard_pairs_cached(spark, sf))
 
 
 _register(
