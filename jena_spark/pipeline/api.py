@@ -132,6 +132,20 @@ class Connection:
 
         return sparql_query(self.quads, sparql, flat=flat)
 
+    def explain(self, sparql: str, physical: bool = False) -> str:
+        """The query's algebra in ARQ SSE form (``arq.qparse
+        --print=op``); ``physical=True`` appends the Spark physical
+        plan Catalyst actually chose (``QueryExecution.explainString``
+        — the TDB/ARQ explain-log analog)."""
+        from jena_spark.queries.sse import query_to_sse
+
+        out = query_to_sse(sparql)
+        if physical:
+            df = self.query(sparql)
+            out += "\n--- physical ---\n" + df._sc._jvm.PythonSQLUtils \
+                .explainString(df._jdf.queryExecution(), "formatted")
+        return out
+
     def update_delete_where(self, s=G.ANY, p=G.ANY, o=G.ANY,
                             graph: str | None = None) -> "Connection":
         cond = G.pattern_predicate(s, p, o)

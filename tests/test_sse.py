@@ -74,3 +74,20 @@ def test_subselect_and_pretty():
     pretty = query_to_sse(q)
     assert pretty.startswith("(project")
     assert "\n" in pretty  # multi-line layout for nested ops
+
+
+def test_connection_explain(spark):
+    """Connection.explain: SSE algebra, plus the Catalyst physical plan
+    with physical=True (the ARQ explain-log analog)."""
+    from jena_spark.pipeline.api import Connection
+
+    t = spark.createDataFrame(
+        [("iri", "http://v/a", "http://v/p", "literal", "1", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string")
+    conn = Connection(spark, t)
+    sse = conn.explain("SELECT ?s WHERE { ?s <http://v/p> ?o }")
+    assert sse.startswith("(project (?s)")
+    both = conn.explain("SELECT ?s WHERE { ?s <http://v/p> ?o }",
+                        physical=True)
+    assert "Physical Plan" in both and both.startswith("(project")
