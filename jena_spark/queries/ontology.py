@@ -212,3 +212,47 @@ def shortest_path(triples: DataFrame, src: str, dst: str,
             .localCheckpoint(eager=True)
         frontier = step
     return None
+
+
+_RESTRICTION_KINDS = {
+    OWL + "someValuesFrom": "someValuesFrom",
+    OWL + "allValuesFrom": "allValuesFrom",
+    OWL + "hasValue": "hasValue",
+    OWL + "cardinality": "cardinality",
+    OWL + "minCardinality": "minCardinality",
+    OWL + "maxCardinality": "maxCardinality",
+}
+
+
+def list_restrictions(triples: DataFrame) -> DataFrame:
+    """``OntModel.listRestrictions`` + the per-kind accessors
+    (``ontology/Restriction.java`` family): every ``owl:Restriction``
+    node with its ``owl:onProperty`` and constraint facet, one row per
+    (restriction, on_property, kind, value_kind, value). A TBox-shaped
+    filtered self-join — no driver parsing, so a generated ontology
+    with millions of restrictions stays distributed."""
+    res = triples.where(
+        (F.col("p_val") == TM.RDF_TYPE) & (F.col("o_val") == OWL + "Restriction")
+    ).select(F.col("s_kind").alias("r_kind"), F.col("s_val").alias("r_val"))
+    onprop = triples.where(F.col("p_val") == OWL + "onProperty").select(
+        F.col("s_kind").alias("r_kind"), F.col("s_val").alias("r_val"),
+        F.col("o_val").alias("on_property"))
+    facets = triples.where(
+        F.col("p_val").isin(list(_RESTRICTION_KINDS))
+    ).select(
+        F.col("s_kind").alias("r_kind"), F.col("s_val").alias("r_val"),
+        F.col("p_val").alias("facet_iri"),
+        F.col("o_kind").alias("value_kind"), F.col("o_val").alias("value"))
+    kind_map = F.create_map(
+        *[x for iri, name in sorted(_RESTRICTION_KINDS.items())
+          for x in (F.lit(iri), F.lit(name))])
+    return (
+        res.join(onprop, ["r_kind", "r_val"])
+        .join(facets, ["r_kind", "r_val"])
+        .select(
+            F.col("r_kind").alias("restriction_kind"),
+            F.col("r_val").alias("restriction"),
+            "on_property",
+            kind_map[F.col("facet_iri")].alias("kind"),
+            "value_kind", "value")
+    )

@@ -94,3 +94,27 @@ def test_shortest_path(zoo):
     assert O.shortest_path(zoo, EX + "d", EX + "a", knows) is None
     # no predicate filter: the ex:other edge wins (1 hop)
     assert O.shortest_path(zoo, EX + "a", EX + "d") == [EX + "a", EX + "d"]
+
+
+def test_list_restrictions(spark):
+    """owl:Restriction listing: onProperty + facet per restriction."""
+    OWL = O.OWL
+    rows = [
+        ("bnode", "r1", RDF_TYPE, "iri", OWL + "Restriction", None, None),
+        ("bnode", "r1", OWL + "onProperty", "iri", EX + "hasOwner", None, None),
+        ("bnode", "r1", OWL + "someValuesFrom", "iri", EX + "Person", None, None),
+        ("bnode", "r2", RDF_TYPE, "iri", OWL + "Restriction", None, None),
+        ("bnode", "r2", OWL + "onProperty", "iri", EX + "name", None, None),
+        ("bnode", "r2", OWL + "maxCardinality", "literal", "1",
+         "http://www.w3.org/2001/XMLSchema#nonNegativeInteger", None),
+        # typed Restriction without onProperty: listed by Jena's
+        # listRestrictions but unusable — we require the property
+        ("bnode", "r3", RDF_TYPE, "iri", OWL + "Restriction", None, None),
+    ]
+    t = spark.createDataFrame(rows, _SCHEMA)
+    got = {(r["restriction"], r["on_property"], r["kind"], r["value"])
+           for r in O.list_restrictions(t).collect()}
+    assert got == {
+        ("r1", EX + "hasOwner", "someValuesFrom", EX + "Person"),
+        ("r2", EX + "name", "maxCardinality", "1"),
+    }
