@@ -121,3 +121,28 @@ def test_path_closure_iterates_on_ids(spark, transcripts_df):
     # final decode joins bring strings back; the closure core joined on
     # src/dst longs — visible as join keys named src/dst (bigint)
     assert "src" in plan and "dst" in plan
+
+
+def test_fp_ifp_star_is_single_pass(spark):
+    """owl_functional_sameas elects representatives with a window min:
+    the plan must contain NO SortMergeJoin and no second scan of the
+    witness table per rule (the groupBy+join-back shape it replaces
+    scanned and shuffled twice)."""
+    from jena_spark.pipeline.inference import (
+        OWL_INVERSE_FUNCTIONAL,
+        owl_functional_sameas,
+    )
+
+    rows = [("iri", "http://v/k", TM.RDF_TYPE, "iri",
+             OWL_INVERSE_FUNCTIONAL, None, None)]
+    rows += [("iri", f"http://v/a{i}", "http://v/k", "literal",
+              f"key{i % 3}", None, None) for i in range(30)]
+    t = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              " o_val string, o_datatype string, o_lang string")
+    plan = _plan(owl_functional_sameas(t))
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    # one scan for the declaration collect happens eagerly; the PLAN
+    # itself scans the source once per rule family (ifp only here)
+    assert plan.count("Scan ExistingRDD") <= 2  # witness scan + broadcast dim
