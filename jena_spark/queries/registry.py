@@ -2483,6 +2483,47 @@ _register(
 )
 
 
+def _q_isomorphic(spark, sf):
+    """``Model.isIsomorphicWith`` (``GraphMatcher.java`` analog,
+    ``queries/isomorphism.py``): the bnode-rich turn subgraph must be
+    isomorphic to itself under a wholesale blank-node renaming
+    (color-refinement canonical multisets; strict=False because turns
+    sharing (index, role, text) are genuine automorphic twins), and
+    NOT isomorphic after dropping one triple. Output: both verdicts
+    plus the bnode census."""
+    from jena_spark.queries.isomorphism import isomorphic
+
+    t = _triples(spark, sf)
+    sub = t.where(F.col("p_val").isin(TM.P_TURN_INDEX, TM.P_ROLE)
+                  & (F.col("s_kind") == "bnode"))
+    renamed = sub.withColumn(
+        "s_val", F.when(F.col("s_kind") == "bnode",
+                        F.concat(F.lit("ren-"), F.col("s_val")))
+        .otherwise(F.col("s_val")))
+    iso = isomorphic(sub, renamed, strict=False)
+    # drop one whole bnode (deterministically the min label) — the
+    # graphs then differ structurally, not just in labels
+    smaller = renamed.join(
+        renamed.select("s_val").distinct().orderBy("s_val").limit(1),
+        "s_val", "left_anti")
+    not_iso = isomorphic(sub, smaller, strict=False)
+    n_bnodes = sub.select("s_val").distinct().count()
+    return spark.createDataFrame(
+        [(bool(iso), bool(not_iso), n_bnodes)],
+        "iso_after_rename boolean, iso_after_drop boolean, n_bnodes bigint")
+
+
+_register(
+    "kg_isomorphic",
+    _q_isomorphic,
+    _W + f"""SELECT TRUE AS iso_after_rename, FALSE AS iso_after_drop,
+           CAST(count(DISTINCT s_val) AS BIGINT) AS n_bnodes
+    FROM triples
+    WHERE p_val IN ('{TM.P_TURN_INDEX}', '{TM.P_ROLE}')
+      AND s_kind = 'bnode'""",
+)
+
+
 def _q_ont_individuals(spark, sf):
     """Ontology API (``ontology/OntModel.java`` / ``OntClass.java``,
     ``queries/ontology.py``): a two-level class hierarchy over event
@@ -3610,6 +3651,7 @@ _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
+    "kg_isomorphic",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
