@@ -393,3 +393,71 @@ SPARQL_FUNCTIONS.update({
 def register(name: str, fn: Callable[..., Column]) -> None:
     """Custom function registration (FunctionRegistry.put analog)."""
     SPARQL_FUNCTIONS[name] = fn
+
+
+# --- IRI-dispatched standard library namespaces ------------------------------
+# ARQ registers the XPath fn:/math: namespaces and its own afn: library
+# in the FunctionRegistry by FULL IRI (``sparql/function/StandardFunctions
+# .java``, ``function/library/`` — FN_*.java, Math_*.java, localname.java,
+# sha1sum.java, strjoin.java, ...), reachable from query strings as
+# ``fn:lower-case(?x)`` / ``math:pow(?x, 2)`` / ``afn:localname(?i)``.
+# Deterministic members only: afn:now / afn:execTime / afn:bnode violate
+# this engine's no-clock/no-rand pipeline policy and stay unregistered.
+
+_FN = "http://www.w3.org/2005/xpath-functions#"
+_MATH = "http://www.w3.org/2005/xpath-functions/math#"
+_AFN = "http://jena.apache.org/ARQ/function#"
+
+SPARQL_FUNCTIONS.update({
+    # fn: — aliases of the E_* string/numeric mappings (FN_*.java)
+    _FN + "lower-case": SPARQL_FUNCTIONS["lcase"],
+    _FN + "upper-case": SPARQL_FUNCTIONS["ucase"],
+    _FN + "string-length": SPARQL_FUNCTIONS["strlen"],
+    _FN + "concat": SPARQL_FUNCTIONS["concat"],
+    _FN + "contains": SPARQL_FUNCTIONS["contains"],
+    _FN + "starts-with": SPARQL_FUNCTIONS["strstarts"],
+    _FN + "ends-with": SPARQL_FUNCTIONS["strends"],
+    _FN + "substring-before": SPARQL_FUNCTIONS["strbefore"],
+    _FN + "substring-after": SPARQL_FUNCTIONS["strafter"],
+    _FN + "encode-for-uri": SPARQL_FUNCTIONS["encode_for_uri"],
+    _FN + "matches": SPARQL_FUNCTIONS["regex"],
+    _FN + "replace": SPARQL_FUNCTIONS["replace"],
+    _FN + "abs": SPARQL_FUNCTIONS["abs"],
+    _FN + "ceiling": SPARQL_FUNCTIONS["ceil"],
+    _FN + "floor": SPARQL_FUNCTIONS["floor"],
+    _FN + "round": SPARQL_FUNCTIONS["round"],
+    _FN + "not": lambda c: ~c.cast("boolean"),          # FN_Not
+    _FN + "normalize-space": lambda c: F.trim(
+        F.regexp_replace(c, r"\s+", " ")),              # FN_StrNormalizeSpace
+    # math: (Math_*.java) — JVM column math, no UDFs
+    _MATH + "pow": lambda a, b: F.pow(a, b),
+    _MATH + "sqrt": F.sqrt,
+    _MATH + "exp": F.exp,
+    _MATH + "exp10": lambda c: F.pow(F.lit(10.0), c),
+    _MATH + "log": F.log,                               # natural log
+    _MATH + "log10": F.log10,
+    _MATH + "atan2": lambda a, b: F.atan2(a, b),
+    _MATH + "pi": lambda: F.lit(3.141592653589793),
+    # afn: (function/library/) — deterministic members
+    _AFN + "localname": lambda c: F.regexp_extract(c, r"([^#/]*)$", 1),
+    _AFN + "namespace": lambda c: F.regexp_extract(c, r"^(.*[#/])", 1),
+    _AFN + "sha1sum": F.sha1,
+    _AFN + "min": F.least,
+    _AFN + "max": F.greatest,
+    _AFN + "pi": lambda: F.lit(3.141592653589793),
+    _AFN + "e": lambda: F.lit(2.718281828459045),
+    _AFN + "sqrt": F.sqrt,
+})
+
+
+def _strjoin(sep: Column, *parts: Column) -> Column:
+    """afn:strjoin (``strjoin.java``): first argument is the separator
+    — interleave explicitly (concat_ws needs a literal separator
+    string, but ARQ accepts any expression)."""
+    out = [parts[0]] if parts else []
+    for p in parts[1:]:
+        out.extend([sep, p])
+    return F.concat(*out) if out else F.lit("")
+
+
+SPARQL_FUNCTIONS[_AFN + "strjoin"] = _strjoin

@@ -188,3 +188,32 @@ def test_random_expression_workload_matches_duckdb(spark, seed):
         for idx, n in enumerate(names):
             gv, wv = g[n], w[idx]
             assert gv == wv, (n, g["event_id"], gv, wv)
+
+
+def test_iri_dispatched_standard_library(spark):
+    """fn: / math: / afn: namespaces resolve by full IRI from SPARQL
+    strings (StandardFunctions.java registration parity)."""
+    from jena_spark.queries.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("iri", "http://ex.org/ns#Thing", "http://v/label", "literal",
+          "  Hello  World ", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string")
+    rows = sparql_query(t, """
+        PREFIX fn: <http://www.w3.org/2005/xpath-functions#>
+        PREFIX math: <http://www.w3.org/2005/xpath-functions/math#>
+        PREFIX afn: <http://jena.apache.org/ARQ/function#>
+        SELECT (fn:lower-case(?o) AS ?lc)
+               (fn:normalize-space(?o) AS ?ns)
+               (afn:localname(?s) AS ?ln)
+               (afn:namespace(?s) AS ?nsp)
+               (math:pow(2.0, 10.0) AS ?p)
+               (afn:strjoin("-", "a", "b", "c") AS ?j)
+        WHERE { ?s <http://v/label> ?o }""").collect()
+    r = rows[0]
+    assert r["lc"] == "  hello  world "
+    assert r["ns"] == "Hello World"
+    assert r["ln"] == "Thing" and r["nsp"] == "http://ex.org/ns#"
+    assert float(r["p"]) == 1024.0
+    assert r["j"] == "a-b-c"
