@@ -2483,6 +2483,44 @@ _register(
 )
 
 
+def _q_expr_fn_library(spark, sf):
+    """IRI-dispatched standard function namespaces (fn:/math:/afn:,
+    ``StandardFunctions.java``): entity-localname census through
+    afn:localname + afn:sha1sum fingerprint + fn:string-length, all
+    evaluated through the registry by full IRI."""
+    from jena_spark.functions.scalar import SPARQL_FUNCTIONS as FN
+
+    AFN = "http://jena.apache.org/ARQ/function#"
+    XFN = "http://www.w3.org/2005/xpath-functions#"
+    t = _triples(spark, sf).where(
+        (F.col("p_val") == TM.P_MENTIONS) & (F.col("o_kind") == "iri"))
+    return (
+        t.select(
+            FN[AFN + "localname"](F.col("o_val")).alias("ln"),
+            FN[AFN + "namespace"](F.col("o_val")).alias("ns"),
+            FN[XFN + "string-length"](F.col("o_val")).alias("len"),
+            FN[XFN + "upper-case"](
+                FN[AFN + "localname"](F.col("o_val"))).alias("uc"),
+        )
+        .groupBy("ln", "ns", "len", "uc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    "expr_fn_library",
+    _q_expr_fn_library,
+    _W + f"""SELECT regexp_extract(o_val, '([^#/]*)$', 1) AS ln,
+           regexp_extract(o_val, '^(.*[#/])', 1) AS ns,
+           CAST(length(o_val) AS INT) AS len,
+           upper(regexp_extract(o_val, '([^#/]*)$', 1)) AS uc,
+           count(*) AS n
+    FROM triples
+    WHERE p_val = '{TM.P_MENTIONS}' AND o_kind = 'iri'
+    GROUP BY 1, 2, 3, 4""",
+)
+
+
 def _q_isomorphic(spark, sf):
     """``Model.isIsomorphicWith`` (``GraphMatcher.java`` analog,
     ``queries/isomorphism.py``): the bnode-rich turn subgraph must be
@@ -3651,7 +3689,7 @@ _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
-    "kg_isomorphic",
+    "kg_isomorphic", "expr_fn_library",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_join_dense", "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
