@@ -3708,7 +3708,7 @@ _PRIORITY = [
     # mention frame, MINUS split, inference fixpoint, lineage-optional
     # canonicalize_triples)
     "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
-    "kg_difference", "kg_minus", "kg_rdfs_inference",
+    "kg_minus", "kg_difference", "kg_rdfs_inference",
     # --- driver cap (50) falls here. Everything below was driver-green
     # in r01 or r02 and is re-checked by pytest/check_oracle each round
     # (minhash/simhash are rows-only for the driver but brute-force
