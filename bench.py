@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "kg_shacl_advanced",
     "kg_txn_snapshot",
     "kg_ont_individuals",
+    "kg_isomorphic",
+    "expr_fn_library",
 ]
 
 
