@@ -97,7 +97,10 @@ BENCH_QUERIES = [
     "kg_shacl_advanced",
     "kg_txn_snapshot",
     "kg_ont_individuals",
-    "kg_isomorphic",
+    # kg_isomorphic stays OUT of the bench set: three full color
+    # refinements over the 200k-bnode turn graph cost ~42 s at sf0.1 —
+    # it is a correctness surface (driver gate runs it at sf0.01),
+    # not a throughput operator
     "expr_fn_library",
 ]
 
