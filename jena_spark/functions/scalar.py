@@ -426,7 +426,9 @@ SPARQL_FUNCTIONS.update({
     _FN + "ceiling": SPARQL_FUNCTIONS["ceil"],
     _FN + "floor": SPARQL_FUNCTIONS["floor"],
     _FN + "round": SPARQL_FUNCTIONS["round"],
-    _FN + "not": lambda c: ~c.cast("boolean"),          # FN_Not
+    _FN + "not": lambda c: ~c.try_cast("boolean"),      # FN_Not (NULL on
+    # non-boolean lexicals — the engine's error value; plain cast
+    # aborts the query under ANSI mode)
     _FN + "normalize-space": lambda c: F.trim(
         F.regexp_replace(c, r"\s+", " ")),              # FN_StrNormalizeSpace
     # math: (Math_*.java) — JVM column math, no UDFs

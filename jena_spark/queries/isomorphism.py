@@ -84,9 +84,13 @@ def canonical_colors(g: DataFrame, max_rounds: int = 10) -> DataFrame:
             g.where(F.col("o_kind") == "bnode").select(F.col("o_val").alias("b")))
         .distinct()
     )
+    # subject terms have no datatype/lang — hash with the SAME arity
+    # and coalesce scheme as the object side, so a ground term seen in
+    # both positions keys AND colors identically (two colors for one
+    # term key would defeat the distinct and double _edge_sigs rows)
     ground_s = g.where(F.col("s_kind") != "bnode").select(
         _term_key("s_kind", "s_val", F.lit(None), F.lit(None)).alias("term"),
-        F.xxhash64("s_kind", "s_val").alias("color"))
+        F.xxhash64("s_kind", "s_val", F.lit(""), F.lit("")).alias("color"))
     ground_o = g.where(F.col("o_kind") != "bnode").select(
         _term_key("o_kind", "o_val", "o_datatype", "o_lang").alias("term"),
         F.xxhash64("o_kind", "o_val",
@@ -147,11 +151,17 @@ def canonical_form(g: DataFrame, colors: DataFrame | None = None) -> DataFrame:
     return out.groupBy(*TM.TERM_COLS).agg(F.count(F.lit(1)).alias("_mult"))
 
 
-def isomorphic(g1: DataFrame, g2: DataFrame, strict: bool = True) -> bool:
+def isomorphic(g1: DataFrame, g2: DataFrame, strict: bool = True,
+               colors1: DataFrame | None = None,
+               colors2: DataFrame | None = None) -> bool:
     """``Model.isIsomorphicWith`` analog (semantics in the module
     docstring). Inputs are triple SETS (the engine's invariant);
-    multiplicity arises only from canonical bnode collapse."""
-    c1, c2 = canonical_colors(g1), canonical_colors(g2)
+    multiplicity arises only from canonical bnode collapse.
+    ``colors1``/``colors2``: precomputed :func:`canonical_colors`
+    frames — refinement is the dominant cost, so a caller comparing
+    one graph against several others computes its colors once."""
+    c1 = canonical_colors(g1) if colors1 is None else colors1
+    c2 = canonical_colors(g2) if colors2 is None else colors2
     f1, f2 = canonical_form(g1, c1), canonical_form(g2, c2)
     mismatch = not f1.exceptAll(f2).isEmpty() or not f2.exceptAll(f1).isEmpty()
     if mismatch:

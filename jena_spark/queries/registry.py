@@ -2527,9 +2527,11 @@ def _q_isomorphic(spark, sf):
     isomorphic to itself under a wholesale blank-node renaming
     (color-refinement canonical multisets; strict=False because turns
     sharing (index, role, text) are genuine automorphic twins), and
-    NOT isomorphic after dropping one triple. Output: both verdicts
-    plus the bnode census."""
-    from jena_spark.queries.isomorphism import isomorphic
+    NOT isomorphic after dropping one whole blank node (the min label,
+    with every triple it subjects). Output: both verdicts plus the
+    bnode census. The base graph's refinement — the dominant cost —
+    runs once and is shared by both comparisons."""
+    from jena_spark.queries.isomorphism import canonical_colors, isomorphic
 
     t = _triples(spark, sf)
     sub = t.where(F.col("p_val").isin(TM.P_TURN_INDEX, TM.P_ROLE)
@@ -2538,13 +2540,14 @@ def _q_isomorphic(spark, sf):
         "s_val", F.when(F.col("s_kind") == "bnode",
                         F.concat(F.lit("ren-"), F.col("s_val")))
         .otherwise(F.col("s_val")))
-    iso = isomorphic(sub, renamed, strict=False)
+    c_sub = canonical_colors(sub)
+    iso = isomorphic(sub, renamed, strict=False, colors1=c_sub)
     # drop one whole bnode (deterministically the min label) — the
     # graphs then differ structurally, not just in labels
     smaller = renamed.join(
         renamed.select("s_val").distinct().orderBy("s_val").limit(1),
         "s_val", "left_anti")
-    not_iso = isomorphic(sub, smaller, strict=False)
+    not_iso = isomorphic(sub, smaller, strict=False, colors1=c_sub)
     n_bnodes = sub.select("s_val").distinct().count()
     return spark.createDataFrame(
         [(bool(iso), bool(not_iso), n_bnodes)],
@@ -3707,13 +3710,16 @@ _PRIORITY = [
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint, lineage-optional
     # canonicalize_triples)
-    "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
-    "kg_minus", "kg_difference", "kg_rdfs_inference",
+    "kg_triples", "kg_union", "kg_minus", "kg_difference",
+    "kg_rdfs_inference",
     # --- driver cap (50) falls here. Everything below was driver-green
     # in r01 or r02 and is re-checked by pytest/check_oracle each round
-    # (minhash/simhash are rows-only for the driver but brute-force
-    # property-verified in pytest; the roundtrips are pytest-tested).
-    "kg_owl_inference",
+    # (FULL sweeps at sf0.001/0.01/0.1 green this round; raw_triples and
+    # intersection additionally covered by the fresh-seed fused/generic
+    # equality; minhash/simhash are rows-only for the driver but
+    # brute-force property-verified in pytest; the roundtrips are
+    # pytest-tested).
+    "kg_raw_triples", "kg_intersection", "kg_owl_inference",
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",

@@ -14,6 +14,9 @@ that dialect — the debugging/EXPLAIN surface of the string front-end.
 Documented deviations from ARQ's writer (each keeps the output
 readable rather than byte-matching a Java pretty-printer):
 
+* FILTER prints at its SYNTACTIC position (wrapping the bindings built
+  so far), because that is where this engine applies it — ARQ's
+  generator hoists filters to the end of the group;
 * aggregate result variables print under their user alias, not ARQ's
   internal ``?.0`` allocations;
 * quoted-triple patterns print as ``(qtriple s p o)``;
@@ -124,12 +127,15 @@ def _bgp(triples: list) -> str:
 
 
 def _group_op(g: Group) -> str:
-    """AlgebraGenerator.compileOneInGroup order: accumulate basic
-    patterns, join elements left-to-right, OPTIONAL becomes leftjoin,
-    filters collect and wrap the finished group."""
+    """Compilation order of THIS engine's ``_Compiler.compile_group``:
+    accumulate basic patterns, join elements left-to-right, OPTIONAL
+    becomes leftjoin, and a FILTER wraps the bindings built SO FAR —
+    syntactic placement, which is where this engine applies it. (ARQ's
+    AlgebraGenerator instead collects filters and wraps the finished
+    group; printing that here would show an algebra the engine does
+    not execute — the documented deviation.)"""
     acc: str | None = None
     basic: list = []
-    filters: list = []
 
     def flush():
         nonlocal acc, basic
@@ -156,7 +162,8 @@ def _group_op(g: Group) -> str:
             args = " ".join(_term(a) for a in pf.args)
             join(f"(propfunc <{pf.iri}> {_term(pf.subj)} ({args}))")
         elif tag == "filter":
-            filters.append(el[1])
+            flush()
+            acc = f"(filter {_expr(el[1])} {acc or '(table unit)'})"
         elif tag == "optional":
             flush()
             inner = _group_op(el[1])
@@ -206,10 +213,7 @@ def _group_op(g: Group) -> str:
         else:
             raise ValueError(f"SSE: unknown group element {tag!r}")
     flush()
-    out = acc or "(table unit)"
-    for f in filters:
-        out = f"(filter {_expr(f)} {out})"
-    return out
+    return acc or "(table unit)"
 
 
 def _query_op(q: ParsedQuery) -> str:
@@ -266,17 +270,35 @@ def query_to_sse(query: str, pretty: bool = True) -> str:
     return _indent(flat) if pretty else flat
 
 
-def _indent(s: str) -> str:
-    """Minimal pretty-printer: one op per line, two-space nesting —
-    the WriterOp layout."""
-    out, depth, i, cur = [], 0, 0, ""
-    tokens = []
+def _tokenize(s: str) -> list[str]:
+    """Split an SSE string into '(' / ')' / atom tokens. Quoted
+    literals track backslash escapes (a literal may END in an escaped
+    backslash), and ``<...>`` IRIs are atomic — parentheses inside an
+    IRI never split it."""
+    tokens: list[str] = []
     buf = ""
-    in_str = False
+    in_str = in_iri = escaped = False
     for ch in s:
-        if ch == '"' and (not buf or buf[-1] != "\\"):
-            in_str = not in_str
         if in_str:
+            buf += ch
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if in_iri:
+            buf += ch
+            if ch == ">":
+                in_iri = False
+            continue
+        if ch == '"':
+            in_str = True
+            buf += ch
+            continue
+        if ch == "<":
+            in_iri = True
             buf += ch
             continue
         if ch in "()":
@@ -288,9 +310,15 @@ def _indent(s: str) -> str:
             buf += ch
     if buf.strip():
         tokens.append(buf.strip())
+    return tokens
 
-    # reassemble: break before each top-level-operator '(' whose parent
-    # already has content; keep leaf lists inline
+
+def _indent(s: str) -> str:
+    """Minimal pretty-printer: short or leaf-only lists stay inline,
+    anything longer breaks one child per line with two-space nesting —
+    the WriterOp layout."""
+    tokens = _tokenize(s)
+
     def render(idx: int, depth: int) -> tuple[str, int]:
         assert tokens[idx] == "("
         parts = []
@@ -307,16 +335,14 @@ def _indent(s: str) -> str:
                 parts.append(t)
                 i += 1
         flat = "(" + " ".join(parts) + ")"
-        if len(flat) <= 60 or all("\n" not in p and not p.startswith("(")
-                                  for p in parts[1:]):
-            if len(flat) <= 78:
-                return flat, i
-        head = parts[0]
-        body = []
-        for p in parts[1:]:
-            body.append("\n" + "  " * (depth + 1)
-                        + p.replace("\n", "\n"))
-        return "(" + head + "".join(body) + ")", i
+        if len(flat) <= 78 and "\n" not in flat:
+            return flat, i
+        head = parts[0] if parts else ""
+        pad = "\n" + "  " * (depth + 1)
+        # children were rendered at absolute depth+1, so their internal
+        # newlines already carry the right padding — only prefix each
+        body = "".join(pad + p for p in parts[1:])
+        return "(" + head + body + ")", i
 
     rendered, _ = render(0, 0)
     return rendered

@@ -72,8 +72,17 @@ def test_subselect_and_pretty():
         "(project (?s) (slice _ 3 (project (?s) "
         "(bgp (triple ?s ?p ?o)))))")
     pretty = query_to_sse(q)
-    assert pretty.startswith("(project")
-    assert "\n" in pretty  # multi-line layout for nested ops
+    assert pretty.startswith("(project")  # short trees stay inline
+    long_pretty = query_to_sse("""PREFIX v: <http://v/>
+        SELECT DISTINCT ?s (COUNT(?o) AS ?n)
+        WHERE { ?s v:p ?o . OPTIONAL { ?s v:q ?x } FILTER (?o > 3) }
+        GROUP BY ?s HAVING (?n > 1) ORDER BY DESC(?n) LIMIT 5""")
+    assert "\n" in long_pretty  # multi-line layout for big trees
+    # round-trips through the tokenizer: escaped quotes/backslashes and
+    # parens inside IRIs never desynchronize the pretty printer
+    tricky = query_to_sse(r'''SELECT ?s WHERE {
+        ?s <http://v/f(1)> "end\\" . ?s <http://v/g> "a\"b" . }''')
+    assert '<http://v/f(1)>' in tricky
 
 
 def test_connection_explain(spark):
