@@ -3672,6 +3672,58 @@ _register(
 )
 
 
+def _q_csv_property_table(spark, sf):
+    """CSV PropertyTable view (the retired ``jena-csv`` module;
+    ``text/csv`` stays registered at ``riot/RDFLanguages.java:46,194``):
+    serialize the nation table to a CSV file, read it back through the
+    distributed PropertyTable reader — one bnode subject per row,
+    ``<url#column>`` predicates, numeric cells typed ``xsd:double``,
+    plus the 1-based ``csv-vocab:row`` triple. Deterministic because
+    the CSV is written sorted into a single part file."""
+    from jena_spark.sources.csvpt import read_csv_pt
+
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    path = _scratch_dir("csvpt", sf)
+    (
+        nation.orderBy("n_nationkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    return read_csv_pt(spark, path, base_iri=TM.NS + "tables/nation.csv")
+
+
+_CSV_BASE = TM.NS + "tables/nation.csv"
+_register(
+    "kg_csv_property_table",
+    _q_csv_property_table,
+    f"""WITH r AS (
+      SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, * FROM nation
+    )
+    SELECT 'bnode' AS s_kind, 'row-' || rn AS s_val,
+           'http://w3c/future-csv-vocab/row' AS p_val,
+           'literal' AS o_kind, CAST(rn AS VARCHAR) AS o_val,
+           'http://www.w3.org/2001/XMLSchema#integer' AS o_datatype,
+           CAST(NULL AS VARCHAR) AS o_lang
+    FROM r
+    UNION ALL
+    SELECT 'bnode', 'row-' || rn, '{_CSV_BASE}#n_nationkey',
+           'literal', CAST(n_nationkey AS VARCHAR),
+           'http://www.w3.org/2001/XMLSchema#double', CAST(NULL AS VARCHAR)
+    FROM r
+    UNION ALL
+    SELECT 'bnode', 'row-' || rn, '{_CSV_BASE}#n_name',
+           'literal', n_name, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM r
+    UNION ALL
+    SELECT 'bnode', 'row-' || rn, '{_CSV_BASE}#n_regionkey',
+           'literal', CAST(n_regionkey AS VARCHAR),
+           'http://www.w3.org/2001/XMLSchema#double', CAST(NULL AS VARCHAR)
+    FROM r""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3690,6 +3742,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
+    "kg_csv_property_table",
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
     "kg_isomorphic", "expr_fn_library",

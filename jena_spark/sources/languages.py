@@ -102,6 +102,12 @@ def _register_builtins() -> None:
     register_lang("rdfxml", read_rdfxml, write_rdfxml, [".rdf", ".xml"])
     register_lang("jsonld", read_jsonld, write_jsonld, [".jsonld"])
     register_lang("thrift", read_thrift, write_thrift, [".trdf", ".rt"])
+    # text/csv is a registered RIOT language (RDFLanguages.java:46,194):
+    # the PropertyTable view is read-only (the retired jena-csv module
+    # had no writer)
+    from jena_spark.sources.csvpt import read_csv_pt
+
+    register_lang("csv", read_csv_pt, None, [".csv"])
 
 
 _register_builtins()
