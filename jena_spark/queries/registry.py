@@ -3724,6 +3724,49 @@ _register(
 )
 
 
+def _q_iri_violations(spark, sf):
+    """jena-iri checker (``IRIFactory.java``, ``ViolationCodes.java``):
+    validate every IRI term of the canonical graph PLUS the module's
+    deterministic malformed-IRI battery; one row per (iri, violation).
+    The clean corpus contributes zero rows — the battery proves each
+    code fires; the triple scan proves the corpus is violation-free."""
+    from jena_spark.functions import iri as I
+
+    battery = spark.createDataFrame([(s,) for s in I.TEST_BATTERY], "iri string")
+    t = _triples(spark, sf)
+    iris = (
+        t.where(F.col("s_kind") == "iri").select(F.col("s_val").alias("iri"))
+        .unionByName(t.select(F.col("p_val").alias("iri")))
+        .unionByName(
+            t.where(F.col("o_kind") == "iri").select(F.col("o_val").alias("iri"))
+        )
+        .unionByName(battery)
+        .distinct()
+    )
+    return I.iri_violations(iris)
+
+
+def _iri_oracle() -> str:
+    from jena_spark.functions import iri as I
+
+    vals = ", ".join("('" + s.replace("'", "''") + "')" for s in I.TEST_BATTERY)
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT iri, '{code}' AS code, {'TRUE' if err else 'FALSE'} AS is_error"
+        f" FROM iris WHERE {cond}"
+        for code, cond, err in I.oracle_conditions()
+    )
+    return _W + f""", iris AS (
+      SELECT iri FROM (VALUES {vals}) AS b(iri)
+      UNION SELECT s_val FROM triples WHERE s_kind = 'iri'
+      UNION SELECT p_val FROM triples
+      UNION SELECT o_val FROM triples WHERE o_kind = 'iri'
+    )
+    {branches}"""
+
+
+_register("kg_iri_violations", _q_iri_violations, _iri_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3742,7 +3785,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
-    "kg_csv_property_table",
+    "kg_csv_property_table", "kg_iri_violations",
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
     "kg_isomorphic", "expr_fn_library",
