@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     # it is a correctness surface (driver gate runs it at sf0.01),
     # not a throughput operator
     "expr_fn_library",
+    # geof: topology (point-in-polygon at data scale; the 24-relation
+    # battery exercises the one-pass primitives struct)
+    "kg_geof_point_in_polygon",
+    "kg_geof_relations",
 ]
 
 

