@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "kg_find_pattern",
     "kg_bgp_comention",
     "kg_bgp_star",
+    "kg_bgp_triangle",       # cyclic join (the fork's Find_Tr1 shape)
     "kg_optional",
     "kg_agg_entity_mentions",
     "kg_path_one_or_more",

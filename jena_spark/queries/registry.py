@@ -370,6 +370,59 @@ _register(
 )
 
 
+#: derived co-mention predicate for the triangle workload query
+_P_COMENTION = TM.NS_VOCAB + "coMentioned"
+
+
+def _q_bgp_triangle(spark, sf):
+    """Cyclic BGP (triangle) — the reference fork's own benchmark
+    workload shape Tr1 (``genQueries/.../tdb2/Find_Tr1.java:116``:
+    ``?x1 p0 ?x2 . ?x2 p1 ?x3 . ?x3 p2 ?x1``). The base graph is
+    bipartite, so the cycle runs over the symmetric turn-level
+    co-mention edge graph (derived as a triple frame, then evaluated
+    by the SAME OpBGP machinery). The ``a<b<c`` canonical-orientation
+    filter keeps each triangle once — the standard distributed
+    triangle-enumeration posture: distinct edges, two equi shuffle
+    joins, no 6x duplication."""
+    t = _triples(spark, sf)
+    m = A.bgp(t, [(Var("turn"), TM.P_MENTIONS, Var("e1")),
+                  (Var("turn"), TM.P_MENTIONS, Var("e2"))])
+    pairs = (
+        A.flatten(A.project(m, "e1", "e2"), ["e1", "e2"])
+        .where(F.col("e1") != F.col("e2"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.lit("iri").alias("s_kind"), F.col("e1").alias("s_val"),
+        F.lit(_P_COMENTION).alias("p_val"),
+        F.lit("iri").alias("o_kind"), F.col("e2").alias("o_val"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    b = A.bgp(edges, [(Var("a"), _P_COMENTION, Var("b")),
+                      (Var("b"), _P_COMENTION, Var("c")),
+                      (Var("c"), _P_COMENTION, Var("a"))])
+    b = A.filter_(b, (A.v("a") < A.v("b")) & (A.v("b") < A.v("c")))
+    return A.flatten(A.project(b, "a", "b", "c"), ["a", "b", "c"])
+
+
+_register(
+    "kg_bgp_triangle",
+    _q_bgp_triangle,
+    _W + f""", pairs AS (
+      SELECT DISTINCT m1.o_val AS e1, m2.o_val AS e2
+      FROM triples m1 JOIN triples m2 ON m1.s_val = m2.s_val
+      WHERE m1.p_val = '{TM.P_MENTIONS}' AND m2.p_val = '{TM.P_MENTIONS}'
+        AND m1.o_val <> m2.o_val
+    )
+    SELECT p1.e1 AS a, p1.e2 AS b, p2.e2 AS c
+    FROM pairs p1
+    JOIN pairs p2 ON p2.e1 = p1.e2
+    JOIN pairs p3 ON p3.e1 = p2.e2 AND p3.e2 = p1.e1
+    WHERE p1.e1 < p1.e2 AND p1.e2 < p2.e2""",
+)
+
+
 def _q_optional(spark, sf):
     t = _triples(spark, sf)
     left = A.triple_pattern(t, (Var("turn"), TM.P_ROLE, Var("role")))
@@ -3931,7 +3984,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_csv_property_table", "kg_iri_violations",
-    "kg_geof_point_in_polygon", "kg_geof_relations",
+    "kg_geof_point_in_polygon", "kg_geof_relations", "kg_bgp_triangle",
     "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
     "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
     "expr_fn_library",
@@ -3946,7 +3999,7 @@ _PRIORITY = [
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
     "data_dedup_clusters", "data_curate", "kg_shacl_report",
     "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
-    "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_from",
+    "kg_sparql_subselect", "kg_sparql_update",
     "kg_incremental",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint, lineage-optional
@@ -3963,6 +4016,7 @@ _PRIORITY = [
     # pytest.
     "kg_star_roundtrip", "kg_thrift_roundtrip", "kg_results_roundtrip",
     "kg_incremental_encoded", "kg_spatial_join_dense", "kg_isomorphic",
+    "kg_sparql_from",
     "kg_owl_inference",
     "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
     "kg_turtle_roundtrip", "kg_trig_roundtrip",

@@ -44,10 +44,11 @@ conformance FLAG frame (term constraints as predicates, inner property
 shapes as per-node aggregations, recursion depth-bounded), and the
 combinator is a boolean fold over the flags — one pass over the
 candidate nodes per inner shape, never a per-focus loop.
-``sh:qualifiedValueShape`` (+ ``qualifiedMin/MaxCount``) rides the
-same flag machinery: conforming-value counts per focus, bound-checked
-(``QualifiedValueShape.java``; sibling disjointness —
-``sh:qualifiedValueShapesDisjoint`` — is NOT supported).
+``sh:qualifiedValueShape`` (+ ``qualifiedMin/MaxCount``,
+``qualifiedValueShapesDisjoint``) rides the same flag machinery:
+conforming-value counts per focus, bound-checked; disjointness
+anti-joins away values conforming to any sibling qualified shape
+(``QualifiedValueShape.java`` sibling collection).
 
 RDF 1.1 note: a plain literal (datatype column NULL) IS an
 ``xsd:string`` for ``sh:datatype`` comparison.
@@ -91,6 +92,7 @@ class PropertyShape:
     pairwise: list = field(default_factory=list)  # (component, predicate IRI)
     logic: list = field(default_factory=list)  # (op, [InnerShape...])
     qualified: tuple | None = None  # (InnerShape, min | None, max | None)
+    qualified_disjoint: bool = False  # sh:qualifiedValueShapesDisjoint
 
 
 @dataclass
@@ -187,7 +189,7 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                        "lessThan", "lessThanOrEquals",
                        "not", "and", "or", "xone", "node",
                        "qualifiedValueShape", "qualifiedMinCount",
-                       "qualifiedMaxCount")}
+                       "qualifiedMaxCount", "qualifiedValueShapesDisjoint")}
         if unknown:
             raise ValueError(f"SHACL: unsupported constraint(s) {sorted(unknown)}")
 
@@ -250,6 +252,8 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                 _inner_shape(qv, depth),
                 int(qmin[1]) if qmin else None,
                 int(qmax[1]) if qmax else None)
+            qd = one(ppo, "qualifiedValueShapesDisjoint")
+            ps.qualified_disjoint = bool(qd) and qd[1] == "true"
         _term_constraints(ppo, ps.constraints)
         return ps
 
@@ -654,13 +658,25 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
             if ps.qualified:
                 # QualifiedValueShape: count the value nodes CONFORMING
                 # to the inner shape per focus, then bound-check — one
-                # flag pass + one aggregation (sibling disjointness not
-                # supported; no sh:qualifiedValueShapesDisjoint)
+                # flag pass + one aggregation. With
+                # sh:qualifiedValueShapesDisjoint, a value node counts
+                # only if it does NOT also conform to any SIBLING
+                # qualified shape (other property shapes of the same
+                # node shape, ``QualifiedValueShape.java`` sibling
+                # collection) — one extra flag pass + anti-join per
+                # sibling, still set-based.
                 ish, qmin, qmax = ps.qualified
                 flags = _conform_flags(data, ish, vals)
                 qv = vals.withColumn("_nkk", _nk()).join(
                     flags.where(F.col("_ok")).select(
                         F.col("_nk").alias("_nkk")), "_nkk")
+                if ps.qualified_disjoint:
+                    for sib in (o.qualified[0] for o in ns.properties
+                                if o is not ps and o.qualified):
+                        sib_ok = _conform_flags(data, sib, vals) \
+                            .where(F.col("_ok")) \
+                            .select(F.col("_nk").alias("_nkk"))
+                        qv = qv.join(sib_ok, "_nkk", "left_anti")
                 qcounts = focus.join(
                     qv.groupBy("focus_kind", "focus")
                       .agg(F.count(F.lit(1)).alias("qn")),

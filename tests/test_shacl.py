@@ -421,6 +421,45 @@ def test_qualified_value_shape(spark):
              None, None)])))
 
 
+def test_qualified_value_shapes_disjoint(spark):
+    """sh:qualifiedValueShapesDisjoint: a value node conforming to a
+    SIBLING qualified shape is excluded from the conforming count
+    (spec 4.5.1; Jena QualifiedValueShape sibling collection)."""
+    extra = [
+        ("bnode", "_:p", SH + "qualifiedValueShape", "bnode", "_:qa", None, None),
+        ("bnode", "_:p", SH + "qualifiedMinCount", "literal", "1",
+         XSD + "integer", None),
+        ("bnode", "_:p", SH + "qualifiedValueShapesDisjoint", "literal",
+         "true", XSD + "boolean", None),
+        ("bnode", "_:qa", SH + "pattern", "literal", "^A", None, None),
+        # sibling property shape on the same node shape
+        ("iri", EX + "PersonShape", SH + "property", "bnode", "_:p2", None, None),
+        ("bnode", "_:p2", SH + "path", "iri", EX + "name", None, None),
+        ("bnode", "_:p2", SH + "qualifiedValueShape", "bnode", "_:qb", None, None),
+        ("bnode", "_:p2", SH + "qualifiedMinCount", "literal", "1",
+         XSD + "integer", None),
+        ("bnode", "_:p2", SH + "qualifiedValueShapesDisjoint", "literal",
+         "true", XSD + "boolean", None),
+        ("bnode", "_:qb", SH + "pattern", "literal", "a$", None, None),
+    ]
+    # a distinct witness per qualified shape plus one both-matching
+    # value -> still conforms (the shared value is dropped from both)
+    ok = _person([("literal", "Ax", None, None), ("literal", "ba", None, None),
+                  ("literal", "Aa", None, None)])
+    assert viol(spark, ok, extra) == set()
+    # ONLY the both-matching value: disjointness removes it from BOTH
+    # counts -> two qualifiedMinCount violations (without the flag this
+    # data conforms — that's the discriminating case)
+    bad = _person([("literal", "Aa", None, None)])
+    # both sibling shapes violate; the rows collapse to one because the
+    # report keys on (shape, path, constraint, value) and both property
+    # shapes share ex:name
+    assert viol(spark, bad, extra) == {("qualifiedMinCount", "0")}
+    # flag off (explicit false): the shared value counts for both
+    no_flag = [r for r in extra if r[2] != SH + "qualifiedValueShapesDisjoint"]
+    assert viol(spark, bad, no_flag) == set()
+
+
 def test_language_in(spark):
     """sh:languageIn (StrLanguageIn): lang tag must match a basic
     language range — case-insensitive, range-prefix semantics."""
