@@ -174,8 +174,10 @@ def _pt_on_boundary(pt: Column, g: Column) -> Column:
     px, py = pt[0], pt[1]
     line = g.rings[0]
     return (
-        F.when(g.gtype == "POLYGON",
-               F.exists(_all_edges(g), lambda e: _on_segment(px, py, e)))
+        # EMPTY first: ANSI mode throws on rings[0] of an empty array
+        F.when(F.size(g.rings) == 0, F.lit(False))
+        .when(g.gtype == "POLYGON",
+              F.exists(_all_edges(g), lambda e: _on_segment(px, py, e)))
         .when(g.gtype == "LINESTRING",
               _pt_eq(pt, F.element_at(line, 1))
               | _pt_eq(pt, F.element_at(line, -1)))
@@ -192,7 +194,8 @@ def _pt_in_interior(pt: Column, g: Column) -> Column:
         lambda r: _ray_odd(px, py, r),
     )
     return (
-        F.when(g.gtype == "POINT", _pt_eq(pt, g.rings[0][0]))
+        F.when(F.size(g.rings) == 0, F.lit(False))
+        .when(g.gtype == "POINT", _pt_eq(pt, g.rings[0][0]))
         .when(g.gtype == "LINESTRING", on_any_edge & ~_pt_on_boundary(pt, g))
         .when(g.gtype == "POLYGON", in_shell & ~in_hole & ~on_any_edge)
         .otherwise(F.lit(False))
@@ -210,7 +213,8 @@ def _pt_in_closure(pt: Column, g: Column) -> Column:
         ),
     )
     return (
-        F.when(g.gtype == "POINT", _pt_eq(pt, g.rings[0][0]))
+        F.when(F.size(g.rings) == 0, F.lit(False))
+        .when(g.gtype == "POINT", _pt_eq(pt, g.rings[0][0]))
         .when(g.gtype == "LINESTRING", on_any_edge)
         .when(g.gtype == "POLYGON", (in_shell & ~in_hole_int) | on_any_edge)
         .otherwise(F.lit(False))
@@ -263,6 +267,11 @@ def primitives(wkt1: Column, wkt2: Column) -> Column:
     # in the interior of a point/line claims an interior overlap that
     # does not exist (e.g. a point lying ON a polygon edge).
     dim_a, dim_b = _dim(a), _dim(b)
+    # EMPTY operand: every witness is false (JTS relate on an empty
+    # geometry gives the all-F disjoint matrix — disjoint true, equals
+    # false even empty-vs-empty). The forall witnesses are vacuously
+    # true over an empty sample set, so they need the explicit gate.
+    both = (F.size(a.rings) > 0) & (F.size(b.rings) > 0)
 
     def int_wit(x, y, dim_y):
         return F.exists(
@@ -276,17 +285,23 @@ def primitives(wkt1: Column, wkt2: Column) -> Column:
         dim_b.alias("dim_b"),
         (a.gtype == "LINESTRING").alias("line_a"),
         (b.gtype == "LINESTRING").alias("line_b"),
-        _any_edge_pair(a, b, _seg_proper_cross).alias("proper_cross"),
-        _any_edge_pair(a, b, _seg_touch).alias("edge_touch"),
-        F.exists(_vertices(a), lambda p: _pt_in_closure(p, b)).alias("a_vert_cl_b"),
-        F.exists(_vertices(b), lambda p: _pt_in_closure(p, a)).alias("b_vert_cl_a"),
-        F.forall(_samples(a), lambda p: _pt_in_closure(p, b)).alias("a_all_cl_b"),
-        F.forall(_samples(b), lambda p: _pt_in_closure(p, a)).alias("b_all_cl_a"),
-        int_wit(a, b, dim_b).alias("a_int_b"),
-        int_wit(b, a, dim_a).alias("b_int_a"),
+        (both & _any_edge_pair(a, b, _seg_proper_cross)).alias("proper_cross"),
+        (both & _any_edge_pair(a, b, _seg_touch)).alias("edge_touch"),
+        (both & F.exists(_vertices(a), lambda p: _pt_in_closure(p, b))
+         ).alias("a_vert_cl_b"),
+        (both & F.exists(_vertices(b), lambda p: _pt_in_closure(p, a))
+         ).alias("b_vert_cl_a"),
+        (both & F.forall(_samples(a), lambda p: _pt_in_closure(p, b))
+         ).alias("a_all_cl_b"),
+        (both & F.forall(_samples(b), lambda p: _pt_in_closure(p, a))
+         ).alias("b_all_cl_a"),
+        (both & int_wit(a, b, dim_b)).alias("a_int_b"),
+        (both & int_wit(b, a, dim_a)).alias("b_int_a"),
         (
-            F.exists(_samples(a), lambda p: _pt_on_boundary(p, b))
-            | F.exists(_samples(b), lambda p: _pt_on_boundary(p, a))
+            both & (
+                F.exists(_samples(a), lambda p: _pt_on_boundary(p, b))
+                | F.exists(_samples(b), lambda p: _pt_on_boundary(p, a))
+            )
         ).alias("bnd_contact"),
     )
 
@@ -482,15 +497,6 @@ def eh_covers(w1, w2):
 # === non-topological (``geof/nontopological/filter_functions``) =============
 
 
-def _dim(g: Column) -> Column:
-    return (
-        F.when(g.gtype == "POINT", F.lit(0))
-        .when(g.gtype == "LINESTRING", F.lit(1))
-        .when(g.gtype == "POLYGON", F.lit(2))
-        .otherwise(F.lit(-1))
-    )
-
-
 def geof_get_srid(wkt: Column) -> Column:
     """geof:getSRID (``GetSRIDFF.java``): the literal's CRS IRI
     (default CRS84 when no prefix)."""
@@ -546,13 +552,20 @@ def geof_is_simple(wkt: Column) -> Column:
 
 def geof_envelope(wkt: Column) -> Column:
     """geof:envelope (``EnvelopFF.java``): the bounding box as a WKT
-    polygon (degenerate boxes collapse to POINT, like JTS)."""
+    polygon. Degenerate envelopes follow JTS ``Geometry.getEnvelope``:
+    0-dimensional collapses to POINT, 1-dimensional (horizontal or
+    vertical extent only) to a LINESTRING, empty input to POINT EMPTY."""
     g = parse_wkt(wkt)
     xs = F.transform(_vertices(g), lambda c: c[0])
     ys = F.transform(_vertices(g), lambda c: c[1])
     x0, x1 = F.array_min(xs), F.array_max(xs)
     y0, y1 = F.array_min(ys), F.array_max(ys)
     point = F.concat(F.lit("POINT ("), _fmt(x0), F.lit(" "), _fmt(y0), F.lit(")"))
+    line = F.concat(
+        F.lit("LINESTRING ("),
+        _fmt(x0), F.lit(" "), _fmt(y0), F.lit(", "),
+        _fmt(x1), F.lit(" "), _fmt(y1), F.lit(")"),
+    )
     poly = F.concat(
         F.lit("POLYGON (("),
         _fmt(x0), F.lit(" "), _fmt(y0), F.lit(", "),
@@ -561,7 +574,12 @@ def geof_envelope(wkt: Column) -> Column:
         _fmt(x0), F.lit(" "), _fmt(y1), F.lit(", "),
         _fmt(x0), F.lit(" "), _fmt(y0), F.lit("))"),
     )
-    return F.when((x0 == x1) & (y0 == y1), point).otherwise(poly)
+    return (
+        F.when(F.size(g.rings) == 0, F.lit("POINT EMPTY"))
+        .when((x0 == x1) & (y0 == y1), point)
+        .when((x0 == x1) | (y0 == y1), line)
+        .otherwise(poly)
+    )
 
 
 def geof_boundary(wkt: Column) -> Column:
@@ -581,7 +599,11 @@ def geof_boundary(wkt: Column) -> Column:
         F.lit("), ("), _fmt(last[0]), F.lit(" "), _fmt(last[1]), F.lit("))"),
     )
     return (
-        F.when(g.gtype == "POLYGON", F.concat(F.lit("LINESTRING ("), ring_txt, F.lit(")")))
+        # EMPTY first (ANSI throws on rings[0] of an empty array); a
+        # point's boundary is the empty set too (JTS)
+        F.when(F.size(g.rings) == 0, F.lit("GEOMETRYCOLLECTION EMPTY"))
+        .when(g.gtype == "POLYGON",
+              F.concat(F.lit("LINESTRING ("), ring_txt, F.lit(")")))
         .when(g.gtype == "LINESTRING", multipoint)
         .otherwise(F.lit("GEOMETRYCOLLECTION EMPTY"))
     )

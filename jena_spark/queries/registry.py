@@ -398,7 +398,10 @@ def _q_bgp_triangle(spark, sf):
         F.lit("iri").alias("o_kind"), F.col("e2").alias("o_val"),
         F.lit(None).cast("string").alias("o_datatype"),
         F.lit(None).cast("string").alias("o_lang"),
-    )
+        # three BGP consumers below — without truncation Spark replays
+        # the mention self-join + distinct subtree once per pattern
+        # (no common-subplan reuse; CLAUDE.md quirk)
+    ).localCheckpoint(eager=False)
     b = A.bgp(edges, [(Var("a"), _P_COMENTION, Var("b")),
                       (Var("b"), _P_COMENTION, Var("c")),
                       (Var("c"), _P_COMENTION, Var("a"))])

@@ -127,6 +127,17 @@ _REL_CASES = [
         (G.sf_within, "LINESTRING (5 5, 5 20)", LINE_ACROSS, False),
         # colinear sub-segment IS within
         (G.sf_within, "LINESTRING (0 5, 5 5)", LINE_ACROSS, True),
+        # EMPTY operands: all-F relate matrix (JTS) — disjoint true,
+        # everything else false, even empty-vs-empty equals; must not
+        # crash under ANSI mode (rings[0] of an empty array throws)
+        (G.sf_disjoint, "POINT EMPTY", SQ, True),
+        (G.sf_intersects, "POINT EMPTY", SQ, False),
+        (G.sf_within, "POINT EMPTY", SQ, False),
+        (G.sf_contains, SQ, "POLYGON EMPTY", False),
+        (G.sf_equals, "POINT EMPTY", "POINT EMPTY", False),
+        (G.sf_disjoint, "LINESTRING EMPTY", "POLYGON EMPTY", True),
+        (G.rcc8_dc, "POLYGON EMPTY", SQ, True),
+        (G.eh_disjoint, SQ, "LINESTRING EMPTY", True),
 ]
 
 
@@ -181,6 +192,18 @@ def test_non_topological(spark):
         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
     )
     assert _eval(spark, G.geof_envelope, PT_IN) == "POINT (3 3)"
+    # 1-D envelopes are LINESTRINGs, empty input POINT EMPTY (JTS
+    # Geometry.getEnvelope degenerate cases)
+    assert _eval(spark, G.geof_envelope, "LINESTRING (3 1, 3 9)") == (
+        "LINESTRING (3 1, 3 9)"
+    )
+    assert _eval(spark, G.geof_envelope, "LINESTRING (1 3, 9 3, 5 3)") == (
+        "LINESTRING (1 3, 9 3)"
+    )
+    assert _eval(spark, G.geof_envelope, "POLYGON EMPTY") == "POINT EMPTY"
+    assert _eval(spark, G.geof_boundary, "LINESTRING EMPTY") == (
+        "GEOMETRYCOLLECTION EMPTY"
+    )
     assert _eval(spark, G.geof_boundary, SQ) == (
         "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)"
     )
