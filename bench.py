@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     # battery exercises the one-pass primitives struct)
     "kg_geof_point_in_polygon",
     "kg_geof_relations",
+    # GenericRuleReasoner: user rule file, semi-naive forward fixpoint
+    "kg_rule_reasoner",
 ]
 
 

@@ -1,0 +1,605 @@
+"""GenericRuleReasoner analog: user-defined forward rules on DataFrames.
+
+Reference contract (paths relative to /root/reference):
+
+* Rule syntax — the embedded recursive-descent grammar of
+  ``jena-core/.../reasoner/rulesys/Rule.java`` (doc comment :72-82,
+  ``Parser.parseRule`` :1029, ``parseNode`` :920-951, ``parseNumber``
+  :953-970): ``[name: (s p o), builtin(args) -> (s p o)]``, commas
+  ignored, ``?x`` variables, ``<iri>`` / ``pre:local`` IRIs (resolved
+  against ``@prefix`` lines like ``Rule.rulesParserFromReader``
+  :545-560), quoted literals with optional ``^^dt``, bare numbers
+  (no dot -> xsd:int, dot -> xsd:float, same as ``parseNumber``).
+* Engine — ``GenericRuleReasoner.java`` in FORWARD mode drives
+  ``FRuleEngine.java`` (naive forward fixpoint; ``RETEEngine.java`` is
+  the incremental variant): fire every rule against the current graph,
+  assert the consequents, repeat until no new triple appears.
+* Builtins — ``reasoner/rulesys/builtins/`` (one class per builtin;
+  the subset table below cites each).
+
+Spark-first design (100 TB posture): each rule body is a conjunctive
+query — exactly a BGP — so a rule firing is the existing
+:mod:`jena_spark.queries.algebra` machinery: per-pattern filtered
+scans joined on shared variables (ReorderFixed-ordered), guard
+builtins as Catalyst filter expressions, binding builtins as projected
+columns, the head as a projection back onto the term columns. The
+fixpoint loop is SEMI-NAIVE rather than the reference's naive re-fire:
+after the first round each k-pattern rule is evaluated as k variants
+where one pattern reads the per-round DELTA and the rest read the full
+graph — any new derivation must use at least one new triple, so the
+variants are complete, and the per-round anti-join keeps the delta
+shrinking. Rounds are ``localCheckpoint``-ed (the repo-wide rule:
+a frame with many consumers is otherwise replayed per consumer).
+
+Deviations from the reference, all raised loudly rather than silently
+mis-evaluated: backward rules (``<-``), nested rule heads, functor
+terms in patterns, ``@include``, and the non-deterministic or
+procedural builtins (``makeTemp``, ``now``, ``print``, ``drop``,
+``remove``, ``hide``, ``table``/``tableAll``, ``makeInstance``) are
+``ValueError``s. ``noValue`` is negation-as-failure evaluated against
+the graph state at fire time — same non-monotone caveat as the
+reference engine. Numeric comparison builtins compare numbers only
+(``Util.comparable`` also admits date pairs; dates are unsupported
+here).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jena_spark import terms as TM
+from jena_spark.queries import algebra as A
+from jena_spark.queries.algebra import Var
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# PrintUtil.registerPrefixUsage defaults (PrintUtil.java) — the global
+# prefix map rule files rely on without declaring
+_BUILTIN_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": XSD,
+}
+
+# Const term: (kind, val, datatype, lang) — the graph.TermSpec tuple.
+Const = tuple
+
+
+@dataclass(frozen=True)
+class BuiltinCall:
+    name: str
+    args: tuple  # of Var | Const
+
+
+@dataclass
+class ParsedRule:
+    name: str | None
+    body_patterns: list[tuple]  # (s, p, o) of Var | Const
+    body_builtins: list[BuiltinCall]  # in textual order
+    head_patterns: list[tuple]
+    head_builtins: list[BuiltinCall] = field(default_factory=list)
+
+
+# --- tokenizer / parser ------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+ | \#[^\n]* |              # whitespace / comments (Tokenizer.java)
+    (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")(?P<dt>\^\^\S+?(?=[\s,()\[\]]|$))? |
+    (?P<iri><[^<>\s]*>) |   # no spaces/brackets inside an IRI, so '<-' never matches
+    (?P<punct>->|<-|[\[\](),]) |
+    (?P<word>[^\s,()\[\]]+)
+    """,
+    re.VERBOSE,
+)
+
+_ESC = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"'}
+
+
+def _unquote(tok: str) -> str:
+    body = tok[1:-1]
+    return re.sub(r"\\(.)", lambda m: _ESC.get(m.group(1), m.group(1)), body)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ValueError(f"rule syntax error at {text[pos:pos+30]!r}")
+        pos = m.end()
+        if m.group("str") is not None:
+            out.append(("lit", _unquote(m.group("str"))))
+            if m.group("dt"):
+                out.append(("dt", m.group("dt")[2:]))
+        elif m.group("iri") is not None:
+            out.append(("iri", m.group("iri")[1:-1]))
+        elif m.group("punct") is not None:
+            if m.group("punct") != ",":  # commas are ignored (Rule.java:81)
+                out.append(("punct", m.group("punct")))
+        elif m.group("word") is not None:
+            out.append(("word", m.group("word")))
+    return out
+
+
+_PASSTHROUGH_SCHEMES = ("http", "urn", "file", "ftp", "mailto")
+
+
+class _Parser:
+    """Recursive-descent over the token list (Parser, Rule.java:699)."""
+
+    def __init__(self, tokens: list[tuple[str, str]], prefixes: dict[str, str]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes = dict(_BUILTIN_PREFIXES) | prefixes
+        self._anon = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        kind, tok = self.next()
+        if tok != val:
+            raise ValueError(f"expected {val!r}, found {tok!r}")
+
+    def _expand(self, word: str) -> str:
+        pre, _, local = word.partition(":")
+        if pre in self.prefixes:
+            return self.prefixes[pre] + local
+        if pre in _PASSTHROUGH_SCHEMES:  # parseNode:938-942
+            return word
+        raise ValueError(f"unrecognized qname prefix ({pre}) in rule")
+
+    def parse_term(self):
+        kind, tok = self.next()
+        if kind == "iri":
+            return ("iri", tok, None, None)
+        if kind == "lit":
+            if self.peek()[0] == "dt":
+                dt = self.next()[1]
+                if ":" in dt and not dt.startswith("<"):
+                    dt = self._expand(dt)
+                else:
+                    dt = dt.strip("<>")
+                return ("literal", tok, dt, None)
+            return ("literal", tok, None, None)
+        if kind != "word":
+            raise ValueError(f"unexpected token {tok!r} in term position")
+        if tok.startswith("?"):
+            return Var(tok[1:])
+        if tok in ("*", "_"):  # parseNode:924 — dropped in the reference too
+            raise ValueError("wildcard variables are not supported")
+        if ":" in tok:
+            return ("iri", self._expand(tok), None, None)
+        # bare token: number or plain literal (parseNumber:953-970)
+        if re.fullmatch(r"-?\d+", tok):
+            return ("literal", tok, XSD + "int", None)
+        if re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?", tok):
+            return ("literal", tok, XSD + "float", None)
+        return ("literal", tok, None, None)
+
+    def parse_clause(self):
+        """One body/head clause: triple pattern, builtin call, or the
+        unsupported nested rule (parseClause, Rule.java:995)."""
+        kind, tok = self.peek()
+        if tok == "(":
+            self.next()
+            terms = []
+            while self.peek()[1] != ")":
+                terms.append(self.parse_term())
+            self.next()
+            if len(terms) != 3:
+                raise ValueError(f"triple pattern needs 3 terms, got {len(terms)}")
+            return ("pattern", tuple(terms))
+        if tok == "[":
+            raise ValueError("nested (backward) rules are not supported")
+        if kind == "word" and not tok.startswith("?"):
+            name = self.next()[1]
+            self.expect("(")
+            args = []
+            while self.peek()[1] != ")":
+                args.append(self.parse_term())
+            self.next()
+            return ("builtin", BuiltinCall(name, tuple(args)))
+        raise ValueError(f"unexpected token {tok!r} at clause position")
+
+    def parse_rule(self) -> ParsedRule:
+        self.expect("[")
+        name = None
+        # optional "name:" prefix — a word token ending in ':' that is
+        # NOT a resolvable qname followed by a clause opener
+        kind, tok = self.peek()
+        if kind == "word" and tok.endswith(":"):
+            name = tok[:-1]
+            self.next()
+        body_p, body_b = [], []
+        while self.peek()[1] != "->":
+            if self.peek()[1] == "<-":
+                raise ValueError("backward rules (<-) are not supported")
+            what, clause = self.parse_clause()
+            (body_p if what == "pattern" else body_b).append(clause)
+        self.next()  # ->
+        head_p, head_b = [], []
+        while self.peek()[1] != "]":
+            what, clause = self.parse_clause()
+            (head_p if what == "pattern" else head_b).append(clause)
+        self.next()  # ]
+        if not head_p and not head_b:
+            raise ValueError("rule has an empty head")
+        for b in head_b:
+            raise ValueError(
+                f"head builtin {b.name!r} is not supported (procedural "
+                "attachments are driver-side effects, not graph rows)")
+        return ParsedRule(name, body_p, body_b, head_p)
+
+
+def parse_rules(text: str) -> list[ParsedRule]:
+    """``Rule.parseRules`` for the supported forward subset.
+
+    Handles ``@prefix pre: <uri>.`` lines (rulesParserFromReader,
+    ``Rule.java:545-560``); ``@include`` raises (no rule library files
+    in this engine — inline the rules)."""
+    prefixes: dict[str, str] = {}
+    rule_lines: list[str] = []
+    for line in text.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("@prefix"):
+            m = re.match(r"@prefix\s+(\w*):\s*<([^>]*)>\s*\.?\s*$", stripped)
+            if not m:
+                raise ValueError(f"malformed @prefix line: {stripped!r}")
+            prefixes[m.group(1)] = m.group(2)
+        elif stripped.startswith("@include"):
+            raise ValueError("@include is not supported — inline the rules")
+        else:
+            rule_lines.append(line)
+    toks = _tokenize("\n".join(rule_lines))
+    p = _Parser(toks, prefixes)
+    rules = []
+    while p.peek()[0] != "eof":
+        rules.append(p.parse_rule())
+        if p.peek()[1] == ".":  # optional separator
+            p.next()
+    if not rules:
+        raise ValueError("no rules found")
+    return rules
+
+
+# --- builtin evaluation ------------------------------------------------------
+
+_UNSUPPORTED = {
+    "makeTemp": "non-deterministic bnode allocation (determinism policy — "
+                "use makeSkolem)",
+    "now": "non-deterministic (determinism policy)",
+    "print": "procedural side effect",
+    "drop": "mutates the rule set at run time",
+    "remove": "non-monotonic retraction",
+    "hide": "engine directive",
+    "table": "backward-engine directive",
+    "tableAll": "backward-engine directive",
+    "makeInstance": "backward-engine helper",
+    "isFunctor": "functor terms are unsupported",
+    "notFunctor": "functor terms are unsupported",
+}
+
+
+def _lex(t, df_cols: set[str]) -> Column:
+    """Lexical form of a term (StrConcat.lex — bnodes print their id)."""
+    if isinstance(t, Var):
+        if t.name not in df_cols:
+            raise ValueError(f"builtin argument ?{t.name} is unbound")
+        return F.col(t.name).getField("val")
+    return F.lit(t[1])
+
+
+def _num(t, df_cols: set[str]) -> Column:
+    return _lex(t, df_cols).try_cast("double")
+
+
+def _struct(t, df_cols: set[str]) -> Column:
+    if isinstance(t, Var):
+        if t.name not in df_cols:
+            raise ValueError(f"builtin argument ?{t.name} is unbound")
+        return F.col(t.name)
+    kind, val, dt, lang = t
+    return F.struct(
+        F.lit(kind).alias("kind"), F.lit(val).alias("val"),
+        F.lit(dt or "").alias("datatype"), F.lit(lang or "").alias("lang"),
+    )
+
+
+def _plain_literal(val: Column) -> Column:
+    return F.struct(
+        F.lit("literal").alias("kind"), val.alias("val"),
+        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+    )
+
+
+_INT_DTS = {
+    XSD + s for s in (
+        "int", "integer", "long", "short", "byte", "nonNegativeInteger",
+        "nonPositiveInteger", "positiveInteger", "negativeInteger",
+        "unsignedInt", "unsignedLong", "unsignedShort", "unsignedByte",
+    )
+}
+
+
+def _is_int_term(t, df_cols: set[str]) -> Column:
+    if isinstance(t, Var):
+        return F.col(t.name).getField("datatype").isin(*sorted(_INT_DTS))
+    return F.lit(t[2] in _INT_DTS)
+
+
+def _numeric_result(a, b, op, df_cols: set[str]) -> Column:
+    """Arithmetic builtins preserve int-ness when both args are integer
+    literals (Util.makeIntNode vs makeDoubleNode in Sum.java etc.)."""
+    x, y = _num(a, df_cols), _num(b, df_cols)
+    val = op(x, y)
+    both_int = _is_int_term(a, df_cols) & _is_int_term(b, df_cols)
+    return F.when(
+        both_int,
+        F.struct(F.lit("literal").alias("kind"),
+                 val.try_cast("long").cast("string").alias("val"),
+                 F.lit(XSD + "int").alias("datatype"), F.lit("").alias("lang")),
+    ).otherwise(
+        F.struct(F.lit("literal").alias("kind"),
+                 val.cast("string").alias("val"),
+                 F.lit(XSD + "double").alias("datatype"), F.lit("").alias("lang"))
+    )
+
+
+def _bind(df: DataFrame, out, col: Column) -> DataFrame:
+    """Bind a builtin result: new column if the output arg is an unbound
+    var, equality filter if already bound (BindingEnvironment.bind)."""
+    if not isinstance(out, Var):
+        return df.where(_struct(out, set(df.columns)) == col)
+    if out.name in df.columns:
+        return df.where(F.col(out.name) == col)
+    return df.withColumn(out.name, col)
+
+
+def _apply_builtin(df: DataFrame, b: BuiltinCall, graph: DataFrame) -> DataFrame:
+    """One body builtin as a Catalyst filter / projected column.
+
+    Each branch cites its reference class in
+    ``jena-core/.../reasoner/rulesys/builtins/``."""
+    cols = set(df.columns)
+    n, a = b.name, list(b.args)
+
+    def need(k: int):
+        if len(a) != k:
+            raise ValueError(f"builtin {n} expects {k} args, got {len(a)}")
+
+    if n in _UNSUPPORTED:
+        raise ValueError(f"builtin {n!r} is not supported: {_UNSUPPORTED[n]}")
+
+    # -- guards (filter builtins) --
+    if n in ("equal", "notEqual"):  # Equal.java / NotEqual.java: sameValueAs
+        need(2)
+        x, y = _struct(a[0], cols), _struct(a[1], cols)
+        nx, ny = _num(a[0], cols), _num(a[1], cols)
+        same = (x == y) | (nx.isNotNull() & ny.isNotNull() & (nx == ny))
+        return df.where(same if n == "equal" else ~same)
+    if n in ("lessThan", "greaterThan", "le", "ge"):
+        # LessThan/GreaterThan/LE/GE.java: Util.comparable + typed compare
+        # (numbers only here; reference also compares date pairs)
+        need(2)
+        x, y = _num(a[0], cols), _num(a[1], cols)
+        cmp = {"lessThan": x < y, "greaterThan": x > y, "le": x <= y, "ge": x >= y}[n]
+        return df.where(x.isNotNull() & y.isNotNull() & cmp)
+    if n in ("isLiteral", "notLiteral", "isBNode", "notBNode"):
+        need(1)
+        kind = "literal" if "Literal" in n else "bnode"
+        cond = _struct(a[0], cols).getField("kind") == kind
+        return df.where(cond if n.startswith("is") else ~cond)
+    if n in ("isDType", "notDType"):  # IsDType.java: literal of the datatype
+        need(2)
+        s = _struct(a[0], cols)
+        cond = (s.getField("kind") == "literal") & (
+            s.getField("datatype") == _lex(a[1], cols))
+        return df.where(cond if n == "isDType" else ~cond)
+    if n in ("bound", "unbound"):  # Bound.java / Unbound.java
+        need(1)
+        cond = (_struct(a[0], cols).isNotNull()
+                if isinstance(a[0], Var) and a[0].name in cols else F.lit(not isinstance(a[0], Var)))
+        return df.where(cond if n == "bound" else ~cond)
+    if n == "noValue":  # NoValue.java: no triple (s,p,*) / (s,p,o) exists
+        if len(a) not in (2, 3):
+            raise ValueError("noValue expects (s,p) or (s,p,o)")
+        cond = F.lit(True)
+        g = graph.select(*TM.TERM_COLS)
+        for pos, term in zip(("s", "p", "o"), a + [None] * (3 - len(a))):
+            if term is None:
+                continue
+            t = _struct(term, cols)
+            if pos == "s":
+                cond = cond & (F.col("s_kind") == t.getField("kind")) & (
+                    F.col("s_val") == t.getField("val"))
+            elif pos == "p":
+                cond = cond & (F.col("p_val") == t.getField("val"))
+            else:
+                cond = cond & (F.col("o_kind") == t.getField("kind")) & (
+                    F.col("o_val") == t.getField("val")) & (
+                    F.coalesce(F.col("o_datatype"), F.lit("")) == t.getField("datatype")) & (
+                    F.coalesce(F.col("o_lang"), F.lit("")) == t.getField("lang"))
+        return df.join(g, cond, "left_anti")
+    if n == "regex":  # Regex.java: full-region match, groups bind trailing args
+        if len(a) < 2:
+            raise ValueError("regex expects (text, pattern[, groups...])")
+        if not (isinstance(a[1], tuple) and a[1][0] == "literal"):
+            raise ValueError("regex pattern must be a literal constant")
+        pat = "^(?:" + a[1][1] + ")$"  # Matcher.matches() anchoring
+        out = df.where(_lex(a[0], cols).rlike(pat))
+        for i, g_arg in enumerate(a[2:], start=1):
+            out = _bind(out, g_arg,
+                        _plain_literal(F.regexp_extract(_lex(a[0], set(out.columns)), pat, i)))
+        return out
+    if n == "countLiteralValues":  # CountLiteralValues.java
+        raise ValueError("countLiteralValues is not supported (aggregate "
+                         "over the graph — use a DataFrame groupBy instead)")
+    if n.startswith("list"):
+        raise ValueError(f"builtin {n!r} is not supported (RDF list walks — "
+                         "use queries.propfunc list:* property functions)")
+
+    # -- binders --
+    if n in ("strConcat", "uriConcat"):  # StrConcat.java / UriConcat.java
+        if len(a) < 1:
+            raise ValueError(f"{n} needs at least the output argument")
+        val = F.concat(*[_lex(x, cols) for x in a[:-1]]) if len(a) > 1 else F.lit("")
+        col = (_plain_literal(val) if n == "strConcat" else
+               F.struct(F.lit("iri").alias("kind"), val.alias("val"),
+                        F.lit("").alias("datatype"), F.lit("").alias("lang")))
+        return _bind(df, a[-1], col)
+    if n in ("sum", "difference", "product", "quotient", "min", "max"):
+        # Sum/Difference/Product/Quotient/Min/Max.java: (a, b, ?c)
+        need(3)
+        ops = {
+            "sum": lambda x, y: x + y, "difference": lambda x, y: x - y,
+            "product": lambda x, y: x * y, "quotient": lambda x, y: x / y,
+            "min": F.least, "max": F.greatest,
+        }
+        return _bind(df, a[2], _numeric_result(a[0], a[1], ops[n], cols))
+    if n == "addOne":  # AddOne.java: (a, ?b)
+        need(2)
+        one = ("literal", "1", XSD + "int", None)
+        return _bind(df, a[1], _numeric_result(a[0], one, lambda x, y: x + y, cols))
+    if n == "makeSkolem":  # MakeSkolem.java: ?out <- bnode keyed on args
+        if len(a) < 1:
+            raise ValueError("makeSkolem needs the output argument first")
+        key = F.concat_ws(
+            "", *[_struct(x, cols).cast("string") for x in a[1:]])
+        col = F.struct(F.lit("bnode").alias("kind"),
+                       F.concat(F.lit("skolem-"), F.md5(key)).alias("val"),
+                       F.lit("").alias("datatype"), F.lit("").alias("lang"))
+        return _bind(df, a[0], col)
+
+    raise ValueError(f"unknown builtin {n!r} (BuiltinRegistry has no analog here)")
+
+
+# --- head emission -----------------------------------------------------------
+
+def _head_cols(term, pos: str, cols: set[str]) -> list[Column]:
+    """Project one head-pattern position onto the term columns."""
+    if isinstance(term, Var):
+        if term.name not in cols:
+            raise ValueError(f"head variable ?{term.name} is unbound in the body")
+        s = F.col(term.name)
+        kind, val = s.getField("kind"), s.getField("val")
+        dt = F.nullif(s.getField("datatype"), F.lit(""))
+        lang = F.nullif(s.getField("lang"), F.lit(""))
+    else:
+        k, v_, d, lg = term
+        kind, val = F.lit(k), F.lit(v_)
+        dt, lang = F.lit(d).cast("string"), F.lit(lg).cast("string")
+    if pos == "s":
+        return [kind.alias("s_kind"), val.alias("s_val")]
+    if pos == "p":
+        return [val.alias("p_val")]
+    return [kind.alias("o_kind"), val.alias("o_val"),
+            dt.alias("o_datatype"), lang.alias("o_lang")]
+
+
+def _emit_head(bindings: DataFrame, patterns: list[tuple]) -> DataFrame:
+    cols = set(bindings.columns)
+    outs = []
+    for s, p, o in patterns:
+        proj = _head_cols(s, "s", cols) + _head_cols(p, "p", cols) + _head_cols(o, "o", cols)
+        outs.append(bindings.select(*proj).select(*TM.TERM_COLS))
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out
+
+
+# --- the forward engine ------------------------------------------------------
+
+def _fire_rule(rule: ParsedRule, frames: list[DataFrame], graph: DataFrame) -> DataFrame:
+    """One rule firing: BGP join chain (pattern i reads frames[i]),
+    builtins in textual order, head projection."""
+    out = None
+    for pat, frame in zip(rule.body_patterns, frames):
+        step = A.triple_pattern(frame, pat)
+        out = step if out is None else A.join(out, step)
+    if out is None:
+        if rule.body_builtins:
+            raise ValueError(
+                f"rule {rule.name or '<anon>'} has no body triple pattern — "
+                "builtin-only bodies cannot be evaluated against a graph")
+        # axiom rule "-> (a p b)": one unconditional firing with a
+        # no-variable binding row (Rule.java axioms; FRuleEngine adds
+        # them before the fixpoint)
+        out = graph.sparkSession.range(1).select()
+    for b in rule.body_builtins:
+        out = _apply_builtin(out, b, graph)
+    return _emit_head(out, rule.head_patterns)
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _anti(new: DataFrame, seen: DataFrame) -> DataFrame:
+    d, b = new.alias("d"), seen.alias("b")
+    cond = F.lit(True)
+    for c in TM.TERM_COLS:
+        cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return d.join(b, cond, "left_anti")
+
+
+def rule_closure(
+    triples: DataFrame,
+    rules: str | list[ParsedRule],
+    max_iter: int = 50,
+) -> DataFrame:
+    """Input triples + everything the forward rules entail (set
+    semantics) — ``GenericRuleReasoner`` FORWARD mode
+    (``FRuleEngine.java`` fixpoint), evaluated semi-naive (module
+    docstring). Raises after ``max_iter`` rounds without convergence
+    (a value-generating rule like recursive strConcat never converges;
+    the reference engine would spin forever)."""
+    if isinstance(rules, str):
+        rules = parse_rules(rules)
+    # logical join order per rule body: ReorderFixed, like every other
+    # BGP in this engine (builtins always evaluate after the full chain,
+    # so pattern order is semantics-free)
+    rules = [
+        ParsedRule(r.name, A.reorder_patterns(r.body_patterns),
+                   r.body_builtins, r.head_patterns)
+        for r in rules
+    ]
+    base = triples.select(*TM.TERM_COLS)
+
+    # round 0: naive — every pattern reads the base graph
+    all_df = base.localCheckpoint(eager=False)
+    derived = [
+        _fire_rule(r, [all_df] * len(r.body_patterns), all_df) for r in rules
+    ]
+    delta = _anti(_union_all(derived).dropDuplicates(TM.TERM_COLS), all_df)
+    delta = delta.localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        if delta.isEmpty():
+            return all_df
+        all_df = all_df.unionByName(delta).localCheckpoint(eager=False)
+        derived = []
+        for r in rules:
+            k = len(r.body_patterns)
+            for dpos in range(k):
+                frames = [delta if i == dpos else all_df for i in range(k)]
+                derived.append(_fire_rule(r, frames, all_df))
+        delta = _anti(_union_all(derived).dropDuplicates(TM.TERM_COLS), all_df)
+        delta = delta.localCheckpoint(eager=False)
+    raise ValueError(f"rule closure did not converge in {max_iter} rounds")

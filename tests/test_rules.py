@@ -1,0 +1,297 @@
+"""GenericRuleReasoner analog: parser + forward-engine tests.
+
+Reference: ``jena-core/.../reasoner/rulesys/Rule.java`` (embedded rule
+grammar), ``FRuleEngine.java`` (forward fixpoint),
+``rulesys/builtins/`` (builtin semantics); Jena's own tests at
+``jena-core/src/test/java/org/apache/jena/reasoner/rulesys/test/
+TestBasics.java`` (rule parsing) and ``TestFBRules.java`` (forward
+rule firing) are the model for the cases here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_spark import terms as TM
+from jena_spark.pipeline.rules import (
+    BuiltinCall,
+    ParsedRule,
+    parse_rules,
+    rule_closure,
+)
+from jena_spark.queries.algebra import Var
+
+V = "http://ex/v#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+TERM_SCHEMA = (
+    "s_kind string, s_val string, p_val string, o_kind string, "
+    "o_val string, o_datatype string, o_lang string"
+)
+
+
+def _g(spark, rows):
+    return spark.createDataFrame(rows, TERM_SCHEMA)
+
+
+def _rows(df, pred):
+    return sorted(
+        (r["s_val"], r["o_val"], r["o_datatype"], r["o_kind"])
+        for r in df.where(F.col("p_val") == pred).collect()
+    )
+
+
+# --- parser ------------------------------------------------------------------
+
+def test_parse_basic_rule():
+    rs = parse_rules(
+        "@prefix v: <http://ex/v#>.\n"
+        "[r1: (?a v:p ?b), (?b v:p ?c) -> (?a v:q ?c)]"
+    )
+    assert len(rs) == 1
+    r = rs[0]
+    assert r.name == "r1"
+    assert r.body_patterns == [
+        (Var("a"), ("iri", V + "p", None, None), Var("b")),
+        (Var("b"), ("iri", V + "p", None, None), Var("c")),
+    ]
+    assert r.head_patterns == [(Var("a"), ("iri", V + "q", None, None), Var("c"))]
+
+
+def test_parse_terms():
+    (r,) = parse_rules(
+        "[t: (?x <http://ex/p> 42), (?x rdf:type ?c), "
+        "ge(?x, 3.5), equal(?y, 'lit'^^xsd:int), equal(?z, 'plain') -> "
+        "(?x <http://ex/q> 'out')]"
+    )
+    assert r.body_patterns[0][2] == ("literal", "42", XSD + "int", None)
+    assert r.body_patterns[1][1] == ("iri", TM.RDF_TYPE, None, None)
+    ge, eq1, eq2 = r.body_builtins
+    assert ge == BuiltinCall("ge", (Var("x"), ("literal", "3.5", XSD + "float", None)))
+    assert eq1.args[1] == ("literal", "lit", XSD + "int", None)
+    assert eq2.args[1] == ("literal", "plain", None, None)
+
+
+def test_parse_anonymous_rule_and_comments():
+    rs = parse_rules(
+        "# a comment line\n"
+        "[(?a <http://ex/p> ?b) -> (?b <http://ex/p> ?a)]  # trailing\n"
+    )
+    assert rs[0].name is None and len(rs[0].body_patterns) == 1
+
+
+@pytest.mark.parametrize(
+    "text,msg",
+    [
+        ("[r: (?a <http://e/p> ?b) <- (?a <http://e/q> ?b)]", "backward"),
+        ("[r: (?a <http://e/p> ?b) -> [(?a <http://e/q> ?b) -> (?a <http://e/r> ?b)]]",
+         "nested"),
+        ("@include <owl>.\n[r: (?a <http://e/p> ?b) -> (?a <http://e/q> ?b)]",
+         "@include"),
+        ("[r: (?a unknown:p ?b) -> (?a <http://e/q> ?b)]", "prefix"),
+        ("[r: (?a <http://e/p> *) -> (?a <http://e/q> ?a)]", "wildcard"),
+        ("[r: (?a <http://e/q> ?a) -> ]", "empty"),
+    ],
+)
+def test_parse_errors(text, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_rules(text)
+
+
+def test_unsupported_builtins_raise(spark):
+    g = _g(spark, [("iri", "a", V + "p", "iri", "b", None, None)])
+    for b in ("makeTemp(?x)", "now(?x)", "print(?a)"):
+        with pytest.raises(ValueError, match="not supported"):
+            rule_closure(g, f"[r: (?a <{V}p> ?b), {b} -> (?a <{V}q> ?b)]").count()
+    with pytest.raises(ValueError, match="unknown builtin"):
+        rule_closure(g, f"[r: (?a <{V}p> ?b), frobnicate(?a) -> (?a <{V}q> ?b)]").count()
+
+
+# --- guard builtins ----------------------------------------------------------
+
+def test_numeric_guards(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "score", "literal", "3", XSD + "int", None),
+        ("iri", "b", V + "score", "literal", "10", XSD + "int", None),
+        ("iri", "c", V + "score", "literal", "oops", None, None),
+    ])
+    out = rule_closure(g, f"[r: (?x <{V}score> ?s), greaterThan(?s, 5) -> (?x <{V}big> ?s)]")
+    assert _rows(out, V + "big") == [("b", "10", XSD + "int", "literal")]
+    # numeric compare is by VALUE not lexical form ("10" > "5" numerically,
+    # lexically it sorts first); non-numeric literals never fire
+    out = rule_closure(g, f"[r: (?x <{V}score> ?s), lessThan(?s, 5) -> (?x <{V}small> ?s)]")
+    assert _rows(out, V + "small") == [("a", "3", XSD + "int", "literal")]
+
+
+def test_equal_same_value_semantics(spark):
+    # Equal.java uses sameValueAs: "01"^^int equals "1"^^int by value
+    g = _g(spark, [
+        ("iri", "a", V + "n", "literal", "01", XSD + "int", None),
+        ("iri", "b", V + "n", "literal", "1", XSD + "int", None),
+        ("iri", "c", V + "n", "literal", "2", XSD + "int", None),
+    ])
+    out = rule_closure(
+        g, f"[r: (?x <{V}n> ?i), (?y <{V}n> ?j), notEqual(?x, ?y), equal(?i, ?j) "
+           f"-> (?x <{V}sameN> ?y)]")
+    assert _rows(out, V + "sameN") == [("a", "b", None, "iri"), ("b", "a", None, "iri")]
+
+
+def test_kind_guards_and_novalue(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "p", "literal", "x", None, None),
+        ("iri", "b", V + "p", "bnode", "bn1", None, None),
+        ("iri", "a", V + "done", "literal", "y", None, None),
+    ])
+    out = rule_closure(g, f"[r: (?s <{V}p> ?o), isLiteral(?o) -> (?s <{V}lit> ?o)]")
+    assert _rows(out, V + "lit") == [("a", "x", None, "literal")]
+    out = rule_closure(g, f"[r: (?s <{V}p> ?o), isBNode(?o) -> (?s <{V}bn> ?o)]")
+    assert _rows(out, V + "bn") == [("b", "bn1", None, "bnode")]
+    # noValue(s, p): fires only where no (s, done, *) triple exists
+    out = rule_closure(
+        g, f"[r: (?s <{V}p> ?o), noValue(?s, <{V}done>) -> (?s <{V}todo> ?o)]")
+    assert _rows(out, V + "todo") == [("b", "bn1", None, "bnode")]
+
+
+def test_isdtype(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "p", "literal", "5", XSD + "int", None),
+        ("iri", "b", V + "p", "literal", "x", None, None),
+    ])
+    out = rule_closure(
+        g, f"[r: (?s <{V}p> ?o), isDType(?o, xsd:int) -> (?s <{V}typed> ?o)]")
+    assert _rows(out, V + "typed") == [("a", "5", XSD + "int", "literal")]
+
+
+def test_regex_filter_and_group_binding(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "mail", "literal", "ann@ex.org", None, None),
+        ("iri", "b", V + "mail", "literal", "not-an-email", None, None),
+    ])
+    # Regex.java: full-region match; trailing args bind capture groups
+    out = rule_closure(
+        g, f"[r: (?s <{V}mail> ?m), regex(?m, '(\\\\w+)@(\\\\S+)', ?user, ?host) "
+           f"-> (?s <{V}user> ?user), (?s <{V}host> ?host)]")
+    assert _rows(out, V + "user") == [("a", "ann", None, "literal")]
+    assert _rows(out, V + "host") == [("a", "ex.org", None, "literal")]
+
+
+# --- binder builtins ---------------------------------------------------------
+
+def test_arithmetic_binders(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "x", "literal", "3", XSD + "int", None),
+        ("iri", "a", V + "y", "literal", "4", XSD + "int", None),
+        ("iri", "b", V + "x", "literal", "1.5", XSD + "double", None),
+        ("iri", "b", V + "y", "literal", "2", XSD + "int", None),
+    ])
+    out = rule_closure(
+        g, f"[r: (?s <{V}x> ?x), (?s <{V}y> ?y), sum(?x, ?y, ?z) -> (?s <{V}sum> ?z)]")
+    # int+int stays int (Util.makeIntNode), mixed promotes to double
+    assert _rows(out, V + "sum") == [
+        ("a", "7", XSD + "int", "literal"), ("b", "3.5", XSD + "double", "literal")]
+    out = rule_closure(
+        g, f"[r: (?s <{V}x> ?x), addOne(?x, ?z) -> (?s <{V}next> ?z)]")
+    assert ("a", "4", XSD + "int", "literal") in _rows(out, V + "next")
+
+
+def test_concat_and_skolem_binders(spark):
+    g = _g(spark, [("iri", "http://e/a", V + "p", "literal", "x", None, None)])
+    out = rule_closure(
+        g, f"[r: (?s <{V}p> ?o), strConcat(?s, '-', ?o, ?l), "
+           f"uriConcat(?s, '#frag', ?u), makeSkolem(?sk, ?s, ?o) -> "
+           f"(?s <{V}lab> ?l), (?s <{V}uri> ?u), (?s <{V}sk> ?sk)]")
+    assert _rows(out, V + "lab") == [("http://e/a", "http://e/a-x", None, "literal")]
+    assert _rows(out, V + "uri") == [("http://e/a", "http://e/a#frag", None, "iri")]
+    (sk_row,) = _rows(out, V + "sk")
+    assert sk_row[3] == "bnode" and sk_row[1].startswith("skolem-")
+    # deterministic: same inputs, same skolem id
+    out2 = rule_closure(
+        g, f"[r: (?s <{V}p> ?o), makeSkolem(?sk, ?s, ?o) -> (?s <{V}sk> ?sk)]")
+    assert _rows(out2, V + "sk") == [sk_row]
+
+
+# --- the fixpoint ------------------------------------------------------------
+
+def _py_closure(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
+    out = set(edges)
+    while True:
+        new = {(a, d) for a, b in out for c, d in edges if b == c} - out
+        if not new:
+            return out
+        out |= new
+
+
+def test_transitive_fixpoint_matches_python(spark):
+    import random
+
+    rnd = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = {
+        (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(18)
+    }
+    g = _g(spark, [("iri", a, V + "p", "iri", b, None, None) for a, b in edges])
+    out = rule_closure(
+        g, f"[t: (?a <{V}p> ?b), (?b <{V}p> ?c) -> (?a <{V}p> ?c)]")
+    got = {(s, o) for s, o, _dt, _k in _rows(out, V + "p")}
+    assert got == _py_closure(edges)
+
+
+def test_multi_rule_stratified_interaction(spark):
+    # rule 2 consumes rule 1's output across rounds (semi-naive delta)
+    g = _g(spark, [
+        ("iri", "a", V + "p", "iri", "b", None, None),
+        ("iri", "b", V + "p", "iri", "c", None, None),
+    ])
+    out = rule_closure(g, (
+        f"[r1: (?x <{V}p> ?y) -> (?x <{V}q> ?y)]\n"
+        f"[r2: (?x <{V}q> ?y), (?y <{V}q> ?z) -> (?x <{V}q> ?z)]\n"
+        f"[r3: (?x <{V}q> ?z), noValue(?x, <{V}p>, ?z) -> (?x <{V}derived> ?z)]"
+    ))
+    assert {(s, o) for s, o, _d, _k in _rows(out, V + "q")} == {
+        ("a", "b"), ("b", "c"), ("a", "c")}
+    # noValue sees the graph state at fire time: only (a,c) lacks a p-edge
+    assert _rows(out, V + "derived") == [("a", "c", None, "iri")]
+
+
+def test_base_triples_preserved_and_set_semantics(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "p", "iri", "b", None, None),
+        ("iri", "a", V + "q", "iri", "b", None, None),  # head already asserted
+    ])
+    out = rule_closure(g, f"[r: (?x <{V}p> ?y) -> (?x <{V}q> ?y)]")
+    assert out.count() == 2  # no duplicate (a,q,b)
+
+
+def test_nonconvergent_rule_raises(spark):
+    g = _g(spark, [("iri", "a", V + "p", "literal", "x", None, None)])
+    with pytest.raises(ValueError, match="converge"):
+        # value-generating recursion: every round mints a longer string
+        rule_closure(
+            g, f"[r: (?a <{V}p> ?b), strConcat(?b, 'x', ?c) -> (?a <{V}p> ?c)]",
+            max_iter=4,
+        )
+
+
+def test_axiom_rule(spark):
+    # "-> (a p b)" axioms fire unconditionally (Rule.java axiom form)
+    g = _g(spark, [("iri", "a", V + "p", "iri", "b", None, None)])
+    out = rule_closure(
+        g, f"[ax: -> (<{V}engine> <{V}version> '1')]\n"
+           f"[r: (?x <{V}p> ?y) -> (?y <{V}p> ?x)]")
+    assert _rows(out, V + "version") == [(V + "engine", "1", None, "literal")]
+    assert out.count() == 3
+    # an axiom with a head VARIABLE has nothing to bind it — loud error
+    with pytest.raises(ValueError, match="unbound"):
+        rule_closure(g, f"[ax: -> (?a <{V}q> ?a)]").count()
+
+
+def test_head_constants_and_multi_head(spark):
+    g = _g(spark, [("iri", "a", TM.RDF_TYPE, "iri", V + "Person", None, None)])
+    out = rule_closure(
+        g, "@prefix v: <http://ex/v#>.\n@prefix rdf: "
+           "<http://www.w3.org/1999/02/22-rdf-syntax-ns#>.\n"
+           "[r: (?x rdf:type v:Person) -> (?x rdf:type v:Agent), "
+           "(?x v:status 'known')]")
+    assert ("a", V + "Agent", None, "iri") in _rows(out, TM.RDF_TYPE)
+    assert _rows(out, V + "status") == [("a", "known", None, "literal")]
