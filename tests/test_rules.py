@@ -286,6 +286,47 @@ def test_axiom_rule(spark):
         rule_closure(g, f"[ax: -> (?a <{V}q> ?a)]").count()
 
 
+def test_rdfs_rules_match_dedicated_reasoner(spark):
+    """Cross-engine parity: the ρdf core of Jena's ``etc/rdfs.rules``
+    written as USER rules and run through the generic engine must equal
+    the dedicated stratified reasoner (``pipeline/inference.rdfs_closure``)
+    on the same graph — the same check Jena gets for free by running
+    both RDFSRuleReasoner and GenericRuleReasoner off one rule file."""
+    from jena_spark.pipeline.inference import rdfs_closure
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    g = _g(spark, [
+        # TBox
+        ("iri", V + "mentions", RDFS + "subPropertyOf", "iri", V + "refersTo", None, None),
+        ("iri", V + "refersTo", RDFS + "subPropertyOf", "iri", V + "relatesTo", None, None),
+        ("iri", V + "mentions", RDFS + "domain", "iri", V + "Turn", None, None),
+        ("iri", V + "mentions", RDFS + "range", "iri", V + "Entity", None, None),
+        ("iri", V + "Entity", RDFS + "subClassOf", "iri", V + "Thing", None, None),
+        # ABox
+        ("iri", "t1", V + "mentions", "iri", "e1", None, None),
+        ("iri", "t2", V + "mentions", "iri", "e2", None, None),
+        ("iri", "t2", V + "mentions", "literal", "a literal", None, None),
+        ("iri", "x", TM.RDF_TYPE, "iri", V + "Entity", None, None),
+    ])
+    # rdfs5/7/2/3/9/11 in rule syntax (etc/rdfs.rules names)
+    rules = """
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#>.
+    [rdfs5:  (?p1 rdfs:subPropertyOf ?p2), (?p2 rdfs:subPropertyOf ?p3)
+             -> (?p1 rdfs:subPropertyOf ?p3)]
+    [rdfs7:  (?p1 rdfs:subPropertyOf ?p2), (?s ?p1 ?o) -> (?s ?p2 ?o)]
+    [rdfs2:  (?p rdfs:domain ?c), (?s ?p ?o) -> (?s rdf:type ?c)]
+    [rdfs3:  (?p rdfs:range ?c), (?s ?p ?o), notLiteral(?o) -> (?o rdf:type ?c)]
+    [rdfs11: (?c1 rdfs:subClassOf ?c2), (?c2 rdfs:subClassOf ?c3)
+             -> (?c1 rdfs:subClassOf ?c3)]
+    [rdfs9:  (?c1 rdfs:subClassOf ?c2), (?s rdf:type ?c1) -> (?s rdf:type ?c2)]
+    """
+    generic = rule_closure(g, rules)
+    dedicated = rdfs_closure(g)
+    sym_diff = generic.exceptAll(dedicated).unionByName(
+        dedicated.exceptAll(generic))
+    assert sym_diff.count() == 0
+
+
 def test_head_constants_and_multi_head(spark):
     g = _g(spark, [("iri", "a", TM.RDF_TYPE, "iri", V + "Person", None, None)])
     out = rule_closure(
