@@ -2980,6 +2980,39 @@ _register(
 )
 
 
+def _q_dbapi(spark, sf):
+    """DB-API 2.0 client path (the jena-jdbc analog,
+    ``jena-jdbc/.../statements/JenaPreparedStatement.java``): the same
+    aggregation as ``kg_sparql_agg`` executed through
+    ``connect().cursor().execute()`` with a rendered qmark parameter,
+    fetched row-by-row over ``toLocalIterator`` and rebuilt into a
+    DataFrame from ``cursor.description`` — proving the client
+    protocol end-to-end. Driver-size by construction (entity census,
+    gazetteer-bounded); bulk paths use DataFrames, not cursors."""
+    from jena_spark.pipeline import dbapi
+
+    conn = dbapi.connect(spark, _triples(spark, sf))
+    cur = conn.cursor()
+    cur.execute(
+        f"PREFIX v: <{TM.NS_VOCAB}> "
+        "SELECT ?e (COUNT(?turn) AS ?n) WHERE { ?turn v:mentions ?e . } "
+        "GROUP BY ?e HAVING (?n > ?) ORDER BY DESC(?n) ?e",
+        [2],
+    )
+    schema = ", ".join(
+        f"`{name}` {tc}" for name, tc, *_ in cur.description)
+    return spark.createDataFrame(cur.fetchall(), schema)
+
+
+_register(
+    "kg_dbapi",
+    _q_dbapi,
+    _W + f"""SELECT o_val AS e, count(*) AS n FROM triples
+    WHERE p_val = '{TM.P_MENTIONS}'
+    GROUP BY o_val HAVING count(*) > 2 ORDER BY n DESC, e""",
+)
+
+
 def _q_sparql_path(spark, sf):
     """SPARQL string: property-path verb (seq + closure) through the
     parser — (hasTurn/mentions)+ from conversations to entities."""
@@ -4071,6 +4104,9 @@ _PRIORITY = [
     # rows-only for the driver but brute-force property-verified in
     # pytest.
     "kg_star_unquote",  # rotated below the cap for kg_rule_reasoner
+    "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
+                 # window is full; local sweeps + pytest cover it, and
+                 # it rotates into the window next round
     "kg_star_roundtrip", "kg_thrift_roundtrip", "kg_results_roundtrip",
     "kg_incremental_encoded", "kg_spatial_join_dense", "kg_isomorphic",
     "kg_sparql_from",
