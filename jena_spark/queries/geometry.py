@@ -255,11 +255,22 @@ def _any_edge_pair(a: Column, b: Column, pred) -> Column:
 
 
 def primitives(wkt1: Column, wkt2: Column) -> Column:
-    """struct of the pairwise topological witnesses. The general
-    formulas below subsume the point cases: a POINT geometry has one
-    vertex, no edges, and its interior/closure tests degrade to
-    coordinate equality inside ``_pt_in_interior``/``_pt_in_closure``."""
-    a, b = parse_wkt(wkt1), parse_wkt(wkt2)
+    """struct of the pairwise topological witnesses from two WKT
+    string columns. The witness formulas reference each geometry ~10
+    times, so parse the operands FIRST when they are attributes of a
+    materialized projection (``primitives_parsed``) — from raw WKT
+    columns each reference would inline the whole ``parse_wkt`` tree
+    (regexps + nested transforms), which both bloats analysis/codegen
+    and re-executes the parse per witness at run time."""
+    return primitives_parsed(parse_wkt(wkt1), parse_wkt(wkt2))
+
+
+def primitives_parsed(a: Column, b: Column) -> Column:
+    """struct of the pairwise topological witnesses over PRE-PARSED
+    geometry structs (``parse_wkt`` output). The general formulas
+    below subsume the point cases: a POINT geometry has one vertex, no
+    edges, and its interior/closure tests degrade to coordinate
+    equality inside ``_pt_in_interior``/``_pt_in_closure``."""
     # A sample p of X witnesses int(X) ∩ int(Y) ≠ ∅ when p ∈ int(Y)
     # and EITHER Y is 2-dimensional (int(Y) is open in the plane and p
     # ∈ closure(int(X)) — true of every sample) OR p is itself interior

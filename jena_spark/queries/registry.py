@@ -3896,9 +3896,20 @@ def _q_geof_point_in_polygon(spark, sf):
 
     geo = _geo_triples(spark, sf)
     polys = spark.createDataFrame(_GEOF_POLYS, "poly_id string, poly string")
-    hits = geo.crossJoin(F.broadcast(polys)).where(
-        GE.sf_within(F.col("o_val"), F.col("poly"))
-    )
+    # two-stage materialization (geometry.py module docstring): parse
+    # each side ONCE into a struct attribute (the 6-row polygon dim is
+    # parsed before the broadcast, the point column once per row), then
+    # materialize the witness struct per joined row and derive sfWithin
+    # from the attribute. Inlining sf_within() instead re-expands the
+    # parse+witness tree per struct-field reference: measured 40 s ->
+    # 11.5 s warm (22.5 s incl. pipeline) on this query at sf0.1; the
+    # remainder is the interpreted higher-order-function witness math
+    # over 600k (point, polygon) rows.
+    pts = geo.select(GE.parse_wkt(F.col("o_val")).alias("ga"))
+    pol = polys.select("poly_id", GE.parse_wkt(F.col("poly")).alias("gb"))
+    prims = pts.crossJoin(F.broadcast(pol)).select(
+        "poly_id", GE.primitives_parsed(F.col("ga"), F.col("gb")).alias("p"))
+    hits = prims.where(GE.relations_from_primitives(F.col("p"))["sfWithin"])
     return hits.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
 
@@ -3966,10 +3977,20 @@ def _q_geof_relations(spark, sf):
         ("pt_edge", "POINT (5 0)", sq),
     ]
     df = spark.createDataFrame(pairs, "pair string, a string, b string")
-    # materialize the witness struct ONCE per pair; the 24 relations
-    # are then cheap boolean projections over that attribute (inlining
-    # them instead OOMs Catalyst — geometry.py module docstring)
-    prims = df.select("pair", GE.primitives(F.col("a"), F.col("b")).alias("p"))
+    # materialize parsed geometries, then the witness struct ONCE per
+    # pair; the 24 relations are then cheap boolean projections over
+    # that attribute (inlining them instead OOMs Catalyst —
+    # geometry.py module docstring)
+    parsed = df.select(
+        "pair", GE.parse_wkt(F.col("a")).alias("ga"),
+        GE.parse_wkt(F.col("b")).alias("gb"))
+    prims = parsed.select(
+        "pair", GE.primitives_parsed(F.col("ga"), F.col("gb")).alias("p"))
+    # ~8 s of this query's wall is per-QUERY fixed cost (measured:
+    # ~1 s optimizer + ~3 s Janino codegen compile of the witness
+    # machinery for ONE row, plus the same again for the relation
+    # projection) — row-count-independent, amortized to noise at scale;
+    # a checkpoint barrier between the stages does not reduce it
     rels = GE.relations_from_primitives(F.col("p"))
     arr = F.filter(
         F.array(*[F.when(c, F.lit(r)) for r, c in rels.items()]),
