@@ -580,6 +580,28 @@ def rule_closure(
                    r.body_builtins, r.head_patterns)
         for r in rules
     ]
+    # static delta-relevance pruning (the alpha-index effect of the
+    # reference's RETE engine, RETEEngine.java clause filters): after
+    # round 0 every delta triple's predicate comes from some rule HEAD,
+    # so a delta variant at pattern i is only worth firing when pattern
+    # i's predicate is a variable or a derivable predicate. With a
+    # variable head predicate anywhere, everything is derivable.
+    derivable: set[str] | None = set()
+    for r in rules:
+        for _s, p, _o in r.head_patterns:
+            if isinstance(p, Var):
+                derivable = None
+                break
+            derivable.add(p[1])
+        if derivable is None:
+            break
+
+    def _delta_relevant(pat) -> bool:
+        if derivable is None:
+            return True
+        p = pat[1]
+        return isinstance(p, Var) or p[1] in derivable
+
     base = triples.select(*TM.TERM_COLS)
 
     # round 0: naive — every pattern reads the base graph
@@ -598,8 +620,12 @@ def rule_closure(
         for r in rules:
             k = len(r.body_patterns)
             for dpos in range(k):
+                if not _delta_relevant(r.body_patterns[dpos]):
+                    continue  # this pattern can never match a derived triple
                 frames = [delta if i == dpos else all_df for i in range(k)]
                 derived.append(_fire_rule(r, frames, all_df))
+        if not derived:
+            return all_df  # no rule can consume its own output
         delta = _anti(_union_all(derived).dropDuplicates(TM.TERM_COLS), all_df)
         delta = delta.localCheckpoint(eager=False)
     raise ValueError(f"rule closure did not converge in {max_iter} rounds")
