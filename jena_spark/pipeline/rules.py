@@ -31,12 +31,22 @@ variants are complete, and the per-round anti-join keeps the delta
 shrinking. Rounds are ``localCheckpoint``-ed (the repo-wide rule:
 a frame with many consumers is otherwise replayed per consumer).
 
+Backward rules (``head <- body``, ``LPBackwardRuleReasoner``) parse
+and evaluate through :func:`backward_query` — goal-directed: the
+static rule-dependency restriction (the magic-sets seed) picks the
+rule subset that can reach the goal predicate, the same semi-naive
+closure saturates it, and the goal pattern binds over the result.
+For pure monotone rules this equals SLD resolution's answer set;
+the tabling the reference's LP engine needs for termination
+(``impl/LPInterpreter.java``) is subsumed by the set-semantics
+fixpoint.
+
 Deviations from the reference, all raised loudly rather than silently
-mis-evaluated: backward rules (``<-``), nested rule heads, functor
-terms in patterns, ``@include``, and the non-deterministic or
-procedural builtins (``makeTemp``, ``now``, ``print``, ``drop``,
-``remove``, ``hide``, ``table``/``tableAll``, ``makeInstance``) are
-``ValueError``s. ``noValue`` is negation-as-failure evaluated against
+mis-evaluated: HYBRID mode (forward rules whose heads spawn backward
+rules), nested rule heads, functor terms in patterns, ``@include``,
+and the non-deterministic or procedural builtins (``makeTemp``,
+``now``, ``print``, ``drop``, ``remove``, ``hide``,
+``table``/``tableAll``, ``makeInstance``) are ``ValueError``s. ``noValue`` is negation-as-failure evaluated against
 the graph state at fire time — same non-monotone caveat as the
 reference engine. Numeric comparison builtins compare numbers only
 (``Util.comparable`` also admits date pairs; dates are unsupported
@@ -83,6 +93,7 @@ class ParsedRule:
     body_builtins: list[BuiltinCall]  # in textual order
     head_patterns: list[tuple]
     head_builtins: list[BuiltinCall] = field(default_factory=list)
+    is_backward: bool = False  # written "head <- body" (Rule.java:1056)
 
 
 # --- tokenizer / parser ------------------------------------------------------
@@ -223,25 +234,29 @@ class _Parser:
         if kind == "word" and tok.endswith(":"):
             name = tok[:-1]
             self.next()
-        body_p, body_b = [], []
-        while self.peek()[1] != "->":
-            if self.peek()[1] == "<-":
-                raise ValueError("backward rules (<-) are not supported")
+        first_p, first_b = [], []
+        while self.peek()[1] not in ("->", "<-"):
             what, clause = self.parse_clause()
-            (body_p if what == "pattern" else body_b).append(clause)
-        self.next()  # ->
-        head_p, head_b = [], []
+            (first_p if what == "pattern" else first_b).append(clause)
+        backward = self.next()[1] == "<-"
+        second_p, second_b = [], []
         while self.peek()[1] != "]":
             what, clause = self.parse_clause()
-            (head_p if what == "pattern" else head_b).append(clause)
+            (second_p if what == "pattern" else second_b).append(clause)
         self.next()  # ]
+        if backward:  # "head <- body" (Rule.java:1056 swaps the lists)
+            body_p, body_b = second_p, second_b
+            head_p, head_b = first_p, first_b
+        else:
+            body_p, body_b = first_p, first_b
+            head_p, head_b = second_p, second_b
         if not head_p and not head_b:
             raise ValueError("rule has an empty head")
         for b in head_b:
             raise ValueError(
                 f"head builtin {b.name!r} is not supported (procedural "
                 "attachments are driver-side effects, not graph rows)")
-        return ParsedRule(name, body_p, body_b, head_p)
+        return ParsedRule(name, body_p, body_b, head_p, is_backward=backward)
 
 
 def parse_rules(text: str) -> list[ParsedRule]:
@@ -572,6 +587,11 @@ def rule_closure(
     the reference engine would spin forever)."""
     if isinstance(rules, str):
         rules = parse_rules(rules)
+    for r in rules:
+        if r.is_backward:
+            raise ValueError(
+                f"rule {r.name or '<anon>'} is backward (head <- body) — "
+                "use backward_query for goal-directed evaluation")
     # logical join order per rule body: ReorderFixed, like every other
     # BGP in this engine (builtins always evaluate after the full chain,
     # so pattern order is semantics-free)
@@ -629,3 +649,73 @@ def rule_closure(
         delta = _anti(_union_all(derived).dropDuplicates(TM.TERM_COLS), all_df)
         delta = delta.localCheckpoint(eager=False)
     raise ValueError(f"rule closure did not converge in {max_iter} rounds")
+
+
+# --- backward (goal-directed) evaluation -------------------------------------
+
+def _head_pred(pat) -> str | None:
+    p = pat[1]
+    return None if isinstance(p, Var) else p[1]
+
+
+def relevant_rules(rules: list[ParsedRule], goal_pred: str | None) -> list[ParsedRule]:
+    """The static dependency restriction of SLD resolution (what the
+    reference's LP engine reaches by chaining goals,
+    ``impl/LPRuleStore.java`` clause indexing by head predicate): start
+    from rules whose head can produce the goal predicate, add rules
+    whose heads feed any relevant rule's body, to fixpoint. A variable
+    predicate anywhere in a head (or a variable goal) makes everything
+    reachable."""
+    if goal_pred is None:
+        return list(rules)
+    needed = {goal_pred}
+    out: list[ParsedRule] = []
+    pending = list(rules)
+    changed = True
+    while changed:
+        changed = False
+        for r in list(pending):
+            heads = {_head_pred(h) for h in r.head_patterns}
+            if None in heads or heads & needed:
+                out.append(r)
+                pending.remove(r)
+                for b in r.body_patterns:
+                    p = _head_pred(b)
+                    if p is None:  # variable body predicate: everything feeds it
+                        return out + pending
+                    if p not in needed:
+                        needed.add(p)
+                        changed = True
+    return out
+
+
+def backward_query(
+    triples: DataFrame,
+    rules: str | list[ParsedRule],
+    goal: tuple,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Goal-directed query over BACKWARD rules — the
+    ``LPBackwardRuleReasoner`` surface (``GenericRuleReasoner`` in
+    BACKWARD mode; engine ``impl/LPInterpreter.java``): ``goal`` is a
+    triple pattern of :class:`jena_spark.queries.algebra.Var` /
+    constants; the result is its bindings over the entailed graph.
+
+    A backward rule ``head <- body`` has the same logical content as
+    the forward rule ``body -> head``; for pure monotone datalog the
+    SLD answer set equals the forward fixpoint filtered by the goal.
+    The goal-directedness that makes the reference's engine practical
+    is kept in its STATIC form: only the rules whose heads can reach
+    the goal predicate through body dependencies (:func:`relevant_rules`)
+    enter the fixpoint — a bounded closure instead of per-goal driver
+    recursion, which is the posture that distributes."""
+    if isinstance(rules, str):
+        rules = parse_rules(rules)
+    fwd = [
+        ParsedRule(r.name, r.body_patterns, r.body_builtins,
+                   r.head_patterns, is_backward=False)
+        for r in rules
+    ]
+    goal_pred = _head_pred(goal)
+    closed = rule_closure(triples, relevant_rules(fwd, goal_pred), max_iter)
+    return A.triple_pattern(closed, goal)

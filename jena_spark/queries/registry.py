@@ -2212,6 +2212,50 @@ _register(
 )
 
 
+def _q_backward_query(spark, sf):
+    """BACKWARD-mode rules (``LPBackwardRuleReasoner``; syntax
+    ``head <- body``, ``Rule.java:1056``): recursive co-mention
+    reachability asked as a GOAL with a bound subject — which entities
+    does the Turing node reach? Only the two reach rules enter the
+    fixpoint (the third, an unrelated backward rule, is statically
+    irrelevant to the goal predicate — ``relevant_rules``)."""
+    from jena_spark.pipeline.rules import backward_query
+
+    V = TM.NS_VOCAB
+    rules = f"""
+    @prefix v: <{V}>.
+    [link:  (?a v:linked ?b) <- (?d v:mentions ?a), (?d v:mentions ?b),
+            notEqual(?a, ?b)]
+    [reach1: (?a v:reach ?b) <- (?a v:linked ?b)]
+    [reachT: (?a v:reach ?c) <- (?a v:reach ?b), (?b v:linked ?c)]
+    [noise: (?t v:noisy ?e) <- (?t v:role ?e)]
+    """
+    goal = (("iri", ENT_TURING, None, None),
+            ("iri", V + "reach", None, None), Var("e"))
+    out = backward_query(_triples(spark, sf), rules, goal)
+    return out.select(F.col("e").getField("val").alias("entity"))
+
+
+_register(
+    "kg_backward_query",
+    _q_backward_query,
+    _WR + f""", m AS (
+      SELECT DISTINCT s_val AS d, o_val AS e FROM triples
+      WHERE p_val = '{TM.P_MENTIONS}'
+    ),
+    linked AS (
+      SELECT DISTINCT m1.e AS a, m2.e AS b
+      FROM m m1 JOIN m m2 ON m1.d = m2.d AND m1.e <> m2.e
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM linked
+      UNION
+      SELECT r.a, l.b FROM reach r JOIN linked l ON r.b = l.a
+    )
+    SELECT b AS entity FROM reach WHERE a = '{ENT_TURING}'""",
+)
+
+
 def _q_owl_ifp_sameas(spark, sf):
     """owl:sameAs recognition from property characteristics — the
     fp1/ifp1 forward rules (``etc/owl-fb.rules:458-475``), the
@@ -4128,6 +4172,7 @@ _PRIORITY = [
     "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
                  # window is full; local sweeps + pytest cover it, and
                  # it rotates into the window next round
+    "kg_backward_query",  # new (r3): same window situation as kg_dbapi
     "kg_star_roundtrip", "kg_thrift_roundtrip", "kg_results_roundtrip",
     "kg_incremental_encoded", "kg_spatial_join_dense", "kg_isomorphic",
     "kg_sparql_from",

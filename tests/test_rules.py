@@ -84,7 +84,6 @@ def test_parse_anonymous_rule_and_comments():
 @pytest.mark.parametrize(
     "text,msg",
     [
-        ("[r: (?a <http://e/p> ?b) <- (?a <http://e/q> ?b)]", "backward"),
         ("[r: (?a <http://e/p> ?b) -> [(?a <http://e/q> ?b) -> (?a <http://e/r> ?b)]]",
          "nested"),
         ("@include <owl>.\n[r: (?a <http://e/p> ?b) -> (?a <http://e/q> ?b)]",
@@ -271,6 +270,59 @@ def test_nonconvergent_rule_raises(spark):
             g, f"[r: (?a <{V}p> ?b), strConcat(?b, 'x', ?c) -> (?a <{V}p> ?c)]",
             max_iter=4,
         )
+
+
+def test_backward_rules_parse_and_forward_engine_rejects(spark):
+    (r,) = parse_rules(f"[r: (?a <{V}anc> ?b) <- (?a <{V}parent> ?b)]")
+    assert r.is_backward
+    assert r.head_patterns == [(Var("a"), ("iri", V + "anc", None, None), Var("b"))]
+    assert r.body_patterns == [(Var("a"), ("iri", V + "parent", None, None), Var("b"))]
+    g = _g(spark, [("iri", "a", V + "parent", "iri", "b", None, None)])
+    with pytest.raises(ValueError, match="backward"):
+        rule_closure(g, [r]).count()
+
+
+def test_backward_query_transitive():
+    # static goal-directed restriction: only rules reaching the goal
+    # predicate enter the fixpoint (LPRuleStore head indexing)
+    from jena_spark.pipeline.rules import relevant_rules
+
+    rules = parse_rules(
+        f"[anc1: (?a <{V}anc> ?b) <- (?a <{V}parent> ?b)]\n"
+        f"[ancT: (?a <{V}anc> ?c) <- (?a <{V}parent> ?b), (?b <{V}anc> ?c)]\n"
+        f"[noise: (?x <{V}noisy> ?y) <- (?x <{V}other> ?y)]"
+    )
+    rel = relevant_rules(
+        [type(r)(r.name, r.body_patterns, r.body_builtins, r.head_patterns)
+         for r in rules],
+        V + "anc")
+    assert {r.name for r in rel} == {"anc1", "ancT"}
+
+
+def test_backward_query_answers(spark):
+    from jena_spark.pipeline.rules import backward_query
+
+    g = _g(spark, [
+        ("iri", "a", V + "parent", "iri", "b", None, None),
+        ("iri", "b", V + "parent", "iri", "c", None, None),
+        ("iri", "c", V + "parent", "iri", "d", None, None),
+        ("iri", "x", V + "other", "iri", "y", None, None),
+    ])
+    rules = (
+        f"[anc1: (?a <{V}anc> ?b) <- (?a <{V}parent> ?b)]\n"
+        f"[ancT: (?a <{V}anc> ?c) <- (?a <{V}parent> ?b), (?b <{V}anc> ?c)]\n"
+        f"[noise: (?x <{V}noisy> ?y) <- (?x <{V}other> ?y)]"
+    )
+    out = backward_query(
+        g, rules, (Var("who"), ("iri", V + "anc", None, None), Var("of")))
+    got = {(r["who"]["val"], r["of"]["val"]) for r in out.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "c"), ("b", "d"), ("c", "d")}
+    # bound-subject goal
+    out = backward_query(
+        g, rules, (("iri", "b", None, None), ("iri", V + "anc", None, None),
+                   Var("of")))
+    assert {r["of"]["val"] for r in out.collect()} == {"c", "d"}
 
 
 def test_axiom_rule(spark):
