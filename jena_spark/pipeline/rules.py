@@ -259,12 +259,45 @@ class _Parser:
         return ParsedRule(name, body_p, body_b, head_p, is_backward=backward)
 
 
-def parse_rules(text: str) -> list[ParsedRule]:
-    """``Rule.parseRules`` for the supported forward subset.
+# Built-in rule libraries for ``@include`` (Rule.java:553-568 maps the
+# special names to the shipped reasoner rule sets). These are
+# hand-written equivalents of the FORWARD cores:
+#
+# * RDFS — the ρdf rules of ``etc/rdfs.rules`` (RDFSFBRuleReasoner.
+#   loadRules): rdfs5/7/2/3/9/11. Axiomatic rdfs1/4/6/8/10/12/13
+#   memberships are omitted (same scope as pipeline/inference.py).
+# * OWL — the property-characteristic core of ``etc/owl-fb.rules``
+#   (OWLFBRuleReasoner.loadRules): inverseOf (both directions),
+#   SymmetricProperty, TransitiveProperty. The variable head
+#   predicates disable delta pruning, which is correct — any
+#   predicate can become derivable.
+_INCLUDE_LIBS = {
+    "rdfs": """
+    [rdfs5:  (?p1 rdfs:subPropertyOf ?p2), (?p2 rdfs:subPropertyOf ?p3)
+             -> (?p1 rdfs:subPropertyOf ?p3)]
+    [rdfs7:  (?p1 rdfs:subPropertyOf ?p2), (?s ?p1 ?o) -> (?s ?p2 ?o)]
+    [rdfs2:  (?p rdfs:domain ?c), (?s ?p ?o) -> (?s rdf:type ?c)]
+    [rdfs3:  (?p rdfs:range ?c), (?s ?p ?o), notLiteral(?o) -> (?o rdf:type ?c)]
+    [rdfs11: (?c1 rdfs:subClassOf ?c2), (?c2 rdfs:subClassOf ?c3)
+             -> (?c1 rdfs:subClassOf ?c3)]
+    [rdfs9:  (?c1 rdfs:subClassOf ?c2), (?s rdf:type ?c1) -> (?s rdf:type ?c2)]
+    """,
+    "owl": """
+    [inv1: (?p owl:inverseOf ?q), (?s ?p ?o) -> (?o ?q ?s)]
+    [inv2: (?p owl:inverseOf ?q), (?s ?q ?o) -> (?o ?p ?s)]
+    [sym:  (?p rdf:type owl:SymmetricProperty), (?s ?p ?o) -> (?o ?p ?s)]
+    [trans: (?p rdf:type owl:TransitiveProperty), (?x ?p ?y), (?y ?p ?z)
+            -> (?x ?p ?z)]
+    """,
+}
 
-    Handles ``@prefix pre: <uri>.`` lines (rulesParserFromReader,
-    ``Rule.java:545-560``); ``@include`` raises (no rule library files
-    in this engine — inline the rules)."""
+
+def parse_rules(text: str) -> list[ParsedRule]:
+    """``Rule.parseRules`` for the supported forward/backward subset.
+
+    Handles ``@prefix pre: <uri>.`` lines and ``@include <rdfs>`` /
+    ``<owl>`` library splicing (rulesParserFromReader,
+    ``Rule.java:545-575``); owlmicro/owlmini and URL includes raise."""
     prefixes: dict[str, str] = {}
     rule_lines: list[str] = []
     for line in text.splitlines():
@@ -275,7 +308,15 @@ def parse_rules(text: str) -> list[ParsedRule]:
                 raise ValueError(f"malformed @prefix line: {stripped!r}")
             prefixes[m.group(1)] = m.group(2)
         elif stripped.startswith("@include"):
-            raise ValueError("@include is not supported — inline the rules")
+            m = re.match(r"@include\s+<([^>]*)>\s*\.?\s*$", stripped)
+            if not m:
+                raise ValueError(f"malformed @include line: {stripped!r}")
+            lib = _INCLUDE_LIBS.get(m.group(1).lower())
+            if lib is None:
+                raise ValueError(
+                    f"@include <{m.group(1)}> is not supported — built-in "
+                    "libraries are <rdfs> and <owl>; inline other rules")
+            rule_lines.append(lib)
         else:
             rule_lines.append(line)
     toks = _tokenize("\n".join(rule_lines))

@@ -86,8 +86,8 @@ def test_parse_anonymous_rule_and_comments():
     [
         ("[r: (?a <http://e/p> ?b) -> [(?a <http://e/q> ?b) -> (?a <http://e/r> ?b)]]",
          "nested"),
-        ("@include <owl>.\n[r: (?a <http://e/p> ?b) -> (?a <http://e/q> ?b)]",
-         "@include"),
+        ("@include <owlmicro>.\n[r: (?a <http://e/p> ?b) -> (?a <http://e/q> ?b)]",
+         "not supported"),
         ("[r: (?a unknown:p ?b) -> (?a <http://e/q> ?b)]", "prefix"),
         ("[r: (?a <http://e/p> *) -> (?a <http://e/q> ?a)]", "wildcard"),
         ("[r: (?a <http://e/q> ?a) -> ]", "empty"),
@@ -272,6 +272,24 @@ def test_nonconvergent_rule_raises(spark):
         )
 
 
+def test_include_owl_library(spark):
+    """@include <owl> (OWLFBRuleReasoner core) composes with user rules;
+    inverse entailments of TRANSITIVELY-derived edges are reached (the
+    fixpoint interaction the dedicated reasoner needed a fix for)."""
+    OWL = "http://www.w3.org/2002/07/owl#"
+    g = _g(spark, [
+        ("iri", V + "anc", OWL + "inverseOf", "iri", V + "desc", None, None),
+        ("iri", V + "anc", TM.RDF_TYPE, "iri", OWL + "TransitiveProperty", None, None),
+        ("iri", "x", V + "anc", "iri", "y", None, None),
+        ("iri", "y", V + "anc", "iri", "z", None, None),
+    ])
+    out = rule_closure(g, "@include <owl>.\n"
+                          f"[user: (?a <{V}desc> ?b) -> (?a <{V}below> ?b)]")
+    assert ("x", "z", None, "iri") in _rows(out, V + "anc")   # transitive
+    assert ("z", "x", None, "iri") in _rows(out, V + "desc")  # inverse of derived
+    assert ("z", "x", None, "iri") in _rows(out, V + "below")  # user rule composes
+
+
 def test_backward_rules_parse_and_forward_engine_rejects(spark):
     (r,) = parse_rules(f"[r: (?a <{V}anc> ?b) <- (?a <{V}parent> ?b)]")
     assert r.is_backward
@@ -360,19 +378,8 @@ def test_rdfs_rules_match_dedicated_reasoner(spark):
         ("iri", "t2", V + "mentions", "literal", "a literal", None, None),
         ("iri", "x", TM.RDF_TYPE, "iri", V + "Entity", None, None),
     ])
-    # rdfs5/7/2/3/9/11 in rule syntax (etc/rdfs.rules names)
-    rules = """
-    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#>.
-    [rdfs5:  (?p1 rdfs:subPropertyOf ?p2), (?p2 rdfs:subPropertyOf ?p3)
-             -> (?p1 rdfs:subPropertyOf ?p3)]
-    [rdfs7:  (?p1 rdfs:subPropertyOf ?p2), (?s ?p1 ?o) -> (?s ?p2 ?o)]
-    [rdfs2:  (?p rdfs:domain ?c), (?s ?p ?o) -> (?s rdf:type ?c)]
-    [rdfs3:  (?p rdfs:range ?c), (?s ?p ?o), notLiteral(?o) -> (?o rdf:type ?c)]
-    [rdfs11: (?c1 rdfs:subClassOf ?c2), (?c2 rdfs:subClassOf ?c3)
-             -> (?c1 rdfs:subClassOf ?c3)]
-    [rdfs9:  (?c1 rdfs:subClassOf ?c2), (?s rdf:type ?c1) -> (?s rdf:type ?c2)]
-    """
-    generic = rule_closure(g, rules)
+    # the built-in RDFS library (@include <rdfs>, Rule.java:558)
+    generic = rule_closure(g, "@include <rdfs>.")
     dedicated = rdfs_closure(g)
     sym_diff = generic.exceptAll(dedicated).unionByName(
         dedicated.exceptAll(generic))
