@@ -1,0 +1,284 @@
+"""Command-line tools — the jena-cmds analog (``python -m jena_spark``).
+
+Reference contract (paths relative to
+``/root/reference/jena-cmds/src/main/java``):
+
+| subcommand  | reference command | what it does |
+|---|---|---|
+| ``riot``       | ``riotcmd/riot.java`` (+ per-syntax wrappers ``ntriples/turtle/trig/rdfxml/nquads.java``) | parse / validate / convert between RDF syntaxes |
+| ``arq``        | ``arq/query.java`` / ``jena/sparql.java`` | run a SPARQL query over data files, result-set sinks |
+| ``update``     | ``arq/update.java`` posture | run a SPARQL Update over data, write the result graph |
+| ``qparse``     | ``arq/qparse.java`` ``--print=op`` | print the query algebra in SSE form |
+| ``infer``      | ``riotcmd/infer.java`` + ``jena/RuleMap.java`` | apply a GenericRuleReasoner rule file, emit the closure |
+| ``rdfcat``     | ``jena/rdfcat.java`` | concatenate RDF documents into one output |
+| ``rdfcompare`` | ``jena/rdfcompare.java`` | graph isomorphism compare, exit status 0/1 |
+| ``shacl``      | ``shacl/shacl.java`` (``validate``) | SHACL-core validation report |
+| ``stats``      | ``tdb/tdbstats.java`` | per-predicate counts of a dataset |
+| ``load``       | ``tdb/tdbloader.java`` | bulk-load RDF into a parquet store directory |
+| ``version``    | ``jena/version.java`` | print the engine version |
+
+Spark posture: every command builds a DataFrame plan and either writes
+distributed output (``--out``) or streams rows to stdout via
+``toLocalIterator`` (the reference CLIs stream to stdout the same
+way). ``--cores``/``--shuffle-partitions`` size the local session;
+under ``spark-submit`` the existing session is reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _spark(args) -> SparkSession:
+    from jena_spark.session import get_spark
+
+    return get_spark(
+        "jena_spark_cli", cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _read_all(spark: SparkSession, paths: list[str], syntax: str | None) -> DataFrame:
+    from jena_spark.sources.languages import read_rdf
+
+    dfs = [read_rdf(spark, p, lang=syntax) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def _emit(df: DataFrame, out: str | None, lang: str | None) -> None:
+    """Write distributed when --out is given, else stream N-Triples-ish
+    lines to stdout (CmdLangParse's StreamRDF-to-output posture)."""
+    from jena_spark.sources.languages import write_rdf
+    from jena_spark.sources.ntriples import format_ntriples
+
+    if out:
+        write_rdf(df, out, lang=lang)
+        return
+    quads = "graph" in df.columns
+    for row in format_ntriples(df, quads=quads).toLocalIterator():
+        sys.stdout.write(row["value"] + "\n")
+
+
+def _cmd_riot(args) -> int:
+    spark = _spark(args)
+    df = _read_all(spark, args.files, args.syntax)
+    if args.validate:
+        # riot --validate: parse only, report the triple count
+        print(f"OK: {df.count()} triples")
+        return 0
+    _emit(df, args.out, args.output)
+    return 0
+
+
+def _cmd_arq(args) -> int:
+    from jena_spark.queries.sparql import sparql_query
+    from jena_spark.sources import resultsets as RS
+
+    spark = _spark(args)
+    df = _read_all(spark, args.data, None)
+    query = args.query
+    if args.query_file:
+        with open(args.query_file) as fh:
+            query = fh.read()
+    res = sparql_query(df, query)
+    if args.out:
+        writer = {"csv": RS.write_csv, "tsv": RS.write_tsv,
+                  "json": RS.write_json, "xml": RS.write_xml_distributed}
+        writer[args.results](res, args.out)
+        return 0
+    cols = res.columns
+    print("\t".join(cols))
+    for row in res.toLocalIterator():
+        print("\t".join("" if row[c] is None else str(row[c]) for c in cols))
+    return 0
+
+
+def _cmd_update(args) -> int:
+    from jena_spark.pipeline.sparql_update import update_sparql
+
+    spark = _spark(args)
+    df = _read_all(spark, args.data, None)
+    request = args.request
+    if args.update_file:
+        with open(args.update_file) as fh:
+            request = fh.read()
+    out = update_sparql(df, request)
+    _emit(out, args.out, None)
+    return 0
+
+
+def _cmd_qparse(args) -> int:
+    from jena_spark.queries.sse import query_to_sse
+
+    query = args.query
+    if args.query_file:
+        with open(args.query_file) as fh:
+            query = fh.read()
+    print(query_to_sse(query))
+    return 0
+
+
+def _cmd_infer(args) -> int:
+    from jena_spark.pipeline.rules import rule_closure
+
+    spark = _spark(args)
+    df = _read_all(spark, args.files, None)
+    with open(args.rules) as fh:
+        rules = fh.read()
+    _emit(rule_closure(df, rules, max_iter=args.max_iter), args.out, None)
+    return 0
+
+
+def _cmd_rdfcat(args) -> int:
+    from jena_spark.terms import TERM_COLS
+
+    spark = _spark(args)
+    df = _read_all(spark, args.files, None).select(*TERM_COLS)
+    _emit(df.dropDuplicates(TERM_COLS), args.out, args.output)
+    return 0
+
+
+def _cmd_rdfcompare(args) -> int:
+    from jena_spark.queries.isomorphism import isomorphic
+
+    spark = _spark(args)
+    g1 = _read_all(spark, [args.first], None)
+    g2 = _read_all(spark, [args.second], None)
+    same = isomorphic(g1, g2, strict=not args.lenient)
+    print("models are equal" if same else "models are unequal")
+    return 0 if same else 1
+
+
+def _cmd_shacl(args) -> int:
+    from jena_spark.queries.shacl import validate
+
+    spark = _spark(args)
+    data = _read_all(spark, [args.data], None)
+    shapes = _read_all(spark, [args.shapes], None)
+    report = validate(data, shapes)
+    rows = report.collect()
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    print(f"conforms: {len(rows) == 0}")
+    return 0 if not rows else 1
+
+
+def _cmd_stats(args) -> int:
+    from jena_spark.pipeline.stats import predicate_counts
+
+    spark = _spark(args)
+    df = _read_all(spark, args.files, None)
+    for row in predicate_counts(df).orderBy("predicate").toLocalIterator():
+        print(f"{row['predicate']}\t{row['n']}")
+    return 0
+
+
+def _cmd_load(args) -> int:
+    spark = _spark(args)
+    df = _read_all(spark, args.files, None)
+    df.write.mode("overwrite").parquet(args.location)
+    n = spark.read.parquet(args.location).count()
+    print(f"loaded {n} triples -> {args.location}")
+    return 0
+
+
+def _cmd_version(args) -> int:  # noqa: ARG001
+    import jena_spark
+
+    print(f"jena_spark {getattr(jena_spark, '__version__', '0')} "
+          f"(Apache Jena semantics on PySpark)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="jena_spark", description=__doc__.splitlines()[0])
+    ap.add_argument("--cores", type=int, default=4)
+    ap.add_argument("--shuffle-partitions", type=int, default=8)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("riot", help="parse / validate / convert RDF")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--syntax", help="input language (default: by extension)")
+    p.add_argument("--output", help="output language for --out/stdout")
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_riot)
+
+    for name in ("arq", "sparql"):
+        p = sub.add_parser(name, help="run a SPARQL query")
+        p.add_argument("--data", action="append", required=True)
+        p.add_argument("--query", help="query string")
+        p.add_argument("--query-file")
+        p.add_argument("--results", choices=["csv", "tsv", "json", "xml"],
+                       default="tsv")
+        p.add_argument("--out")
+        p.set_defaults(fn=_cmd_arq)
+
+    p = sub.add_parser("update", help="run a SPARQL Update")
+    p.add_argument("--data", action="append", required=True)
+    p.add_argument("--request", help="update string")
+    p.add_argument("--update-file")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_update)
+
+    p = sub.add_parser("qparse", help="print query algebra (SSE)")
+    p.add_argument("--query")
+    p.add_argument("--query-file")
+    p.set_defaults(fn=_cmd_qparse)
+
+    p = sub.add_parser("infer", help="apply a rule file")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--rules", required=True)
+    p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_infer)
+
+    p = sub.add_parser("rdfcat", help="concatenate RDF documents")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--output", help="output language")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_rdfcat)
+
+    p = sub.add_parser("rdfcompare", help="isomorphism compare (exit 0/1)")
+    p.add_argument("first")
+    p.add_argument("second")
+    p.add_argument("--lenient", action="store_true",
+                   help="accept WL-equivalent ambiguous bnodes")
+    p.set_defaults(fn=_cmd_rdfcompare)
+
+    p = sub.add_parser("shacl", help="SHACL validation report (exit 0/1)")
+    p.add_argument("--data", required=True)
+    p.add_argument("--shapes", required=True)
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_shacl)
+
+    p = sub.add_parser("stats", help="per-predicate counts")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=_cmd_stats)
+
+    p = sub.add_parser("load", help="bulk-load into a parquet store")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--location", required=True)
+    p.set_defaults(fn=_cmd_load)
+
+    p = sub.add_parser("version")
+    p.set_defaults(fn=_cmd_version)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""jena-cmds analog CLI tests (``jena_spark/cli.py`` — reference
+commands in ``jena-cmds/src/main/java``: riotcmd/riot.java,
+arq/query.java, arq/qparse.java, riotcmd/infer.java, jena/rdfcat.java,
+jena/rdfcompare.java, shacl/shacl.java, tdb/tdbstats.java,
+tdb/tdbloader.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jena_spark.cli import main
+
+EX = "http://ex.org/"
+
+TTL = f"""@prefix ex: <{EX}> .
+ex:alice ex:name "alice" ; ex:age 30 ; ex:knows ex:bob .
+ex:bob ex:name "bob" ; ex:age 25 .
+"""
+
+
+@pytest.fixture(scope="module")
+def ttl_file(tmp_path_factory, spark):  # spark: session reuse for get_spark
+    p = tmp_path_factory.mktemp("cli") / "data.ttl"
+    p.write_text(TTL)
+    return str(p)
+
+
+def _run(capsys, *argv) -> tuple[int, str]:
+    rc = main(["--cores", "4", "--shuffle-partitions", "4", *argv])
+    return rc, capsys.readouterr().out
+
+
+def test_riot_validate_and_convert(capsys, ttl_file, tmp_path):
+    rc, out = _run(capsys, "riot", "--validate", ttl_file)
+    assert rc == 0 and "OK: 5 triples" in out
+    # convert to N-Triples on stdout
+    rc, out = _run(capsys, "riot", ttl_file)
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 5 and all(ln.endswith(" .") for ln in lines)
+    assert f'<{EX}alice> <{EX}name> "alice" .' in lines
+    # convert to a Turtle directory output and read it back
+    dest = str(tmp_path / "out.ttl")
+    rc, _ = _run(capsys, "riot", ttl_file, "--out", dest)
+    assert rc == 0
+    rc, out = _run(capsys, "riot", "--validate", dest)
+    assert "OK: 5 triples" in out
+
+
+def test_arq_query_stdout(capsys, ttl_file):
+    rc, out = _run(
+        capsys, "arq", "--data", ttl_file,
+        "--query", f"PREFIX ex: <{EX}> SELECT ?n WHERE {{ ?x ex:name ?n }} ORDER BY ?n",
+    )
+    assert rc == 0
+    assert out.splitlines() == ["n", "alice", "bob"]
+
+
+def test_arq_results_sink(capsys, ttl_file, tmp_path):
+    dest = str(tmp_path / "res_csv")
+    rc, _ = _run(
+        capsys, "sparql", "--data", ttl_file, "--results", "csv",
+        "--out", dest,
+        "--query", f"PREFIX ex: <{EX}> SELECT ?n WHERE {{ ?x ex:name ?n }}",
+    )
+    assert rc == 0
+    import glob
+
+    txt = "".join(open(f).read() for f in glob.glob(dest + "/*.csv") + glob.glob(dest + "/part-*"))
+    assert "alice" in txt and "bob" in txt
+
+
+def test_update_roundtrip(capsys, ttl_file):
+    rc, out = _run(
+        capsys, "update", "--data", ttl_file,
+        "--request", f"INSERT DATA {{ <{EX}carol> <{EX}name> \"carol\" }}",
+    )
+    assert rc == 0
+    assert f'<{EX}carol> <{EX}name> "carol" .' in out.splitlines()
+
+
+def test_qparse_sse(capsys):
+    rc, out = _run(
+        capsys, "qparse",
+        "--query", f"SELECT ?s WHERE {{ ?s <{EX}name> ?n }}",
+    )
+    assert rc == 0 and "(project" in out and "bgp" in out
+
+
+def test_infer(capsys, ttl_file, tmp_path):
+    rules = tmp_path / "r.rules"
+    rules.write_text(
+        f"@prefix ex: <{EX}>.\n"
+        "[r: (?a ex:knows ?b) -> (?b ex:knownBy ?a)]\n")
+    rc, out = _run(capsys, "infer", ttl_file, "--rules", str(rules))
+    assert rc == 0
+    assert f"<{EX}bob> <{EX}knownBy> <{EX}alice> ." in out.splitlines()
+
+
+def test_rdfcat_and_compare(capsys, ttl_file, tmp_path):
+    other = tmp_path / "more.nt"
+    other.write_text(f"<{EX}dave> <{EX}name> \"dave\" .\n")
+    rc, out = _run(capsys, "rdfcat", ttl_file, str(other))
+    assert rc == 0 and len([l for l in out.splitlines() if l.strip()]) == 6
+    # isomorphic to itself, not to the other file
+    rc, out = _run(capsys, "rdfcompare", ttl_file, ttl_file)
+    assert rc == 0 and "equal" in out
+    rc, out = _run(capsys, "rdfcompare", ttl_file, str(other))
+    assert rc == 1 and "unequal" in out
+
+
+def test_stats_and_load(capsys, ttl_file, tmp_path):
+    rc, out = _run(capsys, "stats", ttl_file)
+    assert rc == 0
+    stats = dict(ln.split("\t") for ln in out.splitlines())
+    assert stats[EX + "name"] == "2" and stats[EX + "age"] == "2"
+    dest = str(tmp_path / "store")
+    rc, out = _run(capsys, "load", ttl_file, "--location", dest)
+    assert rc == 0 and "loaded 5 triples" in out
+
+
+def test_shacl_cli(capsys, ttl_file, tmp_path):
+    sh = "http://www.w3.org/ns/shacl#"
+    shapes = tmp_path / "shapes.ttl"
+    shapes.write_text(
+        f"@prefix sh: <{sh}> .\n@prefix ex: <{EX}> .\n"
+        "ex:PersonShape a sh:NodeShape ;\n"
+        "  sh:targetSubjectsOf ex:name ;\n"
+        "  sh:property [ sh:path ex:age ; sh:minCount 1 ] .\n")
+    rc, out = _run(capsys, "shacl", "--data", ttl_file, "--shapes", str(shapes))
+    assert rc == 0 and "conforms: True" in out
+    # break conformance: a named node missing ex:age
+    bad = tmp_path / "bad.ttl"
+    bad.write_text(TTL + f"<{EX}carol> <{EX}name> \"carol\" .\n")
+    rc, out = _run(capsys, "shacl", "--data", str(bad), "--shapes", str(shapes))
+    assert rc == 1 and "conforms: False" in out
+
+
+def test_version(capsys):
+    rc, out = _run(capsys, "version")
+    assert rc == 0 and "jena_spark" in out
