@@ -190,6 +190,94 @@ def _cmd_load(args) -> int:
     return 0
 
 
+_SCHEMAGEN_LIMIT = 100_000
+
+
+def _cmd_schemagen(args) -> int:
+    """``jena/schemagen.java``: read a vocabulary and emit a constants
+    module — Java class with ``Property``/``Resource`` statics there, a
+    Python module of IRI-string constants here. Driver-side collect is
+    vocabulary-size by definition (guarded)."""
+    from pyspark.sql import functions as F
+
+    from jena_spark import terms as TM
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    CLASS_TYPES = [RDFS + "Class", OWL + "Class"]
+    PROP_TYPES = [RDF + "Property", OWL + "ObjectProperty",
+                  OWL + "DatatypeProperty", OWL + "AnnotationProperty"]
+
+    spark = _spark(args)
+    df = _read_all(spark, args.inputs, None)
+    typed = (
+        df.where((F.col("p_val") == TM.RDF_TYPE) & (F.col("s_kind") == "iri"))
+        .select("s_val", "o_val").distinct()
+    )
+    rows = typed.limit(_SCHEMAGEN_LIMIT + 1).collect()
+    if len(rows) > _SCHEMAGEN_LIMIT:
+        raise SystemExit(
+            f"schemagen: more than {_SCHEMAGEN_LIMIT:,} typed resources — "
+            "this is instance data, not a vocabulary")
+    classes = sorted({r["s_val"] for r in rows if r["o_val"] in CLASS_TYPES})
+    props = sorted({r["s_val"] for r in rows if r["o_val"] in PROP_TYPES})
+    class_set = set(classes)
+    individuals = sorted(
+        {r["s_val"] for r in rows if r["o_val"] in class_set}
+    ) if args.individuals else []
+
+    ns = args.namespace
+    if not ns:
+        # most common namespace among the declared terms (schemagen's
+        # namespace sniffing)
+        import re
+        from collections import Counter
+
+        split = [re.match(r"^(.*[#/])([^#/]*)$", t)
+                 for t in classes + props + individuals]
+        counts = Counter(m.group(1) for m in split if m)
+        if not counts:
+            raise SystemExit("schemagen: no declared vocabulary terms found")
+        ns = counts.most_common(1)[0][0]
+
+    def ident(iri: str, taken: set[str]) -> str:
+        import re
+
+        local = re.split(r"[#/]", iri.rstrip("#/"))[-1] or "term"
+        name = re.sub(r"\W", "_", local)
+        if not name or name[0].isdigit():
+            name = "_" + name
+        base, i = name, 1
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        return name
+
+    lines = [
+        '"""Vocabulary constants generated by '
+        "``python -m jena_spark schemagen`` (jena/schemagen.java analog).",
+        f"Source namespace: {ns}\"\"\"", "",
+        f"class {args.classname}:",
+        f"    NS = {ns!r}",
+    ]
+    taken: set[str] = {"NS"}
+    for title, group in (("classes", classes), ("properties", props),
+                         ("individuals", individuals)):
+        in_ns = [t for t in group if t.startswith(ns)]
+        if in_ns:
+            lines.append(f"    # {title}")
+            lines += [f"    {ident(t, taken)} = {t!r}" for t in in_ns]
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
 def _cmd_version(args) -> int:  # noqa: ARG001
     import jena_spark
 
@@ -269,6 +357,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("files", nargs="+")
     p.add_argument("--location", required=True)
     p.set_defaults(fn=_cmd_load)
+
+    p = sub.add_parser("schemagen", help="vocabulary -> Python constants module")
+    p.add_argument("--inputs", nargs="+", required=True)
+    p.add_argument("--namespace", help="default: most common declared namespace")
+    p.add_argument("--classname", default="VOCAB")
+    p.add_argument("--individuals", action="store_true")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_schemagen)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=_cmd_version)

@@ -136,6 +136,30 @@ def test_shacl_cli(capsys, ttl_file, tmp_path):
     assert rc == 1 and "conforms: False" in out
 
 
+def test_schemagen(capsys, tmp_path):
+    vocab = tmp_path / "vocab.ttl"
+    vocab.write_text(
+        f"@prefix ex: <{EX}> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:Person a owl:Class .\n"
+        "ex:Dog a rdfs:Class .\n"
+        "ex:knows a owl:ObjectProperty .\n"
+        "ex:age a owl:DatatypeProperty .\n"
+        "ex:rex a ex:Dog .\n")
+    rc, out = _run(capsys, "schemagen", "--inputs", str(vocab),
+                   "--classname", "EX", "--individuals")
+    assert rc == 0
+    # the output is a valid Python module exposing the constants
+    env: dict = {}
+    exec(out, env)  # noqa: S102 — generated code under test
+    EXv = env["EX"]
+    assert EXv.NS == EX
+    assert EXv.Person == EX + "Person" and EXv.Dog == EX + "Dog"
+    assert EXv.knows == EX + "knows" and EXv.age == EX + "age"
+    assert EXv.rex == EX + "rex"
+
+
 def test_version(capsys):
     rc, out = _run(capsys, "version")
     assert rc == 0 and "jena_spark" in out
