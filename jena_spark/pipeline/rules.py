@@ -500,9 +500,40 @@ def _apply_builtin(df: DataFrame, b: BuiltinCall, graph: DataFrame) -> DataFrame
             out = _bind(out, g_arg,
                         _plain_literal(F.regexp_extract(_lex(a[0], set(out.columns)), pat, i)))
         return out
-    if n == "countLiteralValues":  # CountLiteralValues.java
-        raise ValueError("countLiteralValues is not supported (aggregate "
-                         "over the graph — use a DataFrame groupBy instead)")
+    if n == "countLiteralValues":
+        # CountLiteralValues.java: bind arg0 to the number of distinct
+        # LITERAL values of (arg1, arg2) in the graph — the helper the
+        # OWL cardinality rules use. One partial-aggregatable
+        # groupBy over the literal slice, broadcast-joined back
+        # (vocab-shaped group keys); subjects with no literal values
+        # count 0 (the reference returns an explicit 0 node too).
+        need(3)
+        out_arg, s_arg, p_arg = a
+        counts = (
+            graph.where(F.col("o_kind") == "literal")
+            .groupBy(
+                F.col("s_kind").alias("_ck"), F.col("s_val").alias("_cv"),
+                F.col("p_val").alias("_cp"))
+            # count(DISTINCT a,b,c) drops any-NULL rows — normalize the
+            # optional term columns first (plain literals have NULL dt/lang)
+            .agg(F.count_distinct(
+                F.col("o_val"), F.coalesce(F.col("o_datatype"), F.lit("")),
+                F.coalesce(F.col("o_lang"), F.lit(""))).alias("_n"))
+        )
+        s_t, p_t = _struct(s_arg, cols), _struct(p_arg, cols)
+        joined = df.join(
+            counts,
+            (counts["_ck"] == s_t.getField("kind"))
+            & (counts["_cv"] == s_t.getField("val"))
+            & (counts["_cp"] == p_t.getField("val")),
+            "left",
+        ).drop("_ck", "_cv", "_cp")
+        col = F.struct(
+            F.lit("literal").alias("kind"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("string").alias("val"),
+            F.lit(XSD + "int").alias("datatype"), F.lit("").alias("lang"),
+        )
+        return _bind(joined, out_arg, col).drop("_n")
     if n.startswith("list"):
         raise ValueError(f"builtin {n!r} is not supported (RDF list walks — "
                          "use queries.propfunc list:* property functions)")

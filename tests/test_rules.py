@@ -194,6 +194,24 @@ def test_arithmetic_binders(spark):
     assert ("a", "4", XSD + "int", "literal") in _rows(out, V + "next")
 
 
+def test_count_literal_values(spark):
+    # CountLiteralValues.java: distinct literal values of (s, p);
+    # IRI objects don't count; absent -> 0
+    g = _g(spark, [
+        ("iri", "a", V + "tag", "literal", "x", None, None),
+        ("iri", "a", V + "tag", "literal", "y", None, None),
+        ("iri", "a", V + "tag", "literal", "x", XSD + "int", None),  # distinct by dt
+        ("iri", "b", V + "tag", "iri", "not-a-literal", None, None),
+        ("iri", "a", V + "seen", "literal", "1", None, None),
+        ("iri", "b", V + "seen", "literal", "1", None, None),
+    ])
+    out = rule_closure(
+        g, f"[r: (?s <{V}seen> ?x), countLiteralValues(?c, ?s, <{V}tag>) "
+           f"-> (?s <{V}tagCount> ?c)]")
+    assert _rows(out, V + "tagCount") == [
+        ("a", "3", XSD + "int", "literal"), ("b", "0", XSD + "int", "literal")]
+
+
 def test_concat_and_skolem_binders(spark):
     g = _g(spark, [("iri", "http://e/a", V + "p", "literal", "x", None, None)])
     out = rule_closure(
