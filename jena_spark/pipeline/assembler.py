@@ -60,6 +60,8 @@ _OWL_REASONERS = (
     "http://jena.hpl.hp.com/2003/OWLMicroFBRuleReasoner",
     "http://jena.hpl.hp.com/2003/OWLMiniFBRuleReasoner",
 )
+# GenericRuleReasonerFactory.URI (GenericRuleReasonerFactory.java:36)
+_GENERIC_RULE_REASONER = "http://jena.hpl.hp.com/2003/GenericRuleReasoner"
 
 _CONFIG_LIMIT = 100_000
 
@@ -192,6 +194,26 @@ def _model(spark: SparkSession, desc: _Desc, node: tuple,
             return rdfs_closure(g)
         if url[1] in _OWL_REASONERS:
             return owl_property_closure(rdfs_closure(g))
+        if url[1] == _GENERIC_RULE_REASONER:
+            # ReasonerFactoryAssembler + RuleSetAssembler
+            # (jena-core/.../assembler/assemblers/RuleSetAssembler.java):
+            # ja:rules inline strings (JA.java:58) and ja:rulesFrom
+            # files (JA.java:140), concatenated like RuleSet.create
+            from jena_spark.pipeline.rules import rule_closure
+
+            parts = [
+                t[1] for t in desc.many(reasoner, "rules")
+                if t[0] == "literal"
+            ]
+            for t in desc.many(reasoner, "rulesFrom"):
+                path = t[1].removeprefix("file:")
+                with open(path) as fh:
+                    parts.append(fh.read())
+            if not parts:
+                raise ValueError(
+                    "assembler: GenericRuleReasoner needs ja:rules "
+                    "(inline rule text) or ja:rulesFrom (file)")
+            return rule_closure(g, "\n".join(parts))
         raise ValueError(f"assembler: unsupported reasonerURL <{url[1]}>")
     raise ValueError(f"assembler: unsupported model type(s) {sorted(types)}")
 

@@ -71,6 +71,40 @@ def test_union_and_inf_model(spark):
     assert types == {EX + "dog", EX + "animal"}  # rdfs9 entailment
 
 
+def test_generic_rule_reasoner_inf_model(spark, tmp_path):
+    """ja:InfModel with GenericRuleReasonerFactory.URI + ja:rules inline
+    text and ja:rulesFrom file (RuleSetAssembler.java) — the rule
+    engine wired through the assembler."""
+    extra = tmp_path / "more.rules"
+    extra.write_text(f"[r2: (?a <{EX}q> ?b) -> (?a <{EX}r> ?b)]\n")
+    cfg = _config(spark, f"""
+    @prefix ja: <{JA}> .
+    <{EX}base> a ja:MemoryModel ;
+        ja:content [ ja:literalContent "<{EX}a> <{EX}p> <{EX}b> ." ] .
+    <{EX}inf> a ja:InfModel ;
+        ja:baseModel <{EX}base> ;
+        ja:reasoner [
+          ja:reasonerURL <http://jena.hpl.hp.com/2003/GenericRuleReasoner> ;
+          ja:rules "[r1: (?a <{EX}p> ?b) -> (?a <{EX}q> ?b)]" ;
+          ja:rulesFrom <file:{extra}> ] .
+    """)
+    inf = assemble_model(spark, cfg, root=EX + "inf")
+    preds = {r["p_val"] for r in inf.where(F.col("s_val") == EX + "a").collect()}
+    assert preds == {EX + "p", EX + "q", EX + "r"}  # r2 consumes r1's output
+    # missing rules -> loud error
+    cfg2 = _config(spark, f"""
+    @prefix ja: <{JA}> .
+    <{EX}base> a ja:MemoryModel ;
+        ja:content [ ja:literalContent "<{EX}a> <{EX}p> <{EX}b> ." ] .
+    <{EX}inf> a ja:InfModel ;
+        ja:baseModel <{EX}base> ;
+        ja:reasoner [
+          ja:reasonerURL <http://jena.hpl.hp.com/2003/GenericRuleReasoner> ] .
+    """)
+    with pytest.raises(ValueError, match="ja:rules"):
+        assemble_model(spark, cfg2, root=EX + "inf").count()
+
+
 def test_dataset_and_root_discovery(spark):
     cfg = _config(spark, f"""
     @prefix ja: <{JA}> .
