@@ -2212,6 +2212,67 @@ _register(
 )
 
 
+def _q_workload_probes(spark, sf):
+    """The fork's benchmark-workload generator, phase 1
+    (``genQueries/.../tdb2/Find_*.java`` ``queryStr1`` templates,
+    two-phase instantiation at ``Find_J3.java:105,121``): given a seed
+    property, DISCOVER the candidate properties adjacent to its edges —
+    ``SELECT DISTINCT ?p1`` with a variable-predicate pattern in each
+    of the four edge orientations the shape family uses (S1/Tr/J/P:
+    object-outgoing; S2/TI: object-incoming; S4/T: subject-outgoing;
+    plus subject-incoming), seeded deterministically with hasTurn
+    (the generator samples seeds randomly; determinism policy).
+    Variable-predicate joins are the access path this workload family
+    stresses in the fork's optimizer research."""
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _triples(spark, sf)
+    seed = TM.P_HAS_TURN
+    probes = {
+        # Find_S1/S3/Tr1/Tr2/J3/P2 queryStr1: out-edges of the object
+        "obj_out": "?x1 <{s}> ?x2 . ?x2 ?p1 ?x3",
+        # Find_S2/TI2/TI3 queryStr1: in-edges of the object
+        "obj_in": "?x1 <{s}> ?x2 . ?x4 ?p1 ?x2",
+        # Find_S4/T2/T3 queryStr1: other out-edges of the subject
+        "subj_out": "?x <{s}> ?y . ?x ?p1 ?z",
+        # the remaining orientation: in-edges of the subject
+        "subj_in": "?x <{s}> ?y . ?z ?p1 ?x",
+    }
+    outs = []
+    for shape, tpl in sorted(probes.items()):
+        q = ("SELECT DISTINCT ?p1 WHERE { "
+             + tpl.format(s=seed)
+             + f" . FILTER(?p1 != <{seed}>) }}")
+        outs.append(sparql_query(t, q).select(
+            F.lit(shape).alias("shape"), F.col("p1").alias("p")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_register(
+    "kg_workload_probes",
+    _q_workload_probes,
+    _W + f""", e AS (
+      SELECT s_val, o_val FROM triples WHERE p_val = '{TM.P_HAS_TURN}'
+    ), probes AS (
+      SELECT 'obj_out' AS shape, t.p_val AS p FROM e JOIN triples t
+        ON t.s_kind = 'bnode' AND t.s_val = e.o_val
+      UNION
+      SELECT 'obj_in', t.p_val FROM e JOIN triples t
+        ON t.o_kind = 'bnode' AND t.o_val = e.o_val
+      UNION
+      SELECT 'subj_out', t.p_val FROM e JOIN triples t
+        ON t.s_kind = 'iri' AND t.s_val = e.s_val
+      UNION
+      SELECT 'subj_in', t.p_val FROM e JOIN triples t
+        ON t.o_kind = 'iri' AND t.o_val = e.s_val
+    )
+    SELECT shape, p FROM probes WHERE p <> '{TM.P_HAS_TURN}'""",
+)
+
+
 def _q_backward_query(spark, sf):
     """BACKWARD-mode rules (``LPBackwardRuleReasoner``; syntax
     ``head <- body``, ``Rule.java:1056``): recursive co-mention
@@ -4173,6 +4234,7 @@ _PRIORITY = [
                  # window is full; local sweeps + pytest cover it, and
                  # it rotates into the window next round
     "kg_backward_query",  # new (r3): same window situation as kg_dbapi
+    "kg_workload_probes",  # new (r3): same window situation as kg_dbapi
     "kg_star_roundtrip", "kg_thrift_roundtrip", "kg_results_roundtrip",
     "kg_incremental_encoded", "kg_spatial_join_dense", "kg_isomorphic",
     "kg_sparql_from",
