@@ -109,6 +109,13 @@ BENCH_QUERIES = [
     "kg_geof_relations",
     # GenericRuleReasoner: user rule file, semi-naive forward fixpoint
     "kg_rule_reasoner",
+    # the fork's workload-generator phase-1 probes (variable-predicate
+    # discovery joins, four edge orientations)
+    "kg_workload_probes",
+    # kg_dbapi / kg_backward_query stay OUT of the bench set: the
+    # first measures a driver-side client protocol, the second
+    # re-runs kg_rule_reasoner's closure under a goal filter —
+    # neither is a distinct throughput operator
 ]
 
 

@@ -280,6 +280,22 @@ def test_base_triples_preserved_and_set_semantics(spark):
     assert out.count() == 2  # no duplicate (a,q,b)
 
 
+def test_rule_plan_shape(spark):
+    """Scale-posture regression: a rule firing is equi joins + filters —
+    no nested-loop join, no Python evaluation on the data path."""
+    g = _g(spark, [
+        ("iri", "d", V + "mentions", "iri", "A", None, None),
+        ("iri", "d", V + "mentions", "iri", "B", None, None),
+    ])
+    out = rule_closure(
+        g, f"[r: (?d <{V}mentions> ?a), (?d <{V}mentions> ?b), "
+           f"notEqual(?a, ?b), strConcat(?a, ?b, ?l) -> (?a <{V}lab> ?l)]")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # no row-at-a-time or Arrow Python
+
+
 def test_nonconvergent_rule_raises(spark):
     g = _g(spark, [("iri", "a", V + "p", "literal", "x", None, None)])
     with pytest.raises(ValueError, match="converge"):
