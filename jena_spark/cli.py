@@ -125,13 +125,24 @@ def _cmd_qparse(args) -> int:
 
 
 def _cmd_infer(args) -> int:
+    from pyspark.sql import functions as F
+
     from jena_spark.pipeline.rules import rule_closure
+    from jena_spark.terms import TERM_COLS
 
     spark = _spark(args)
     df = _read_all(spark, args.files, None)
     with open(args.rules) as fh:
         rules = fh.read()
-    _emit(rule_closure(df, rules, max_iter=args.max_iter), args.out, None)
+    out = rule_closure(df, rules, max_iter=args.max_iter)
+    if args.deductions_only:
+        # RuleMap.java's deductions-graph mode: only the derived slice
+        base, d = df.select(*TERM_COLS).alias("b"), out.alias("d")
+        cond = F.lit(True)
+        for c in TERM_COLS:
+            cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
+        out = d.join(base, cond, "left_anti")
+    _emit(out, args.out, None)
     return 0
 
 
@@ -327,6 +338,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("files", nargs="+")
     p.add_argument("--rules", required=True)
     p.add_argument("--max-iter", type=int, default=50)
+    p.add_argument("--deductions-only", action="store_true",
+                   help="emit only derived triples (RuleMap -d)")
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_infer)
 

@@ -95,6 +95,11 @@ def test_infer(capsys, ttl_file, tmp_path):
     rc, out = _run(capsys, "infer", ttl_file, "--rules", str(rules))
     assert rc == 0
     assert f"<{EX}bob> <{EX}knownBy> <{EX}alice> ." in out.splitlines()
+    # RuleMap -d mode: only the deductions
+    rc, out = _run(capsys, "infer", ttl_file, "--rules", str(rules),
+                   "--deductions-only")
+    assert rc == 0
+    assert out.splitlines() == [f"<{EX}bob> <{EX}knownBy> <{EX}alice> ."]
 
 
 def test_rdfcat_and_compare(capsys, ttl_file, tmp_path):
