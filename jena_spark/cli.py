@@ -155,6 +155,28 @@ def _cmd_rdfcat(args) -> int:
     return 0
 
 
+def _cmd_rdfdiff(args) -> int:
+    """``arq/rdfdiff.java``: print the triples unique to each model
+    (bnode-blind term diff — rdfcompare is the isomorphism check)."""
+    from jena_spark.sources.ntriples import format_ntriples
+    from jena_spark.terms import TERM_COLS
+
+    spark = _spark(args)
+    g1 = _read_all(spark, [args.first], None).select(*TERM_COLS)
+    g2 = _read_all(spark, [args.second], None).select(*TERM_COLS)
+    only1 = g1.exceptAll(g2)
+    only2 = g2.exceptAll(g1)
+    n1 = n2 = 0
+    for row in format_ntriples(only1).toLocalIterator():
+        print(f"< {row['value']}")
+        n1 += 1
+    for row in format_ntriples(only2).toLocalIterator():
+        print(f"> {row['value']}")
+        n2 += 1
+    print(f"models are {'equal' if n1 == n2 == 0 else 'unequal'}")
+    return 0 if n1 == n2 == 0 else 1
+
+
 def _cmd_rdfcompare(args) -> int:
     from jena_spark.queries.isomorphism import isomorphic
 
@@ -348,6 +370,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", help="output language")
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_rdfcat)
+
+    p = sub.add_parser("rdfdiff", help="term-level model diff (exit 0/1)")
+    p.add_argument("first")
+    p.add_argument("second")
+    p.set_defaults(fn=_cmd_rdfdiff)
 
     p = sub.add_parser("rdfcompare", help="isomorphism compare (exit 0/1)")
     p.add_argument("first")

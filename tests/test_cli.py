@@ -112,6 +112,15 @@ def test_rdfcat_and_compare(capsys, ttl_file, tmp_path):
     assert rc == 0 and "equal" in out
     rc, out = _run(capsys, "rdfcompare", ttl_file, str(other))
     assert rc == 1 and "unequal" in out
+    # rdfdiff: per-side unique triples with </> markers
+    rc, out = _run(capsys, "rdfdiff", ttl_file, str(other))
+    assert rc == 1
+    lines = out.splitlines()
+    assert sum(1 for l in lines if l.startswith("< ")) == 5
+    assert [l for l in lines if l.startswith("> ")] == [
+        f"> <{EX}dave> <{EX}name> \"dave\" ."]
+    rc, out = _run(capsys, "rdfdiff", ttl_file, ttl_file)
+    assert rc == 0 and "models are equal" in out
 
 
 def test_stats_and_load(capsys, ttl_file, tmp_path):
