@@ -226,6 +226,38 @@ def _cmd_load(args) -> int:
 _SCHEMAGEN_LIMIT = 100_000
 
 
+def _cmd_rset(args) -> int:
+    """``arq/rset.java``: convert a saved result set between formats.
+    TSV/SRJ/XML inputs decode back to term structs (lossless); CSV is
+    a flat lexical frame by design (``CSVInput.java``)."""
+    from jena_spark.sources import resultsets as RS
+
+    spark = _spark(args)
+
+    def rd(fmt: str, path: str):
+        if fmt == "csv":
+            return RS.read_csv_results(spark, path)
+        if fmt == "tsv":
+            return RS.read_tsv(spark, path)
+        if fmt == "srj":
+            return RS.bindings_wide(RS.read_srj(spark, path))
+        return RS.bindings_wide(RS.read_xml_results(spark, path))
+
+    writers = {"csv": RS.write_csv, "tsv": RS.write_tsv,
+               "json": RS.write_json, "srj": RS.write_srj,
+               "xml": RS.write_xml_distributed}
+    df = rd(args.in_format, args.input)
+    if args.out_format in ("csv", "json"):
+        # flat lexical sinks take flattened frames
+        from jena_spark.queries import algebra as A
+
+        struct_cols = [n for n, t in df.dtypes if t.startswith("struct")]
+        if struct_cols:
+            df = A.flatten(df, struct_cols)
+    writers[args.out_format](df, args.out)
+    return 0
+
+
 def _cmd_schemagen(args) -> int:
     """``jena/schemagen.java``: read a vocabulary and emit a constants
     module — Java class with ``Property``/``Resource`` statics there, a
@@ -397,6 +429,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("files", nargs="+")
     p.add_argument("--location", required=True)
     p.set_defaults(fn=_cmd_load)
+
+    p = sub.add_parser("rset", help="convert a result set between formats")
+    p.add_argument("input")
+    p.add_argument("--in-format", choices=["csv", "tsv", "srj", "xml"],
+                   required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--out-format",
+                   choices=["csv", "tsv", "json", "srj", "xml"], required=True)
+    p.set_defaults(fn=_cmd_rset)
 
     p = sub.add_parser("schemagen", help="vocabulary -> Python constants module")
     p.add_argument("--inputs", nargs="+", required=True)

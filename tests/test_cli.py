@@ -150,6 +150,38 @@ def test_shacl_cli(capsys, ttl_file, tmp_path):
     assert rc == 1 and "conforms: False" in out
 
 
+def test_rset_conversion(capsys, spark, tmp_path):
+    """rset (arq/rset.java): TSV -> SRJ -> CSV conversions preserve the
+    bindings (TSV/SRJ are term-lossless; CSV flattens by design)."""
+    import glob
+    import json
+
+    from jena_spark.queries import algebra as A
+    from jena_spark.sources.resultsets import write_tsv
+
+    vals = A.values(
+        spark, ["x", "y"],
+        [[("iri", EX + "a"), ("literal", "5",
+                              "http://www.w3.org/2001/XMLSchema#integer")],
+         [("bnode", "_:b0"), ("literal", "bonjour", None, "fr")]],
+    )
+    tsv = str(tmp_path / "r.tsv")
+    write_tsv(vals, tsv)
+    srj = str(tmp_path / "r.srj")
+    rc, _ = _run(capsys, "rset", tsv, "--in-format", "tsv",
+                 "--out", srj, "--out-format", "srj")
+    assert rc == 0
+    doc = json.load(open(srj))
+    assert sorted(doc["head"]["vars"]) == ["x", "y"]
+    assert len(doc["results"]["bindings"]) == 2
+    csv_dir = str(tmp_path / "r.csv")
+    rc, _ = _run(capsys, "rset", srj, "--in-format", "srj",
+                 "--out", csv_dir, "--out-format", "csv")
+    assert rc == 0
+    txt = "".join(open(f).read() for f in glob.glob(csv_dir + "/part-*"))
+    assert EX + "a" in txt and "bonjour" in txt
+
+
 def test_schemagen(capsys, tmp_path):
     vocab = tmp_path / "vocab.ttl"
     vocab.write_text(
