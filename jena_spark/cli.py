@@ -86,6 +86,8 @@ def _cmd_arq(args) -> int:
     if args.query_file:
         with open(args.query_file) as fh:
             query = fh.read()
+    if not query:
+        raise SystemExit("arq: one of --query / --query-file is required")
     res = sparql_query(df, query)
     if args.out:
         writer = {"csv": RS.write_csv, "tsv": RS.write_tsv,
@@ -108,6 +110,8 @@ def _cmd_update(args) -> int:
     if args.update_file:
         with open(args.update_file) as fh:
             request = fh.read()
+    if not request:
+        raise SystemExit("update: one of --request / --update-file is required")
     out = update_sparql(df, request)
     _emit(out, args.out, None)
     return 0
@@ -120,14 +124,14 @@ def _cmd_qparse(args) -> int:
     if args.query_file:
         with open(args.query_file) as fh:
             query = fh.read()
+    if not query:
+        raise SystemExit("qparse: one of --query / --query-file is required")
     print(query_to_sse(query))
     return 0
 
 
 def _cmd_infer(args) -> int:
-    from pyspark.sql import functions as F
-
-    from jena_spark.pipeline.rules import rule_closure
+    from jena_spark.pipeline.rules import _anti, rule_closure
     from jena_spark.terms import TERM_COLS
 
     spark = _spark(args)
@@ -137,11 +141,7 @@ def _cmd_infer(args) -> int:
     out = rule_closure(df, rules, max_iter=args.max_iter)
     if args.deductions_only:
         # RuleMap.java's deductions-graph mode: only the derived slice
-        base, d = df.select(*TERM_COLS).alias("b"), out.alias("d")
-        cond = F.lit(True)
-        for c in TERM_COLS:
-            cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"b.{c}"))
-        out = d.join(base, cond, "left_anti")
+        out = _anti(out, df.select(*TERM_COLS))
     _emit(out, args.out, None)
     return 0
 

@@ -32,8 +32,9 @@ Supported (errors loudly outside this profile):
 * ``ja:InfModel`` with ``ja:baseModel`` and ``ja:reasoner
   [ja:reasonerURL <...#RDFSRuleReasoner|...#OWLFBRuleReasoner>]``
   (RDFS closure; OWL additionally runs the property-characteristic
-  rules; ``GenericRuleReasoner`` — custom rule files — is out of
-  profile and rejected loudly)
+  rules; ``GenericRuleReasoner`` takes custom rules via inline
+  ``ja:rules`` strings and/or ``ja:rulesFrom`` files, evaluated by
+  :mod:`jena_spark.pipeline.rules`)
 * ``ja:RDFDataset`` with ``ja:defaultGraph`` and ``ja:namedGraph
   [ja:graphName <g> ; ja:graph <model>]`` -> Connection over quads
 """

@@ -138,10 +138,19 @@ def _render_param(v) -> str:
 
 
 def _substitute(operation: str, parameters: Sequence) -> str:
-    """qmark substitution OUTSIDE quoted strings and IRI brackets —
-    SPARQL's own ``?name`` variables are never placeholders (a ``?``
-    followed by a name char is a variable; a bare ``?`` is the
-    parameter marker)."""
+    """qmark substitution OUTSIDE quoted strings and IRI brackets.
+
+    Disambiguation against SPARQL's own ``?`` uses:
+
+    * ``?name`` variables — a ``?`` followed by a name char is never a
+      placeholder;
+    * the ``<`` less-than operator — ``<`` opens an IRI only when a
+      ``>`` follows before any whitespace (IRIs cannot contain spaces,
+      ``FILTER(?a < ?)`` parses as the operator);
+    * the ``?`` zero-or-one path modifier — a ``?`` directly attached
+      to the preceding token (``<p>?``, ``(ex:p)?``, ``ex:p?``) is the
+      modifier; a placeholder must stand alone (preceded by whitespace,
+      start, or an opening bracket/comma)."""
     out: list[str] = []
     it = iter(parameters)
     used = 0
@@ -176,12 +185,23 @@ def _substitute(operation: str, parameters: Sequence) -> str:
             i += len(in_str)
             continue
         if ch == "<":
-            in_iri = True
+            rest = operation[i + 1:]
+            gt, ws = rest.find(">"), len(rest)
+            for j, c in enumerate(rest):
+                if c.isspace():
+                    ws = j
+                    break
+            in_iri = gt != -1 and gt < ws
             out.append(ch)
             i += 1
             continue
-        if ch == "?" and (i + 1 >= n or not (operation[i + 1].isalnum()
-                                             or operation[i + 1] == "_")):
+        if (
+            ch == "?"
+            and (i + 1 >= n or not (operation[i + 1].isalnum()
+                                    or operation[i + 1] == "_"))
+            and (i == 0 or operation[i - 1].isspace()
+                 or operation[i - 1] in "({,")
+        ):
             try:
                 out.append(_render_param(next(it)))
             except StopIteration:

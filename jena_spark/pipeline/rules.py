@@ -548,18 +548,24 @@ def _apply_builtin(df: DataFrame, b: BuiltinCall, graph: DataFrame) -> DataFrame
                         F.lit("").alias("datatype"), F.lit("").alias("lang")))
         return _bind(df, a[-1], col)
     if n in ("sum", "difference", "product", "quotient", "min", "max"):
-        # Sum/Difference/Product/Quotient/Min/Max.java: (a, b, ?c)
+        # Sum/Difference/Product/Quotient/Min/Max.java: (a, b, ?c) —
+        # the reference builtins refuse to fire on non-numeric
+        # operands, so rows where the cast comes back NULL are dropped
+        # rather than emitting a NULL-valued term
         need(3)
         ops = {
             "sum": lambda x, y: x + y, "difference": lambda x, y: x - y,
             "product": lambda x, y: x * y, "quotient": lambda x, y: x / y,
             "min": F.least, "max": F.greatest,
         }
-        return _bind(df, a[2], _numeric_result(a[0], a[1], ops[n], cols))
-    if n == "addOne":  # AddOne.java: (a, ?b)
+        col = _numeric_result(a[0], a[1], ops[n], cols)
+        return _bind(df.where(_num(a[0], cols).isNotNull()
+                              & _num(a[1], cols).isNotNull()), a[2], col)
+    if n == "addOne":  # AddOne.java: (a, ?b); non-numeric -> no fire
         need(2)
         one = ("literal", "1", XSD + "int", None)
-        return _bind(df, a[1], _numeric_result(a[0], one, lambda x, y: x + y, cols))
+        col = _numeric_result(a[0], one, lambda x, y: x + y, cols)
+        return _bind(df.where(_num(a[0], cols).isNotNull()), a[1], col)
     if n == "makeSkolem":  # MakeSkolem.java: ?out <- bnode keyed on args
         if len(a) < 1:
             raise ValueError("makeSkolem needs the output argument first")
@@ -694,7 +700,22 @@ def rule_closure(
         p = pat[1]
         return isinstance(p, Var) or p[1] in derivable
 
+    def _reads_graph(r: ParsedRule) -> bool:
+        """Rules with a graph-READING binder builtin can bind new values
+        when the graph grows even if no body pattern matches a delta
+        triple (a countLiteralValues count changes as heads assert) —
+        the semi-naive completeness argument covers only pattern
+        matches, so these rules re-fire naively every round. noValue
+        needs no such pass: a growing graph only SHRINKS its matches,
+        and already-derived triples are never retracted (same
+        fire-time-state semantics as the reference engine)."""
+        return any(b.name == "countLiteralValues" for b in r.body_builtins)
+
     base = triples.select(*TM.TERM_COLS)
+    if not rules:
+        # nothing to derive (backward_query reaches this for a goal
+        # over a base-data predicate no rule head can produce)
+        return base
 
     # round 0: naive — every pattern reads the base graph
     all_df = base.localCheckpoint(eager=False)
@@ -711,6 +732,10 @@ def rule_closure(
         derived = []
         for r in rules:
             k = len(r.body_patterns)
+            if _reads_graph(r):
+                # naive re-fire: the builtin's view of the graph changed
+                derived.append(_fire_rule(r, [all_df] * k, all_df))
+                continue
             for dpos in range(k):
                 if not _delta_relevant(r.body_patterns[dpos]):
                     continue  # this pattern can never match a derived triple
@@ -726,8 +751,13 @@ def rule_closure(
 # --- backward (goal-directed) evaluation -------------------------------------
 
 def _head_pred(pat) -> str | None:
+    """Concrete predicate IRI of a pattern position — accepts both the
+    parser's 4-tuple terms and the plain-string IRI shorthand
+    ``graph._normalize`` allows in user-supplied goal patterns."""
     p = pat[1]
-    return None if isinstance(p, Var) else p[1]
+    if isinstance(p, Var):
+        return None
+    return p if isinstance(p, str) else p[1]
 
 
 def relevant_rules(rules: list[ParsedRule], goal_pred: str | None) -> list[ParsedRule]:

@@ -104,6 +104,20 @@ def test_parameter_escaping_and_count_errors(conn):
     assert cur.fetchall() == []
 
 
+def test_substitution_disambiguation():
+    """The three SPARQL '?'/'<' ambiguities (JenaPreparedStatement's
+    ParameterizedSparqlString has the same contract): a less-than
+    operator is not an IRI opener; a path zero-or-one modifier directly
+    attached to its operand is not a placeholder."""
+    sub = dbapi._substitute
+    assert sub("FILTER(?a < ?)", [30]) == "FILTER(?a < 30)"
+    assert sub("FILTER(? < ?a)", [30]) == "FILTER(30 < ?a)"
+    out = sub("{ ?x <http://e/p>? ?y . ?y <http://e/q> ? }", ["v"])
+    assert out == '{ ?x <http://e/p>? ?y . ?y <http://e/q> "v" }'
+    assert sub("{ ?x (ex:p)? ?y }", []) == "{ ?x (ex:p)? ?y }"
+    assert sub("{ ?x ex:p? ?y }", []) == "{ ?x ex:p? ?y }"
+
+
 def test_update_transactions(spark):
     g = spark.createDataFrame(
         [("iri", EX + "a", EX + "p", "iri", EX + "b", None, None)], TERM_SCHEMA)

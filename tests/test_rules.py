@@ -377,6 +377,47 @@ def test_backward_query_answers(spark):
     assert {r["of"]["val"] for r in out.collect()} == {"c", "d"}
 
 
+def test_backward_query_base_predicate_goal(spark):
+    """A goal over a base-data predicate no rule head produces answers
+    from the base graph (the LP engine resolves base facts directly);
+    the plain-string IRI shorthand works in the goal pattern."""
+    from jena_spark.pipeline.rules import backward_query
+
+    g = _g(spark, [("iri", "a", V + "parent", "iri", "b", None, None)])
+    rules = f"[anc1: (?a <{V}anc> ?b) <- (?a <{V}parent> ?b)]"
+    out = backward_query(g, rules, (Var("x"), V + "parent", Var("y")))
+    assert [(r["x"]["val"], r["y"]["val"]) for r in out.collect()] == [("a", "b")]
+    # string-shorthand goal over a DERIVED predicate restricts correctly
+    out = backward_query(g, rules, (Var("x"), V + "anc", Var("y")))
+    assert [(r["x"]["val"], r["y"]["val"]) for r in out.collect()] == [("a", "b")]
+
+
+def test_count_literal_values_sees_derived(spark):
+    """Graph-reading binder builtins re-fire naively every round: the
+    count must include triples derived in EARLIER rounds (the naive
+    FRuleEngine behavior; plain semi-naive would freeze the round-0
+    count)."""
+    g = _g(spark, [("iri", "s", V + "base", "iri", "o", None, None)])
+    out = rule_closure(g, (
+        f"[r1: (?s <{V}base> ?o) -> (?s <{V}tag> 'x')]\n"
+        f"[r2: (?s <{V}base> ?o), countLiteralValues(?c, ?s, <{V}tag>) "
+        f"-> (?s <{V}n> ?c)]"
+    ))
+    counts = {r[1] for r in _rows(out, V + "n")}
+    assert "1" in counts  # the post-derivation count is reached
+
+
+def test_arithmetic_nonnumeric_does_not_fire(spark):
+    g = _g(spark, [
+        ("iri", "a", V + "x", "literal", "oops", None, None),
+        ("iri", "b", V + "x", "literal", "2", XSD + "int", None),
+    ])
+    out = rule_closure(
+        g, f"[r: (?s <{V}x> ?x), sum(?x, ?x, ?z) -> (?s <{V}d> ?z)]")
+    # Sum.java refuses to fire on non-numerics: no NULL-valued triple
+    assert _rows(out, V + "d") == [("b", "4", XSD + "int", "literal")]
+
+
 def test_axiom_rule(spark):
     # "-> (a p b)" axioms fire unconditionally (Rule.java axiom form)
     g = _g(spark, [("iri", "a", V + "p", "iri", "b", None, None)])
