@@ -214,6 +214,58 @@ def _cmd_stats(args) -> int:
     return 0
 
 
+#: the fork's output column delimiter (``tdbqueryplan.java:225``).
+_PLAN_COL_DELIM = "ᶶ"
+
+
+def _cmd_queryplan(args) -> int:
+    """``tdbqueryplan`` analog (``jena-neo-optimizer/.../tdb2/
+    tdbqueryplan.java``): read a header-ed CSV of SPARQL queries
+    (``ModCsvQueriesIn.readCsvFile`` — query at --query-column, id at
+    --id-column or md5 of the text, unparseable queries logged and
+    skipped), reorder every BGP (stats-fed when --data supplies a
+    corpus — the ``StatsMatcher``/``stats.opt`` + ``ReorderWeighted``
+    posture), and emit per query the serialized left-deep join
+    tree(s). Plans are driver-side metadata; the only cluster work is
+    the one-pass predicate census."""
+    import csv
+    import hashlib
+
+    from jena_spark.queries.jointree import query_plan
+
+    pred_counts = None
+    if args.data:
+        from jena_spark.queries.algebra import pred_counts_of
+
+        spark = _spark(args)
+        pred_counts = pred_counts_of(_read_all(spark, args.data, None))
+
+    lines = []
+    with open(args.queries_file, newline="") as f:
+        rd = csv.reader(f, delimiter=args.input_delimiter)
+        for i, rec in enumerate(rd):
+            if i == 0 or not rec:  # header row, like the reference
+                continue
+            qtext = rec[args.query_column]
+            qid = (rec[args.id_column] if args.id_column >= 0
+                   else hashlib.md5(qtext.encode("utf-8")).hexdigest())
+            try:
+                trees = query_plan(qtext, pred_counts)
+            except Exception as e:  # noqa: BLE001 — reference skips bad queries
+                print(f"queryplan: skipping {qid}: {e}", file=sys.stderr)
+                continue
+            lines.append(_PLAN_COL_DELIM.join(
+                [qid, " ".join(qtext.split()), " ".join(trees)]
+            ))
+    text = "\n".join(lines) + ("\n" if lines else "")
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
 def _cmd_load(args) -> int:
     spark = _spark(args)
     df = _read_all(spark, args.files, None)
@@ -424,6 +476,23 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("stats", help="per-predicate counts")
     p.add_argument("files", nargs="+")
     p.set_defaults(fn=_cmd_stats)
+
+    p = sub.add_parser(
+        "queryplan",
+        help="serialized join-tree plans for a CSV of queries "
+             "(tdbqueryplan analog)",
+    )
+    p.add_argument("--queries-file", required=True,
+                   help="CSV with a header row; one query per line")
+    p.add_argument("--query-column", type=int, default=0)
+    p.add_argument("--id-column", type=int, default=-1,
+                   help="id column index; -1 = md5 of the query text")
+    p.add_argument("--input-delimiter", default=",")
+    p.add_argument("--data", nargs="*", default=None,
+                   help="RDF files: collect predicate counts and use "
+                        "the stats-fed reorder (stats.opt analog)")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=_cmd_queryplan)
 
     p = sub.add_parser("load", help="bulk-load into a parquet store")
     p.add_argument("files", nargs="+")

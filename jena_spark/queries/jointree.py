@@ -1,0 +1,201 @@
+"""Join-tree plan explain — the neo-optimizer fork's own tooling.
+
+The fork's research surface (its whole point, per the module name)
+serializes the optimizer's chosen BGP join order as a left-deep
+binary tree: ``tdbqueryplan`` reads a CSV of queries, reorders every
+BGP with ``ReorderWeighted`` over collected statistics, and emits one
+nested-JSON-array tree per BGP —
+
+* leaf: ``["<S>_<P>_<O>ᶲ<predicate|NONE>"]`` where ``<S>_<P>_<O>`` is
+  the pattern's term-kind signature (``VisitorJoinTreeNeo2.formatTriple``:
+  ``getType`` → URI/VAR/LITERAL, property paths print ``PATH``) and
+  the second field is the pattern's identifying concrete term in
+  (predicate, subject, object) preference order — ``NONE`` when the
+  pattern has no concrete anchor
+  (``jena-neo-optimizer/.../mgt/VisitorJoinTreeNeo2.java:520-560``);
+* join: ``["JOINᶲ<pred>ᶲ<pred>…", left, right]`` collecting every
+  leaf anchor underneath, built by folding the reordered pattern list
+  left-deep (``utils/BinaryTree.java::addNodeList``,
+  ``utils/BinaryTreePlan.java::defineDataJoinNode``).
+
+This module reproduces that surface over THIS engine's parser and
+reorderers: the tree shows exactly the join order
+:func:`jena_spark.queries.algebra.reorder_patterns` (or the stats-fed
+:func:`~jena_spark.queries.algebra.reorder_patterns_stats`, when
+predicate counts are supplied — the ``StatsMatcher``/``stats.opt``
+analog) will hand to Spark. Each leaf also carries the reorder weight
+(``ReorderWeighted.getTripleWeight``) in its data dict, though — like
+the reference's ``printLeafDataNode`` — the serialized form prints
+only the kind signature and anchor.
+
+Driver-side by design: plans are metadata, not data. The only
+cluster work is the optional one-pass predicate census
+(``pipeline/stats.predicate_counts``) feeding the weights.
+"""
+
+from __future__ import annotations
+
+import json
+
+from jena_spark.queries.algebra import (
+    Var,
+    _pattern_pred_iri,
+    _reorder_weight,
+    reorder_patterns,
+    reorder_patterns_stats,
+)
+
+#: the reference's value delimiter inside one tree node
+#: (``VisitorJoinTreeNeo2.write`` builds ``BinaryTreePlan("ᶲ")``).
+DELIM = "ᶲ"  # ᶲ
+
+
+def _term_kind(t, position: str) -> str:
+    from jena_spark.queries.sparql import PathExpr
+
+    if isinstance(t, Var):
+        return "VAR"
+    if isinstance(t, PathExpr):
+        return "PATH"
+    if isinstance(t, tuple):
+        if t[0] == "iri":
+            return "URI"
+        if t[0] == "bnode":
+            return "BLANK"
+        return "LITERAL"
+    return "LITERAL"
+
+
+#: kind signatures with no concrete anchor term (the reference's
+#: explicit NONE list, ``VisitorJoinTreeNeo2.java:546``).
+_ANCHORLESS = {"VAR_VAR_VAR", "VAR_VAR_LITERAL", "LITERAL_VAR_VAR"}
+
+
+def leaf(pattern, pred_counts: dict[str, int] | None = None) -> dict:
+    """Leaf node data for one triple pattern: kind signature, anchor
+    predicate list (empty = NONE), and the reorder weight the
+    optimizer used (scaled by the predicate's collected count when
+    stats are supplied — ``getTripleWeight``)."""
+    from jena_spark.queries.sparql import PathExpr
+
+    s, p, o = pattern
+    sig = "_".join(
+        _term_kind(t, pos) for t, pos in ((s, "s"), (p, "p"), (o, "o"))
+    )
+    preds: list[str] = []
+    if sig not in _ANCHORLESS:
+        if isinstance(p, PathExpr):
+            preds.append("PATH")
+        elif _term_kind(p, "p") == "URI":
+            preds.append(p[1])
+        elif _term_kind(s, "s") == "URI":
+            preds.append(s[1])
+        elif _term_kind(o, "o") == "URI":
+            preds.append(o[1])
+    weight = _reorder_weight(pattern, set()) if not isinstance(p, PathExpr) else None
+    if weight is not None and pred_counts is not None:
+        iri = _pattern_pred_iri(p)
+        total = max(1, sum(pred_counts.values()))
+        weight *= max(1, pred_counts.get(iri, 1) if iri else total)
+    return {"tpf_type": sig, "predicates": preds, "cardinality": weight}
+
+
+def join_tree(
+    patterns: list, pred_counts: dict[str, int] | None = None
+) -> dict:
+    """Reorder ``patterns`` (stats-fed when counts are given, the
+    fixed-weight order otherwise) and fold the result into the
+    left-deep binary tree the engine will execute — node dicts with
+    ``type`` JOIN/TPF, ``predicates``, and ``left``/``right``."""
+    from jena_spark.queries.sparql import PathExpr
+
+    plain = [p for p in patterns if not isinstance(p[1], PathExpr)]
+    paths = [p for p in patterns if isinstance(p[1], PathExpr)]
+    if pred_counts is not None:
+        ordered = reorder_patterns_stats(plain, pred_counts)
+    else:
+        ordered = reorder_patterns(plain)
+    ordered = ordered + paths  # path steps evaluate after the BGP
+    leaves = [
+        {"type": "TPF", **leaf(p, pred_counts)} for p in ordered
+    ]
+    if not leaves:
+        raise ValueError("join_tree: empty pattern list")
+    node = leaves[0]
+    for right in leaves[1:]:
+        node = {
+            "type": "JOIN",
+            "predicates": node["predicates"] + right["predicates"],
+            "left": node,
+            "right": right,
+        }
+    return node
+
+
+def tree_json(node: dict, delim: str = DELIM) -> list:
+    """The reference serialization: nested JSON arrays, label =
+    type-or-signature + delim-joined anchors (leaves print their kind
+    signature; NONE marks an anchorless leaf)."""
+    if node["type"] == "TPF":
+        anchor = node["predicates"][0] if node["predicates"] else "NONE"
+        return [node["tpf_type"] + delim + anchor]
+    label = "JOIN" + delim + delim.join(node["predicates"])
+    return [label, tree_json(node["left"], delim), tree_json(node["right"], delim)]
+
+
+def _walk_groups(group, out: list) -> None:
+    """Collect contiguous triple-pattern runs exactly as the compiler
+    evaluates them: FILTER/BIND/VALUES and every sub-group boundary
+    flushes the run (``sparql._Compiler.compile_group``)."""
+    from jena_spark.queries.sparql import Group, PFPat, QTPat
+
+    run: list = []
+
+    def flush():
+        nonlocal run
+        if run:
+            out.append(run)
+            run = []
+
+    for el in group.elements:
+        tag = el[0]
+        if tag == "triple" and not isinstance(el[1], PFPat):
+            s, verb, o = el[1]
+            if isinstance(s, QTPat) or isinstance(o, QTPat):
+                flush()
+                continue
+            run.append(el[1])
+        else:
+            flush()
+            for part in el[1:]:
+                if isinstance(part, Group):
+                    _walk_groups(part, out)
+                elif isinstance(part, list) and all(
+                    isinstance(b, Group) for b in part
+                ):
+                    for b in part:
+                        _walk_groups(b, out)
+                elif hasattr(part, "where") and part.where is not None:
+                    _walk_groups(part.where, out)  # subselect
+    flush()
+
+
+def query_plan(
+    query: str, pred_counts: dict[str, int] | None = None,
+    delim: str = DELIM,
+) -> list[str]:
+    """Parse a SPARQL string with this engine's front-end and return
+    one serialized join tree per BGP run, in evaluation order — the
+    ``tdbqueryplan --tdb_tree`` output for one query."""
+    from jena_spark.queries.sparql import Parser
+
+    q = Parser(query).parse()
+    if q.where is None:
+        return []
+    runs: list = []
+    _walk_groups(q.where, runs)
+    return [
+        json.dumps(tree_json(join_tree(r, pred_counts), delim),
+                   ensure_ascii=False, separators=(",", ":"))
+        for r in runs
+    ]

@@ -1,0 +1,121 @@
+"""Join-tree plan explain (``queries/jointree.py`` — the
+neo-optimizer fork's ``tdbqueryplan`` / ``VisitorJoinTreeNeo2`` /
+``BinaryTreePlan`` surface) and its CLI subcommand."""
+
+from __future__ import annotations
+
+import json
+
+from jena_spark.cli import main
+from jena_spark.queries.jointree import (
+    DELIM,
+    join_tree,
+    leaf,
+    query_plan,
+    tree_json,
+)
+from jena_spark.queries.algebra import Var
+
+EX = "http://ex.org/"
+
+
+def _pat(s, p, o):
+    def term(t):
+        if isinstance(t, str) and t.startswith("?"):
+            return Var(t[1:])
+        if isinstance(t, str):
+            return ("iri", t)
+        return t
+    return (term(s), term(p), term(o))
+
+
+def test_leaf_signature_and_anchor_preference():
+    # concrete predicate anchors the leaf
+    l1 = leaf(_pat("?s", EX + "p", "?o"))
+    assert l1["tpf_type"] == "VAR_URI_VAR" and l1["predicates"] == [EX + "p"]
+    # variable predicate: subject URI is the next anchor
+    l2 = leaf(_pat(EX + "s", "?p", "?o"))
+    assert l2["tpf_type"] == "URI_VAR_VAR" and l2["predicates"] == [EX + "s"]
+    # then the object URI
+    l3 = leaf(_pat("?s", "?p", EX + "o"))
+    assert l3["tpf_type"] == "VAR_VAR_URI" and l3["predicates"] == [EX + "o"]
+    # the reference's explicit NONE signatures stay anchorless
+    l4 = leaf(_pat("?s", "?p", "?o"))
+    assert l4["tpf_type"] == "VAR_VAR_VAR" and l4["predicates"] == []
+    assert tree_json(dict(type="TPF", **l4)) == ["VAR_VAR_VAR" + DELIM + "NONE"]
+
+
+def test_left_deep_fold_and_join_labels():
+    pats = [
+        _pat("?a", EX + "p1", "?b"),
+        _pat("?b", EX + "p2", "?c"),
+        _pat("?c", "?p", "?d"),
+    ]
+    t = join_tree(pats)
+    # left-deep: root JOIN's right child is a TPF, left child a JOIN
+    assert t["type"] == "JOIN"
+    assert t["left"]["type"] == "JOIN" and t["right"]["type"] == "TPF"
+    # join predicates = all leaf anchors underneath, in fold order
+    assert t["predicates"] == [EX + "p1", EX + "p2"]
+    arr = tree_json(t)
+    assert arr[0] == "JOIN" + DELIM + EX + "p1" + DELIM + EX + "p2"
+    assert isinstance(arr[1], list) and isinstance(arr[2], list)
+
+
+def test_stats_reorder_changes_leaf_order():
+    q = (f"SELECT * WHERE {{ ?s <{EX}common> ?a . "
+         f"?s <{EX}rare> ?b . }}")
+    fixed = json.loads(query_plan(q)[0])
+    # fixed weights tie -> syntactic order: common leads
+    assert fixed[1] == [f"VAR_URI_VAR{DELIM}{EX}common"]
+    stats = json.loads(
+        query_plan(q, {EX + "common": 10_000, EX + "rare": 2})[0]
+    )
+    # collected counts flip the order: the rare predicate scans first
+    assert stats[1] == [f"VAR_URI_VAR{DELIM}{EX}rare"]
+
+
+def test_runs_split_like_the_compiler():
+    q = (f"SELECT * WHERE {{ ?s <{EX}a> ?x . ?x <{EX}b> ?y . "
+         f"FILTER(?y != <{EX}z>) ?y <{EX}c> ?w . "
+         f"OPTIONAL {{ ?w <{EX}d> ?v . }} }}")
+    trees = query_plan(q)
+    # FILTER and the OPTIONAL boundary flush: three separate trees
+    assert len(trees) == 3
+    assert json.loads(trees[1]) == [f"VAR_URI_VAR{DELIM}{EX}c"]
+    assert json.loads(trees[2]) == [f"VAR_URI_VAR{DELIM}{EX}d"]
+
+
+def test_cli_queryplan(capsys, tmp_path, spark):
+    ttl = tmp_path / "d.ttl"
+    ttl.write_text(
+        f"@prefix ex: <{EX}> .\n"
+        "ex:a ex:rare ex:b .\n"
+        "ex:a ex:common ex:c .\n"
+        "ex:b ex:common ex:d .\n"
+        "ex:c ex:common ex:e .\n"
+    )
+    qcsv = tmp_path / "q.csv"
+    qcsv.write_text(
+        "id;query\n"
+        f"q1;SELECT * WHERE {{ ?s <{EX}common> ?a . ?s <{EX}rare> ?b . }}\n"
+        "q2;NOT A QUERY AT ALL(\n"
+    )
+    out = tmp_path / "plans.csv"
+    rc = main([
+        "--cores", "4", "--shuffle-partitions", "4",
+        "queryplan", "--queries-file", str(qcsv),
+        "--query-column", "1", "--id-column", "0",
+        "--input-delimiter", ";", "--data", str(ttl),
+        "--out", str(out),
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    lines = out.read_text(encoding="utf-8").splitlines()
+    # the unparseable query is skipped (reference logs and continues)
+    assert len(lines) == 1
+    qid, qtext, tree = lines[0].split("ᶶ")
+    assert qid == "q1" and "SELECT" in qtext
+    arr = json.loads(tree)
+    # stats from --data put the rarer predicate first
+    assert arr[1] == [f"VAR_URI_VAR{DELIM}{EX}rare"]

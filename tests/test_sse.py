@@ -100,3 +100,7 @@ def test_connection_explain(spark):
     both = conn.explain("SELECT ?s WHERE { ?s <http://v/p> ?o }",
                         physical=True)
     assert "Physical Plan" in both and both.startswith("(project")
+    trees = conn.explain("SELECT ?s WHERE { ?s <http://v/p> ?o }",
+                         join_trees=True)
+    assert "--- join trees ---" in trees
+    assert '["VAR_URI_VARᶲhttp://v/p"]' in trees
