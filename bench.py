@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     # the fork's workload-generator phase-1 probes (variable-predicate
     # discovery joins, four edge orientations)
     "kg_workload_probes",
+    # the complete phase-2 shape family over the direct-mapped
+    # relational graph: twelve multi-variable-predicate join shapes in
+    # ONE job (kg_rdb_direct_map's graph build is included in the
+    # first-use cost here; the direct map itself is a map-only explode)
+    "kg_workload_shapes",
     # kg_dbapi / kg_backward_query stay OUT of the bench set: the
     # first measures a driver-side client protocol, the second
     # re-runs kg_rule_reasoner's closure under a goal filter —

@@ -246,13 +246,14 @@ def _cmd_queryplan(args) -> int:
         for i, rec in enumerate(rd):
             if i == 0 or not rec:  # header row, like the reference
                 continue
-            qtext = rec[args.query_column]
-            qid = (rec[args.id_column] if args.id_column >= 0
-                   else hashlib.md5(qtext.encode("utf-8")).hexdigest())
             try:
+                qtext = rec[args.query_column]
+                qid = (rec[args.id_column] if args.id_column >= 0
+                       else hashlib.md5(qtext.encode("utf-8")).hexdigest())
                 trees = query_plan(qtext, pred_counts)
-            except Exception as e:  # noqa: BLE001 — reference skips bad queries
-                print(f"queryplan: skipping {qid}: {e}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — reference logs bad
+                # records (short rows AND unparseable queries) and moves on
+                print(f"queryplan: skipping line {i + 1}: {e}", file=sys.stderr)
                 continue
             lines.append(_PLAN_COL_DELIM.join(
                 [qid, " ".join(qtext.split()), " ".join(trees)]

@@ -133,22 +133,27 @@ class Connection:
         return sparql_query(self.quads, sparql, flat=flat)
 
     def explain(self, sparql: str, physical: bool = False,
-                join_trees: bool = False) -> str:
+                join_trees: bool = False,
+                pred_counts: dict[str, int] | None = None) -> str:
         """The query's algebra in ARQ SSE form (``arq.qparse
         --print=op``); ``physical=True`` appends the Spark physical
         plan Catalyst actually chose (``QueryExecution.explainString``
         — the TDB/ARQ explain-log analog); ``join_trees=True`` appends
-        the neo-optimizer fork's serialized left-deep BGP join trees,
-        stats-fed from this connection's own predicate counts
-        (``tdbqueryplan --tdb_tree`` over its ``stats.opt``)."""
+        the neo-optimizer fork's serialized left-deep BGP join trees
+        (``tdbqueryplan --tdb_tree``) in the FIXED order ``query()``
+        actually executes. Pass ``pred_counts`` (e.g. one
+        ``algebra.pred_counts_of(conn.quads)`` census, computed once
+        and reused across calls — the ``stats.opt`` file posture) to
+        see the ``ReorderWeighted`` order instead; note ``query()``
+        itself runs the fixed reorder, so a stats-fed tree is the
+        what-if view, not the executed plan."""
         from jena_spark.queries.sse import query_to_sse
 
         out = query_to_sse(sparql)
         if join_trees:
-            from jena_spark.queries.algebra import pred_counts_of
             from jena_spark.queries.jointree import query_plan
 
-            trees = query_plan(sparql, pred_counts_of(self.quads))
+            trees = query_plan(sparql, pred_counts)
             out += "\n--- join trees ---\n" + "\n".join(trees)
         if physical:
             df = self.query(sparql)

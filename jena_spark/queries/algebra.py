@@ -176,19 +176,13 @@ def reorder_patterns_stats(
     weight(pattern) = fixed_boundness_weight × estimated_scan_rows,
     greedy smallest-first with bound-variable substitution (same
     substitution rule as :func:`reorder_patterns`)."""
-    total = max(1, sum(pred_counts.values()))
     remaining = list(patterns)
     bound: set[str] = set()
     out: list[Pattern] = []
     while remaining:
 
         def weight(pat: Pattern) -> int:
-            pred = _pattern_pred_iri(pat[1])
-            # unseen predicate: StatsMatcher treats it as matching
-            # nothing (weight 0 would be ideal-first; keep 1 so fully
-            # concrete known patterns still win ties deterministically)
-            est = total if pred is None else pred_counts.get(pred, 1)
-            return _reorder_weight(pat, bound) * max(1, est)
+            return stats_weight(pat, bound, pred_counts)
 
         best = min(range(len(remaining)), key=lambda i: (weight(remaining[i]), i))
         chosen = remaining.pop(best)
@@ -197,6 +191,24 @@ def reorder_patterns_stats(
             if isinstance(t, Var):
                 bound.add(t.name)
     return out
+
+
+def stats_weight(
+    pattern: Pattern, bound: set[str], pred_counts: dict[str, int],
+) -> int:
+    """One pattern's stats-scaled weight: the fixed boundness weight ×
+    the predicate's collected count (``ReorderWeighted.
+    getTripleWeight`` over a ``StatsMatcher``). An unseen predicate
+    estimates 1 — StatsMatcher treats it as matching nothing (weight 0
+    would be ideal-first; 1 keeps fully concrete known patterns
+    winning ties deterministically); a variable predicate estimates
+    the corpus total. Shared by :func:`reorder_patterns_stats` and the
+    join-tree explain (``queries/jointree.py``) so the printed
+    cardinality cannot drift from the reorder."""
+    pred = _pattern_pred_iri(pattern[1])
+    total = max(1, sum(pred_counts.values()))
+    est = total if pred is None else pred_counts.get(pred, 1)
+    return _reorder_weight(pattern, bound) * max(1, est)
 
 
 def pred_counts_of(triples: DataFrame) -> dict[str, int]:

@@ -39,10 +39,10 @@ import json
 
 from jena_spark.queries.algebra import (
     Var,
-    _pattern_pred_iri,
     _reorder_weight,
     reorder_patterns,
     reorder_patterns_stats,
+    stats_weight,
 )
 
 #: the reference's value delimiter inside one tree node
@@ -92,11 +92,17 @@ def leaf(pattern, pred_counts: dict[str, int] | None = None) -> dict:
             preds.append(s[1])
         elif _term_kind(o, "o") == "URI":
             preds.append(o[1])
-    weight = _reorder_weight(pattern, set()) if not isinstance(p, PathExpr) else None
-    if weight is not None and pred_counts is not None:
-        iri = _pattern_pred_iri(p)
-        total = max(1, sum(pred_counts.values()))
-        weight *= max(1, pred_counts.get(iri, 1) if iri else total)
+    # the pattern's STANDALONE weight — ``getTripleWeight(new
+    # PatternTriple(t))`` takes no bound-variable context, so neither
+    # does this; the in-context weights the greedy reorder used along
+    # the way are a different number (algebra.stats_weight with the
+    # accumulated bound set).
+    if isinstance(p, PathExpr):
+        weight = None
+    elif pred_counts is not None:
+        weight = stats_weight(pattern, set(), pred_counts)
+    else:
+        weight = _reorder_weight(pattern, set())
     return {"tpf_type": sig, "predicates": preds, "cardinality": weight}
 
 
@@ -109,13 +115,20 @@ def join_tree(
     ``type`` JOIN/TPF, ``predicates``, and ``left``/``right``."""
     from jena_spark.queries.sparql import PathExpr
 
-    plain = [p for p in patterns if not isinstance(p[1], PathExpr)]
-    paths = [p for p in patterns if isinstance(p[1], PathExpr)]
-    if pred_counts is not None:
-        ordered = reorder_patterns_stats(plain, pred_counts)
+    if any(isinstance(p[1], PathExpr) for p in patterns) and len(patterns) > 1:
+        # the compiler evaluates each path triple as its OWN step
+        # (every path flushes the BGP run) — a tree mixing paths with
+        # plain patterns would show a join order that never executes
+        raise ValueError(
+            "join_tree: property-path patterns evaluate as their own "
+            "step — pass each as a single-pattern list"
+        )
+    if isinstance(patterns[0][1], PathExpr):
+        ordered = list(patterns)
+    elif pred_counts is not None:
+        ordered = reorder_patterns_stats(patterns, pred_counts)
     else:
-        ordered = reorder_patterns(plain)
-    ordered = ordered + paths  # path steps evaluate after the BGP
+        ordered = reorder_patterns(patterns)
     leaves = [
         {"type": "TPF", **leaf(p, pred_counts)} for p in ordered
     ]
@@ -147,7 +160,7 @@ def _walk_groups(group, out: list) -> None:
     """Collect contiguous triple-pattern runs exactly as the compiler
     evaluates them: FILTER/BIND/VALUES and every sub-group boundary
     flushes the run (``sparql._Compiler.compile_group``)."""
-    from jena_spark.queries.sparql import Group, PFPat, QTPat
+    from jena_spark.queries.sparql import Group, PathExpr, PFPat, QTPat
 
     run: list = []
 
@@ -163,6 +176,12 @@ def _walk_groups(group, out: list) -> None:
             s, verb, o = el[1]
             if isinstance(s, QTPat) or isinstance(o, QTPat):
                 flush()
+                continue
+            if isinstance(verb, PathExpr):
+                # every path triple is its own evaluation step — the
+                # compiler flushes the BGP run at a PathExpr
+                flush()
+                out.append([el[1]])
                 continue
             run.append(el[1])
         else:

@@ -86,6 +86,35 @@ def test_runs_split_like_the_compiler():
     assert json.loads(trees[2]) == [f"VAR_URI_VAR{DELIM}{EX}d"]
 
 
+def test_path_triples_are_their_own_step():
+    # the compiler flushes the BGP run at every PathExpr — the trees
+    # must show the same three steps, the path leaf typed PATH
+    q = (f"SELECT * WHERE {{ ?a <{EX}p1> ?b . "
+         f"?a <{EX}q>+ ?c . ?c <{EX}p2> ?d . }}")
+    trees = [json.loads(t) for t in query_plan(q)]
+    assert len(trees) == 3
+    assert trees[0] == [f"VAR_URI_VAR{DELIM}{EX}p1"]
+    assert trees[1] == [f"VAR_PATH_VAR{DELIM}PATH"]
+    assert trees[2] == [f"VAR_URI_VAR{DELIM}{EX}p2"]
+    # a mixed list through the API errors instead of printing a join
+    # order the engine never executes
+    import pytest as _pytest
+    from jena_spark.queries.sparql import Parser
+
+    parsed = Parser(q).parse()
+    pats = [el[1] for el in parsed.where.elements if el[0] == "triple"]
+    with _pytest.raises(ValueError, match="own"):
+        join_tree(pats)
+
+
+def test_leaf_cardinality_matches_reorder_weight():
+    from jena_spark.queries.algebra import stats_weight
+
+    counts = {EX + "p": 42}
+    pat = _pat("?s", EX + "p", "?o")
+    assert leaf(pat, counts)["cardinality"] == stats_weight(pat, set(), counts)
+
+
 def test_cli_queryplan(capsys, tmp_path, spark):
     ttl = tmp_path / "d.ttl"
     ttl.write_text(
@@ -100,6 +129,7 @@ def test_cli_queryplan(capsys, tmp_path, spark):
         "id;query\n"
         f"q1;SELECT * WHERE {{ ?s <{EX}common> ?a . ?s <{EX}rare> ?b . }}\n"
         "q2;NOT A QUERY AT ALL(\n"
+        "short-row-without-a-query-column\n"
     )
     out = tmp_path / "plans.csv"
     rc = main([
@@ -112,7 +142,8 @@ def test_cli_queryplan(capsys, tmp_path, spark):
     capsys.readouterr()
     assert rc == 0
     lines = out.read_text(encoding="utf-8").splitlines()
-    # the unparseable query is skipped (reference logs and continues)
+    # the unparseable query AND the short row are skipped (the
+    # reference logs bad records and continues)
     assert len(lines) == 1
     qid, qtext, tree = lines[0].split("ᶶ")
     assert qid == "q1" and "SELECT" in qtext
