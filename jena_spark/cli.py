@@ -214,6 +214,113 @@ def _cmd_stats(args) -> int:
     return 0
 
 
+def _cmd_qexpr(args) -> int:
+    """``arq/qexpr.java`` — evaluate a SPARQL expression from the
+    command line through the engine's own scalar library: the
+    expression is wrapped as ``SELECT (expr AS ?result)`` over the
+    unit table and evaluated by Spark (same ``E_*`` mappings every
+    query uses). Expression errors surface as SPARQL unbound (the
+    engine's documented NULL convention; qexpr prints them as an
+    error and exits 1 like the reference's ExprEvalException path)."""
+    from jena_spark.queries.sparql import sparql_query
+
+    spark = _spark(args)
+    empty = spark.createDataFrame(
+        [],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string",
+    )
+    q = (f"SELECT ({args.expression} AS ?result) "
+         "WHERE { VALUES ?__unit { 1 } }")
+    try:
+        row = sparql_query(empty, q).first()
+    except ValueError as e:
+        print(f"Parse error: {e}", file=sys.stderr)
+        return 2
+    if row is None or row["result"] is None:
+        print("Error: expression did not evaluate", file=sys.stderr)
+        return 1
+    val = row["result"]
+    if isinstance(val, str) and __import__("re").fullmatch(r"-?\d+\.\d+", val):
+        # presentation only: the engine's decimal shadow prints
+        # trailing zeros; qexpr shows the canonical numeric form
+        val = val.rstrip("0").rstrip(".")
+    print(val)
+    return 0
+
+
+def _cmd_iri(args) -> int:
+    """``arq/iri.java`` — parse each IRI and print its violations via
+    the distributed IRIFactory analog (``functions/iri.py``)."""
+    from jena_spark.functions.iri import iri_violations
+
+    spark = _spark(args)
+    df = spark.createDataFrame([(i,) for i in args.iris], "iri string")
+    viols = {
+        (r["iri"], r["code"], bool(r["is_error"]))
+        for r in iri_violations(df, require_absolute=True).collect()
+    }
+    bad = False
+    for i in args.iris:
+        mine = sorted((c, e) for (v, c, e) in viols if v == i)
+        print(f"{i} ::" + (" OK" if not mine else ""))
+        for code, is_error in mine:
+            bad = bad or is_error
+            print(f"  {'Error' if is_error else 'Warning'}: {code}")
+    return 1 if bad else 0
+
+
+def _cmd_utf8(args) -> int:
+    """``arq/utf8.java`` — check a file decodes as UTF-8."""
+    with open(args.file, "rb") as f:
+        data = f.read()
+    try:
+        data.decode("utf-8", errors="strict")
+    except UnicodeDecodeError as e:
+        print(f"Bad UTF-8 at byte {e.start}: {e.reason}", file=sys.stderr)
+        return 1
+    print(f"OK: {len(data)} bytes")
+    return 0
+
+
+def _cmd_wwwenc(args) -> int:
+    """``arq/wwwenc.java`` — percent-encode command-line strings."""
+    from urllib.parse import quote
+
+    for s in args.strings:
+        print(quote(s, safe=""))
+    return 0
+
+
+def _cmd_wwwdec(args) -> int:
+    """``arq/wwwdec.java`` — percent-decode command-line strings."""
+    from urllib.parse import unquote
+
+    for s in args.strings:
+        print(unquote(s))
+    return 0
+
+
+def _cmd_uparse(args) -> int:
+    """``arq/uparse.java`` — parse and validate a SPARQL Update
+    request (from --update or a file argument); prints the parsed
+    operation list on success, the parse error on failure."""
+    from jena_spark.pipeline.sparql_update import UpdateParser
+
+    text = args.update
+    if text is None:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+    try:
+        ops = UpdateParser(text).parse_update()
+    except Exception as e:  # noqa: BLE001 — any parse failure is the result
+        print(f"Parse error: {e}", file=sys.stderr)
+        return 2
+    print(f"{len(ops)} update operation(s): "
+          + ", ".join(op["op"] for op in ops))
+    return 0
+
+
 #: the fork's output column delimiter (``tdbqueryplan.java:225``).
 _PLAN_COL_DELIM = "ᶶ"
 
@@ -516,6 +623,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--individuals", action="store_true")
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_schemagen)
+
+    p = sub.add_parser("qexpr", help="evaluate a SPARQL expression")
+    p.add_argument("expression")
+    p.set_defaults(fn=_cmd_qexpr)
+
+    p = sub.add_parser("iri", help="parse IRIs, print violations (exit 0/1)")
+    p.add_argument("iris", nargs="+")
+    p.set_defaults(fn=_cmd_iri)
+
+    p = sub.add_parser("utf8", help="check a file decodes as UTF-8")
+    p.add_argument("file")
+    p.set_defaults(fn=_cmd_utf8)
+
+    p = sub.add_parser("wwwenc", help="percent-encode strings")
+    p.add_argument("strings", nargs="+")
+    p.set_defaults(fn=_cmd_wwwenc)
+
+    p = sub.add_parser("wwwdec", help="percent-decode strings")
+    p.add_argument("strings", nargs="+")
+    p.set_defaults(fn=_cmd_wwwdec)
+
+    p = sub.add_parser("uparse", help="parse/validate a SPARQL Update")
+    p.add_argument("file", nargs="?")
+    p.add_argument("--update", default=None,
+                   help="inline update text instead of a file")
+    p.set_defaults(fn=_cmd_uparse)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=_cmd_version)

@@ -349,7 +349,12 @@ SPARQL_FUNCTIONS.update({
     "add": lambda a, b: a + b,
     "subtract": lambda a, b: a - b,
     "multiply": lambda a, b: a * b,
-    "divide": lambda a, b: a / b,          # SPARQL decimal semantics: caller casts
+    # E_Divide: division by zero is a SPARQL expression ERROR
+    # (ExprEvalException -> unbound/row filtered), NOT a query abort —
+    # Spark 4 ANSI `/` throws DIVIDE_BY_ZERO mid-query, so the mapping
+    # must be try_divide (NULL on zero, the engine's error-as-NULL
+    # convention; same posture as try_cast in the value-space parsers)
+    "divide": lambda a, b: F.try_divide(a, b),
     "unary_minus": lambda a: -a,
     "unary_plus": lambda a: a,
     # comparisons (E_Equals .. E_LessThanOrEqual; term order is the

@@ -750,6 +750,14 @@ class Parser:
         self.expect_op(")")
         return items
 
+    def _num_const(self, lex: str):
+        """Unsigned numeric lexical -> const expression AST (same
+        datatype rule as the term-level NUM branch)."""
+        dt = (XSD + "integer" if re.fullmatch(r"\d+", lex)
+              else XSD + "double" if "e" in lex.lower()
+              else XSD + "decimal")
+        return ("const", ("literal", lex, dt, None))
+
     def _num_expr(self):
         e = self._mul_expr()
         while True:
@@ -757,6 +765,26 @@ class Parser:
                 e = ("arith", "add", e, self._mul_expr())
             elif self.op("-"):
                 e = ("arith", "subtract", e, self._mul_expr())
+            elif (self.peek().kind == "NUM"
+                    and self.peek().val[0] in "+-"):
+                # grammar rule [116] AdditiveExpression: the tokenizer
+                # (like SPARQL's own lexer) eats the sign into a
+                # NumericLiteralPositive/Negative token, so `?x+2`
+                # means ?x + 2 — re-split the sign here
+                t = self.next()
+                op = "add" if t.val[0] == "+" else "subtract"
+                lit = self._num_const(t.val.lstrip("+-"))
+                e = ("arith", op, e, lit)
+                # the grammar allows ('*'|'/' UnaryExpression)* after
+                # the signed literal: 1+2*3 tokenized (1)(+2)(*)(3)
+                while True:
+                    if self.op("*"):
+                        lit = ("arith", "multiply", lit, self._unary_expr())
+                    elif self.op("/"):
+                        lit = ("arith", "divide", lit, self._unary_expr())
+                    else:
+                        break
+                    e = (e[0], e[1], e[2], lit)
             else:
                 return e
 

@@ -209,3 +209,48 @@ def test_schemagen(capsys, tmp_path):
 def test_version(capsys):
     rc, out = _run(capsys, "version")
     assert rc == 0 and "jena_spark" in out
+
+
+def test_qexpr(capsys):
+    rc, out = _run(capsys, "qexpr", "2 + 3 * 4")
+    assert rc == 0 and out.strip() == "14"
+    rc, out = _run(capsys, "qexpr", "CONCAT('a', UCASE('bc'))")
+    assert rc == 0 and out.strip() == "aBC"
+    # expression error (SPARQL unbound) -> rc 1, not a crash
+    rc, out = _run(capsys, "qexpr", "1/0")
+    assert rc == 1
+    # parse error -> rc 2
+    rc, out = _run(capsys, "qexpr", "1 +")
+    assert rc == 2
+
+
+def test_iri_tool(capsys):
+    rc, out = _run(capsys, "iri", "http://example/ok")
+    assert rc == 0 and ":: OK" in out
+    rc, out = _run(capsys, "iri", "http://example/ok", "no-scheme/path")
+    assert rc == 1 and "Error:" in out
+
+
+def test_utf8_wwwenc_wwwdec(capsys, tmp_path):
+    p = tmp_path / "ok.txt"
+    p.write_bytes("héllo".encode("utf-8"))
+    rc, out = _run(capsys, "utf8", str(p))
+    assert rc == 0 and out.startswith("OK: 6 bytes")
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"\xff\xfe")
+    assert _run(capsys, "utf8", str(bad))[0] == 1
+    rc, out = _run(capsys, "wwwenc", "a b&c")
+    assert rc == 0 and out.strip() == "a%20b%26c"
+    rc, out = _run(capsys, "wwwdec", "a%20b%26c")
+    assert rc == 0 and out.strip() == "a b&c"
+
+
+def test_uparse(capsys, tmp_path):
+    rc, out = _run(capsys, "uparse", "--update",
+                   "INSERT DATA { <http://a> <http://b> 1 } ; CLEAR DEFAULT")
+    assert rc == 0 and "2 update operation(s): insert_data, clear" in out
+    f = tmp_path / "u.ru"
+    f.write_text("DELETE WHERE { ?s <http://p> ?o }")
+    rc, out = _run(capsys, "uparse", str(f))
+    assert rc == 0 and "delete_where" in out
+    assert _run(capsys, "uparse", "--update", "INSERT GARBAGE")[0] == 2

@@ -412,3 +412,37 @@ def test_avg_distinct_raises(people):
         sparql_query(people, f"""
             PREFIX ex: <{EX}>
             SELECT (AVG(DISTINCT ?a) AS ?m) WHERE {{ ?x ex:age ?a }}""")
+
+
+def test_signed_numeric_literal_in_additive_expr(people):
+    """Grammar rule [116]: the lexer eats the sign into the numeric
+    token, so ``?age+2`` / ``?age-5`` / ``1+2*3`` must still parse as
+    additive expressions (ARQ's AdditiveExpression special-cases
+    NumericLiteralPositive/Negative the same way)."""
+    out = sparql_query(
+        people,
+        "SELECT ?n WHERE { ?s <http://ex.org/age> ?age . "
+        "BIND(?age+2 AS ?n) FILTER(?age = 30) }",
+    ).collect()
+    assert [r["n"].rstrip("0").rstrip(".") for r in out] == ["32"]
+    # signed literal followed by the grammar's ('*' Unary)* tail
+    out = sparql_query(
+        people,
+        "SELECT ?n WHERE { ?s <http://ex.org/age> ?age . "
+        "BIND(?age+2*3 AS ?n) FILTER(?age = 30) }",
+    ).collect()
+    assert [r["n"].rstrip("0").rstrip(".") for r in out] == ["36"]
+
+
+def test_division_by_zero_is_expression_error(people):
+    """E_Divide: x/0 is a SPARQL expression ERROR (row filtered /
+    unbound), not a query abort — Spark 4 ANSI `/` would throw
+    DIVIDE_BY_ZERO mid-query without the try_divide mapping."""
+    out = sparql_query(
+        people,
+        "SELECT ?s WHERE { ?s <http://ex.org/age> ?age . "
+        "FILTER(1/(?age - 30) > 0) }",
+    ).collect()
+    # alice (age 30) divides by zero -> error -> filtered, not thrown;
+    # ages > 30 (carol, 35) pass, ages < 30 give negative
+    assert [r["s"] for r in out] == ["http://ex.org/carol"]
