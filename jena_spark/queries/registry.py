@@ -4179,6 +4179,114 @@ def _iri_oracle() -> str:
 _register("kg_iri_violations", _q_iri_violations, _iri_oracle())
 
 
+def _q_text_query_lucene(spark, sf):
+    """jena-text's USER contract — a Lucene query STRING
+    (``text:query``; ``TextQueryPF.java`` → ``TextIndexLucene.query``
+    → Lucene ``QueryParser``): '+turing disc* "alan turing" -spark'
+    exercises every clause kind of the supported classic-parser
+    subset — MUST term, prefix wildcard, positional PHRASE over the
+    positional posting table, MUST_NOT anti-join — answered entirely
+    FROM the index (no corpus rescan)."""
+    from jena_spark.queries import textindex as TI
+
+    t = _triples(spark, sf)
+    idx = TI.build_text_index(t)
+    return TI.query_text(idx, '+turing disc* "alan turing" -spark')
+
+
+_LIT_GAP = 1 << 20  # textindex.LIT_GAP — literal-boundary position block
+
+#: positional posting table in DuckDB (the SQL mirror of
+#: ``textindex.build_text_index`` incl. the per-literal position
+#: blocks); shared by the Lucene-syntax oracle.
+_TEXT_POSTINGS_SQL = f""", lits AS (
+  SELECT s_kind, s_val, p_val AS property, lower(o_val) AS txt,
+         row_number() OVER (
+           PARTITION BY s_kind, s_val, p_val ORDER BY o_val) - 1 AS ord
+  FROM triples
+  WHERE p_val IN ('{TM.RDFS_LABEL}', '{TM.P_TEXT}') AND o_kind = 'literal'
+),
+exploded AS (
+  SELECT s_kind, s_val, property, ord,
+         list_filter(regexp_split_to_array(txt, '[^a-z0-9]+'),
+                     t -> t <> '') AS arr,
+         unnest(range(1, len(list_filter(regexp_split_to_array(
+           txt, '[^a-z0-9]+'), t -> t <> '')) + 1)) AS pos
+  FROM lits
+),
+toks AS (
+  SELECT s_kind, s_val, property, arr[pos] AS token,
+         ord * {_LIT_GAP} + pos AS gpos
+  FROM exploded
+),
+postings AS (
+  SELECT token, property, s_kind, s_val, count(*) AS tf,
+         list(gpos ORDER BY gpos) AS positions
+  FROM toks GROUP BY token, property, s_kind, s_val
+),
+lens AS (
+  SELECT s_kind, s_val, property,
+    CAST(sum(len(list_filter(regexp_split_to_array(txt, '[^a-z0-9]+'),
+                             t -> t <> ''))) AS BIGINT) AS doc_len
+  FROM lits GROUP BY s_kind, s_val, property
+),
+idx AS (
+  SELECT p.*, lens.doc_len FROM postings p
+  JOIN lens ON p.s_kind = lens.s_kind AND p.s_val = lens.s_val
+           AND p.property = lens.property
+)"""
+
+_register(
+    "kg_text_query_lucene",
+    _q_text_query_lucene,
+    _W + _TEXT_POSTINGS_SQL + """,
+    must_turing AS (
+      SELECT s_kind, s_val, property,
+        CAST(sum(CAST(floor(tf * 10000.0 / doc_len) AS BIGINT)) AS BIGINT)
+          AS score_bp
+      FROM idx WHERE token = 'turing'
+      GROUP BY s_kind, s_val, property
+    ),
+    pre_disc AS (
+      SELECT s_kind, s_val, property,
+        CAST(sum(CAST(floor(tf * 10000.0 / doc_len) AS BIGINT)) AS BIGINT)
+          AS score_bp
+      FROM idx WHERE token LIKE 'disc%'
+      GROUP BY s_kind, s_val, property
+    ),
+    phrase AS (
+      SELECT a.s_kind, a.s_val, a.property,
+        CAST(floor(len(list_filter(list_transform(a.positions, x -> x + 1),
+                                   p -> list_contains(b.positions, p)))
+                   * 10000.0 / a.doc_len) AS BIGINT) AS score_bp
+      FROM idx a JOIN idx b
+        ON a.s_kind = b.s_kind AND a.s_val = b.s_val
+       AND a.property = b.property
+      WHERE a.token = 'alan' AND b.token = 'turing'
+        AND len(list_filter(list_transform(a.positions, x -> x + 1),
+                            p -> list_contains(b.positions, p))) > 0
+    ),
+    pos_hits AS (
+      SELECT * FROM must_turing
+      UNION ALL SELECT * FROM pre_disc
+      UNION ALL SELECT * FROM phrase
+    ),
+    scored AS (
+      SELECT s_kind, s_val, property,
+             CAST(sum(score_bp) AS BIGINT) AS score_bp
+      FROM pos_hits GROUP BY s_kind, s_val, property
+    )
+    SELECT s.* FROM scored s
+    WHERE EXISTS (SELECT 1 FROM must_turing m
+                  WHERE m.s_kind = s.s_kind AND m.s_val = s.s_val
+                    AND m.property = s.property)
+      AND NOT EXISTS (SELECT 1 FROM idx n
+                      WHERE n.token = 'spark'
+                        AND n.s_kind = s.s_kind AND n.s_val = s.s_val
+                        AND n.property = s.property)""",
+)
+
+
 # === relational direct mapping + the fork's benchmark workload ==============
 
 #: direct-mapped TPC-H star schema (sources/rdb.py): one spec drives
@@ -4461,7 +4569,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
-    "kg_rdb_direct_map", "kg_workload_shapes",
+    "kg_rdb_direct_map", "kg_workload_shapes", "kg_text_query_lucene",
     "kg_rule_reasoner",
     "kg_csv_property_table", "kg_iri_violations",
     "kg_geof_point_in_polygon", "kg_geof_relations", "kg_bgp_triangle",
@@ -4478,7 +4586,7 @@ _PRIORITY = [
     "kg_path_zero_or_more", "kg_path_zero_or_one",
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
     "data_dedup_clusters", "data_curate", "kg_shacl_report",
-    "kg_sparql_select", "kg_sparql_agg", "kg_sparql_path",
+    "kg_sparql_select", "kg_sparql_agg",
     "kg_incremental",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint, lineage-optional
@@ -4497,7 +4605,7 @@ _PRIORITY = [
     # rotated below the cap for kg_rdb_direct_map/kg_workload_shapes:
     # string-front-end twins of driver-checked algebra queries, green
     # in the local full sweeps + test_registry; back in the window r4
-    "kg_sparql_subselect", "kg_sparql_update",
+    "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_path",
     "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
                  # window is full; local sweeps + pytest cover it, and
                  # it rotates into the window next round

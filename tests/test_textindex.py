@@ -95,8 +95,12 @@ def test_incremental_update_equals_rebuild(spark):
          ("iri", "http://e/s2", LBL, "literal", "eta", None, None)],
         SCHEMA,
     )
-    want = {tuple(r) for r in build_text_index(final_corpus).collect()}
-    got = {tuple(r) for r in updated.collect()}
+    def _h(rows):
+        return {tuple(tuple(x) if isinstance(x, list) else x for x in r)
+                for r in rows}
+
+    want = _h(build_text_index(final_corpus).collect())
+    got = _h(updated.collect())
     assert got == want
     # s3 gone, eta present, zeta never indexed
     assert not any(r[3] == "http://e/s3" for r in got)
@@ -108,3 +112,57 @@ def test_incremental_update_equals_rebuild(spark):
         [base[3]], SCHEMA))
     assert not any(r[3] == "http://e/s3"
                    for r in only_removed.collect())
+
+
+def test_parse_lucene_query_clauses():
+    cs = TI.parse_lucene_query('+alan tur* -kay "alan turing" lbl:grace')
+    assert [c["occur"] for c in cs] == [
+        "MUST", "SHOULD", "MUST_NOT", "SHOULD", "SHOULD"]
+    assert [c["kind"] for c in cs] == [
+        "term", "prefix", "term", "phrase", "term"]
+    assert cs[4]["field"] == "lbl" and cs[4]["value"] == "grace"
+    # AND promotes both neighbours to MUST (classic-parser behavior)
+    cs = TI.parse_lucene_query("alan AND kay")
+    assert [c["occur"] for c in cs] == ["MUST", "MUST"]
+    # rejected syntax errors, not silent mis-parses
+    import pytest as _p
+    for bad in ("*lead", "fu~zzy", "a^2", "NOT x", "-only -neg"):
+        with _p.raises(ValueError):
+            TI.parse_lucene_query(bad)
+
+
+def test_query_text_phrase_and_occurs(spark):
+    idx = TI.build_text_index(_g(spark))
+    # phrase matches only where tokens are ADJACENT within one literal
+    got = [r["s_val"] for r in TI.query_text(idx, '"alan turing"').collect()]
+    assert got == ["e1"]
+    # 'discussed turing' is adjacent in t1's text
+    got = [r["s_val"] for r in TI.query_text(idx, '"discussed turing"').collect()]
+    assert got == ["t1"]
+    # reversed order is NOT a phrase hit
+    assert TI.query_text(idx, '"turing discussed"').count() == 0
+    # MUST + MUST_NOT + prefix
+    got = {r["s_val"] for r in TI.query_text(idx, "+turing disc*").collect()}
+    assert got == {"e1", "t1"}
+    got = {r["s_val"] for r in TI.query_text(idx, "+turing -discussed").collect()}
+    assert got == {"e1"}
+    # field restriction via the caller's field map
+    got = {r["s_val"] for r in TI.query_text(
+        idx, "lbl:turing", prop_map={"lbl": TM.RDFS_LABEL}).collect()}
+    assert got == {"e1"}
+
+
+def test_phrase_never_crosses_literal_boundary(spark):
+    # e1 has literals "Alan Turing" and "Turing": the last token of one
+    # literal and the first of another must not form a phrase
+    idx = TI.build_text_index(_g(spark))
+    assert TI.query_text(idx, '"turing turing"').count() == 0
+    # ... even when literals are adjacent in sort order with the right
+    # tokens at the seam
+    rows = [
+        ("iri", "x", TM.RDFS_LABEL, "literal", "aaa bbb", None, None),
+        ("iri", "x", TM.RDFS_LABEL, "literal", "ccc ddd", None, None),
+    ]
+    idx2 = TI.build_text_index(spark.createDataFrame(rows, SCHEMA))
+    assert TI.query_text(idx2, '"bbb ccc"').count() == 0
+    assert TI.query_text(idx2, '"ccc ddd"').count() == 1
