@@ -149,6 +149,7 @@ PROPERTY_FUNCTIONS = {
 # light — ``pfunction/library/IsNearByPF.java`` etc.
 def _spatial_pfs():
     from jena_spark.queries import spatial as SP
+    from jena_spark.queries import textindex as TI
 
     return {
         SP.SPATIAL_NS + "nearby": SP.nearby_pf,
@@ -159,6 +160,10 @@ def _spatial_pfs():
         SP.SPATIAL_NS + "south": SP.south_pf,
         SP.SPATIAL_NS + "east": SP.east_pf,
         SP.SPATIAL_NS + "west": SP.west_pf,
+        # jena-text's query PF shares the graph-level convention
+        # (``TextQueryPF.java``; registered at text:query like the
+        # TextDatasetFactory wiring does)
+        TI.TEXT_NS + "query": TI.text_query_pf,
     }
 
 

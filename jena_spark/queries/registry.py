@@ -4287,6 +4287,37 @@ _register(
 )
 
 
+def _q_sparql_text_query(spark, sf):
+    """text:query reachable from a SPARQL STRING — the full jena-text
+    user path (``?s text:query (prop 'lucene query' limit)``,
+    ``TextQueryPF.java`` registered in the PropertyFunctionRegistry):
+    property-restricted OR query with a prefix wildcard and a
+    deterministic top-20 cut."""
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _triples(spark, sf)
+    q = ("SELECT ?s WHERE { ?s <http://jena.apache.org/text#query> "
+         f"(<{TM.P_TEXT}> \"turing disc*\" 20) }}")
+    return sparql_query(t, q)
+
+
+_register(
+    "kg_sparql_text_query",
+    _q_sparql_text_query,
+    _W + _TEXT_POSTINGS_SQL.replace(
+        f"p_val IN ('{TM.RDFS_LABEL}', '{TM.P_TEXT}')",
+        f"p_val = '{TM.P_TEXT}'",
+    ) + """
+    SELECT s_val AS s FROM (
+      SELECT s_kind, s_val,
+        CAST(sum(CAST(floor(tf * 10000.0 / doc_len) AS BIGINT)) AS BIGINT)
+          AS score_bp
+      FROM idx WHERE token = 'turing' OR token LIKE 'disc%'
+      GROUP BY s_kind, s_val
+    ) ORDER BY score_bp DESC, s ASC LIMIT 20""",
+)
+
+
 # === relational direct mapping + the fork's benchmark workload ==============
 
 #: direct-mapped TPC-H star schema (sources/rdb.py): one spec drives
@@ -4570,6 +4601,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round (r3) — never driver-checked
     "kg_rdb_direct_map", "kg_workload_shapes", "kg_text_query_lucene",
+    "kg_sparql_text_query",
     "kg_rule_reasoner",
     "kg_csv_property_table", "kg_iri_violations",
     "kg_geof_point_in_polygon", "kg_geof_relations", "kg_bgp_triangle",
@@ -4586,7 +4618,7 @@ _PRIORITY = [
     "kg_path_zero_or_more", "kg_path_zero_or_one",
     "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
     "data_dedup_clusters", "data_curate", "kg_shacl_report",
-    "kg_sparql_select", "kg_sparql_agg",
+    "kg_sparql_select",
     "kg_incremental",
     # r3 "done"-gate queries: behavior touched this round (shared
     # mention frame, MINUS split, inference fixpoint, lineage-optional
@@ -4606,6 +4638,7 @@ _PRIORITY = [
     # string-front-end twins of driver-checked algebra queries, green
     # in the local full sweeps + test_registry; back in the window r4
     "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_path",
+    "kg_sparql_agg",
     "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
                  # window is full; local sweeps + pytest cover it, and
                  # it rotates into the window next round

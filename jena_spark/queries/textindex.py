@@ -346,3 +346,53 @@ def query_text(
         )
     out = scored.orderBy(F.desc("score_bp"), F.asc("s_val"), F.asc("property"))
     return out.limit(limit) if limit is not None else out
+
+
+#: jena-text vocabulary namespace (``TextVocab.java``).
+TEXT_NS = "http://jena.apache.org/text#"
+
+
+def text_query_pf(triples: DataFrame, *args) -> DataFrame:
+    """``?s text:query ([property] "query string" [limit])`` — the
+    text:query property function (``TextQueryPF.java``: node-type
+    dispatch over the argument list; here a leading absolute-IRI
+    string is the property, the first other string is the Lucene
+    query, a trailing integer the limit). Graph-level adapter for the
+    SPARQL string front-end: builds the posting table from the query's
+    triple table and answers via :func:`query_text`; hits collapse to
+    one row per SUBJECT (Lucene documents are keyed by entity —
+    ``TextIndexLucene.addEntity``), scores summed over matching
+    properties, deterministic (score desc, subject) order before any
+    limit. For a standing corpus use :func:`build_text_index` once and
+    :func:`query_text` directly — the PF form rebuilds the index per
+    query, the right trade only for one-shot queries."""
+    import re as _re
+
+    prop: str | None = None
+    query: str | None = None
+    limit: int | None = None
+    for a in args:
+        if isinstance(a, bool):
+            raise ValueError("text:query: unexpected boolean argument")
+        if isinstance(a, (int, float)):
+            limit = int(a)
+        elif (prop is None and query is None
+                and _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", a)):
+            prop = a
+        elif query is None:
+            query = a
+        else:
+            raise ValueError(f"text:query: unexpected argument {a!r}")
+    if query is None:
+        raise ValueError("text:query needs a query string")
+    idx = build_text_index(
+        triples, properties=[prop] if prop is not None else None
+    )
+    hits = query_text(idx, query)
+    per_subject = (
+        hits.groupBy("s_kind", "s_val")
+        .agg(F.sum("score_bp").alias("score_bp"))
+        .orderBy(F.desc("score_bp"), F.asc("s_val"))
+        .select(F.col("s_kind").alias("ent_kind"), F.col("s_val").alias("ent"))
+    )
+    return per_subject.limit(limit) if limit is not None else per_subject

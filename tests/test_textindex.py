@@ -166,3 +166,20 @@ def test_phrase_never_crosses_literal_boundary(spark):
     idx2 = TI.build_text_index(spark.createDataFrame(rows, SCHEMA))
     assert TI.query_text(idx2, '"bbb ccc"').count() == 0
     assert TI.query_text(idx2, '"ccc ddd"').count() == 1
+
+
+def test_text_query_pf_from_sparql_string(spark):
+    from jena_spark.queries.sparql import sparql_query
+
+    t = _g(spark)
+    q = ('SELECT ?s WHERE { ?s <http://jena.apache.org/text#query> '
+         '("\\"alan turing\\"" 5) }')
+    assert [r["s"] for r in sparql_query(t, q).collect()] == ["e1"]
+    # property-restricted form: only the text field is searched
+    q2 = ('SELECT ?s WHERE { ?s <http://jena.apache.org/text#query> '
+          f'(<{TM.P_TEXT}> "turing") }}')
+    assert [r["s"] for r in sparql_query(t, q2).collect()] == ["t1"]
+    # PF output joins with ordinary patterns (entity-keyed hits)
+    q3 = ('SELECT ?lbl WHERE { ?s <http://jena.apache.org/text#query> '
+          '("grace") . ?s <' + TM.RDFS_LABEL + '> ?lbl }')
+    assert [r["lbl"] for r in sparql_query(t, q3).collect()] == ["Grace Hopper"]
