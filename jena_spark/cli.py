@@ -76,12 +76,21 @@ def _cmd_riot(args) -> int:
     return 0
 
 
+def _dataset_of(args, spark: SparkSession) -> DataFrame:
+    """--data files or a --location store (exactly one)."""
+    if bool(args.data) == bool(args.location):
+        raise SystemExit("provide exactly one of --data / --location")
+    if args.location:
+        return _read_store(spark, args.location)
+    return _read_all(spark, args.data, None)
+
+
 def _cmd_arq(args) -> int:
     from jena_spark.queries.sparql import sparql_query
     from jena_spark.sources import resultsets as RS
 
     spark = _spark(args)
-    df = _read_all(spark, args.data, None)
+    df = _dataset_of(args, spark)
     query = args.query
     if args.query_file:
         with open(args.query_file) as fh:
@@ -105,7 +114,7 @@ def _cmd_update(args) -> int:
     from jena_spark.pipeline.sparql_update import update_sparql
 
     spark = _spark(args)
-    df = _read_all(spark, args.data, None)
+    df = _dataset_of(args, spark)
     request = args.request
     if args.update_file:
         with open(args.update_file) as fh:
@@ -212,6 +221,84 @@ def _cmd_stats(args) -> int:
     for row in predicate_counts(df).orderBy("predicate").toLocalIterator():
         print(f"{row['predicate']}\t{row['n']}")
     return 0
+
+
+def _read_store(spark: SparkSession, location: str) -> DataFrame:
+    """Open a pipeline-job store directory as a triples frame — every
+    ``--format`` layout auto-detected: ``triples/`` (strings),
+    ``triples_enc/ + node_dict/`` (encoded; decoded through the node
+    dictionary), ``bucketed/ + node_dict/`` (SPO/OSP bucketBy store;
+    re-attached via ``register_bucketed_store`` then decoded).
+    Physical partitioning columns (part_id/bucket) are dropped, as the
+    pipeline's own append path does."""
+    import os
+
+    def _clean(df: DataFrame) -> DataFrame:
+        return df.drop(*[c for c in ("part_id", "bucket") if c in df.columns])
+
+    if os.path.isdir(os.path.join(location, "triples")):
+        return _clean(spark.read.parquet(f"{location}/triples"))
+    nd = os.path.join(location, "node_dict")
+    if (os.path.isdir(os.path.join(location, "triples_enc"))
+            and os.path.isdir(nd)):
+        from jena_spark.pipeline.encode import decode_triples
+
+        return decode_triples(
+            _clean(spark.read.parquet(f"{location}/triples_enc")),
+            _clean(spark.read.parquet(nd)),
+        )
+    if os.path.isdir(os.path.join(location, "bucketed")) and os.path.isdir(nd):
+        from jena_spark.pipeline.bucketed import register_bucketed_store
+        from jena_spark.pipeline.encode import decode_triples
+
+        tables = register_bucketed_store(
+            spark, "cli_kg", f"{location}/bucketed")
+        return decode_triples(
+            _clean(spark.table(tables["spo"])),
+            _clean(spark.read.parquet(nd)),
+        )
+    raise SystemExit(
+        f"no store at {location}: expected triples/ or "
+        "triples_enc/+node_dict/ or bucketed/+node_dict/")
+
+
+def _cmd_tdbdump(args) -> int:
+    """``tdb/tdbdump.java`` — dump a store as N-Triples/N-Quads
+    (streamed to stdout, or distributed through the language registry
+    with --out)."""
+    spark = _spark(args)
+    _emit(_read_store(spark, args.location), args.out, args.syntax)
+    return 0
+
+
+def _cmd_tdbnode(args) -> int:
+    """``tdb/tdbnode.java`` — print the node-dictionary mapping for
+    the given NodeIds (the encoded store's content-hash ids). Lookup
+    is an `isin` pushdown against the dictionary parquet — never a
+    full materialization on the driver."""
+    import os
+
+    from jena_spark import terms as TM
+
+    nd = os.path.join(args.location, "node_dict")
+    if not os.path.isdir(nd):
+        raise SystemExit(f"no node dictionary at {nd}")
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    ids = [int(i) for i in args.node_ids]
+    d = spark.read.parquet(nd).where(F.col("node_id").isin(ids))
+    rows = {r["node_id"]: r for r in d.collect()}
+    missing = False
+    for i in ids:
+        r = rows.get(i)
+        if r is None:
+            print(f"{i}: [not found]")
+            missing = True
+        else:
+            print(f"{i}: "
+                  + TM.nt_term(r["kind"], r["val"], r["datatype"], r["lang"]))
+    return 1 if missing else 0
 
 
 def _cmd_qexpr(args) -> int:
@@ -526,9 +613,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_riot)
 
-    for name in ("arq", "sparql"):
+    for name in ("arq", "sparql", "tdbquery"):
         p = sub.add_parser(name, help="run a SPARQL query")
-        p.add_argument("--data", action="append", required=True)
+        p.add_argument("--data", action="append")
+        p.add_argument("--location",
+                       help="pipeline store directory instead of --data "
+                            "(tdbquery posture; strings/encoded/bucketed "
+                            "layouts auto-detected)")
         p.add_argument("--query", help="query string")
         p.add_argument("--query-file")
         p.add_argument("--results", choices=["csv", "tsv", "json", "xml"],
@@ -537,11 +628,27 @@ def build_parser() -> argparse.ArgumentParser:
         p.set_defaults(fn=_cmd_arq)
 
     p = sub.add_parser("update", help="run a SPARQL Update")
-    p.add_argument("--data", action="append", required=True)
+    p.add_argument("--data", action="append")
+    p.add_argument("--location",
+                   help="pipeline store directory instead of --data "
+                        "(read side of tdbupdate; the result graph goes "
+                        "to --out / stdout, never back into the store)")
     p.add_argument("--request", help="update string")
     p.add_argument("--update-file")
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_update)
+
+    p = sub.add_parser("tdbdump", help="dump a store as N-Triples/N-Quads")
+    p.add_argument("--location", required=True)
+    p.add_argument("--syntax", default=None,
+                   help="output language for --out (default N-Triples)")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_tdbdump)
+
+    p = sub.add_parser("tdbnode", help="print node-dictionary entries")
+    p.add_argument("--location", required=True)
+    p.add_argument("node_ids", nargs="+")
+    p.set_defaults(fn=_cmd_tdbnode)
 
     p = sub.add_parser("qparse", help="print query algebra (SSE)")
     p.add_argument("--query")

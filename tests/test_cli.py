@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 
+from jena_spark import terms as TMT
 from jena_spark.cli import main
 
 EX = "http://ex.org/"
@@ -254,3 +255,50 @@ def test_uparse(capsys, tmp_path):
     rc, out = _run(capsys, "uparse", str(f))
     assert rc == 0 and "delete_where" in out
     assert _run(capsys, "uparse", "--update", "INSERT GARBAGE")[0] == 2
+
+
+def test_store_commands(capsys, tmp_path, spark):
+    """tdbdump / tdbnode / tdbquery --location over every store layout
+    pipeline_job writes (strings, encoded, bucketed)."""
+    from jena_spark.pipeline.bucketed import write_bucketed_store
+    from jena_spark.pipeline.encode import encode_triples, node_dictionary
+    from jena_spark.pipeline.materialize import resume_or_write
+
+    rows = [
+        ("iri", "http://e/a", "http://e/p", "literal", "x", None, None, "c1"),
+        ("iri", "http://e/b", "http://e/p", "iri", "http://e/a", None, None, "c1"),
+    ]
+    t = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string, conv_id string")
+    base = str(tmp_path)
+    resume_or_write(t, f"{base}/s/triples", "triples", 2, key="conv_id")
+    enc = encode_triples(t.drop("conv_id"))
+    nd = node_dictionary(t.drop("conv_id"))
+    enc.write.parquet(f"{base}/e/triples_enc")
+    nd.write.parquet(f"{base}/e/node_dict")
+    write_bucketed_store(enc, "testcli", f"{base}/b/bucketed", 2)
+    nd.write.parquet(f"{base}/b/node_dict")
+
+    expect = {'<http://e/a> <http://e/p> "x" .',
+              "<http://e/b> <http://e/p> <http://e/a> ."}
+    for layout in ("s", "e", "b"):
+        rc, out = _run(capsys, "tdbdump", "--location", f"{base}/{layout}")
+        assert rc == 0 and set(out.strip().splitlines()) == expect, layout
+
+    nid = nd.first()
+    rc, out = _run(capsys, "tdbnode", "--location", f"{base}/e",
+                   str(nid["node_id"]))
+    assert rc == 0 and out.strip().endswith(
+        TMT.nt_term(nid["kind"], nid["val"], nid["datatype"], nid["lang"]))
+    # a missing id reports [not found] and exits 1
+    rc, out = _run(capsys, "tdbnode", "--location", f"{base}/e", "12345")
+    assert rc == 1 and "[not found]" in out
+
+    rc, out = _run(capsys, "tdbquery", "--location", f"{base}/e",
+                   "--query", 'SELECT ?s WHERE { ?s <http://e/p> "x" }')
+    assert rc == 0 and out.splitlines()[1] == "http://e/a"
+    # exactly one of --data / --location
+    import pytest as _p
+    with _p.raises(SystemExit):
+        _run(capsys, "tdbquery", "--query", "SELECT * WHERE { ?s ?p ?o }")
