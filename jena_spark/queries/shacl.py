@@ -19,8 +19,15 @@ a driver list.
 
 Supported core components (errors loudly outside the profile):
 targets ``sh:targetClass``/``sh:targetNode``/``sh:targetSubjectsOf``/
-``sh:targetObjectsOf``; property shapes with an IRI path or
-``sh:inversePath``; constraints ``sh:minCount``, ``sh:maxCount``,
+``sh:targetObjectsOf``; property shapes with FULL SHACL property
+paths — predicate, ``sh:inversePath``, sequence (RDF list),
+``sh:alternativePath``, ``sh:zeroOrMorePath``/``sh:oneOrMorePath``/
+``sh:zeroOrOnePath``, arbitrarily nested (``shacl/parser/path/``) —
+evaluated set-based through ``_path_pairs`` (sequence = full-term
+equi-join, alternative = union, unbounded closure = semi-naive on
+encoded ids; the identity component of zero-paths rides a flag and
+unions the focus nodes, never an all-nodes frame); constraints
+``sh:minCount``, ``sh:maxCount``,
 ``sh:datatype``, ``sh:class``, ``sh:nodeKind``, ``sh:pattern``
 (+``sh:flags``), ``sh:in``, ``sh:hasValue``, ``sh:minLength``,
 ``sh:maxLength``, ``sh:minInclusive``/``sh:maxInclusive``/
@@ -83,8 +90,11 @@ _TERM_CONSTRAINTS = (
 
 @dataclass
 class PropertyShape:
-    path: str
+    path: str  # display string (SPARQL path syntax) for the report
     inverse: bool = False
+    #: parsed path AST: ("link", iri) | ("inv", ast) | ("seq", [ast...])
+    #: | ("alt", [ast...]) | ("star", ast) | ("plus", ast) | ("opt", ast)
+    path_ast: tuple | None = None
     min_count: int | None = None
     max_count: int | None = None
     constraints: dict = field(default_factory=dict)
@@ -181,7 +191,9 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
         unknown = {p for p in po
                    if p.startswith(SH) and p[len(SH):] not in
                    _TERM_CONSTRAINTS + (
-                       "path", "inversePath", "minCount", "maxCount",
+                       "path", "inversePath", "alternativePath",
+                       "zeroOrMorePath", "oneOrMorePath", "zeroOrOnePath",
+                       "minCount", "maxCount",
                        "property", "targetClass", "targetNode",
                        "targetSubjectsOf", "targetObjectsOf",
                        "closed", "ignoredProperties", "sparql",
@@ -218,18 +230,43 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                 out.append((op, [_inner_shape(r, depth) for r in refs]))
         return out
 
+    def _parse_path(t: tuple, depth: int = 0) -> tuple:
+        """SHACL property-path term -> AST (``shacl/parser/path/``):
+        IRI = predicate link; blank node = an RDF list (sequence path)
+        or one of sh:inversePath / sh:alternativePath /
+        sh:zeroOrMorePath / sh:oneOrMorePath / sh:zeroOrOnePath."""
+        if depth > 10:
+            raise ValueError("SHACL: path nesting deeper than 10")
+        if t[0] == "iri":
+            return ("link", t[1])
+        if t[0] != "bnode":
+            raise ValueError("SHACL: sh:path must be an IRI or path bnode")
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        po = by_subj.get(t[:2], {})
+        if rdf + "first" in po:  # sequence path = RDF list of sub-paths
+            return ("seq", [_parse_path(m, depth + 1)
+                            for m in _rdf_list(by_subj, t)])
+        for key, op in (("inversePath", "inv"), ("zeroOrMorePath", "star"),
+                        ("oneOrMorePath", "plus"), ("zeroOrOnePath", "opt")):
+            if SH + key in po:
+                return (op, _parse_path(po[SH + key][0], depth + 1))
+        if SH + "alternativePath" in po:
+            return ("alt", [_parse_path(m, depth + 1) for m in
+                            _rdf_list(by_subj, po[SH + "alternativePath"][0])])
+        raise ValueError(
+            "SHACL: unsupported path bnode — expected a sequence list, "
+            "sh:inversePath, sh:alternativePath, sh:zeroOrMorePath, "
+            "sh:oneOrMorePath or sh:zeroOrOnePath")
+
     def _property_shape(prop_ref: tuple, depth: int = 0) -> PropertyShape:
         ppo = by_subj.get(prop_ref[:2], {})
         path = one(ppo, "path")
         if path is None:
             raise ValueError("SHACL: property shape without sh:path")
-        inverse = False
-        if path[0] == "bnode":
-            inner = by_subj.get(path[:2], {}).get(SH + "inversePath")
-            if not inner:
-                raise ValueError("SHACL: only IRI or sh:inversePath paths")
-            path, inverse = inner[0], True
-        ps = PropertyShape(path=path[1], inverse=inverse)
+        ast = _parse_path(path)
+        inverse = ast[0] == "inv" and ast[1][0] == "link"
+        ps = PropertyShape(path=_path_str(ast), inverse=inverse,
+                           path_ast=ast)
         mn, mx = one(ppo, "minCount"), one(ppo, "maxCount")
         ps.min_count = int(mn[1]) if mn else None
         ps.max_count = int(mx[1]) if mx else None
@@ -293,6 +330,159 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
 
 
 REPORT_COLS = ["shape", "focus_kind", "focus", "path", "constraint", "value"]
+
+
+def _path_str(ast: tuple) -> str:
+    """AST -> SPARQL path syntax for the report's ``path`` column
+    (plain predicate paths print as the bare IRI — report parity with
+    the pre-path profile and with Jena's ``Path.toString``)."""
+    def grp(a: tuple) -> str:
+        s = _path_str(a)
+        return s if a[0] in ("link", "alt") else "(" + s + ")"
+    op = ast[0]
+    if op == "link":
+        return ast[1]
+    if op == "inv":
+        return "^" + grp(ast[1])
+    if op == "seq":
+        return "/".join(grp(m) for m in ast[1])
+    if op == "alt":
+        return "(" + "|".join(_path_str(m) for m in ast[1]) + ")"
+    return grp(ast[1]) + {"star": "*", "plus": "+", "opt": "?"}[op]
+
+
+_PAIR8 = ["n_kind", "n_val", "n_dt", "n_lang",
+          "v_kind", "v_val", "v_dt", "v_lang"]
+
+
+def _path_pairs(data: DataFrame, ast: tuple) -> tuple[DataFrame, bool]:
+    """Evaluate a SHACL property path over the data graph ->
+    ``(pairs, zero)``: a (start-node, value-node) DataFrame in full
+    8-column term space plus a flag saying the identity relation is
+    also included (sh:zeroOrMorePath / sh:zeroOrOnePath) — callers
+    union the focus nodes themselves as value nodes when set, so the
+    identity never materializes as an all-nodes cross frame.
+
+    Every composite is declarative: sequence = equi-join on the full
+    term key, alternative = union+distinct, inverse = column swap;
+    only unbounded closure iterates (semi-naive on dictionary-encoded
+    ids, same discipline as ``queries.paths.one_or_more``). The zero
+    flag composes: seq(a,b) includes b-pairs when a has identity and
+    a-pairs when b does; alt is any-member; closure of an
+    identity-bearing path is itself identity-bearing."""
+    op = ast[0]
+    null_s = F.lit(None).cast("string")
+    if op == "link":
+        return data.where(F.col("p_val") == ast[1]).select(
+            F.col("s_kind").alias("n_kind"), F.col("s_val").alias("n_val"),
+            null_s.alias("n_dt"), null_s.alias("n_lang"),
+            F.col("o_kind").alias("v_kind"), F.col("o_val").alias("v_val"),
+            F.col("o_datatype").alias("v_dt"), F.col("o_lang").alias("v_lang"),
+        ), False
+    if op == "inv":
+        inner, z = _path_pairs(data, ast[1])
+        return inner.select(
+            F.col("v_kind").alias("n_kind"), F.col("v_val").alias("n_val"),
+            F.col("v_dt").alias("n_dt"), F.col("v_lang").alias("n_lang"),
+            F.col("n_kind").alias("v_kind"), F.col("n_val").alias("v_val"),
+            F.col("n_dt").alias("v_dt"), F.col("n_lang").alias("v_lang"),
+        ), z
+    if op == "seq":
+        cur, z = _path_pairs(data, ast[1][0])
+        for m in ast[1][1:]:
+            cur, z = _seq_pairs(cur, z, *_path_pairs(data, m))
+        return cur, z
+    if op == "alt":
+        parts = [_path_pairs(data, m) for m in ast[1]]
+        out = parts[0][0]
+        for df, _ in parts[1:]:
+            out = out.unionByName(df)
+        return out.distinct(), any(z for _, z in parts)
+    inner, z = _path_pairs(data, ast[1])
+    if op == "opt":
+        return inner, True
+    return _closure_pairs(inner), (True if op == "star" else z)
+
+
+def _seq_pairs(left: DataFrame, lz: bool,
+               right: DataFrame, rz: bool) -> tuple[DataFrame, bool]:
+    """Relational composition of two 8-column pair frames. The join
+    key is the FULL term (kind, val, datatype, lang) — literal
+    midpoints (possible when the right side starts inverse) never
+    conflate value-distinct literals."""
+    cond = (
+        (F.col("l.v_kind") == F.col("r.n_kind"))
+        & (F.col("l.v_val") == F.col("r.n_val"))
+        & (F.coalesce(F.col("l.v_dt"), F.lit(""))
+           == F.coalesce(F.col("r.n_dt"), F.lit("")))
+        & (F.coalesce(F.col("l.v_lang"), F.lit(""))
+           == F.coalesce(F.col("r.n_lang"), F.lit("")))
+    )
+    joined = left.alias("l").join(right.alias("r"), cond).select(
+        *[F.col("l." + c).alias(c) for c in _PAIR8[:4]],
+        *[F.col("r." + c).alias(c) for c in _PAIR8[4:]],
+    )
+    if lz:  # identity on the left: right's own pairs pass through
+        joined = joined.unionByName(right.select(*_PAIR8))
+    if rz:  # identity on the right: left's own pairs pass through
+        joined = joined.unionByName(left.select(*_PAIR8))
+    return joined.distinct(), (lz and rz)
+
+
+def _closure_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Transitive closure of an 8-column pair frame — semi-naive
+    frontier iteration on xxhash64 term ids (the
+    ``queries.paths.one_or_more`` discipline: 16-byte join rows,
+    localCheckpoint per round, decode once at the end via a node
+    dictionary carrying the full term)."""
+    from jena_spark.pipeline.encode import term_id_col
+
+    p = pairs.select(*_PAIR8).distinct()
+    nodes = (
+        p.select(F.col("n_kind").alias("kind"), F.col("n_val").alias("val"),
+                 F.col("n_dt").alias("dt"), F.col("n_lang").alias("lang"))
+        .unionByName(
+            p.select(F.col("v_kind").alias("kind"),
+                     F.col("v_val").alias("val"),
+                     F.col("v_dt").alias("dt"), F.col("v_lang").alias("lang")))
+        .distinct()
+        .select(term_id_col(F.col("kind"), F.col("val"),
+                            F.col("dt"), F.col("lang")).alias("node_id"),
+                "kind", "val", "dt", "lang")
+    )
+    edges = p.select(
+        term_id_col(F.col("n_kind"), F.col("n_val"),
+                    F.col("n_dt"), F.col("n_lang")).alias("src"),
+        term_id_col(F.col("v_kind"), F.col("v_val"),
+                    F.col("v_dt"), F.col("v_lang")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    reached, frontier = edges, edges
+    for _ in range(max_iter):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        new = nxt.join(reached, ["src", "dst"], "left_anti") \
+            .localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        # union of checkpointed frontiers — no re-checkpoint (keeps the
+        # materialized bytes O(|closure|), lineage one level deep)
+        reached = reached.unionByName(new)
+        frontier = new
+    else:
+        raise ValueError(f"SHACL: path closure exceeded {max_iter} rounds")
+    s = nodes.select(
+        F.col("node_id").alias("src"), F.col("kind").alias("n_kind"),
+        F.col("val").alias("n_val"), F.col("dt").alias("n_dt"),
+        F.col("lang").alias("n_lang"))
+    d = nodes.select(
+        F.col("node_id").alias("dst"), F.col("kind").alias("v_kind"),
+        F.col("val").alias("v_val"), F.col("dt").alias("v_dt"),
+        F.col("lang").alias("v_lang"))
+    return reached.join(s, "src").join(d, "dst").select(*_PAIR8)
 
 
 def _focus_frame(data: DataFrame, ns: NodeShape) -> DataFrame:
@@ -431,20 +621,18 @@ def _conform_flags(data: DataFrame, sh: InnerShape, nodes: DataFrame) -> DataFra
         out = out.withColumn(
             "_bad", F.col("_bad") | F.col("_in_cls").isNull()).drop("_in_cls")
     for ps in sh.properties:
-        if ps.inverse:
-            tri = data.where(F.col("p_val") == ps.path).select(
-                F.col("o_kind").alias("n_kind"), F.col("o_val").alias("n_val"),
-                F.col("s_kind").alias("v_kind"), F.col("s_val").alias("v_val"),
-                F.lit(None).cast("string").alias("v_dt"),
-                F.lit(None).cast("string").alias("v_lang"))
-        else:
-            tri = data.where(F.col("p_val") == ps.path).select(
-                F.col("s_kind").alias("n_kind"), F.col("s_val").alias("n_val"),
-                F.col("o_kind").alias("v_kind"), F.col("o_val").alias("v_val"),
-                F.col("o_datatype").alias("v_dt"), F.col("o_lang").alias("v_lang"))
+        pairs, zero = _path_pairs(data, ps.path_ast)
+        tri = pairs.select("n_kind", "n_val",
+                           "v_kind", "v_val", "v_dt", "v_lang")
         vals = base.select("_nk", F.col("v_kind").alias("n_kind"),
                            F.col("v_val").alias("n_val")) \
             .join(tri, ["n_kind", "n_val"])
+        if zero:  # identity: the node is its own value (x path* x)
+            ident = base.select(
+                "_nk", F.col("v_kind").alias("n_kind"),
+                F.col("v_val").alias("n_val"),
+                "v_kind", "v_val", "v_dt", "v_lang")
+            vals = vals.unionByName(ident).distinct()
         vcond, vclass = _value_violation_cond(data, ps.constraints)
         if vclass is not None:
             marked = vclass.withColumn("_in_cls", F.lit(True)) \
@@ -556,8 +744,10 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
             # ClosedConstraint.java: every (focus p o) with p outside
             # the declared property paths + ignoredProperties violates;
             # the offending predicate is the report path (per-row)
-            allowed = ([ps.path for ps in ns.properties if not ps.inverse]
-                       + list(ns.ignored))
+            # only single-predicate forward paths open a predicate for
+            # sh:closed (ClosedConstraint.java collects Path->P_Link)
+            allowed = ([ps.path_ast[1] for ps in ns.properties
+                        if ps.path_ast[0] == "link"] + list(ns.ignored))
             subj = data.select(
                 F.col("s_kind").alias("focus_kind"),
                 F.col("s_val").alias("focus"),
@@ -610,27 +800,22 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                         proj.join(focus, ["focus_kind", "focus"]).distinct()))
 
         for ps in ns.properties:
-            if ps.inverse:
-                vals = focus.join(
-                    data.where(F.col("p_val") == ps.path).select(
-                        F.col("o_kind").alias("focus_kind"),
-                        F.col("o_val").alias("focus"),
-                        F.col("s_kind").alias("v_kind"),
-                        F.col("s_val").alias("v_val"),
-                        F.lit(None).cast("string").alias("v_dt"),
-                        F.lit(None).cast("string").alias("v_lang"),
-                    ), ["focus_kind", "focus"])
-            else:
-                vals = focus.join(
-                    data.where(F.col("p_val") == ps.path).select(
-                        F.col("s_kind").alias("focus_kind"),
-                        F.col("s_val").alias("focus"),
-                        F.col("o_kind").alias("v_kind"),
-                        F.col("o_val").alias("v_val"),
-                        F.col("o_datatype").alias("v_dt"),
-                        F.col("o_lang").alias("v_lang"),
-                    ), ["focus_kind", "focus"])
-            path_str = ("^" if ps.inverse else "") + ps.path
+            pairs, zero = _path_pairs(data, ps.path_ast)
+            vals = focus.join(
+                pairs.select(
+                    F.col("n_kind").alias("focus_kind"),
+                    F.col("n_val").alias("focus"),
+                    "v_kind", "v_val", "v_dt", "v_lang"),
+                ["focus_kind", "focus"])
+            if zero:  # identity: the focus is one of its own values
+                ident = focus.select(
+                    "focus_kind", "focus",
+                    F.col("focus_kind").alias("v_kind"),
+                    F.col("focus").alias("v_val"),
+                    F.lit(None).cast("string").alias("v_dt"),
+                    F.lit(None).cast("string").alias("v_lang"))
+                vals = vals.unionByName(ident).distinct()
+            path_str = ps.path
 
             if ps.min_count is not None or ps.max_count is not None:
                 counts = focus.join(

@@ -502,3 +502,207 @@ def test_empty_combinator_lists_and_case_insensitive_uniquelang(spark):
         ("literal", "hello", None, "en"), ("literal", "Hallo", None, "EN")]))
     rep = validate(mixed, ul).collect()
     assert [(r["constraint"], r["value"]) for r in rep] == [("uniqueLang", "en")]
+
+
+RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _list_rows(subj, head, members):
+    """Shape-graph rows forming an RDF list of IRI members at `head`
+    (each member may also be ('bnode', label))."""
+    rows = []
+    node = head
+    for i, m in enumerate(members):
+        nxt = (f"{head}_{i+1}" if i + 1 < len(members) else None)
+        rows.append(("bnode", node, RDFNS + "first", m[0], m[1], None, None))
+        if nxt is None:
+            rows.append(("bnode", node, RDFNS + "rest",
+                         "iri", RDFNS + "nil", None, None))
+        else:
+            rows.append(("bnode", node, RDFNS + "rest",
+                         "bnode", nxt, None, None))
+        node = nxt
+    return rows
+
+
+def _path_shape(spark, path_rows, extra=()):
+    """NodeShape targeting ex:Person whose one property shape carries
+    the path described by `path_rows` (on bnode _:pp) plus `extra`
+    constraint rows on the property shape bnode _:p."""
+    rows = [
+        ("iri", EX + "S", SH + "targetClass", "iri", EX + "Person",
+         None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:p", None, None),
+    ] + list(path_rows) + list(extra)
+    return _g(spark, rows)
+
+
+def test_sequence_path(spark):
+    """sh:path (ex:knows ex:name): value nodes are names of knowees;
+    minCount flags persons whose knowees have no name. Report path is
+    the SPARQL sequence syntax."""
+    shapes = _path_shape(
+        spark,
+        [("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None)]
+        + _list_rows("S", "_:pp", [("iri", EX + "knows"),
+                                   ("iri", EX + "name")]),
+        [("bnode", "_:p", SH + "minCount", "literal", "1",
+          XSD + "integer", None)])
+    data = _g(spark, [
+        ("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "a", EX + "knows", "iri", EX + "b", None, None),
+        ("iri", EX + "b", EX + "name", "literal", "Bea", None, None),
+        ("iri", EX + "c", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "c", EX + "knows", "iri", EX + "d", None, None),
+    ])
+    rep = validate(data, shapes).collect()
+    assert [(r["focus"], r["constraint"], r["path"]) for r in rep] == [
+        (EX + "c", "minCount", f"{EX}knows/{EX}name")]
+
+
+def test_alternative_path(spark):
+    """sh:path [sh:alternativePath (ex:nick ex:name)]: values from
+    either predicate; datatype constraint catches the typed nick."""
+    shapes = _path_shape(
+        spark,
+        [("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+         ("bnode", "_:pp", SH + "alternativePath", "bnode", "_:alt",
+          None, None)]
+        + _list_rows("S", "_:alt", [("iri", EX + "nick"),
+                                    ("iri", EX + "name")]),
+        [("bnode", "_:p", SH + "datatype", "iri", XSD + "string",
+          None, None)])
+    data = _g(spark, [
+        ("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "a", EX + "name", "literal", "Ada", None, None),
+        ("iri", EX + "a", EX + "nick", "literal", "7",
+         XSD + "integer", None),
+    ])
+    rep = validate(data, shapes).collect()
+    assert [(r["constraint"], r["value"]) for r in rep] == [("value", "7")]
+
+
+def test_zero_or_more_path(spark):
+    """sh:path [sh:zeroOrMorePath ex:boss]: value nodes are the boss
+    closure INCLUDING the focus itself; maxCount 2 flags the chain
+    bottom; a boss cycle terminates."""
+    shapes = _path_shape(
+        spark,
+        [("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+         ("bnode", "_:pp", SH + "zeroOrMorePath", "iri", EX + "boss",
+          None, None)],
+        [("bnode", "_:p", SH + "maxCount", "literal", "2",
+          XSD + "integer", None)])
+    data = _g(spark, [
+        ("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "c", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "a", EX + "boss", "iri", EX + "b", None, None),
+        ("iri", EX + "b", EX + "boss", "iri", EX + "c", None, None),
+    ])
+    rep = validate(data, shapes).collect()
+    # a's values = {a, b, c} (3 > 2); c's = {c} alone
+    assert [(r["focus"], r["constraint"], r["value"]) for r in rep] == [
+        (EX + "a", "maxCount", "3")]
+    # cycle: closure terminates, every node reaches both
+    cyc = _g(spark, [
+        ("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "a", EX + "boss", "iri", EX + "b", None, None),
+        ("iri", EX + "b", EX + "boss", "iri", EX + "a", None, None),
+    ])
+    assert conforms(cyc, shapes)  # a's values = {a, b} (2 <= 2)
+
+
+def test_one_or_more_and_zero_or_one_path(spark):
+    """oneOrMorePath excludes the focus (minCount 1 flags leaf-less),
+    zeroOrOnePath = focus plus one step."""
+    plus = _path_shape(
+        spark,
+        [("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+         ("bnode", "_:pp", SH + "oneOrMorePath", "iri", EX + "boss",
+          None, None)],
+        [("bnode", "_:p", SH + "minCount", "literal", "1",
+          XSD + "integer", None)])
+    data = _g(spark, [
+        ("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "c", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "a", EX + "boss", "iri", EX + "b", None, None),
+        ("iri", EX + "b", EX + "boss", "iri", EX + "c", None, None),
+    ])
+    rep = validate(data, plus).collect()
+    assert [(r["focus"], r["constraint"]) for r in rep] == [
+        (EX + "c", "minCount")]  # c has no boss+ values; a has {b,c}
+    opt = _path_shape(
+        spark,
+        [("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+         ("bnode", "_:pp", SH + "zeroOrOnePath", "iri", EX + "boss",
+          None, None)],
+        [("bnode", "_:p", SH + "minCount", "literal", "2",
+          XSD + "integer", None)])
+    rep = validate(data, opt).collect()
+    # a's values = {a, b} (2, ok); c's = {c} (1 < 2)
+    assert [(r["focus"], r["constraint"], r["value"]) for r in rep] == [
+        (EX + "c", "minCount", "1")]
+
+
+def test_inverse_sequence_path(spark):
+    """sh:path [sh:inversePath (ex:knows ex:name)]: focus literals
+    (targeted by name value) map back to the knowers."""
+    shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetObjectsOf", "iri", EX + "name",
+         None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:p", None, None),
+        ("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+        ("bnode", "_:pp", SH + "inversePath", "bnode", "_:seq",
+         None, None),
+    ] + _list_rows("S", "_:seq", [("iri", EX + "knows"),
+                                  ("iri", EX + "name")]) + [
+        ("bnode", "_:p", SH + "minCount", "literal", "1",
+         XSD + "integer", None),
+    ])
+    data = _g(spark, [
+        ("iri", EX + "a", EX + "knows", "iri", EX + "b", None, None),
+        ("iri", EX + "b", EX + "name", "literal", "Bea", None, None),
+        ("iri", EX + "x", EX + "name", "literal", "Xan", None, None),
+    ])
+    rep = validate(data, shapes).collect()
+    # "Bea" is reached by a via knows/name -> has an inverse value;
+    # "Xan" has no knower -> minCount violation
+    assert [(r["focus"], r["constraint"]) for r in rep] == [
+        ("Xan", "minCount")]
+    assert rep[0]["path"] == f"^({EX}knows/{EX}name)"
+
+
+def test_path_inside_inner_shape(spark):
+    """A sequence path inside a sh:node inner shape exercises the
+    set-based conformance-flag machinery (_conform_flags)."""
+    shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetClass", "iri", EX + "Person",
+         None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:p", None, None),
+        ("bnode", "_:p", SH + "path", "iri", EX + "knows", None, None),
+        ("bnode", "_:p", SH + "node", "bnode", "_:inner", None, None),
+        ("iri", EX + "_innerdecl", SH + "targetNode", "iri",
+         EX + "unused", None, None),
+        ("bnode", "_:inner", SH + "property", "bnode", "_:ip",
+         None, None),
+        ("bnode", "_:ip", SH + "path", "bnode", "_:ipp", None, None),
+        ("bnode", "_:ip", SH + "minCount", "literal", "1",
+         XSD + "integer", None),
+    ] + _list_rows("S", "_:ipp", [("iri", EX + "employer"),
+                                  ("iri", EX + "name")]))
+    data = _g(spark, [
+        ("iri", EX + "a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "a", EX + "knows", "iri", EX + "b", None, None),
+        ("iri", EX + "b", EX + "employer", "iri", EX + "co", None, None),
+        ("iri", EX + "co", EX + "name", "literal", "ACME", None, None),
+        ("iri", EX + "z", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("iri", EX + "z", EX + "knows", "iri", EX + "q", None, None),
+        ("iri", EX + "q", EX + "employer", "iri", EX + "shell",
+         None, None),
+    ])
+    rep = validate(data, shapes).collect()
+    # b's employer has a name -> conforms; q's employer has none ->
+    # z's value q fails the inner shape
+    zrows = [(r["focus"], r["constraint"], r["value"]) for r in rep
+             if r["focus"] == EX + "z"]
+    assert zrows == [(EX + "z", "node", EX + "q")]
