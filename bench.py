@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     # transactions, assembler, ontology closure census)
     "kg_owl_ifp_sameas",
     "kg_shacl_advanced",
+    "kg_shacl_paths",
     "kg_txn_snapshot",
     "kg_ont_individuals",
     # kg_isomorphic stays OUT of the bench set: three full color

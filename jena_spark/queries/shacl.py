@@ -57,6 +57,9 @@ conforming-value counts per focus, bound-checked; disjointness
 anti-joins away values conforming to any sibling qualified shape
 (``QualifiedValueShape.java`` sibling collection).
 
+``sh:deactivated true`` (node or property shapes) skips the shape
+entirely (an all-deactivated graph conforms with an empty report).
+
 RDF 1.1 note: a plain literal (datatype column NULL) IS an
 ``xsd:string`` for ``sh:datatype`` comparison.
 """
@@ -193,7 +196,7 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                    _TERM_CONSTRAINTS + (
                        "path", "inversePath", "alternativePath",
                        "zeroOrMorePath", "oneOrMorePath", "zeroOrOnePath",
-                       "minCount", "maxCount",
+                       "minCount", "maxCount", "deactivated",
                        "property", "targetClass", "targetNode",
                        "targetSubjectsOf", "targetObjectsOf",
                        "closed", "ignoredProperties", "sparql",
@@ -214,7 +217,9 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
         sh = InnerShape()
         _term_constraints(ipo, sh.constraints)
         for prop_ref in ipo.get(SH + "property", []):
-            sh.properties.append(_property_shape(prop_ref, depth + 1))
+            ips = _property_shape(prop_ref, depth + 1)
+            if ips is not None:
+                sh.properties.append(ips)
         sh.logic = _logic(ipo, depth + 1)
         return sh
 
@@ -258,8 +263,11 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
             "sh:inversePath, sh:alternativePath, sh:zeroOrMorePath, "
             "sh:oneOrMorePath or sh:zeroOrOnePath")
 
-    def _property_shape(prop_ref: tuple, depth: int = 0) -> PropertyShape:
+    def _property_shape(prop_ref: tuple, depth: int = 0) -> PropertyShape | None:
         ppo = by_subj.get(prop_ref[:2], {})
+        deact = one(ppo, "deactivated")
+        if deact is not None and deact[1] == "true":
+            return None  # sh:deactivated: the shape validates nothing
         path = one(ppo, "path")
         if path is None:
             raise ValueError("SHACL: property shape without sh:path")
@@ -299,8 +307,13 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
         s for s, po in by_subj.items()
         if any(p.startswith(SH + "target") for p in po)
     ]
+    if not node_shape_subjects:
+        raise ValueError("SHACL: no node shape with a target found")
     for subj in sorted(node_shape_subjects):
         po = by_subj[subj]
+        deact = one(po, "deactivated")
+        if deact is not None and deact[1] == "true":
+            continue  # sh:deactivated node shape validates nothing
         ns = NodeShape(iri=subj[1])
         for p, attr in (("targetClass", ns.target_class),
                         ("targetNode", ns.target_node),
@@ -322,11 +335,11 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
             ns.sparql.append((sel[1], msg[1] if msg else "sparql"))
         ns.logic = _logic(po)
         for prop_ref in po.get(SH + "property", []):
-            ns.properties.append(_property_shape(prop_ref))
+            ps = _property_shape(prop_ref)
+            if ps is not None:
+                ns.properties.append(ps)
         shapes_out.append(ns)
-    if not shapes_out:
-        raise ValueError("SHACL: no node shape with a target found")
-    return shapes_out
+    return shapes_out  # may be empty if every targeted shape is deactivated
 
 
 REPORT_COLS = ["shape", "focus_kind", "focus", "path", "constraint", "value"]
@@ -954,7 +967,10 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                                       "left_anti"))
                     add(_report(ns.iri, path_str, "value", bad.distinct()))
 
-    assert report is not None
+    if report is None:  # all shapes deactivated / constraint-free
+        return data.sparkSession.createDataFrame(
+            [], "shape string, focus_kind string, focus string,"
+                "path string, constraint string, value string")
     return report.select(*REPORT_COLS).distinct()
 
 

@@ -706,3 +706,27 @@ def test_path_inside_inner_shape(spark):
     zrows = [(r["focus"], r["constraint"], r["value"]) for r in rep
              if r["focus"] == EX + "z"]
     assert zrows == [(EX + "z", "node", EX + "q")]
+
+
+def test_deactivated(spark):
+    """sh:deactivated true: the shape validates nothing — property
+    level, node level, and the all-deactivated graph (empty report)."""
+    data = _g(spark, _person([]))  # person with no name at all
+    active = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "minCount", "literal", "1",
+         XSD + "integer", None)]))
+    assert not conforms(data, active)
+    deact_prop = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "minCount", "literal", "1",
+         XSD + "integer", None),
+        ("bnode", "_:p", SH + "deactivated", "literal", "true",
+         XSD + "boolean", None)]))
+    assert conforms(data, deact_prop)
+    deact_node = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "minCount", "literal", "1",
+         XSD + "integer", None),
+        ("iri", EX + "PersonShape", SH + "deactivated", "literal", "true",
+         XSD + "boolean", None)]))
+    rep = validate(data, deact_node)
+    assert rep.isEmpty() and rep.columns == [
+        "shape", "focus_kind", "focus", "path", "constraint", "value"]
