@@ -2620,12 +2620,13 @@ _register(
     _q_shacl_report,
     _W + f"""SELECT '{TM.NS_VOCAB}TurnShape' AS shape,
            s_kind AS focus_kind, s_val AS focus,
-           '{TM.P_ROLE}' AS path, 'value' AS constraint, o_val AS value
+           '{TM.P_ROLE}' AS path, 'value' AS constraint, o_val AS value,
+           'http://www.w3.org/ns/shacl#Violation' AS severity, CAST(NULL AS VARCHAR) AS message
     FROM triples
     WHERE p_val = '{TM.P_ROLE}' AND NOT regexp_matches(o_val, '^(user|assistant)$')
     UNION
     SELECT '{TM.NS_VOCAB}TurnShape', s_kind, s_val,
-           '{TM.P_MENTIONS}', 'maxCount', CAST(n AS VARCHAR)
+           '{TM.P_MENTIONS}', 'maxCount', CAST(n AS VARCHAR), 'http://www.w3.org/ns/shacl#Violation', CAST(NULL AS VARCHAR)
     FROM (
       SELECT s_kind, s_val, count(*) AS n FROM triples
       WHERE p_val = '{TM.P_MENTIONS}' GROUP BY s_kind, s_val
@@ -2680,7 +2681,8 @@ _register(
     _q_shacl_advanced,
     _W + f"""SELECT '{TM.NS_VOCAB}ClosedTurnShape' AS shape,
            t.s_kind AS focus_kind, t.s_val AS focus,
-           t.p_val AS path, 'closed' AS constraint, t.o_val AS value
+           t.p_val AS path, 'closed' AS constraint, t.o_val AS value,
+           'http://www.w3.org/ns/shacl#Violation' AS severity, CAST(NULL AS VARCHAR) AS message
     FROM triples t
     WHERE t.p_val = '{TM.P_TOOL}'
       AND EXISTS (SELECT 1 FROM triples r
@@ -2688,7 +2690,8 @@ _register(
                     AND r.s_kind = t.s_kind AND r.s_val = t.s_val)
     UNION
     SELECT '{TM.NS_VOCAB}ClosedTurnShape', r.s_kind, r.s_val,
-           NULL, 'tool-turn-mention', m.o_val
+           NULL, 'tool-turn-mention', m.o_val,
+           'http://www.w3.org/ns/shacl#Violation', 'tool-turn-mention'
     FROM triples r JOIN triples m
       ON m.s_kind = r.s_kind AND m.s_val = r.s_val
      AND m.p_val = '{TM.P_MENTIONS}'
@@ -2767,16 +2770,18 @@ _register(
     )
     SELECT '{TM.NS_VOCAB}ConvShape' AS shape, s_kind AS focus_kind,
            s_val AS focus, '{TM.P_HAS_TURN}/{TM.P_MENTIONS}' AS path,
-           'minCount' AS constraint, CAST(n AS VARCHAR) AS value
+           'minCount' AS constraint, CAST(n AS VARCHAR) AS value,
+           'http://www.w3.org/ns/shacl#Violation' AS severity, CAST(NULL AS VARCHAR) AS message
     FROM seqn WHERE n < 1
     UNION ALL
     SELECT '{TM.NS_VOCAB}ConvShape', s_kind, s_val,
            '{TM.P_HAS_TURN}/{TM.P_MENTIONS}', 'maxCount',
-           CAST(n AS VARCHAR)
+           CAST(n AS VARCHAR), 'http://www.w3.org/ns/shacl#Violation', CAST(NULL AS VARCHAR)
     FROM seqn WHERE n > 5
     UNION ALL
     SELECT '{TM.NS_VOCAB}ConvShape', s_kind, s_val,
-           '{TM.P_HAS_TURN}?', 'maxCount', CAST(n AS VARCHAR)
+           '{TM.P_HAS_TURN}?', 'maxCount', CAST(n AS VARCHAR),
+           'http://www.w3.org/ns/shacl#Violation', CAST(NULL AS VARCHAR)
     FROM optn WHERE n > 5""",
 )
 

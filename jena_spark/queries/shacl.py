@@ -106,6 +106,8 @@ class PropertyShape:
     logic: list = field(default_factory=list)  # (op, [InnerShape...])
     qualified: tuple | None = None  # (InnerShape, min | None, max | None)
     qualified_disjoint: bool = False  # sh:qualifiedValueShapesDisjoint
+    severity: str | None = None  # sh:severity IRI (default sh:Violation)
+    message: str | None = None  # sh:message literal
 
 
 @dataclass
@@ -130,6 +132,8 @@ class NodeShape:
     ignored: list = field(default_factory=list)  # predicate IRIs
     sparql: list = field(default_factory=list)  # (select string, message)
     logic: list = field(default_factory=list)  # (op, [InnerShape...])
+    severity: str | None = None  # sh:severity IRI (default sh:Violation)
+    message: str | None = None  # sh:message literal
 
 
 def _collect_shapes_rows(shapes: DataFrame, max_rows: int = 100_000):
@@ -197,6 +201,7 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                        "path", "inversePath", "alternativePath",
                        "zeroOrMorePath", "oneOrMorePath", "zeroOrOnePath",
                        "minCount", "maxCount", "deactivated",
+                       "severity", "message",
                        "property", "targetClass", "targetNode",
                        "targetSubjectsOf", "targetObjectsOf",
                        "closed", "ignoredProperties", "sparql",
@@ -285,6 +290,10 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                 if t[0] != "iri":
                     raise ValueError(f"SHACL: sh:{comp} needs an IRI object")
                 ps.pairwise.append((comp, t[1]))
+        sev = one(ppo, "severity")
+        ps.severity = sev[1] if sev else None
+        msg = one(ppo, "message")
+        ps.message = msg[1] if msg else None
         ps.logic = _logic(ppo, depth)
         qv = one(ppo, "qualifiedValueShape")
         if qv is not None:
@@ -321,6 +330,10 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
                         ("targetObjectsOf", ns.target_objects_of)):
             attr.extend(po.get(SH + p, []))
         _term_constraints(po, ns.constraints)
+        sev = one(po, "severity")
+        ns.severity = sev[1] if sev else None
+        msg = one(po, "message")
+        ns.message = msg[1] if msg else None
         closed = one(po, "closed")
         ns.closed = bool(closed) and closed[1] == "true"
         ign = one(po, "ignoredProperties")
@@ -342,7 +355,8 @@ def parse_shapes(shapes: DataFrame) -> list[NodeShape]:
     return shapes_out  # may be empty if every targeted shape is deactivated
 
 
-REPORT_COLS = ["shape", "focus_kind", "focus", "path", "constraint", "value"]
+REPORT_COLS = ["shape", "focus_kind", "focus", "path", "constraint",
+               "value", "severity", "message"]
 
 
 def _path_str(ast: tuple) -> str:
@@ -596,7 +610,14 @@ def _value_violation_cond(data: DataFrame, cons: dict) -> tuple[Column, DataFram
     return c, class_types
 
 
-def _report(shape, path, constraint, frame, vk="v_kind", vv="v_val") -> DataFrame:
+def _report(shape, path, constraint, frame, vk="v_kind", vv="v_val",
+            src=None, message=None) -> DataFrame:
+    """One report slice. ``src`` is the shape record declaring the
+    constraint (its sh:severity / sh:message fill resultSeverity /
+    resultMessage, ``ValidationResult.java``); ``message`` overrides
+    (sh:sparql constraints carry their own sh:message)."""
+    sev = (getattr(src, "severity", None)) or (SH + "Violation")
+    msg = message if message is not None else getattr(src, "message", None)
     return frame.select(
         F.lit(shape).alias("shape"),
         F.col("focus_kind"), F.col("focus"),
@@ -604,6 +625,8 @@ def _report(shape, path, constraint, frame, vk="v_kind", vv="v_val") -> DataFram
         F.lit(constraint).alias("constraint"),
         (F.col(vv) if vv in frame.columns else F.lit(None).cast("string"))
         .alias("value"),
+        F.lit(sev).alias("severity"),
+        F.lit(msg).cast("string").alias("message"),
     )
 
 
@@ -751,7 +774,7 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
             if class_types is not None:
                 bad = bad.unionByName(
                     nf.join(class_types, ["v_kind", "v_val"], "left_anti"))
-            add(_report(ns.iri, None, "node", bad.distinct()))
+            add(_report(ns.iri, None, "node", bad.distinct(), src=ns))
 
         if ns.closed:
             # ClosedConstraint.java: every (focus p o) with p outside
@@ -772,7 +795,10 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                 F.lit(ns.iri).alias("shape"), "focus_kind", "focus",
                 F.col("p_val").alias("path"),
                 F.lit("closed").alias("constraint"),
-                F.col("v_val").alias("value")).distinct())
+                F.col("v_val").alias("value"),
+                F.lit(ns.severity or (SH + "Violation")).alias("severity"),
+                F.lit(ns.message).cast("string").alias("message"),
+            ).distinct())
 
         if ns.logic:
             nf = focus.select(
@@ -787,7 +813,8 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     F.col("_nk").alias("_nkk"))
                 bad = nf.withColumn("_nkk", _nk()).join(bad_keys, "_nkk")
                 add(_report(ns.iri, None, op,
-                            bad.select("focus_kind", "focus").distinct()))
+                            bad.select("focus_kind", "focus").distinct(),
+                            src=ns))
 
         for sel, msg in ns.sparql:
             # SparqlConstraint.java — SET-BASED twin of the per-focus
@@ -810,7 +837,8 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                 (F.col("value").getField("val") if "value" in res.columns
                  else F.lit(None).cast("string")).alias("v_val"))
             add(_report(ns.iri, None, msg,
-                        proj.join(focus, ["focus_kind", "focus"]).distinct()))
+                        proj.join(focus, ["focus_kind", "focus"]).distinct(),
+                        src=ns, message=msg))
 
         for ps in ns.properties:
             pairs, zero = _path_pairs(data, ps.path_ast)
@@ -840,18 +868,18 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                 if ps.min_count is not None:
                     add(_report(ns.iri, path_str, "minCount",
                                 counts.where(F.col("n") < ps.min_count)
-                                .withColumn("v_val", F.col("n").cast("string"))))
+                                .withColumn("v_val", F.col("n").cast("string")), src=ps))
                 if ps.max_count is not None:
                     add(_report(ns.iri, path_str, "maxCount",
                                 counts.where(F.col("n") > ps.max_count)
-                                .withColumn("v_val", F.col("n").cast("string"))))
+                                .withColumn("v_val", F.col("n").cast("string")), src=ps))
 
             for op, subs in ps.logic:
                 lf = _logic_flags(data, [(op, subs)], vals)
                 bad_keys = lf.where(F.col("_lbad")).select(
                     F.col("_nk").alias("_nkk"))
                 bad = vals.withColumn("_nkk", _nk()).join(bad_keys, "_nkk")
-                add(_report(ns.iri, path_str, op, bad.distinct()))
+                add(_report(ns.iri, path_str, op, bad.distinct(), src=ps))
 
             if ps.qualified:
                 # QualifiedValueShape: count the value nodes CONFORMING
@@ -884,11 +912,11 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                 if qmin is not None:
                     add(_report(ns.iri, path_str, "qualifiedMinCount",
                                 qcounts.where(F.col("qn") < qmin)
-                                .withColumn("v_val", F.col("qn").cast("string"))))
+                                .withColumn("v_val", F.col("qn").cast("string")), src=ps))
                 if qmax is not None:
                     add(_report(ns.iri, path_str, "qualifiedMaxCount",
                                 qcounts.where(F.col("qn") > qmax)
-                                .withColumn("v_val", F.col("qn").cast("string"))))
+                                .withColumn("v_val", F.col("qn").cast("string")), src=ps))
 
             if ps.unique_lang:
                 # UniqueLangConstraint: >1 value sharing a language tag
@@ -903,7 +931,7 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     .select("focus_kind", "focus",
                             F.col("v_lang").alias("v_val"))
                 )
-                add(_report(ns.iri, path_str, "uniqueLang", dup))
+                add(_report(ns.iri, path_str, "uniqueLang", dup, src=ps))
 
             if ps.pairwise:
                 vt = vals.select(
@@ -929,10 +957,10 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     extra = other.join(vt, term_cols, "left_anti") \
                         .join(focus, ["focus_kind", "focus"], "left_semi")
                     add(_report(ns.iri, path_str, cname,
-                                missing.unionByName(extra).distinct()))
+                                missing.unionByName(extra).distinct(), src=ps))
                 elif comp == "disjoint":
                     shared = vt.join(other, term_cols, "left_semi")
-                    add(_report(ns.iri, path_str, cname, shared.distinct()))
+                    add(_report(ns.iri, path_str, cname, shared.distinct(), src=ps))
                 else:  # lessThan / lessThanOrEquals (numeric value space)
                     w = other.select(
                         "focus_kind", "focus",
@@ -945,7 +973,7 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                                if comp == "lessThan"
                                else F.col("v_num") > F.col("w_num")))
                     add(_report(ns.iri, path_str, cname,
-                                pairs.where(viol).distinct()))
+                                pairs.where(viol).distinct(), src=ps))
 
             if ps.constraints:
                 if "hasValue" in ps.constraints:
@@ -955,7 +983,7 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     ).select("focus_kind", "focus")
                     add(_report(ns.iri, path_str, "hasValue",
                                 focus.join(have, ["focus_kind", "focus"],
-                                           "left_anti")))
+                                           "left_anti"), src=ps))
                 rest = {k: v for k, v in ps.constraints.items()
                         if k != "hasValue"}
                 if rest:
@@ -965,12 +993,13 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                         bad = bad.unionByName(
                             vals.join(class_types, ["v_kind", "v_val"],
                                       "left_anti"))
-                    add(_report(ns.iri, path_str, "value", bad.distinct()))
+                    add(_report(ns.iri, path_str, "value", bad.distinct(), src=ps))
 
     if report is None:  # all shapes deactivated / constraint-free
         return data.sparkSession.createDataFrame(
             [], "shape string, focus_kind string, focus string,"
-                "path string, constraint string, value string")
+                "path string, constraint string, value string,"
+                "severity string, message string")
     return report.select(*REPORT_COLS).distinct()
 
 

@@ -729,4 +729,27 @@ def test_deactivated(spark):
          XSD + "boolean", None)]))
     rep = validate(data, deact_node)
     assert rep.isEmpty() and rep.columns == [
-        "shape", "focus_kind", "focus", "path", "constraint", "value"]
+        "shape", "focus_kind", "focus", "path", "constraint", "value",
+        "severity", "message"]
+
+
+def test_severity_and_message(spark):
+    """sh:severity / sh:message surface as resultSeverity /
+    resultMessage; defaults are sh:Violation and NULL."""
+    data = _g(spark, _person([]))  # no name
+    shapes = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "minCount", "literal", "1",
+         XSD + "integer", None),
+        ("bnode", "_:p", SH + "severity", "iri", SH + "Warning",
+         None, None),
+        ("bnode", "_:p", SH + "message", "literal", "name required",
+         None, None)]))
+    rep = validate(data, shapes).collect()
+    assert [(r["severity"], r["message"]) for r in rep] == [
+        (SH + "Warning", "name required")]
+    default = _g(spark, _shape_rows([
+        ("bnode", "_:p", SH + "minCount", "literal", "1",
+         XSD + "integer", None)]))
+    rep = validate(data, default).collect()
+    assert [(r["severity"], r["message"]) for r in rep] == [
+        (SH + "Violation", None)]
