@@ -26,9 +26,12 @@ Supported profile (documented, errors loudly outside it):
   ``@set`` (no-op), ``@language`` (language maps), ``@index`` (index
   stripped, values flattened — the RDF deserialization semantics),
   ``@id`` / ``@type`` node maps (JSON-LD 1.1: map key supplies the
-  value's ``@id`` / an extra ``@type``; ``@none`` keys supply nothing)
+  value's ``@id`` / an extra ``@type``; ``@none`` keys supply nothing),
+  ``@graph`` containers (each item gets a fresh bnode-named graph,
+  linked from the subject — expansion §13.9 semantics; the triple API
+  merges them into the default graph, the quads API keeps them)
 * NOT supported: remote/``@context`` IRIs (no network by design),
-  ``@container: @graph``, framing,
+  framing,
   ``@vocab``-less relative IRI resolution beyond ``@base``/``@vocab``
   prefixes.
 
@@ -245,6 +248,26 @@ class JsonLdParser:
                                 "JSON-LD: language-map values must be strings")
                         self._emit((subj[0], subj[1], pred,
                                           "literal", one, None, lg))
+                continue
+            if container == "@graph":
+                # JSON-LD 1.1 graph container (expansion §13.9: each
+                # item becomes its own graph object): allocate a fresh
+                # bnode graph name per item, link (subj pred g) in the
+                # CURRENT graph, and the item's triples land in g
+                for v in val if isinstance(val, list) else [val]:
+                    if not isinstance(v, dict) or "@value" in v:
+                        raise ValueError(
+                            "JSON-LD: @graph-container values must be "
+                            "node objects")
+                    gid = self._fresh()
+                    self._emit((subj[0], subj[1], pred,
+                                "bnode", gid, None, None))
+                    prev = self._g
+                    self._g = gid
+                    try:
+                        self._node(v)
+                    finally:
+                        self._g = prev
                 continue
             if container == "@index":
                 # index maps carry no RDF meaning: flatten the values

@@ -194,7 +194,7 @@ def test_container_term_definitions():
           "@id": "http://e/s", "l": {"en": 5}}""")
     with pytest.raises(ValueError, match="unsupported"):
         parse_jsonld("""{
-          "@context": {"m": {"@id": "http://e/m", "@container": "@graph"}},
+          "@context": {"m": {"@id": "http://e/m", "@container": "@nope"}},
           "@id": "http://e/s", "m": {"http://e/a": {}}}""")
     # implicit single value through a @list container is still a list
     single = parse_jsonld("""{
@@ -317,3 +317,44 @@ def test_jsonld_quads_roundtrip_and_trig_equality(spark, tmp_path):
     from_tg = {tuple(r) for r in
                read_trig(spark, tg).select(*cols).collect()}
     assert from_jl == set(rows) == from_tg
+
+
+def test_graph_container():
+    """JSON-LD 1.1 @container:@graph — each value becomes its own
+    bnode-named graph linked from the subject (expansion 13.9)."""
+    from jena_spark.sources.jsonld import parse_jsonld, parse_jsonld_quads
+
+    doc = """{
+      "@context": {
+        "claims": {"@id": "http://e/claims", "@container": "@graph"},
+        "p": "http://e/p"
+      },
+      "@id": "http://e/s",
+      "claims": [
+        {"@id": "http://e/a", "p": "one"},
+        {"@id": "http://e/b", "p": "two"}
+      ]
+    }"""
+    rows = set(parse_jsonld_quads(doc))
+    links = sorted(r for r in rows if r[2] == "http://e/claims")
+    assert len(links) == 2 and all(
+        r[0] == "iri" and r[1] == "http://e/s" and r[3] == "bnode"
+        and r[7] is None for r in links)
+    g1, g2 = links[0][4], links[1][4]
+    assert g1 != g2
+    graphs = {r[7] for r in rows if r[2] == "http://e/p"}
+    assert graphs == {g1, g2}
+    inner = {(r[1], r[4], r[7]) for r in rows if r[2] == "http://e/p"}
+    assert ("http://e/a", "one", g1) in inner or ("http://e/a", "one", g2) in inner
+    # deterministic across parses (skolem of document hash)
+    assert set(parse_jsonld_quads(doc)) == rows
+    # triple API merges graphs away but keeps all triples
+    assert {r[:7] for r in rows} == set(parse_jsonld(doc))
+    # literal values are rejected loudly
+    bad = """{
+      "@context": {"c": {"@id": "http://e/c", "@container": "@graph"}},
+      "@id": "http://e/s", "c": "scalar"
+    }"""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="@graph-container"):
+        parse_jsonld(bad)
