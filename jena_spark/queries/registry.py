@@ -1441,6 +1441,66 @@ FROM documents"""
 _register("data_text_stats", _q_text_stats, _TEXT_STATS_SQL)
 
 
+def _q_pii_redaction(spark, sf):
+    """PII scrub (curation-stage redaction, ``data/redact.py``): each
+    document is deterministically salted with synthetic PII (an email,
+    an IP, an SSN and a phone derived from doc_id — the corpus itself
+    is PII-free by construction), then scrubbed by the fixed
+    email -> IP -> SSN -> phone ``regexp_replace`` chain with per-
+    category match counts. The oracle evaluates the IDENTICAL RE2-safe
+    patterns in DuckDB and hash-compares the redacted text, pinning
+    Java-vs-RE2 regex semantics."""
+    from jena_spark.data.redact import redact_docs
+
+    d = _docs(spark, sf)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"))
+    return redact_docs(aug)
+
+
+_PII_SQL = r"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[EMAIL]', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT *, regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                           '[IP]', 'g') AS t2 FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b',
+                           '[SSN]', 'g') AS t3 FROM s2
+)
+SELECT doc_id,
+  regexp_replace(t3, '\+\d[\d -]{7,14}\d', '[PHONE]', 'g') AS redacted,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+  len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+  len(regexp_extract_all(t3, '\+\d[\d -]{7,14}\d')) AS n_phone
+FROM s3"""
+
+_register("data_pii_redaction", _q_pii_redaction, _PII_SQL)
+
+
 def _q_fingerprint(spark, sf):
     d = _docs(spark, sf)
     return d.select("doc_id", TX.fingerprint(F.col("text"), 3).alias("fp"))
@@ -4690,7 +4750,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
-    "kg_shacl_paths",
+    "kg_shacl_paths", "data_pii_redaction",
     "kg_rdb_direct_map", "kg_workload_shapes", "kg_text_query_lucene",
     "kg_sparql_text_query",
     "kg_rule_reasoner",
@@ -4702,7 +4762,7 @@ _PRIORITY = [
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_directional",
     "kg_sparql_custom_fn", "kg_sparql_propfunc",
-    "kg_querybuilder", "kg_secured_find",
+    "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_reification",
     "kg_order_mixed_terms", "kg_quads_union_graph",
@@ -4732,6 +4792,11 @@ _PRIORITY = [
     "kg_sparql_select",  # rotated below the cap for kg_shacl_paths:
                          # same string-front-end-twin rationale as the
                          # four above; back in the window r4
+    "kg_querybuilder",   # rotated below the cap for data_pii_redaction:
+                         # the builder compiles to SPARQL strings whose
+                         # evaluation twins driver-checked string
+                         # queries; builder output is pytest
+                         # string-equality tested. Back in the window r4
     "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
                  # window is full; local sweeps + pytest cover it, and
                  # it rotates into the window next round

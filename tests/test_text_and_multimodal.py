@@ -294,3 +294,29 @@ def test_features_use_real_decode(spark):
             assert rate == 16_000
             assert feats[mid]["mean_intensity"] == float(
                 np.abs(samples).mean()) / 128.0
+
+
+def test_pii_redaction(spark):
+    """Redaction order and counts: email hosts never double-count as
+    IPs, phone never eats an SSN, all-categories text scrubs fully."""
+    from jena_spark.data.redact import redact_docs
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org end"),
+        (2, "ip 10.0.0.1 and 255.255.255.255 ssn 123-45-6789"),
+        (3, "call +1 555-0100 or +44 20 7946 0958 now"),
+        (4, "clean text with numbers 12345 and dots a.b"),
+        (5, "combo x@y.io 192.168.1.1 111-22-3333 +1 555-0199"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_docs(df).collect()}
+    assert got[1]["redacted"] == "mail [EMAIL] and [EMAIL] end"
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 0
+    assert got[2]["redacted"] == "ip [IP] and [IP] ssn [SSN]"
+    assert got[2]["n_ip"] == 2 and got[2]["n_ssn"] == 1
+    assert got[3]["redacted"] == "call [PHONE] or [PHONE] now"
+    assert got[3]["n_phone"] == 2
+    assert got[4]["redacted"] == rows[3][1]  # untouched
+    assert got[5]["redacted"] == "combo [EMAIL] [IP] [SSN] [PHONE]"
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_ssn"],
+            got[5]["n_phone"]) == (1, 1, 1, 1)
