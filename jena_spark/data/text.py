@@ -125,6 +125,27 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
+def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 2):
+    """Gopher-style repetition signal: per document, the total word
+    n-gram count, the most frequent n-gram's count, and their ratio
+    (``rep_frac`` — boilerplate/templated text scores high). Docs with
+    fewer than ``n`` words are omitted (no n-grams to measure).
+
+    Two hash aggregations with map-side partial combine — the
+    (doc, gram) explode never leaves its input partition before the
+    first combine, so at corpus scale the shuffle carries one row per
+    DISTINCT (doc, gram), not one per token."""
+    grams = docs.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    freq = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_freq"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("rep_frac"),
+    )
+
+
 def fingerprint(text: Column, n: int = 3) -> Column:
     """Document fingerprint: min(md5(word n-gram)) — a deterministic
     winnowing-style rolling fingerprint; md5 is identical across

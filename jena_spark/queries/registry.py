@@ -1501,6 +1501,34 @@ FROM s3"""
 _register("data_pii_redaction", _q_pii_redaction, _PII_SQL)
 
 
+def _q_repetition(spark, sf):
+    """Gopher-style repetition quality signal (``data/text.py::
+    repetition_stats``): per-document bigram totals, the hottest
+    bigram's frequency and the repetition fraction — the boilerplate
+    detector a curation pipeline thresholds on. Two partial-agg
+    hash aggregations; the oracle rebuilds the same bigrams via
+    LATERAL generate_series."""
+    return TX.repetition_stats(_docs(spark, sf), n=2)
+
+
+_REP_SQL = r"""WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT w.doc_id, ws[i] || ' ' || ws[i+1] AS gram
+  FROM words w,
+       LATERAL (SELECT unnest(generate_series(1, len(w.ws)-1)) AS i) t
+), freq AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(max(c) AS BIGINT) AS max_freq,
+       round(max(c) * 1.0 / sum(c), 6) AS rep_frac
+FROM freq GROUP BY doc_id"""
+
+_register("data_repetition", _q_repetition, _REP_SQL)
+
+
 def _q_fingerprint(spark, sf):
     d = _docs(spark, sf)
     return d.select("doc_id", TX.fingerprint(F.col("text"), 3).alias("fp"))
@@ -4750,7 +4778,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries) was green in round 1.
 _PRIORITY = [
     # new this round (r3) — never driver-checked
-    "kg_shacl_paths", "data_pii_redaction",
+    "kg_shacl_paths", "data_pii_redaction", "data_repetition",
     "kg_rdb_direct_map", "kg_workload_shapes", "kg_text_query_lucene",
     "kg_sparql_text_query",
     "kg_rule_reasoner",
@@ -4761,7 +4789,7 @@ _PRIORITY = [
     "expr_fn_library",
     "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
     "kg_spatial_directional",
-    "kg_sparql_custom_fn", "kg_sparql_propfunc",
+    "kg_sparql_custom_fn",
     "kg_secured_find",
     "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
     "kg_star_annotation", "kg_star_reification",
@@ -4797,6 +4825,10 @@ _PRIORITY = [
                          # evaluation twins driver-checked string
                          # queries; builder output is pytest
                          # string-equality tested. Back in the window r4
+    "kg_sparql_propfunc",  # rotated below the cap for data_repetition:
+                           # string-front-end twin of the driver-checked
+                           # kg_propfunc_lists (r02) + the in-window
+                           # text:query PF queries. Back in the window r4
     "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
                  # window is full; local sweeps + pytest cover it, and
                  # it rotates into the window next round

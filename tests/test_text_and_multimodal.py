@@ -320,3 +320,23 @@ def test_pii_redaction(spark):
     assert got[5]["redacted"] == "combo [EMAIL] [IP] [SSN] [PHONE]"
     assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_ssn"],
             got[5]["n_phone"]) == (1, 1, 1, 1)
+
+
+def test_repetition_stats(spark):
+    """Bigram repetition fraction: repeated boilerplate scores high,
+    all-distinct text scores 1/total, short docs are omitted."""
+    from jena_spark.data.text import repetition_stats
+
+    rows = [
+        (1, "buy now buy now buy now"),          # "buy now" x3, "now buy" x2
+        (2, "a b c d e"),                        # 4 distinct bigrams
+        (3, "word"),                             # < 2 words -> omitted
+        (4, "  "),                               # empty -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_grams"], got[1]["max_freq"]) == (5, 3)
+    assert got[1]["rep_frac"] == 0.6
+    assert (got[2]["n_grams"], got[2]["max_freq"]) == (4, 1)
+    assert got[2]["rep_frac"] == 0.25
