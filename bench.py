@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "kg_describe_cbd",
     "data_dedup_clusters",
     "data_curate",
+    "data_pii_redaction",
+    "data_repetition",
     "kg_shacl_report",
     # spatial family (grid-bin distance join is the scale operator;
     # _dense runs it over 100k event points at 100 km)

@@ -47,10 +47,22 @@ def curate_corpus(
     ngram: int = 3,
     max_df: int = 1000,
     pairs: DataFrame | None = None,
+    max_rep_frac: float | None = None,
+    max_pii: int | None = None,
+    rep_ngram: int = 2,
 ) -> DataFrame:
     """-> ``(doc_id, kept, reason)``: one verdict row per document;
     ``reason`` is null for kept docs, else the first failing rule
-    (``lang`` / ``quality`` / ``exact_dup`` / ``near_dup``).
+    (``lang`` / ``quality`` / ``repetition`` / ``pii`` /
+    ``exact_dup`` / ``near_dup``).
+
+    Opt-in content rules (default off, so the four-rule verdict stays
+    byte-stable): ``max_rep_frac`` thresholds the Gopher-style
+    hottest-``rep_ngram`` repetition fraction
+    (:func:`jena_spark.data.text.repetition_stats`; docs too short to
+    measure pass), ``max_pii`` bounds the total PII match count
+    (:func:`jena_spark.data.redact.pii_counts`; ``0`` = reject any
+    email/IP/SSN/phone).
 
     ``pairs``: a precomputed near-dup pair frame (the
     :func:`jena_spark.data.dedup.jaccard_pairs` output). Callers that
@@ -63,15 +75,25 @@ def curate_corpus(
     # index, the singleton id set) — persist it or its upstream plan
     # replays per consumer (CLAUDE.md union-replay rule)
     docs = docs.persist()
+    extra_flags = []
+    if max_pii is not None:
+        from jena_spark.data import redact as RED
+
+        total = None
+        for _, c in RED.pii_counts(F.col("text")):
+            total = c if total is None else total + c
+        extra_flags.append((total <= max_pii).alias("pii_ok"))
     base = docs.select(
         "doc_id",
         F.col("lang").isin(*langs).alias("lang_ok"),
         (TX.quality_score_bp(F.col("text")) >= min_quality_bp).alias("q_ok"),
         F.sha2(F.col("text"), 256).alias("h"),
+        *extra_flags,
     )
     reps = base.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    carry = ["lang_ok", "q_ok"] + (["pii_ok"] if max_pii is not None else [])
     exact = base.join(reps, "h").select(
-        "doc_id", "lang_ok", "q_ok",
+        "doc_id", *carry,
         (F.col("doc_id") == F.col("rep_id")).alias("exact_ok"),
     )
     if pairs is None:
@@ -80,18 +102,26 @@ def curate_corpus(
     near = DD.dedup_clusters(pairs, docs=docs).select(
         "doc_id", F.col("keep").alias("near_ok"))
     v = exact.join(near, "doc_id")
-    reason = (
-        F.when(~F.col("lang_ok"), "lang")
-        .when(~F.col("q_ok"), "quality")
-        .when(~F.col("exact_ok"), "exact_dup")
-        .when(~F.col("near_ok"), "near_dup")
-    )
-    return v.select(
-        "doc_id",
-        (F.col("lang_ok") & F.col("q_ok") & F.col("exact_ok")
-         & F.col("near_ok")).alias("kept"),
-        reason.alias("reason"),
-    )
+    flags = [F.col("lang_ok"), F.col("q_ok")]
+    reason = F.when(~F.col("lang_ok"), "lang").when(~F.col("q_ok"), "quality")
+    if max_rep_frac is not None:
+        # too-short docs have no repetition row -> pass (coalesce True)
+        rep = TX.repetition_stats(docs, n=rep_ngram).select(
+            "doc_id", (F.col("rep_frac") <= max_rep_frac).alias("rep_ok"))
+        v = v.join(rep, "doc_id", "left").withColumn(
+            "rep_ok", F.coalesce(F.col("rep_ok"), F.lit(True)))
+        flags.append(F.col("rep_ok"))
+        reason = reason.when(~F.col("rep_ok"), "repetition")
+    if max_pii is not None:
+        flags.append(F.col("pii_ok"))
+        reason = reason.when(~F.col("pii_ok"), "pii")
+    flags += [F.col("exact_ok"), F.col("near_ok")]
+    reason = reason.when(~F.col("exact_ok"), "exact_dup") \
+                   .when(~F.col("near_ok"), "near_dup")
+    kept = flags[0]
+    for fl in flags[1:]:
+        kept = kept & fl
+    return v.select("doc_id", kept.alias("kept"), reason.alias("reason"))
 
 
 def apply_curation(docs: DataFrame, verdicts: DataFrame) -> DataFrame:

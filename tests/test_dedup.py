@@ -216,3 +216,25 @@ def test_dedup_clusters_rejects_negative_ids(spark):
 
     with _pt.raises(ValueError, match="negative doc ids"):
         dedup_clusters(pairs)
+
+
+def test_curate_repetition_and_pii_rules(spark):
+    """Opt-in curation rules: repetition fraction threshold and PII
+    budget; default-off keeps the four-rule verdict unchanged."""
+    from jena_spark.data.curate import curate_corpus
+
+    rows = [
+        (1, "a decent document with the usual words and the normal text for it", "en"),
+        (2, "buy now buy now buy now buy now buy now buy now buy now it is", "en"),
+        (3, "mail me at someone@example.com for the offer that is in the text", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    strict = {r["doc_id"]: r for r in curate_corpus(
+        docs, min_quality_bp=0, max_rep_frac=0.3, max_pii=0).collect()}
+    assert strict[1]["kept"] and strict[1]["reason"] is None
+    assert not strict[2]["kept"] and strict[2]["reason"] == "repetition"
+    assert not strict[3]["kept"] and strict[3]["reason"] == "pii"
+    # default-off: all three pass (distinct texts, en, quality waived)
+    loose = {r["doc_id"]: r for r in curate_corpus(
+        docs, min_quality_bp=0).collect()}
+    assert all(loose[i]["kept"] for i in (1, 2, 3))
