@@ -156,19 +156,43 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    # Full-precision per-query detail on its OWN line (for humans / the
+    # judge reading raw logs)...
     print(json.dumps({
+        "detail": timings,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / max(timings["kg_triples"], 1e-9), 1),
+    }))
+    # ...then the driver-parsed summary as the LAST line. The driver
+    # captures only the final ~2000 characters of stdout, so this line
+    # MUST stay under that window (BENCH_r03.json came back
+    # `parsed: null` when the single 2.3k-char line overflowed it):
+    # compact separators, coarser per-query rounding escalated until the
+    # line fits.
+    summary = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "cpus": int(cpus) if str(cpus).isdigit() else str(cpus),
-        "n_turns": n_turns,
         "n_triples": n_triples,
         "pipeline_sec": timings["kg_triples"],
         "triples_per_sec": round(n_triples / max(timings["kg_triples"], 1e-9), 1),
-        "turns_per_sec": round(n_turns / max(timings["kg_triples"], 1e-9), 1),
-    }))
+    }
+    coarser = [
+        lambda v: round(v, 2),
+        lambda v: round(v, 1),
+        lambda v: int(round(v)) if v >= 0.95 else round(v, 1),
+    ]
+    for rnd in coarser:
+        line = json.dumps(summary, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        summary["queries"] = {k: rnd(v) for k, v in timings.items()}
+    else:
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -424,15 +424,24 @@ def _cmd_queryplan(args) -> int:
     the one-pass predicate census."""
     import csv
     import hashlib
+    import json as _json
 
-    from jena_spark.queries.jointree import query_plan
+    from jena_spark.queries.jointree import measured_query_plan, query_plan
 
+    measure = getattr(args, "measure", False)
+    if measure and not args.data:
+        print("queryplan: --measure requires --data", file=sys.stderr)
+        return 2
     pred_counts = None
+    data = None
     if args.data:
         from jena_spark.queries.algebra import pred_counts_of
 
         spark = _spark(args)
-        pred_counts = pred_counts_of(_read_all(spark, args.data, None))
+        data = _read_all(spark, args.data, None)
+        if measure:
+            data = data.persist()  # scanned once per measured query
+        pred_counts = pred_counts_of(data)
 
     lines = []
     with open(args.queries_file, newline="") as f:
@@ -444,14 +453,25 @@ def _cmd_queryplan(args) -> int:
                 qtext = rec[args.query_column]
                 qid = (rec[args.id_column] if args.id_column >= 0
                        else hashlib.md5(qtext.encode("utf-8")).hexdigest())
-                trees = query_plan(qtext, pred_counts)
+                if measure:
+                    reg = measured_query_plan(data, qtext, pred_counts)
+                else:
+                    trees = query_plan(qtext, pred_counts)
             except Exception as e:  # noqa: BLE001 — reference logs bad
                 # records (short rows AND unparseable queries) and moves on
                 print(f"queryplan: skipping line {i + 1}: {e}", file=sys.stderr)
                 continue
-            lines.append(_PLAN_COL_DELIM.join(
-                [qid, " ".join(qtext.split()), " ".join(trees)]
-            ))
+            if measure:
+                lines.append(_PLAN_COL_DELIM.join([
+                    qid, reg["query"], " ".join(reg["execution_tree"]),
+                    _json.dumps(reg["cardinality"], ensure_ascii=False,
+                                separators=(",", ":"), sort_keys=True),
+                    str(reg["rows"]), str(reg["time_ms"]),
+                ]))
+            else:
+                lines.append(_PLAN_COL_DELIM.join(
+                    [qid, " ".join(qtext.split()), " ".join(trees)]
+                ))
     text = "\n".join(lines) + ("\n" if lines else "")
     if args.out:
         with open(args.out, "w", encoding="utf-8") as f:
@@ -706,6 +726,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", nargs="*", default=None,
                    help="RDF files: collect predicate counts and use "
                         "the stats-fed reorder (stats.opt analog)")
+    p.add_argument("--measure", action="store_true",
+                   help="EXECUTE each query against --data and append "
+                        "measured per-pattern cardinalities (leaf "
+                        "labels gain ᶷ<count>), the cardinality "
+                        "registry JSON, result rows and wall ms "
+                        "(tdbqueryplan.java:46-51 registries with "
+                        "executed numbers)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=_cmd_queryplan)
 

@@ -28,7 +28,15 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-    ("phone", r"\+\d[\d -]{7,14}\d", "[PHONE]"),
+    # international (+-prefixed), parenthesized-area-code domestic
+    # ((415) 555-0134), and separator-joined domestic (415-555-0134 /
+    # 415.555.0134). Space-only domestic runs ("415 555 0134") are
+    # deliberately out of scope: three bare digit groups are too common
+    # in prose to scrub safely. SSNs (3-2-4) and IPs are already
+    # replaced by the time this pattern runs, so they can't be eaten.
+    ("phone",
+     r"(?:\+\d[\d -]{7,14}\d|\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b)",
+     "[PHONE]"),
 ]
 
 

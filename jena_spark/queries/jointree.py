@@ -49,6 +49,11 @@ from jena_spark.queries.algebra import (
 #: (``VisitorJoinTreeNeo2.write`` builds ``BinaryTreePlan("ᶲ")``).
 DELIM = "ᶲ"  # ᶲ
 
+#: the reference's within-column value delimiter
+#: (``tdbqueryplan.java:227`` — ``delimiterColVals = "ᶷ"``); measured
+#: leaf cardinalities append to the leaf label with it.
+VAL_DELIM = "ᶷ"
+
 
 def _term_kind(t, position: str) -> str:
     from jena_spark.queries.sparql import PathExpr
@@ -103,7 +108,8 @@ def leaf(pattern, pred_counts: dict[str, int] | None = None) -> dict:
         weight = stats_weight(pattern, set(), pred_counts)
     else:
         weight = _reorder_weight(pattern, set())
-    return {"tpf_type": sig, "predicates": preds, "cardinality": weight}
+    return {"tpf_type": sig, "predicates": preds, "cardinality": weight,
+            "key": pattern_key(pattern)}
 
 
 def join_tree(
@@ -197,6 +203,146 @@ def _walk_groups(group, out: list) -> None:
                 elif hasattr(part, "where") and part.where is not None:
                     _walk_groups(part.where, out)  # subselect
     flush()
+
+
+def pattern_key(pattern) -> str:
+    """Deterministic per-pattern registry key — the
+    ``PatternTriple.toString()`` analog (``ReorderWeighted.java:21``
+    keys ``currentCardinality`` by it): ``?var`` / ``<iri>`` /
+    ``_:label`` / ``"lexical"`` space-joined."""
+    from jena_spark.queries.sparql import PathExpr
+
+    def term(t) -> str:
+        if isinstance(t, Var):
+            return "?" + t.name
+        if isinstance(t, PathExpr):
+            return "PATH"
+        if isinstance(t, tuple):
+            if t[0] == "iri":
+                return f"<{t[1]}>"
+            if t[0] == "bnode":
+                return "_:" + t[1]
+            out = '"' + t[1] + '"'
+            dt = t[2] if len(t) > 2 else None
+            lang = t[3] if len(t) > 3 else None
+            if lang:
+                out += "@" + lang
+            elif dt:
+                out += "^^<" + dt + ">"
+            return out
+        return str(t)
+
+    return " ".join(term(x) for x in pattern)
+
+
+def pattern_cardinalities(triples, patterns) -> dict[str, int]:
+    """EXECUTED per-pattern cardinalities — the measurement the fork's
+    research loop exists to harvest (``tdbqueryplan.java:50`` keeps a
+    per-query ``currentCardinality`` map; ``ReorderWeighted.java:21``
+    fills it with *stats-matched* weights — here the count is the
+    pattern's actual scan cardinality against ``triples``).
+
+    ONE aggregation job for the whole batch: every pattern contributes
+    a conditional count over a single shared scan (no per-pattern jobs,
+    no shuffle beyond the final 1-row reduce), so measuring a 50-query
+    workload costs one pass over the triple table at 100 TB.
+    """
+    from jena_spark.queries.graph import pattern_predicate
+    from jena_spark.queries.sparql import PathExpr
+    from pyspark.sql import functions as F
+
+    uniq: dict[str, tuple] = {}
+    for p in patterns:
+        if isinstance(p[1], PathExpr):
+            continue  # paths evaluate as closures, not one scan
+        uniq.setdefault(pattern_key(p), p)
+    if not uniq:
+        return {}
+    keys = list(uniq)
+    aggs = []
+    for i, k in enumerate(keys):
+        s, pp, o = uniq[k]
+        consts = [t if not isinstance(t, Var) else None for t in (s, pp, o)]
+        cond = pattern_predicate(*consts)
+        # repeated variable inside one pattern filters the scan too
+        # (algebra.triple_pattern's within-pattern equality)
+        names = [t.name if isinstance(t, Var) else None for t in (s, pp, o)]
+        plain_o = (F.coalesce(F.col("o_datatype"), F.lit("")) == "") \
+            & (F.coalesce(F.col("o_lang"), F.lit("")) == "")
+        if names[0] is not None and names[0] == names[2]:
+            cond = cond & (F.col("s_kind") == F.col("o_kind")) \
+                & (F.col("s_val") == F.col("o_val")) & plain_o
+        if names[1] is not None and names[1] == names[0]:
+            cond = cond & (F.col("s_kind") == F.lit("iri")) \
+                & (F.col("s_val") == F.col("p_val"))
+        if names[1] is not None and names[1] == names[2]:
+            cond = cond & (F.col("o_kind") == F.lit("iri")) \
+                & (F.col("o_val") == F.col("p_val")) & plain_o
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"c{i}"))
+    row = triples.agg(*aggs).collect()[0]
+    return {k: int(row[f"c{i}"] or 0) for i, k in enumerate(keys)}
+
+
+def tree_json_measured(
+    node: dict, cards: dict[str, int],
+    delim: str = DELIM, val_delim: str = VAL_DELIM,
+) -> list:
+    """:func:`tree_json` with each measured leaf label suffixed
+    ``ᶷ<executed cardinality>`` (the reference's within-column value
+    delimiter); unmeasured leaves (paths) keep the plain label."""
+    if node["type"] == "TPF":
+        anchor = node["predicates"][0] if node["predicates"] else "NONE"
+        label = node["tpf_type"] + delim + anchor
+        if node.get("key") in cards:
+            label += val_delim + str(cards[node["key"]])
+        return [label]
+    label = "JOIN" + delim + delim.join(node["predicates"])
+    return [label, tree_json_measured(node["left"], cards, delim, val_delim),
+            tree_json_measured(node["right"], cards, delim, val_delim)]
+
+
+def measured_query_plan(
+    data, query: str, pred_counts: dict[str, int] | None = None,
+    delim: str = DELIM, val_delim: str = VAL_DELIM,
+) -> dict:
+    """Run ``query`` against ``data`` and return the fork's per-query
+    registries shape (``tdbqueryplan.java:46-51``: ``registros`` row =
+    {query, execution_tree}, ``currentCardinality``, ``ModTime`` wall
+    clock) with EXECUTED numbers:
+
+    * ``execution_tree`` — one serialized join tree per BGP run, each
+      leaf annotated ``ᶷ<executed cardinality>``;
+    * ``cardinality`` — the per-pattern scan-cardinality registry;
+    * ``rows`` / ``time_ms`` — result size and wall time of the real
+      execution through the engine's own front-end.
+    """
+    import time as _time
+
+    from jena_spark.queries.sparql import Parser, sparql_query
+
+    q = Parser(query).parse()
+    runs: list = []
+    if q.where is not None:
+        _walk_groups(q.where, runs)
+    cards = pattern_cardinalities(data, [p for r in runs for p in r])
+    trees = [
+        json.dumps(
+            tree_json_measured(join_tree(r, pred_counts), cards,
+                               delim, val_delim),
+            ensure_ascii=False, separators=(",", ":"))
+        for r in runs
+    ]
+    t0 = _time.perf_counter()
+    rows = sparql_query(data, query).count()
+    dt_ms = round((_time.perf_counter() - t0) * 1000.0, 3)
+    return {
+        "query": " ".join(query.split()),
+        "execution_tree": trees,
+        "cardinality": cards,
+        "rows": rows,
+        "time_ms": dt_ms,
+    }
 
 
 def query_plan(

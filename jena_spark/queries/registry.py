@@ -1464,6 +1464,10 @@ def _q_pii_redaction(spark, sf):
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
             F.lit(" call +1 555-01"),
             F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" or (202) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" or 415-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
         ).alias("text"))
     return redact_docs(aug)
 
@@ -1474,6 +1478,8 @@ _PII_SQL = r"""WITH aug AS (
          || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
          || '.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          || ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         || ' or (202) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         || ' or 415-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
          AS text
   FROM documents
 ), s1 AS (
@@ -1490,12 +1496,15 @@ _PII_SQL = r"""WITH aug AS (
                            '[SSN]', 'g') AS t3 FROM s2
 )
 SELECT doc_id,
-  regexp_replace(t3, '\+\d[\d -]{7,14}\d', '[PHONE]', 'g') AS redacted,
+  regexp_replace(t3,
+    '(?:\+\d[\d -]{7,14}\d|\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b)',
+    '[PHONE]', 'g') AS redacted,
   len(regexp_extract_all(text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
   len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
   len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-  len(regexp_extract_all(t3, '\+\d[\d -]{7,14}\d')) AS n_phone
+  len(regexp_extract_all(t3,
+      '(?:\+\d[\d -]{7,14}\d|\(\d{3}\) ?\d{3}[-. ]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b)')) AS n_phone
 FROM s3"""
 
 _register("data_pii_redaction", _q_pii_redaction, _PII_SQL)
@@ -4022,7 +4031,14 @@ def _q_sparql_custom_fn(spark, sf):
            (xsd:double(floor(geof:distance(?w, "POINT(10.00 20.00)") / 1000.0 * 10000.0 + 0.5) / 10000.0) AS ?dist_km)
     WHERE {{ ?ent <{SP.GEO_AS_WKT}> ?w .
       FILTER (geof:distance(?w, "POINT(10.00 20.00)") < 1000000.0) }}"""
-    return sparql_query(t, q)
+    # the flat renderer emits every term's LEXICAL form (a string
+    # column); re-cast to double so the comparison column is typed
+    # like the oracle's — the floor-quantized value is n/10000.0 for
+    # an integral n both engines agree on, so the doubles are
+    # bit-identical (r03's one hash-fail was this string-vs-double +
+    # round()-vs-floor() drift)
+    return sparql_query(t, q).withColumn(
+        "dist_km", F.col("dist_km").cast("double"))
 
 
 _register(
@@ -4036,7 +4052,7 @@ _register(
     d AS (SELECT ent,
              {_SQL_HAVERSINE_M.format(lat1='20.0', lon1='10.0', lat2='lat', lon2='lon')} AS dist_m
           FROM pts)
-    SELECT ent, round(dist_m / 1000.0, 4) AS dist_km
+    SELECT ent, floor(dist_m / 1000.0 * 10000.0 + 0.5) / 10000.0 AS dist_km
     FROM d WHERE dist_m < 1000000.0""",
 )
 

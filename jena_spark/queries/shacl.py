@@ -457,11 +457,18 @@ def _seq_pairs(left: DataFrame, lz: bool,
 
 
 def _closure_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
-    """Transitive closure of an 8-column pair frame — semi-naive
-    frontier iteration on xxhash64 term ids (the
-    ``queries.paths.one_or_more`` discipline: 16-byte join rows,
+    """Transitive closure of an 8-column pair frame — path-doubling
+    (closure-by-squaring: each round joins the closure-so-far with
+    itself, so round *k* covers paths up to length 2^k and the round
+    count is logarithmic in graph diameter; max_iter=30 ⇒ diameter
+    2^30 before the loud failure) on xxhash64 term ids (the
+    ``queries.paths`` discipline otherwise: 16-byte join rows,
     localCheckpoint per round, decode once at the end via a node
-    dictionary carrying the full term)."""
+    dictionary carrying the full term). Doubling costs O(|closure|)
+    per join instead of semi-naive's O(|frontier|), but SHACL path
+    frames are property-scoped (not the whole graph) and a linked
+    list / org hierarchy thousands deep must not hit an iteration
+    ceiling (ADVICE r3)."""
     from jena_spark.pipeline.encode import term_id_col
 
     p = pairs.select(*_PAIR8).distinct()
@@ -483,24 +490,26 @@ def _closure_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         term_id_col(F.col("v_kind"), F.col("v_val"),
                     F.col("v_dt"), F.col("v_lang")).alias("dst"),
     ).localCheckpoint(eager=True)
-    reached, frontier = edges, edges
+    reached = edges
     for _ in range(max_iter):
         nxt = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            reached.alias("a")
+            .join(reached.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .distinct()
         )
         new = nxt.join(reached, ["src", "dst"], "left_anti") \
             .localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        # union of checkpointed frontiers — no re-checkpoint (keeps the
-        # materialized bytes O(|closure|), lineage one level deep)
-        reached = reached.unionByName(new)
-        frontier = new
+        # re-checkpoint the squared closure: it is self-joined (two
+        # consumers) next round, so an un-checkpointed union would
+        # replay the whole lineage quadratically
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
     else:
-        raise ValueError(f"SHACL: path closure exceeded {max_iter} rounds")
+        raise ValueError(
+            f"SHACL: path closure exceeded {max_iter} doubling rounds "
+            f"(graph diameter > 2^{max_iter})")
     s = nodes.select(
         F.col("node_id").alias("src"), F.col("kind").alias("n_kind"),
         F.col("val").alias("n_val"), F.col("dt").alias("n_dt"),
@@ -513,8 +522,16 @@ def _closure_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
 
 
 def _focus_frame(data: DataFrame, ns: NodeShape) -> DataFrame:
-    """Target selection -> (focus_kind, focus) frame."""
+    """Target selection -> (focus_kind, focus, focus_dt, focus_lang)
+    frame. dt/lang are non-null only for literal focus nodes (reachable
+    via sh:targetObjectsOf or an explicit literal sh:targetNode) and
+    exist so a focus re-injected as its OWN value node — node-level
+    constraints, sh:not/and/or/xone at node scope, zero-length path
+    identities — keeps its datatype/language tag instead of degrading
+    to a plain string (ADVICE r3: "5"^^xsd:integer must not judge as
+    xsd:string under sh:datatype/sh:languageIn)."""
     spark = data.sparkSession
+    null_s = F.lit(None).cast("string")
     parts = []
     for t in ns.target_class:
         parts.append(
@@ -522,17 +539,24 @@ def _focus_frame(data: DataFrame, ns: NodeShape) -> DataFrame:
                        & (F.col("o_kind") == "iri")
                        & (F.col("o_val") == t[1]))
             .select(F.col("s_kind").alias("focus_kind"),
-                    F.col("s_val").alias("focus")))
+                    F.col("s_val").alias("focus"),
+                    null_s.alias("focus_dt"), null_s.alias("focus_lang")))
     for p in ns.target_subjects_of:
         parts.append(data.where(F.col("p_val") == p[1]).select(
-            F.col("s_kind").alias("focus_kind"), F.col("s_val").alias("focus")))
+            F.col("s_kind").alias("focus_kind"),
+            F.col("s_val").alias("focus"),
+            null_s.alias("focus_dt"), null_s.alias("focus_lang")))
     for p in ns.target_objects_of:
         parts.append(data.where(F.col("p_val") == p[1]).select(
-            F.col("o_kind").alias("focus_kind"), F.col("o_val").alias("focus")))
+            F.col("o_kind").alias("focus_kind"),
+            F.col("o_val").alias("focus"),
+            F.col("o_datatype").alias("focus_dt"),
+            F.col("o_lang").alias("focus_lang")))
     if ns.target_node:
         parts.append(spark.createDataFrame(
-            [(t[0], t[1]) for t in ns.target_node],
-            "focus_kind string, focus string"))
+            [(t[0], t[1], t[2], t[3]) for t in ns.target_node],
+            "focus_kind string, focus string,"
+            "focus_dt string, focus_lang string"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -758,16 +782,21 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
         report = df if report is None else report.unionByName(df)
 
     for ns in parse_shapes(shapes):
-        focus = _focus_frame(data, ns).persist()
+        # focus4 keeps literal focus nodes' dt/lang (see _focus_frame);
+        # focus is the 2-column view every per-focus join/report keys on
+        # (report identity is (kind, val), matching the reference's
+        # focusNode term rendering)
+        focus4 = _focus_frame(data, ns).persist()
+        focus = focus4.select("focus_kind", "focus").distinct().persist()
 
         # node-level constraints apply to the focus term itself
         if ns.constraints:
-            nf = focus.select(
+            nf = focus4.select(
                 "focus_kind", "focus",
                 F.col("focus_kind").alias("v_kind"),
                 F.col("focus").alias("v_val"),
-                F.lit(None).cast("string").alias("v_dt"),
-                F.lit(None).cast("string").alias("v_lang"),
+                F.col("focus_dt").alias("v_dt"),
+                F.col("focus_lang").alias("v_lang"),
             )
             cond, class_types = _value_violation_cond(data, ns.constraints)
             bad = nf.where(cond)
@@ -801,12 +830,12 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
             ).distinct())
 
         if ns.logic:
-            nf = focus.select(
+            nf = focus4.select(
                 "focus_kind", "focus",
                 F.col("focus_kind").alias("v_kind"),
                 F.col("focus").alias("v_val"),
-                F.lit(None).cast("string").alias("v_dt"),
-                F.lit(None).cast("string").alias("v_lang"))
+                F.col("focus_dt").alias("v_dt"),
+                F.col("focus_lang").alias("v_lang"))
             for op, subs in ns.logic:
                 lf = _logic_flags(data, [(op, subs)], nf)
                 bad_keys = lf.where(F.col("_lbad")).select(
@@ -848,13 +877,15 @@ def validate(data: DataFrame, shapes: DataFrame) -> DataFrame:
                     F.col("n_val").alias("focus"),
                     "v_kind", "v_val", "v_dt", "v_lang"),
                 ["focus_kind", "focus"])
-            if zero:  # identity: the focus is one of its own values
-                ident = focus.select(
+            if zero:  # identity: the focus is one of its own values —
+                # carrying its dt/lang (a literal focus under path*
+                # stays typed, the _conform_flags identity posture)
+                ident = focus4.select(
                     "focus_kind", "focus",
                     F.col("focus_kind").alias("v_kind"),
                     F.col("focus").alias("v_val"),
-                    F.lit(None).cast("string").alias("v_dt"),
-                    F.lit(None).cast("string").alias("v_lang"))
+                    F.col("focus_dt").alias("v_dt"),
+                    F.col("focus_lang").alias("v_lang"))
                 vals = vals.unionByName(ident).distinct()
             path_str = ps.path
 

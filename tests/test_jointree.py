@@ -150,3 +150,87 @@ def test_cli_queryplan(capsys, tmp_path, spark):
     arr = json.loads(tree)
     # stats from --data put the rarer predicate first
     assert arr[1] == [f"VAR_URI_VAR{DELIM}{EX}rare"]
+
+
+def test_measured_query_plan(spark):
+    """--measure registries (tdbqueryplan.java:46-51 with EXECUTED
+    numbers): per-pattern scan cardinalities from one shared pass,
+    leaf labels annotated ᶷ<count>, real execution rows + wall ms."""
+    from jena_spark.queries.jointree import (
+        VAL_DELIM,
+        measured_query_plan,
+        pattern_cardinalities,
+        pattern_key,
+    )
+
+    rows = [
+        ("iri", EX + "a", EX + "rare", "iri", EX + "b", None, None),
+        ("iri", EX + "a", EX + "common", "iri", EX + "c", None, None),
+        ("iri", EX + "b", EX + "common", "iri", EX + "d", None, None),
+        ("iri", EX + "c", EX + "common", "iri", EX + "e", None, None),
+    ]
+    data = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              "o_val string, o_datatype string, o_lang string")
+    q = (f"SELECT * WHERE {{ ?s <{EX}common> ?a . "
+         f"?s <{EX}rare> ?b . }}")
+
+    # the one-pass cardinality registry
+    pats = [_pat("?s", EX + "common", "?a"), _pat("?s", EX + "rare", "?b")]
+    cards = pattern_cardinalities(data, pats)
+    assert cards == {
+        f"?s <{EX}common> ?a": 3,
+        f"?s <{EX}rare> ?b": 1,
+    }
+
+    reg = measured_query_plan(data, q)
+    assert set(reg) == {"query", "execution_tree", "cardinality",
+                        "rows", "time_ms"}
+    assert reg["cardinality"] == cards
+    assert reg["rows"] == 1  # ex:a joins rare+common
+    assert reg["time_ms"] > 0
+    [tree] = reg["execution_tree"]
+    arr = json.loads(tree)
+    # fixed reorder puts rare's weight equal; check annotated labels
+    leaves = [arr[1][0], arr[2][0]]
+    assert f"VAR_URI_VAR{DELIM}{EX}rare{VAL_DELIM}1" in leaves
+    assert f"VAR_URI_VAR{DELIM}{EX}common{VAL_DELIM}3" in leaves
+
+
+def test_cli_queryplan_measure(capsys, tmp_path, spark):
+    ttl = tmp_path / "d.ttl"
+    ttl.write_text(
+        f"@prefix ex: <{EX}> .\n"
+        "ex:a ex:rare ex:b .\n"
+        "ex:a ex:common ex:c .\n"
+        "ex:b ex:common ex:d .\n"
+        "ex:c ex:common ex:e .\n"
+    )
+    qcsv = tmp_path / "q.csv"
+    qcsv.write_text(
+        "id;query\n"
+        f"q1;SELECT * WHERE {{ ?s <{EX}common> ?a . ?s <{EX}rare> ?b . }}\n"
+    )
+    out = tmp_path / "plans.csv"
+    rc = main([
+        "--cores", "4", "--shuffle-partitions", "4",
+        "queryplan", "--queries-file", str(qcsv),
+        "--query-column", "1", "--id-column", "0",
+        "--input-delimiter", ";", "--data", str(ttl), "--measure",
+        "--out", str(out),
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    [line] = out.read_text(encoding="utf-8").splitlines()
+    qid, qtext, trees, cards, nrows, ms = line.split("ᶶ")
+    assert qid == "q1" and nrows == "1" and float(ms) > 0
+    assert json.loads(cards) == {
+        f"?s <{EX}common> ?a": 3, f"?s <{EX}rare> ?b": 1}
+    arr = json.loads(trees)
+    # stats-fed reorder puts rare first; its measured count rides ᶷ
+    assert arr[1] == [f"VAR_URI_VAR{DELIM}{EX}rareᶷ1"]
+    assert arr[2] == [f"VAR_URI_VAR{DELIM}{EX}commonᶷ3"]
+
+    # --measure without --data is a loud usage error
+    assert main(["queryplan", "--queries-file", str(qcsv),
+                 "--measure"]) == 2

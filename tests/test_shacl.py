@@ -753,3 +753,70 @@ def test_severity_and_message(spark):
     rep = validate(data, default).collect()
     assert [(r["severity"], r["message"]) for r in rep] == [
         (SH + "Violation", None)]
+
+
+def test_literal_focus_zero_path_keeps_datatype(spark):
+    """ADVICE r3 regression: a literal focus node (via
+    sh:targetObjectsOf) under sh:zeroOrMorePath is re-injected as its
+    own value node WITH its datatype/lang — "5"^^xsd:integer must not
+    judge as xsd:string, and a lang-tagged focus must satisfy
+    sh:languageIn."""
+    # focus = objects of ex:score; zero-path identity; sh:datatype int
+    shapes = _g(spark, [
+        ("iri", EX + "S", SH + "targetObjectsOf", "iri", EX + "score",
+         None, None),
+        ("iri", EX + "S", SH + "property", "bnode", "_:p", None, None),
+        ("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+        ("bnode", "_:pp", SH + "zeroOrMorePath", "iri", EX + "next",
+         None, None),
+        ("bnode", "_:p", SH + "datatype", "iri", XSD + "integer",
+         None, None),
+    ])
+    ok = _g(spark, [
+        ("iri", EX + "a", EX + "score", "literal", "5",
+         XSD + "integer", None)])
+    assert conforms(ok, shapes)  # typed focus keeps xsd:integer
+    bad = _g(spark, [
+        ("iri", EX + "a", EX + "score", "literal", "5", None, None)])
+    rep = validate(bad, shapes).collect()  # plain focus IS xsd:string
+    assert [(r["constraint"], r["value"]) for r in rep] == [("value", "5")]
+
+    # node-level constraint on a lang-tagged literal focus: languageIn
+    lang_shapes = _g(spark, [
+        ("iri", EX + "L", SH + "targetObjectsOf", "iri", EX + "label",
+         None, None),
+        ("iri", EX + "L", SH + "languageIn", "bnode", "_:l0", None, None),
+        ("bnode", "_:l0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#first",
+         "literal", "en", None, None),
+        ("bnode", "_:l0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+         "iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil",
+         None, None),
+    ])
+    ok_lang = _g(spark, [
+        ("iri", EX + "a", EX + "label", "literal", "hi", None, "en")])
+    assert conforms(ok_lang, lang_shapes)
+    bad_lang = _g(spark, [
+        ("iri", EX + "a", EX + "label", "literal", "salut", None, "fr")])
+    assert not conforms(bad_lang, lang_shapes)
+
+
+def test_deep_chain_path_closure(spark):
+    """ADVICE r3 regression: path-doubling closure completes on a
+    chain deeper than the old 30-round semi-naive ceiling (40-link
+    boss chain; doubling needs ~6 rounds)."""
+    n = 40
+    chain = [("iri", EX + "n0", RDF_TYPE, "iri", EX + "Person",
+              None, None)] + [
+        ("iri", EX + f"n{i}", EX + "boss", "iri", EX + f"n{i+1}",
+         None, None) for i in range(n)]
+    shapes = _path_shape(
+        spark,
+        [("bnode", "_:p", SH + "path", "bnode", "_:pp", None, None),
+         ("bnode", "_:pp", SH + "oneOrMorePath", "iri", EX + "boss",
+          None, None)],
+        [("bnode", "_:p", SH + "maxCount", "literal", str(n - 1),
+          XSD + "integer", None)])
+    rep = validate(_g(spark, chain), shapes).collect()
+    # n0 reaches all 40 downstream nodes -> maxCount(39) violated by 40
+    assert [(r["focus"], r["constraint"], r["value"]) for r in rep] == [
+        (EX + "n0", "maxCount", str(n))]

@@ -307,6 +307,10 @@ def test_pii_redaction(spark):
         (3, "call +1 555-0100 or +44 20 7946 0958 now"),
         (4, "clean text with numbers 12345 and dots a.b"),
         (5, "combo x@y.io 192.168.1.1 111-22-3333 +1 555-0199"),
+        # domestic formats (ADVICE r3 recall gap): parenthesized area
+        # code, dash-joined, dot-joined; space-only triples stay
+        (6, "call (415) 555-0134 or 415-555-0134 or 415.555.0134"),
+        (7, "meeting room 415 at 555 until 0134 stays"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in redact_docs(df).collect()}
@@ -320,6 +324,9 @@ def test_pii_redaction(spark):
     assert got[5]["redacted"] == "combo [EMAIL] [IP] [SSN] [PHONE]"
     assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_ssn"],
             got[5]["n_phone"]) == (1, 1, 1, 1)
+    assert got[6]["redacted"] == "call [PHONE] or [PHONE] or [PHONE]"
+    assert got[6]["n_phone"] == 3
+    assert got[7]["redacted"] == rows[6][1]  # bare digit triples stay
 
 
 def test_repetition_stats(spark):
