@@ -13,8 +13,9 @@ Spark-native posture: in a data-lake engine the natural "endpoints"
 are other registered datasets (catalog tables / views / in-memory
 frames), not HTTP servers. The registry here maps a service IRI to a
 triple/quad DataFrame (or a zero-arg callable producing one — the
-custom-executor form; a real HTTP fetch would live in such a callable,
-out of scope in this engine and documented). ``SERVICE <iri> {...}``
+custom-executor form). Unregistered http(s) IRIs additionally fall
+through to a real SPARQL-protocol client (see the HTTP section
+below). ``SERVICE <iri> {...}``
 then evaluates its group against that frame and joins the bindings
 back — exactly the OpService dataflow with the network hop replaced by
 a catalog lookup, which is also what it should compile to at 100 TB:
@@ -66,7 +67,8 @@ def service_frame(iri: str, silent: bool = False) -> DataFrame | None:
             return None
         raise ValueError(
             f"SPARQL SERVICE: no dataset registered for <{iri}> "
-            "(register_service; HTTP endpoints are out of scope)")
+            "(register_service; unregistered http(s) IRIs are executed "
+            "remotely by the compiler via http_service_group)")
     if callable(entry) and not isinstance(entry, DataFrame):
         try:
             return entry()
@@ -75,3 +77,101 @@ def service_frame(iri: str, silent: bool = False) -> DataFrame | None:
                 return None
             raise
     return entry
+
+
+# --- HTTP SPARQL-protocol client path ---------------------------------------
+#
+# Reference: ``QueryIterService.java:36-55`` executes the service sub-op
+# against the remote endpoint over the SPARQL protocol and merges the
+# returned bindings; ``Service.java`` builds the outgoing query.
+# Here: an UNREGISTERED http(s) service IRI falls through to this
+# client — ``SELECT *`` over the original group text, POSTed as
+# ``application/sparql-query``, SRJ response parsed into a one-struct-
+# column-per-variable bindings frame that joins like any sub-group.
+# The registry path stays the offline default (a registered frame
+# always wins — it is also the 100 TB posture: remote data mounted as
+# a catalog table beats shipping bindings through the driver).
+# Remote result sets pass through the driver (exactly the reference's
+# dataflow — the remote endpoint has already reduced the data); callers
+# should LIMIT inside the service group for unbounded patterns.
+
+#: module switch — set False to forbid network fetches entirely
+#: (every unregistered endpoint then raises/SILENT-units as before).
+HTTP_ENABLED = True
+
+#: schemes the HTTP client path accepts.
+_HTTP_SCHEMES = ("http://", "https://")
+
+
+def is_http_endpoint(iri: str) -> bool:
+    return HTTP_ENABLED and iri.startswith(_HTTP_SCHEMES)
+
+
+def http_query(endpoint: str, query: str, timeout: float = 30.0) -> dict:
+    """One SPARQL-protocol request: POST the query text
+    (``Content-Type: application/sparql-query``), accept
+    ``application/sparql-results+json``; returns the parsed SRJ
+    document (``head``/``results``)."""
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        endpoint,
+        data=query.encode("utf-8"),
+        headers={
+            "Content-Type": "application/sparql-query",
+            "Accept": "application/sparql-results+json",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+#: SRJ term type -> engine term kind.
+_SRJ_KIND = {"uri": "iri", "literal": "literal",
+             "typed-literal": "literal", "bnode": "bnode"}
+
+
+def bindings_frame(spark, doc: dict) -> DataFrame:
+    """SRJ document -> bindings DataFrame in the engine's internal
+    shape: one ``struct<kind,val,datatype,lang>`` column per head
+    variable (``algebra._var_struct_for`` field order; absent datatype/
+    lang are empty strings, unbound variables NULL structs)."""
+    vars_ = doc.get("head", {}).get("vars", [])
+    if not vars_:
+        raise ValueError("SERVICE: SRJ response has no head.vars")
+    rows = []
+    for b in doc.get("results", {}).get("bindings", []):
+        row = []
+        for v in vars_:
+            t = b.get(v)
+            if t is None:
+                row.append(None)
+            else:
+                kind = _SRJ_KIND.get(t.get("type"))
+                if kind is None:
+                    raise ValueError(
+                        f"SERVICE: unknown SRJ term type {t.get('type')!r}")
+                row.append((kind, t.get("value", ""),
+                            t.get("datatype") or "",
+                            t.get("xml:lang") or ""))
+        rows.append(tuple(row))
+    schema = ", ".join(
+        f"`{v}` struct<kind:string,val:string,datatype:string,lang:string>"
+        for v in vars_)
+    return spark.createDataFrame(rows, schema)
+
+
+def http_service_group(spark, endpoint: str, group_text: str,
+                       prefixes: dict[str, str],
+                       timeout: float = 30.0) -> DataFrame:
+    """Execute one ``SERVICE <http…> { … }`` group remotely: the
+    outgoing query is the enclosing query's PREFIX prologue +
+    ``SELECT * WHERE`` + the group's original source text (BASE is out
+    of profile for forwarding — resolve IRIs before shipping)."""
+    prologue = "".join(
+        f"PREFIX {p}: <{iri}>\n" for p, iri in sorted(prefixes.items()))
+    query = prologue + "SELECT * WHERE " + group_text
+    return bindings_frame(spark, http_query(endpoint, query,
+                                            timeout=timeout))

@@ -51,9 +51,10 @@ Supported profile (errors loudly outside it):
 * ``SERVICE [SILENT] <iri> {...}`` — federated evaluation against the
   dataset registered for the IRI in
   :mod:`jena_spark.queries.service` (the ``ServiceExecutorRegistry``
-  analog; endpoints are registered frames/catalog tables, not HTTP —
-  documented in that module). SILENT + unknown endpoint -> unit table.
-  Variable endpoints are out of profile.
+  analog); an UNREGISTERED http(s) IRI falls through to the real
+  SPARQL-protocol client (``QueryIterService.java:36-55`` — the group
+  source text is forwarded, the SRJ bindings joined). SILENT + unknown
+  endpoint -> unit table. Variable endpoints are out of profile.
 
 Path endpoints carry (kind, val) only — a path step through a typed
 literal loses datatype/lang in the binding (same shape as
@@ -177,6 +178,7 @@ _KEYWORDS = {
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text  # kept for SERVICE source-span capture
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -513,8 +515,16 @@ class Parser:
                     raise ValueError(
                         "SPARQL: SERVICE with a variable endpoint is out "
                         "of profile (register a concrete IRI)")
+                # capture the group's SOURCE SPAN too: the HTTP
+                # executor forwards the original pattern text to the
+                # remote endpoint verbatim (QueryIterService builds the
+                # outgoing query from the service sub-op)
+                start = self.peek().pos
+                sub_g = self.group_graph_pattern()
+                end = self.toks[self.i - 1].pos + 1
                 g.elements.append(
-                    ("service", silent, sterm, self.group_graph_pattern()))
+                    ("service", silent, sterm, sub_g,
+                     self.text[start:end]))
             elif t.val == "{":
                 sub = self.group_graph_pattern()
                 branches = [sub]
@@ -1466,24 +1476,41 @@ class _Compiler:
                 df = sub if df is None else A.join(df, sub)
             elif tag == "service":
                 flush()
-                from jena_spark.queries.service import service_frame
+                from jena_spark.queries import service as SVC
 
-                _, silent, sterm, sub_g = el
-                frame = service_frame(sterm[1], silent=silent)
+                _, silent, sterm, sub_g = el[:4]
+                raw = el[4] if len(el) > 4 else None
                 sub = None
-                if frame is not None:
-                    # evaluate the group against the ENDPOINT's dataset
-                    # (fresh compiler: its default/named graphs are the
-                    # remote frame's), then compatible-binding join.
-                    # SILENT swallows evaluation failures too — Jena's
-                    # QueryIterService catch yields the unit table for
-                    # ANY failure of the remote execution, not just
-                    # resolution misses.
+                if (sterm[1] not in SVC.SERVICE_REGISTRY and raw
+                        and SVC.is_http_endpoint(sterm[1])):
+                    # unregistered http(s) endpoint: real SPARQL-
+                    # protocol client (QueryIterService.java:36-55) —
+                    # forward the group's source text, join the SRJ
+                    # bindings. A registered frame always wins (the
+                    # offline default and the 100 TB posture).
                     try:
-                        sub = _Compiler(frame, self.p).compile_group(sub_g)
+                        sub = SVC.http_service_group(
+                            self.spark, sterm[1], raw, self.p.prefixes)
                     except Exception:
                         if not silent:
                             raise
+                else:
+                    frame = SVC.service_frame(sterm[1], silent=silent)
+                    if frame is not None:
+                        # evaluate the group against the ENDPOINT's
+                        # dataset (fresh compiler: its default/named
+                        # graphs are the remote frame's), then
+                        # compatible-binding join. SILENT swallows
+                        # evaluation failures too — Jena's
+                        # QueryIterService catch yields the unit table
+                        # for ANY failure of the remote execution, not
+                        # just resolution misses.
+                        try:
+                            sub = _Compiler(frame,
+                                            self.p).compile_group(sub_g)
+                        except Exception:
+                            if not silent:
+                                raise
                 if sub is None:
                     # SILENT failure -> unit table (one solution, no
                     # bindings): the join identity, so df is unchanged;
