@@ -30,8 +30,13 @@ Supported profile (documented, errors loudly outside it):
   ``@graph`` containers (each item gets a fresh bnode-named graph,
   linked from the subject — expansion §13.9 semantics; the triple API
   merges them into the default graph, the quads API keeps them)
-* NOT supported: remote/``@context`` IRIs (no network by design),
-  framing,
+* remote ``@context`` URLs resolve OFFLINE through a caller-supplied
+  ``context_map={url: context-or-document}`` (the engine never
+  fetches; a URL absent from the map errors loudly)
+* framing-LITE via :func:`frame_jsonld` — @type / property-presence
+  matchers, @context compaction, recursive embed-once; @default /
+  @explicit / @omitDefault / @embed overrides are out of profile
+* NOT supported: network fetches of any kind,
   ``@vocab``-less relative IRI resolution beyond ``@base``/``@vocab``
   prefixes.
 
@@ -59,7 +64,8 @@ _ABS = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 
 class JsonLdParser:
-    def __init__(self, text: str):
+    def __init__(self, text: str,
+                 context_map: dict[str, object] | None = None):
         self.doc = json.loads(text)
         self.scope = hashlib.md5(text.encode("utf-8")).hexdigest()
         self.anon = 0
@@ -69,6 +75,11 @@ class JsonLdParser:
         self.base = ""
         self.vocab = ""
         self.default_lang: str | None = None
+        # offline remote-@context resolution: url -> context (either
+        # the context value itself or a full remote document carrying
+        # "@context"). The engine NEVER fetches — documents whose
+        # @context URL is absent from the map error loudly.
+        self.context_map = context_map or {}
 
     def _fresh(self) -> str:
         self.anon += 1
@@ -83,8 +94,15 @@ class JsonLdParser:
                 self._load_context(c)
             return
         if isinstance(ctx, str):
+            if ctx in self.context_map:
+                mapped = self.context_map[ctx]
+                if isinstance(mapped, dict) and "@context" in mapped:
+                    mapped = mapped["@context"]  # full remote document
+                self._load_context(mapped)
+                return
             raise ValueError(
-                f"JSON-LD: remote @context {ctx!r} unsupported (no network)")
+                f"JSON-LD: remote @context {ctx!r} — refusing to fetch "
+                "(no network by design); supply context_map={url: context}")
         if not isinstance(ctx, dict):
             raise ValueError("JSON-LD: bad @context")
         for term, defn in ctx.items():
@@ -338,20 +356,25 @@ class JsonLdParser:
         return self.rows
 
 
-def parse_jsonld(text: str) -> list[tuple]:
+def parse_jsonld(text: str,
+                 context_map: dict[str, object] | None = None) -> list[tuple]:
     """One JSON-LD document -> list of 7-tuples (TERM_COLS order);
     named-graph membership is dropped (default-graph merge view). Use
-    :func:`parse_jsonld_quads` to keep it."""
-    return [r[:7] for r in JsonLdParser(text).parse()]
+    :func:`parse_jsonld_quads` to keep it. ``context_map`` resolves
+    remote ``@context`` URLs offline (url -> context value or full
+    remote context document)."""
+    return [r[:7] for r in JsonLdParser(text, context_map).parse()]
 
 
-def parse_jsonld_quads(text: str) -> list[tuple]:
+def parse_jsonld_quads(
+    text: str, context_map: dict[str, object] | None = None,
+) -> list[tuple]:
     """One JSON-LD document -> list of 8-tuples (TERM_COLS + graph):
     a node object carrying ``@graph`` names a graph with its own
     ``@id`` (JSON-LD 1.1 named graph node objects, json-ld-api toRdf);
     top-level ``@graph`` arrays and plain nodes land in the default
     graph (graph = None). The TriG twin of this reader's quad view."""
-    return JsonLdParser(text).parse()
+    return JsonLdParser(text, context_map).parse()
 
 
 def format_jsonld(rows: list[tuple]) -> str:
@@ -381,9 +404,12 @@ def format_jsonld(rows: list[tuple]) -> str:
 
 def read_jsonld(
     spark: SparkSession, path: str, quads: bool = False,
+    context_map: dict[str, object] | None = None,
 ) -> DataFrame:
     """Read .jsonld file(s) into the triple-table schema
-    (``quads=True``: + graph column from named-graph node objects)."""
+    (``quads=True``: + graph column from named-graph node objects).
+    ``context_map`` ships with the task closure, so remote-@context
+    documents parse on executors without any network."""
     import pandas as pd
 
     files = spark.read.text(path, wholetext=True)
@@ -393,7 +419,7 @@ def read_jsonld(
             out = []
             for txt in pdf["value"]:
                 if txt.strip():
-                    out.extend(parse_jsonld_quads(txt))
+                    out.extend(parse_jsonld_quads(txt, context_map))
             yield pd.DataFrame(out, columns=TERM_COLS7 + ["graph"])
 
     schema = ("s_kind string, s_val string, p_val string, o_kind string, "
@@ -472,3 +498,121 @@ def write_jsonld_quads(quads: DataFrame, path: str) -> None:
     quads.select(*cols).mapInPandas(_fmt, "value string").write.mode(
         "overwrite"
     ).text(path)
+
+
+# --- framing-lite ------------------------------------------------------------
+
+#: frame keywords the lite subset deliberately refuses (error loudly
+#: instead of silently mis-framing — the module's profile discipline).
+_FRAME_UNSUPPORTED = {"@default", "@explicit", "@omitDefault", "@null",
+                      "@embed", "@requireAll"}
+
+
+def frame_jsonld(rows: list[tuple], frame: dict) -> dict:
+    """Framing-LITE (a documented subset of JSON-LD 1.1 framing — the
+    reference delegates to jsonld-java's full processor via
+    ``riot/lang/JsonLDReader.java`` / ``JsonLDWriter``; this engine
+    reshapes its own triple rows):
+
+    * the frame's ``@context`` (inline or resolved through the same
+      offline map rules via :class:`JsonLdParser`) compacts property
+      IRIs and ``@type`` values to terms, prefix terms compact IRIs;
+    * ``@type`` in the frame selects the top-level nodes (string or
+      list — any match); frame properties with ``{}`` values are
+      presence matchers;
+    * matched nodes embed their referenced node objects recursively,
+      each graph node EMBEDDED AT MOST ONCE per output (the spec's
+      default ``@embed: @once``) — later references stay
+      ``{"@id": …}``; cycles therefore terminate.
+
+    ``@default``/``@explicit``/``@omitDefault``/``@embed`` overrides
+    are out of profile and raise. Output: ``{"@context": …, "@graph":
+    [framed nodes]}`` with deterministic ordering.
+    """
+    bad = _FRAME_UNSUPPORTED & set(frame)
+    if bad:
+        raise ValueError(f"JSON-LD framing-lite: unsupported {sorted(bad)}")
+
+    # frame context -> term machinery (reuse the parser's loader)
+    p = JsonLdParser("{}")
+    p._load_context(frame.get("@context"))
+    iri_to_term = {}
+    prefix_terms = []  # (iri_prefix, term) longest-first
+    for term, defn in p.terms.items():
+        iri = defn.get("@id")
+        if not iri:
+            continue
+        iri_to_term.setdefault(iri, term)
+        prefix_terms.append((iri, term))
+    prefix_terms.sort(key=lambda t: -len(t[0]))
+
+    def compact(iri: str) -> str:
+        if iri in iri_to_term:
+            return iri_to_term[iri]
+        for pre, term in prefix_terms:
+            if iri.startswith(pre) and len(iri) > len(pre):
+                return term + ":" + iri[len(pre):]
+        return iri
+
+    # node map: subject -> {"@type": [...], props: {p: [obj-term]}}
+    types: dict[tuple, list] = {}
+    props: dict[tuple, dict] = {}
+    for s_kind, s_val, p_val, o_kind, o_val, o_dt, o_lang in sorted(rows):
+        subj = (s_kind, s_val)
+        if p_val == RDF_NS + "type" and o_kind == "iri":
+            types.setdefault(subj, []).append(o_val)
+            continue
+        props.setdefault(subj, {}).setdefault(p_val, []).append(
+            (o_kind, o_val, o_dt, o_lang))
+
+    # top-level matchers
+    want_types = frame.get("@type")
+    if isinstance(want_types, str):
+        want_types = [want_types]
+    want_types = {p._expand_iri(t, vocab=True) for t in (want_types or [])}
+    must_have = [p._expand_iri(k, vocab=True) for k, v in frame.items()
+                 if not k.startswith("@") and v == {}]
+
+    subjects = sorted(set(types) | set(props))
+
+    def matches(subj) -> bool:
+        if want_types and not (want_types & set(types.get(subj, []))):
+            return False
+        return all(m in props.get(subj, {}) for m in must_have)
+
+    embedded: set[tuple] = set()
+
+    def value_obj(o):
+        o_kind, o_val, o_dt, o_lang = o
+        if o_kind in ("iri", "bnode"):
+            ref = (o_kind, o_val)
+            if ref in (set(types) | set(props)) and ref not in embedded:
+                return build(ref)
+            return {"@id": compact(o_val) if o_kind == "iri" else o_val}
+        if o_dt or o_lang:
+            out = {"@value": o_val}
+            if o_dt:
+                out["@type"] = compact(o_dt)
+            if o_lang:
+                out["@language"] = o_lang
+            return out
+        return o_val  # plain string compacts to a JSON scalar
+
+    def build(subj) -> dict:
+        embedded.add(subj)
+        kind, val = subj
+        node: dict = {"@id": val if kind == "bnode" else compact(val)}
+        if subj in types:
+            ts = [compact(t) for t in sorted(set(types[subj]))]
+            node["@type"] = ts[0] if len(ts) == 1 else ts
+        for p_iri in sorted(props.get(subj, {})):
+            vals = [value_obj(o) for o in props[subj][p_iri]]
+            node[compact(p_iri)] = vals[0] if len(vals) == 1 else vals
+        return node
+
+    graph = [build(s) for s in subjects if matches(s) and s not in embedded]
+    out: dict = {}
+    if "@context" in frame:
+        out["@context"] = frame["@context"]
+    out["@graph"] = graph
+    return out

@@ -358,3 +358,101 @@ def test_graph_container():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="@graph-container"):
         parse_jsonld(bad)
+
+
+def test_remote_context_map():
+    """Remote @context URL resolved OFFLINE from a caller-supplied map
+    — both a bare context value and a full remote document; a URL
+    absent from the map refuses loudly."""
+    import json
+
+    url = "https://schema.example/ctx.jsonld"
+    doc = json.dumps({
+        "@context": url,
+        "@id": "http://e/s",
+        "name": "Ada",
+        "knows": {"@id": "http://e/o"},
+    })
+    ctx = {"name": "http://e/name",
+           "knows": {"@id": "http://e/knows", "@type": "@id"}}
+    want = {
+        ("iri", "http://e/s", "http://e/name", "literal", "Ada", None, None),
+        ("iri", "http://e/s", "http://e/knows", "iri", "http://e/o",
+         None, None),
+    }
+    # bare context value
+    assert set(parse_jsonld(doc, context_map={url: ctx})) == want
+    # full remote context DOCUMENT ({"@context": ...} wrapper)
+    assert set(parse_jsonld(doc, context_map={url: {"@context": ctx}})) == want
+    # refusal without the map
+    with pytest.raises(ValueError, match="refusing to fetch"):
+        parse_jsonld(doc)
+    # list contexts mix remote + inline
+    doc2 = json.dumps({
+        "@context": [url, {"age": "http://e/age"}],
+        "@id": "http://e/s", "name": "Ada", "age": 3,
+    })
+    got = set(parse_jsonld(doc2, context_map={url: ctx}))
+    assert ("iri", "http://e/s", "http://e/age", "literal", "3",
+            XSD + "integer", None) in got
+
+
+def test_remote_context_roundtrip_spark(spark, tmp_path):
+    """read_jsonld ships the context map to executors — a directory of
+    remote-@context documents parses without network."""
+    import json
+
+    url = "https://schema.example/ctx.jsonld"
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"doc{i}.jsonld").write_text(json.dumps({
+            "@context": url,
+            "@id": f"http://e/s{i}", "name": f"n{i}",
+        }))
+    out = read_jsonld(spark, str(d), context_map={
+        url: {"name": "http://e/name"}})
+    got = {(r["s_val"], r["o_val"]) for r in out.collect()}
+    assert got == {(f"http://e/s{i}", f"n{i}") for i in range(3)}
+
+
+def test_frame_jsonld():
+    """Framing-lite: @type matcher, context compaction, embed-once
+    nesting, cycle termination, property-presence matcher."""
+    from jena_spark.sources.jsonld import frame_jsonld
+
+    E = "http://e/"
+    rows = [
+        ("iri", E + "lib", RDF_NS + "type", "iri", E + "Library", None, None),
+        ("iri", E + "lib", E + "contains", "iri", E + "book", None, None),
+        ("iri", E + "book", RDF_NS + "type", "iri", E + "Book", None, None),
+        ("iri", E + "book", E + "title", "literal", "Dracula", None, None),
+        ("iri", E + "book", E + "pages", "literal", "418",
+         XSD + "integer", None),
+        # cycle back to the library
+        ("iri", E + "book", E + "heldBy", "iri", E + "lib", None, None),
+    ]
+    frame = {
+        "@context": {"ex": E, "contains": E + "contains",
+                     "title": E + "title", "pages": E + "pages",
+                     "heldBy": E + "heldBy"},
+        "@type": "ex:Library",
+    }
+    out = frame_jsonld(rows, frame)
+    assert out["@context"] == frame["@context"]
+    [lib] = out["@graph"]
+    assert lib["@id"] == "ex:lib" and lib["@type"] == "ex:Library"
+    book = lib["contains"]
+    assert book["@type"] == "ex:Book" and book["title"] == "Dracula"
+    assert book["pages"]["@value"] == "418"
+    # the cycle stays a reference — lib is already embedded
+    assert book["heldBy"] == {"@id": "ex:lib"}
+
+    # property-presence matcher selects only subjects carrying title
+    out2 = frame_jsonld(rows, {"@context": frame["@context"],
+                               "title": {}})
+    assert [n["@id"] for n in out2["@graph"]] == ["ex:book"]
+
+    # unsupported keywords refuse loudly
+    with pytest.raises(ValueError, match="unsupported"):
+        frame_jsonld(rows, {"@explicit": True})
