@@ -56,6 +56,71 @@ def registered_datatypes() -> list[str]:
     return sorted(_CUSTOM_NUMERIC)
 
 
+# --- temporal value space beyond dateTime ------------------------------------
+# Reference: ``jena-core/.../datatypes/xsd/XSDDatatype.java:174-195``
+# registers duration / the Gregorian types; ``NodeValue.java`` promotes
+# them for value-space FILTER comparison. Here every Gregorian lexical
+# maps onto the SAME ``o_ts`` timestamp shadow via reference instants
+# (gYear -> Jan 1, gYearMonth -> day 1, gMonthDay/gMonth/gDay anchor in
+# the LEAP year 2000 so ``--02-29`` is representable; time anchors at
+# epoch day), and durations split into the XPath comparison dimensions:
+# ``o_dur_months`` (yearMonth part, total months) and ``o_dur_secs``
+# (dayTime part, total seconds) — yearMonthDuration compares by months,
+# dayTimeDuration by seconds, exactly the two total orders XPath/ARQ
+# define (mixed-dimension comparison is indeterminate in Jena; here
+# each dimension is its own column so the caller states which order
+# they mean). UTC 'Z' suffixes are stripped; explicit ±hh:mm offsets
+# are out of profile (NULL shadow — lexical stays authoritative).
+
+#: Gregorian datatype -> (regex stripping to a castable instant)
+#: applied AFTER the Z-strip; '' = value used as-is with the suffix.
+_GREGORIAN = {
+    TM.XSD + "date": ("$", ""),                     # 2024-03-05
+    TM.XSD + "gYear": ("$", "-01-01"),              # 2024
+    TM.XSD + "gYearMonth": ("$", "-01"),            # 2024-03
+    TM.XSD + "gMonthDay": ("^--", "2000-"),         # --03-05 -> 2000-03-05
+    TM.XSD + "gMonth": ("^--(\\d{2})$", "2000-$1-01"),   # --03
+    TM.XSD + "gDay": ("^---(\\d{2})$", "2000-01-$1"),    # ---05
+    TM.XSD + "time": ("^", "1970-01-01 "),          # 13:45:06
+}
+
+#: anchored duration lexical check (RE2-compatible — no lookaheads —
+#: so DuckDB oracles can evaluate the IDENTICAL expression). Accepts
+#: the degenerate 'P'/'PnYT' forms Jena rejects; fields absent = 0.
+DURATION_RE = (r"^-?P([0-9]+Y)?([0-9]+M)?([0-9]+D)?"
+               r"(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$")
+
+_DURATION_DTS = [TM.XSD + n for n in
+                 ("duration", "yearMonthDuration", "dayTimeDuration")]
+
+
+def _dur_field(col, pattern: str):
+    x = F.regexp_extract(col, pattern, 1).try_cast("decimal(38,18)")
+    return F.coalesce(x, F.lit(0).cast("decimal(38,18)"))
+
+
+def duration_months(col) -> "F.Column":
+    """Duration lexical -> yearMonth part in total months (NULL when
+    the lexical is not a duration)."""
+    sign = F.when(col.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    months = _dur_field(col, r"([0-9]+)Y") * 12 \
+        + _dur_field(col, r"P[^T]*?([0-9]+)M")
+    return F.when(col.rlike(DURATION_RE) & col.rlike("[0-9]"),
+                  (sign * months).cast("long"))
+
+
+def duration_seconds(col) -> "F.Column":
+    """Duration lexical -> dayTime part in total seconds (NULL when
+    the lexical is not a duration)."""
+    sign = F.when(col.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    secs = _dur_field(col, r"([0-9]+)D") * 86400 \
+        + _dur_field(col, r"([0-9]+)H") * 3600 \
+        + _dur_field(col, r"T(?:[0-9]+H)?([0-9]+)M") * 60 \
+        + _dur_field(col, r"([0-9]+(?:\.[0-9]+)?)S")
+    return F.when(col.rlike(DURATION_RE) & col.rlike("[0-9]"),
+                  (sign * secs).cast("decimal(38,18)"))
+
+
 def with_typed_shadows(triples: DataFrame) -> DataFrame:
     num = F.when(
         F.col("o_datatype").isin(_NUMERIC_DTS),
@@ -66,8 +131,17 @@ def with_typed_shadows(triples: DataFrame) -> DataFrame:
             F.col("o_datatype") == dt_iri,
             to_num(F.col("o_val")).try_cast("decimal(38,18)"),
         )
-    ts = F.when(
-        F.col("o_datatype") == TM.XSD_DATETIME,
-        F.regexp_replace("o_val", "Z$", "").try_cast("timestamp"),
+    nz = F.regexp_replace("o_val", "Z$", "")
+    ts = F.when(F.col("o_datatype") == TM.XSD_DATETIME,
+                nz.try_cast("timestamp"))
+    for dt_iri, (pat, repl) in _GREGORIAN.items():
+        ts = ts.when(F.col("o_datatype") == dt_iri,
+                     F.regexp_replace(nz, pat, repl).try_cast("timestamp"))
+    is_dur = F.col("o_datatype").isin(_DURATION_DTS)
+    return (
+        triples.withColumn("o_num", num).withColumn("o_ts", ts)
+        .withColumn("o_dur_months",
+                    F.when(is_dur, duration_months(F.col("o_val"))))
+        .withColumn("o_dur_secs",
+                    F.when(is_dur, duration_seconds(F.col("o_val"))))
     )
-    return triples.withColumn("o_num", num).withColumn("o_ts", ts)

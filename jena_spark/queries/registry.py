@@ -1638,6 +1638,134 @@ _register(
 )
 
 
+def _temporal_triples(spark, sf):
+    """Deterministic xsd:duration + xsd:gMonthDay literals derived
+    from event ids — the synthetic corpus for the temporal value-space
+    surface (``XSDDatatype.java:174-195`` registers these types)."""
+    ev = _events(spark, sf).select("event_id").distinct()
+    eid = F.col("event_id")
+    dur = F.concat(
+        F.lit("P"), (eid % 4).cast("string"), F.lit("Y"),
+        (eid % 12).cast("string"), F.lit("M"),
+        ((eid % 28) + 1).cast("string"), F.lit("DT"),
+        (eid % 24).cast("string"), F.lit("H"))
+    ann = F.concat(
+        F.lit("--"), F.lpad(((eid % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad(((eid % 28) + 1).cast("string"), 2, "0"))
+
+    def row(p, lex, dt):
+        return ev.select(
+            F.lit("iri").alias("s_kind"),
+            F.concat(F.lit(TM.NS_ENTITY), eid.cast("string")).alias("s_val"),
+            F.lit(TM.NS_VOCAB + p).alias("p_val"),
+            F.lit("literal").alias("o_kind"),
+            lex.alias("o_val"),
+            F.lit(TM.XSD + dt).alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    return row("elapsed", dur, "duration").unionByName(
+        row("anniversary", ann, "gMonthDay"))
+
+
+def _q_expr_temporal(spark, sf):
+    """Temporal value space beyond dateTime (``XSDDatatype.java:
+    174-195``; ``NodeValue.java`` promotion): FILTERs run on the typed
+    shadow columns — durations on the XPath comparison dimensions
+    (``o_dur_months`` / ``o_dur_secs``), gMonthDay on the leap-anchored
+    ``o_ts`` instant — never on lexical strings (``P9M`` < ``P10M`` in
+    value space while the strings sort the other way)."""
+    from jena_spark.pipeline.shadows import with_typed_shadows
+
+    t = with_typed_shadows(_temporal_triples(spark, sf))
+    dur_ok = (F.col("o_datatype") == TM.XSD + "duration") \
+        & (F.col("o_dur_months") >= 30) & (F.col("o_dur_secs") >= 2000000)
+    ann_ok = (F.col("o_datatype") == TM.XSD + "gMonthDay") \
+        & (F.col("o_ts") >= F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    return t.where(dur_ok | ann_ok).select(
+        F.col("s_val").alias("ent"),
+        F.col("p_val").alias("p"),
+        F.col("o_val").alias("lex"),
+        F.col("o_dur_months").alias("months"),
+        F.col("o_dur_secs").cast("long").alias("secs"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("inst"),
+    )
+
+
+_register(
+    "expr_temporal",
+    _q_expr_temporal,
+    f"""WITH ids AS (SELECT DISTINCT event_id FROM events),
+    d AS (SELECT event_id,
+            (event_id % 4) * 12 + (event_id % 12) AS months,
+            ((event_id % 28) + 1) * 86400 + (event_id % 24) * 3600 AS secs
+          FROM ids),
+    a AS (SELECT event_id, (event_id % 12) + 1 AS mo,
+                 (event_id % 28) + 1 AS dy FROM ids)
+    SELECT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+           '{TM.NS_VOCAB}elapsed' AS p,
+           'P' || CAST(event_id % 4 AS VARCHAR) || 'Y'
+               || CAST(event_id % 12 AS VARCHAR) || 'M'
+               || CAST((event_id % 28) + 1 AS VARCHAR) || 'DT'
+               || CAST(event_id % 24 AS VARCHAR) || 'H' AS lex,
+           CAST(months AS BIGINT) AS months,
+           CAST(secs AS BIGINT) AS secs,
+           CAST(NULL AS VARCHAR) AS inst
+    FROM d WHERE months >= 30 AND secs >= 2000000
+    UNION ALL
+    SELECT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+           '{TM.NS_VOCAB}anniversary' AS p,
+           '--' || lpad(CAST(mo AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(dy AS VARCHAR), 2, '0') AS lex,
+           CAST(NULL AS BIGINT) AS months,
+           CAST(NULL AS BIGINT) AS secs,
+           '2000-' || lpad(CAST(mo AS VARCHAR), 2, '0') || '-'
+                   || lpad(CAST(dy AS VARCHAR), 2, '0') AS inst
+    FROM a WHERE mo >= 7""",
+)
+
+
+def _q_order_temporal(spark, sf):
+    """ORDER BY duration VALUE (o_dur_months, o_dur_secs), where the
+    lexical order disagrees ('P10M' sorts before 'P2M' as a string but
+    after it in value space) — the NodeValue sort the reference applies
+    to typed temporals; deterministic tiebreak on the entity IRI."""
+    from jena_spark.pipeline.shadows import with_typed_shadows
+
+    t = with_typed_shadows(_temporal_triples(spark, sf))
+    return (
+        t.where(F.col("o_datatype") == TM.XSD + "duration")
+        .orderBy(F.col("o_dur_months").desc(), F.col("o_dur_secs").desc(),
+                 F.col("s_val"))
+        .limit(25)
+        .select(F.col("s_val").alias("ent"), F.col("o_val").alias("lex"),
+                F.col("o_dur_months").alias("months"),
+                F.col("o_dur_secs").cast("long").alias("secs"))
+    )
+
+
+_register(
+    "kg_order_temporal",
+    _q_order_temporal,
+    f"""WITH ids AS (SELECT DISTINCT event_id FROM events),
+    d AS (SELECT event_id,
+            (event_id % 4) * 12 + (event_id % 12) AS months,
+            ((event_id % 28) + 1) * 86400 + (event_id % 24) * 3600 AS secs
+          FROM ids)
+    SELECT '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR) AS ent,
+           'P' || CAST(event_id % 4 AS VARCHAR) || 'Y'
+               || CAST(event_id % 12 AS VARCHAR) || 'M'
+               || CAST((event_id % 28) + 1 AS VARCHAR) || 'DT'
+               || CAST(event_id % 24 AS VARCHAR) || 'H' AS lex,
+           CAST(months AS BIGINT) AS months,
+           CAST(secs AS BIGINT) AS secs
+    FROM d
+    ORDER BY months DESC, secs DESC,
+             '{TM.NS_ENTITY}' || CAST(event_id AS VARCHAR)
+    LIMIT 25""",
+)
+
+
 _register(
     "data_dedup_embedding",
     lambda spark, sf: DD.embedding_near_dups(_embs(spark, sf), threshold=0.2),

@@ -347,3 +347,56 @@ def test_repetition_stats(spark):
     assert got[1]["rep_frac"] == 0.6
     assert (got[2]["n_grams"], got[2]["max_freq"]) == (4, 1)
     assert got[2]["rep_frac"] == 0.25
+
+
+def test_temporal_shadows(spark):
+    """duration/Gregorian value-space shadows (XSDDatatype.java:
+    174-195): durations split into XPath's two comparison dimensions,
+    Gregorian lexicals anchor on reference instants (leap year 2000
+    keeps --02-29), invalid lexicals and explicit ±offsets stay NULL."""
+    from datetime import datetime
+
+    from jena_spark.pipeline.shadows import with_typed_shadows
+
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (1, "P1Y2M3DT4H5M6.5S", X + "duration"),
+        (2, "-P10M", X + "yearMonthDuration"),
+        (3, "PT90M", X + "dayTimeDuration"),
+        (4, "garbage", X + "duration"),
+        (5, "2024", X + "gYear"),
+        (6, "--02-29", X + "gMonthDay"),
+        (7, "---05", X + "gDay"),
+        (8, "--11", X + "gMonth"),
+        (9, "13:45:06", X + "time"),
+        (10, "2024-03-05Z", X + "date"),
+        (11, "2024-03", X + "gYearMonth"),
+        (12, "2024-03-05+05:00", X + "date"),  # offsets out of profile
+    ]
+    df = spark.createDataFrame(
+        [("iri", f"e{i}", "p", "literal", v, dt, None)
+         for i, v, dt in rows],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        "o_val string, o_datatype string, o_lang string")
+    got = {r["s_val"]: r for r in with_typed_shadows(df).collect()}
+    assert (got["e1"]["o_dur_months"],
+            int(got["e1"]["o_dur_secs"])) == (14, 273906)
+    assert got["e2"]["o_dur_months"] == -10
+    assert (got["e3"]["o_dur_months"],
+            int(got["e3"]["o_dur_secs"])) == (0, 5400)
+    assert got["e4"]["o_dur_months"] is None \
+        and got["e4"]["o_dur_secs"] is None
+    assert got["e5"]["o_ts"] == datetime(2024, 1, 1)
+    assert got["e6"]["o_ts"] == datetime(2000, 2, 29)
+    assert got["e7"]["o_ts"] == datetime(2000, 1, 5)
+    assert got["e8"]["o_ts"] == datetime(2000, 11, 1)
+    assert got["e9"]["o_ts"] == datetime(1970, 1, 1, 13, 45, 6)
+    assert got["e10"]["o_ts"] == datetime(2024, 3, 5)
+    assert got["e11"]["o_ts"] == datetime(2024, 3, 1)
+    assert got["e12"]["o_ts"] is None
+    # value order beats lexical order: P10M > P2M in months
+    from jena_spark.pipeline.shadows import duration_months
+    from pyspark.sql import functions as F
+    two = spark.createDataFrame([("P10M",), ("P2M",)], "v string") \
+        .select(duration_months(F.col("v")).alias("m")).collect()
+    assert sorted(r["m"] for r in two) == [2, 10]
