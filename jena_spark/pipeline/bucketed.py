@@ -32,6 +32,10 @@ P-bound scan is served by parquet row-group min/max + dictionary
 pruning on ``p_id`` within either table (measured good enough; a
 third copy buys little for 50% more storage).
 
+Quad (dataset) workloads get a third layout, ``<prefix>_gspo``,
+bucketed+sorted by the composite (g_id, s_id) — see the quad section
+below (``Names.java:27-28``'s GSPO order).
+
 Catalog note: tables are written EXTERNAL (explicit ``path``), so the
 parquet lives where the caller says; only the bucketing metadata lives
 in the session catalog. A cluster deployment would register the same
@@ -110,6 +114,119 @@ def register_bucketed_store(
             LOCATION '{path}/{ap}'
         """)
         out[ap] = table
+    return out
+
+
+# --- quad access path (GSPO) -------------------------------------------------
+# Reference: TDB's DATASET indexes are quad orders — GSPO/GPOS/GOSP +
+# SPOG/POSG/OSPG (``jena-tdb/.../sys/Names.java:27-28``). The Spark
+# twin for GRAPH-restricted workloads is ONE more bucketed layout over
+# the encoded quad tuples, keyed by the composite (g_id, s_id): a
+# graph-scoped subject-star join keys on exactly that pair (star
+# members live in one graph), so every branch reads the co-located
+# sorted layout and the join tree plans with zero Exchange — the GSPO
+# clustered access path. The remaining five orders buy little here for
+# 5× the storage: predicate-bound scans prune on p_id row-group stats
+# within GSPO (same argument as POS above), and object-position chains
+# keep using the triple-level OSP table.
+
+QUAD_ACCESS_PATHS = {"gspo": ("g_id", "s_id")}
+
+#: the reference's default-graph marker (``Quad.defaultGraphIRI``) —
+#: null graph columns encode as this IRI so default-graph quads share
+#: one well-known g_id.
+DEFAULT_GRAPH_IRI = "urn:x-arq:DefaultGraph"
+
+
+def encode_quads(quads: DataFrame) -> DataFrame:
+    """Quad rows (TERM_COLS + ``graph``) -> (g_id, s_id, p_id, o_id)
+    id-tuples; pure projection like :func:`encode.encode_triples`."""
+    from jena_spark.pipeline.encode import encode_triples, term_id_col
+
+    enc = encode_triples(quads.withColumn(
+        "graph", F.coalesce(F.col("graph"), F.lit(DEFAULT_GRAPH_IRI))))
+    return enc.select(
+        term_id_col(F.lit("iri"), F.col("graph"),
+                    F.lit(None), F.lit(None)).alias("g_id"),
+        "s_id", "p_id", "o_id",
+    )
+
+
+def write_bucketed_quads(
+    quads_enc: DataFrame,
+    prefix: str,
+    path: str,
+    n_buckets: int = 32,
+    paths: tuple[str, ...] = ("gspo",),
+) -> dict[str, str]:
+    """Write the encoded quad table bucketed AND sorted by the
+    composite (g_id, s_id) — the GSPO clustered layout."""
+    spark = quads_enc.sparkSession
+    out: dict[str, str] = {}
+    for ap in paths:
+        keys = QUAD_ACCESS_PATHS[ap]
+        table = f"{prefix}_{ap}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            quads_enc.repartition(n_buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .option("path", f"{path}/{ap}")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(table)
+        )
+        out[ap] = table
+    return out
+
+
+def register_bucketed_quads(
+    spark: SparkSession,
+    prefix: str,
+    path: str,
+    n_buckets: int = 32,
+    paths: tuple[str, ...] = ("gspo",),
+) -> dict[str, str]:
+    """Re-attach an on-disk GSPO store in a new session (same contract
+    as :func:`register_bucketed_store`)."""
+    out: dict[str, str] = {}
+    for ap in paths:
+        keys = ", ".join(QUAD_ACCESS_PATHS[ap])
+        table = f"{prefix}_{ap}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"""
+            CREATE TABLE {table}
+            (g_id BIGINT, s_id BIGINT, p_id BIGINT, o_id BIGINT)
+            USING parquet
+            CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {n_buckets} BUCKETS
+            LOCATION '{path}/{ap}'
+        """)
+        out[ap] = table
+    return out
+
+
+def star_join_bucketed_quads(
+    spark: SparkSession, prefix: str, p_ids: list[int],
+    g_id: int | None = None,
+) -> DataFrame:
+    """Graph-scoped subject-star BGP over the GSPO table: one branch
+    per bound predicate, all joined on the composite (g_id, s_id) —
+    the bucket key, so the whole tree plans with zero Exchange. Bound
+    GRAPH (``g_id`` given) additionally prunes every branch's scan;
+    variable GRAPH returns the graph id as a column (the ``GRAPH ?g``
+    shape).
+
+    Returns one row per (graph, subject) matching ALL predicates, with
+    columns ``g_id, s_id, o_id_0..o_id_{k-1}``.
+    """
+    t = bucketed_table(spark, prefix, "gspo")
+    if g_id is not None:
+        t = t.where(F.col("g_id") == g_id)
+    out: DataFrame | None = None
+    for i, pid in enumerate(p_ids):
+        branch = t.where(F.col("p_id") == pid).select(
+            "g_id", "s_id", F.col("o_id").alias(f"o_id_{i}"))
+        out = branch if out is None else out.join(branch, ["g_id", "s_id"])
+    assert out is not None
     return out
 
 

@@ -131,3 +131,108 @@ def test_reregister_store_keeps_no_exchange(spark, store, tmp_path, no_broadcast
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert joined.count() > 0
+
+
+# --- GSPO quad access path (Names.java:27-28) --------------------------------
+
+@pytest.fixture(scope="module")
+def quad_store(spark, transcripts_df, tmp_path_factory):
+    """Encoded quads: each conv's triples live in a graph named by the
+    conv IRI — the natural GRAPH partitioning of the corpus."""
+    from jena_spark.pipeline.bucketed import encode_quads, write_bucketed_quads
+
+    triples_enc, _ = construct_canonical_encoded(transcripts_df)
+    # rebuild string quads from the pipeline's string surface instead:
+    # graph = conv IRI derived from conv_id (kept by the encoder)
+    from jena_spark.pipeline.canonicalize import construct_canonical
+    strings = construct_canonical(transcripts_df)
+    quads = strings.withColumn(
+        "graph", F.concat(F.lit(TM.NS_CONV), F.col("conv_id")))
+    quads_enc = encode_quads(quads)
+    base = str(tmp_path_factory.mktemp("qstore"))
+    tables = write_bucketed_quads(quads_enc, "kgq_test", base, n_buckets=8)
+    return quads_enc, tables
+
+
+def test_quads_roundtrip(spark, quad_store):
+    quads_enc, _ = quad_store
+    want = {tuple(r) for r in
+            quads_enc.select("g_id", "s_id", "p_id", "o_id").collect()}
+    got = {tuple(r) for r in
+           bucketed_table(spark, "kgq_test", "gspo")
+           .select("g_id", "s_id", "p_id", "o_id").collect()}
+    assert got == want
+
+
+def test_graph_star_join_no_exchange(spark, quad_store, no_broadcast):
+    """The done-criterion: a graph-scoped 3-way subject-star join over
+    the GSPO table plans with ZERO Exchange."""
+    from jena_spark.pipeline.bucketed import star_join_bucketed_quads
+
+    pids = [_pid(spark, p) for p in (TM.P_ROLE, TM.P_TEXT, TM.P_TS)]
+    out = star_join_bucketed_quads(spark, "kgq_test", pids)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # correct: every turn star matches within its conv graph
+    quads_enc, _ = quad_store
+    n_turns = quads_enc.where(F.col("p_id") == pids[0]).count()
+    assert out.count() == n_turns
+
+    # bound GRAPH: pick one graph id, restrict, still zero Exchange
+    some_g = quads_enc.select("g_id").first()["g_id"]
+    bound = star_join_bucketed_quads(spark, "kgq_test", pids, g_id=some_g)
+    plan_b = bound._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_b, plan_b
+    assert 0 < bound.count() <= n_turns
+
+
+def test_quads_unbucketed_baseline_shuffles(spark, quad_store, no_broadcast):
+    quads_enc, _ = quad_store
+    pids = [_pid(spark, p) for p in (TM.P_ROLE, TM.P_TEXT)]
+    a = quads_enc.where(F.col("p_id") == pids[0]).select(
+        "g_id", "s_id", F.col("o_id").alias("oa"))
+    b = quads_enc.where(F.col("p_id") == pids[1]).select(
+        "g_id", "s_id", F.col("o_id").alias("ob"))
+    plan = a.join(b, ["g_id", "s_id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" in plan
+
+
+def test_quads_reregister_keeps_no_exchange(spark, quad_store, no_broadcast):
+    import re
+
+    from jena_spark.pipeline.bucketed import (
+        register_bucketed_quads,
+        star_join_bucketed_quads,
+    )
+
+    loc = spark.sql("DESCRIBE TABLE EXTENDED kgq_test_gspo").collect()
+    path = next(r["data_type"] for r in loc if r["col_name"] == "Location")
+    base = re.sub(r"/gspo$", "", path.replace("file:", ""))
+    spark.sql("DROP TABLE kgq_test_gspo")
+    register_bucketed_quads(spark, "kgq_test", base, n_buckets=8)
+
+    pids = [_pid(spark, p) for p in (TM.P_ROLE, TM.P_TEXT)]
+    out = star_join_bucketed_quads(spark, "kgq_test", pids)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert out.count() > 0
+
+
+def test_default_graph_sentinel(spark):
+    """Null graph columns encode as Quad.defaultGraphIRI's id."""
+    from jena_spark.pipeline.bucketed import DEFAULT_GRAPH_IRI, encode_quads
+
+    rows = [("iri", "http://e/s", "http://e/p", "iri", "http://e/o",
+             None, None, None),
+            ("iri", "http://e/s", "http://e/p", "iri", "http://e/o",
+             None, None, "http://e/g")]
+    q = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              "o_val string, o_datatype string, o_lang string, graph string")
+    enc = encode_quads(q).collect()
+    want_default = spark.range(1).select(
+        const_term_id("iri", DEFAULT_GRAPH_IRI).alias("g")
+    ).collect()[0]["g"]
+    gids = {r["g_id"] for r in enc}
+    assert want_default in gids and len(gids) == 2
