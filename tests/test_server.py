@@ -1,0 +1,132 @@
+"""Fuseki-lite SPARQL protocol endpoint (``pipeline/server.py`` —
+``SPARQLQueryProcessor.java`` / ``SPARQL_Update.java`` analog): query
+verbs over HTTP, update swap, and self-federation (this engine's own
+SERVICE client against this engine's own server)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.parse
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from jena_spark.pipeline.server import FusekiLite  # noqa: E402
+from jena_spark.queries.sparql import sparql_query  # noqa: E402
+
+EX = "http://ex.org/"
+
+_SCHEMA = (
+    "s_kind string, s_val string, p_val string, o_kind string, o_val string,"
+    "o_datatype string, o_lang string"
+)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rows = [
+        ("iri", EX + "alice", EX + "name", "literal", "alice", None, None),
+        ("iri", EX + "bob", EX + "name", "literal", "bob", None, None),
+        ("iri", EX + "alice", EX + "age", "literal", "30",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _get(url: str) -> tuple[int, str, str]:
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, r.headers.get("Content-Type", ""), \
+                r.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        return e.code, "", e.read().decode("utf-8")
+
+
+def _post(url: str, body: str, ct: str) -> tuple[int, str]:
+    req = urllib.request.Request(url, data=body.encode("utf-8"),
+                                 headers={"Content-Type": ct})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode("utf-8")
+
+
+def test_select_get_and_post(data):
+    with FusekiLite({"ds": data}) as base:
+        q = f"SELECT ?n WHERE {{ ?x <{EX}name> ?n }}"
+        # GET ?query=
+        st, ct, body = _get(f"{base}/ds/sparql?query="
+                            + urllib.parse.quote(q))
+        assert st == 200 and ct.startswith(
+            "application/sparql-results+json")
+        doc = json.loads(body)
+        assert doc["head"]["vars"] == ["n"]
+        got = {b["n"]["value"] for b in doc["results"]["bindings"]}
+        assert got == {"alice", "bob"}
+        # POST application/sparql-query
+        st, body = _post(f"{base}/ds/sparql", q,
+                         "application/sparql-query")
+        assert st == 200 and json.loads(body)["results"]["bindings"]
+        # POST form-urlencoded
+        st, body = _post(f"{base}/ds/sparql",
+                         "query=" + urllib.parse.quote(q),
+                         "application/x-www-form-urlencoded")
+        assert st == 200 and json.loads(body)["results"]["bindings"]
+
+
+def test_ask_construct_and_errors(data):
+    with FusekiLite({"ds": data}) as base:
+        st, _, body = _get(f"{base}/ds/sparql?query=" + urllib.parse.quote(
+            f"ASK {{ ?x <{EX}age> ?a }}"))
+        assert st == 200 and json.loads(body)["boolean"] is True
+        st, ct, body = _get(f"{base}/ds/sparql?query=" + urllib.parse.quote(
+            f"CONSTRUCT {{ ?x <{EX}p> ?n }} WHERE {{ ?x <{EX}name> ?n }}"))
+        assert st == 200 and ct.startswith("application/n-triples")
+        lines = [ln for ln in body.splitlines() if ln]
+        assert len(lines) == 2 and all(ln.endswith(" .") for ln in lines)
+        # protocol errors
+        assert _get(f"{base}/nope/sparql?query=ASK%20%7B%7D")[0] == 404
+        assert _get(f"{base}/ds/sparql")[0] == 400  # missing ?query=
+        assert _post(f"{base}/ds/sparql", "x", "text/plain")[0] == 415
+        assert _post(f"{base}/ds/sparql", "NOT SPARQL(",
+                     "application/sparql-query")[0] == 400
+
+
+def test_update_swap(data):
+    with FusekiLite({"ds": data}, enable_update=True) as base:
+        upd = (f"INSERT DATA {{ <{EX}carol> <{EX}name> \"carol\" }}")
+        st, _ = _post(f"{base}/ds/update", upd,
+                      "application/sparql-update")
+        assert st == 204
+        st, _, body = _get(f"{base}/ds/sparql?query=" + urllib.parse.quote(
+            f"SELECT ?n WHERE {{ ?x <{EX}name> ?n }}"))
+        got = {b["n"]["value"]
+               for b in json.loads(body)["results"]["bindings"]}
+        assert got == {"alice", "bob", "carol"}
+    # disabled by default
+    with FusekiLite({"ds": data}) as base:
+        assert _post(f"{base}/ds/update", upd,
+                     "application/sparql-update")[0] == 405
+
+
+def test_self_federation(spark, data):
+    """The engine's own SERVICE HTTP client joins against the engine's
+    own protocol server — both halves of QueryIterService round-trip
+    through real sockets."""
+    local = spark.createDataFrame(
+        [("iri", EX + "alice", EX + "likes", "iri", EX + "tea",
+          None, None)], _SCHEMA)
+    with FusekiLite({"ages": data}) as base:
+        out = sparql_query(local, f"""
+            PREFIX ex: <{EX}>
+            SELECT ?thing ?a WHERE {{
+              ?x ex:likes ?thing .
+              SERVICE <{base}/ages/sparql> {{ ?x ex:age ?a }}
+            }}""")
+        assert [(r["thing"], r["a"]) for r in out.collect()] == [
+            (EX + "tea", "30")]
