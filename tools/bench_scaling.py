@@ -173,6 +173,11 @@ def main() -> None:
             "triples_per_sec_n": lo["triples_per_sec"],
             "triples_per_sec_4n": hi["triples_per_sec"],
             "scaling_efficiency": round(eff, 3),
+            # per-job byte census (UI REST, pipeline_job._job_bytes):
+            # the shuffle/scan GiB the job pushes through the shared
+            # memory system — the quantified ceiling evidence
+            "bytes_n": lo.get("bytes", {}),
+            "bytes_4n": hi.get("bytes", {}),
         },
         "compute_only": {
             "wall_sec_n": lo_c["wall_sec"],

@@ -29,6 +29,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 
+def _job_bytes(spark) -> dict:
+    """Whole-job byte census from the UI REST API (per-stage input/
+    output/shuffle totals) — the evidence base for the scaling-ceiling
+    analysis in BENCH/BASELINE.md: shuffle GiB over wall seconds =
+    the bandwidth the job demands of the (shared, single-socket)
+    memory system. Returns {} when the UI is disabled."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    try:
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            doc = json.loads(r.read().decode("utf-8"))
+        return {
+            "input_bytes": sum(s.get("inputBytes", 0) for s in doc),
+            "output_bytes": sum(s.get("outputBytes", 0) for s in doc),
+            "shuffle_write_bytes": sum(
+                s.get("shuffleWriteBytes", 0) for s in doc),
+            "shuffle_read_bytes": sum(
+                s.get("shuffleReadBytes", 0) for s in doc),
+            "n_stages": len(doc),
+        }
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return {}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -74,7 +104,9 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI on: its REST API is the per-stage byte census the scaling
+        # report needs (_job_bytes); the web server itself costs ~0
+        .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
@@ -251,6 +283,7 @@ def main() -> None:
         "triples_per_sec": round(n_triples / wall, 1),
         "sink": "noop" if args.noop_sink else "parquet",
         "stages": stages,
+        "bytes": _job_bytes(spark),
     }))
     spark.stop()
 
