@@ -4921,76 +4921,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole registry. The tail (trivial enumerations, expr smoke
 # queries) was green in round 1.
 _PRIORITY = [
-    # new this round (r3) — never driver-checked
-    "kg_shacl_paths", "data_pii_redaction", "data_repetition",
-    "kg_rdb_direct_map", "kg_workload_shapes", "kg_text_query_lucene",
-    "kg_sparql_text_query",
-    "kg_rule_reasoner",
-    "kg_csv_property_table", "kg_iri_violations",
-    "kg_geof_point_in_polygon", "kg_geof_relations", "kg_bgp_triangle",
-    "kg_owl_ifp_sameas", "kg_shacl_advanced", "kg_txn_snapshot",
-    "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
-    "expr_fn_library",
-    "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
-    "kg_spatial_directional",
+    # --- r4 window. (a) the 18 entries r01∪r02∪r03 never witnessed
+    # (VERDICT r3 task #1 — they fit in one window):
+    "kg_sparql_select", "kg_sparql_agg", "kg_sparql_subselect",
+    "kg_sparql_update", "kg_sparql_path", "kg_sparql_from",
+    "kg_sparql_propfunc", "kg_backward_query", "kg_dbapi",
+    "kg_querybuilder", "kg_workload_probes", "kg_isomorphic",
+    "kg_incremental_encoded", "kg_spatial_join_dense",
+    "kg_star_roundtrip", "kg_star_unquote", "kg_thrift_roundtrip",
+    "kg_results_roundtrip",
+    # (b) r3's one red cell, fixed this round (identical floor-based
+    # rounding in the oracle + double-typed Spark column) — the driver
+    # must witness it green:
     "kg_sparql_custom_fn",
-    "kg_secured_find",
-    "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
-    "kg_star_annotation", "kg_star_reification",
-    "kg_order_mixed_terms", "kg_quads_union_graph",
-    "kg_path_zero_or_more", "kg_path_zero_or_one",
-    "kg_sparql_service", "kg_motif", "data_hll_census", "kg_describe_cbd",
-    "data_dedup_clusters", "data_curate", "kg_shacl_report",
-    "kg_incremental",
-    # r3 "done"-gate queries: behavior touched this round (shared
-    # mention frame, MINUS split, inference fixpoint, lineage-optional
-    # canonicalize_triples) — the r2 VERDICT's done-criteria name these
-    # seven for CORRECTNESS_r03 explicitly.
-    "kg_triples", "kg_raw_triples", "kg_union", "kg_intersection",
-    "kg_difference", "kg_minus", "kg_rdfs_inference",
-    # --- driver cap (50) falls here. Everything below was either
-    # driver-green in r01/r02 or (the first six) is new this round but
-    # fully covered by pytest round-trip/property tests plus the local
-    # check_oracle FULL sweeps at sf0.001/0.01/0.1 (green this round);
-    # they rotate into the window next round. minhash/simhash are
-    # rows-only for the driver but brute-force property-verified in
-    # pytest.
-    "kg_star_unquote",  # rotated below the cap for kg_rule_reasoner
-    # rotated below the cap for kg_rdb_direct_map/kg_workload_shapes:
-    # string-front-end twins of driver-checked algebra queries, green
-    # in the local full sweeps + test_registry; back in the window r4
-    "kg_sparql_subselect", "kg_sparql_update", "kg_sparql_path",
-    "kg_sparql_agg",
-    "kg_sparql_select",  # rotated below the cap for kg_shacl_paths:
-                         # same string-front-end-twin rationale as the
-                         # four above; back in the window r4
-    "kg_querybuilder",   # rotated below the cap for data_pii_redaction:
-                         # the builder compiles to SPARQL strings whose
-                         # evaluation twins driver-checked string
-                         # queries; builder output is pytest
-                         # string-equality tested. Back in the window r4
-    "kg_sparql_propfunc",  # rotated below the cap for data_repetition:
-                           # string-front-end twin of the driver-checked
-                           # kg_propfunc_lists (r02) + the in-window
-                           # text:query PF queries. Back in the window r4
-    "kg_dbapi",  # new (r3): client-protocol twin of kg_sparql_agg —
-                 # window is full; local sweeps + pytest cover it, and
-                 # it rotates into the window next round
-    "kg_backward_query",  # new (r3): same window situation as kg_dbapi
-    "kg_workload_probes",  # new (r3): same window situation as kg_dbapi
-    "kg_star_roundtrip", "kg_thrift_roundtrip", "kg_results_roundtrip",
-    "kg_incremental_encoded", "kg_spatial_join_dense", "kg_isomorphic",
-    "kg_sparql_from",
-    "kg_owl_inference",
-    "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
-    "kg_turtle_roundtrip", "kg_trig_roundtrip",
+    # (c) new this round (temporal value-space shadows):
+    "expr_temporal", "kg_order_temporal",
+    # (d) behavior touched this round: SHACL (focus dt/lang carry +
+    # path-doubling closure), redaction (domestic phone recall, salted
+    # query + oracle both extended), SERVICE (compile-path restructure
+    # for the HTTP client), typed shadows (two new columns):
+    "kg_shacl_paths", "kg_shacl_report", "kg_shacl_advanced",
+    "data_pii_redaction", "kg_sparql_service", "kg_typed_shadows",
+    # (e) flagship + canonical-pipeline invariants, witnessed every
+    # round:
+    "kg_triples", "kg_raw_triples", "kg_incremental",
+    # (f) oldest driver evidence (r01-only) rotated back into the
+    # window — freshness pass over the long tail:
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
     "kg_stats_predicates", "kg_stats_datatypes", "kg_stats_namespaces",
-    "kg_characteristic_sets", "kg_node_dictionary",
-    "expr_strings", "expr_hash", "expr_numeric", "expr_datetime",
+    "kg_characteristic_sets", "kg_node_dictionary", "expr_strings",
+    # --- driver cap (50) falls here. Everything below is driver-green
+    # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
+    # design; all of it stays covered by pytest + the local
+    # check_oracle full sweeps each round.
+    "kg_union", "kg_intersection", "kg_difference", "kg_minus",
+    "kg_rdfs_inference", "kg_owl_inference",
+    "kg_rule_reasoner", "kg_rdb_direct_map", "kg_workload_shapes",
+    "kg_text_query_lucene", "kg_sparql_text_query",
+    "kg_csv_property_table", "kg_iri_violations",
+    "kg_geof_point_in_polygon", "kg_geof_relations", "kg_bgp_triangle",
+    "kg_owl_ifp_sameas", "kg_txn_snapshot",
+    "kg_assembler", "kg_ont_individuals", "kg_shortest_path",
+    "expr_fn_library",
+    "kg_spatial_nearby", "kg_spatial_box", "kg_spatial_join",
+    "kg_spatial_directional", "kg_secured_find",
+    "kg_sparql_star", "kg_sparql_star_ann", "kg_star_dereify",
+    "kg_star_annotation", "kg_star_reification",
+    "kg_order_mixed_terms", "kg_quads_union_graph",
+    "kg_path_zero_or_more", "kg_path_zero_or_one",
+    "kg_motif", "data_hll_census", "kg_describe_cbd",
+    "data_dedup_clusters", "data_curate", "data_repetition",
+    "data_dedup_jaccard", "data_dedup_minhash", "data_dedup_simhash",
+    "kg_turtle_roundtrip", "kg_trig_roundtrip",
+    "expr_hash", "expr_numeric", "expr_datetime",
     "expr_conditional", "data_dedup_exact",
     "kg_bgp_comention", "kg_bgp_star",
     "kg_optional", "kg_exists", "kg_not_exists",
@@ -5001,7 +4987,7 @@ _PRIORITY = [
     "kg_path_seq", "kg_path_one_or_more", "kg_path_negated", "kg_path_mod",
     "data_ann_topk", "data_ann_lsh", "data_text_stats",
     "data_text_fingerprint", "data_lang_id", "data_sessionize",
-    "kg_typed_shadows", "data_dedup_embedding", "data_dedup_embedding_lsh",
+    "data_dedup_embedding", "data_dedup_embedding_lsh",
     "data_ann_ivf", "data_token_counts", "data_custom_udaf",
     "kg_agg_sample_mode", "expr_term_constructors", "kg_propfunc_lists",
     "kg_update_load_ops", "kg_text_search_scored", "data_text_quality",
