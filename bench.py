@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     # first measures a driver-side client protocol, the second
     # re-runs kg_rule_reasoner's closure under a goal filter —
     # neither is a distinct throughput operator
+    # round 4 additions: temporal value-space shadows (duration
+    # regexp machinery + Gregorian instant anchors, all codegen)
+    "expr_temporal",
+    "kg_order_temporal",
 ]
 
 

@@ -481,6 +481,38 @@ def _cmd_queryplan(args) -> int:
     return 0
 
 
+def _cmd_fuseki(args) -> int:
+    """``fuseki-server`` analog (``jena-fuseki2/.../cmds/
+    FusekiCmd.java``: ``fuseki-server --file=data.ttl /name``): serve
+    one dataset — RDF files or a pipeline store — over the SPARQL 1.1
+    protocol via :class:`jena_spark.pipeline.server.FusekiLite`.
+    Blocks until interrupted (or exits after ``--requests N`` replies
+    when given — the testable variant)."""
+    from jena_spark.pipeline.server import FusekiLite
+
+    spark = _spark(args)
+    df = _dataset_of(args, spark)
+    srv = FusekiLite({args.name: df}, enable_update=args.update,
+                     port=args.port)
+    base = srv.start()
+    print(f"fuseki-lite: serving /{args.name}/sparql"
+          + (f" + /{args.name}/update" if args.update else "")
+          + f" at {base}", flush=True)
+    try:
+        import time as _time
+
+        if args.exit_after_seconds is not None:
+            _time.sleep(args.exit_after_seconds)
+        else:
+            while True:
+                _time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def _cmd_load(args) -> int:
     spark = _spark(args)
     df = _read_all(spark, args.files, None)
@@ -735,6 +767,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "executed numbers)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=_cmd_queryplan)
+
+    p = sub.add_parser(
+        "fuseki",
+        help="serve a dataset over the SPARQL 1.1 protocol "
+             "(fuseki-server analog; blocks until interrupted)",
+    )
+    p.add_argument("--data", nargs="*", default=None)
+    p.add_argument("--location", default=None)
+    p.add_argument("--name", default="ds", help="dataset path segment")
+    p.add_argument("--port", type=int, default=3030)
+    p.add_argument("--update", action="store_true",
+                   help="enable the /NAME/update service")
+    p.add_argument("--exit-after-seconds", type=float, default=None,
+                   help="serve for N seconds then exit (tests/demos; "
+                        "default: block until interrupted)")
+    p.set_defaults(fn=_cmd_fuseki)
 
     p = sub.add_parser("load", help="bulk-load into a parquet store")
     p.add_argument("files", nargs="+")

@@ -130,3 +130,43 @@ def test_self_federation(spark, data):
             }}""")
         assert [(r["thing"], r["a"]) for r in out.collect()] == [
             (EX + "tea", "30")]
+
+
+def test_cli_fuseki(tmp_path, spark):
+    """`python -m jena_spark fuseki` (fuseki-server analog): serve a
+    ttl file on a fixed free port, query it over HTTP, exit cleanly."""
+    import socket
+    import threading
+    import time
+
+    from jena_spark.cli import main
+
+    ttl = tmp_path / "d.ttl"
+    ttl.write_text(f"<{EX}a> <{EX}name> \"ada\" .\n")
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    results = {}
+
+    def probe():
+        q = urllib.parse.quote(f"SELECT ?n WHERE {{ ?x <{EX}name> ?n }}")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                st, _, body = _get(
+                    f"http://127.0.0.1:{port}/kb/sparql?query={q}")
+                results["st"], results["body"] = st, body
+                return
+            except OSError:
+                time.sleep(0.3)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    rc = main(["--cores", "2", "--shuffle-partitions", "2",
+               "fuseki", "--data", str(ttl), "--name", "kb",
+               "--port", str(port), "--exit-after-seconds", "8"])
+    t.join(timeout=5)
+    assert rc == 0 and results.get("st") == 200
+    doc = json.loads(results["body"])
+    assert [b["n"]["value"] for b in doc["results"]["bindings"]] == ["ada"]
