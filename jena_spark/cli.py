@@ -495,7 +495,7 @@ def _cmd_fuseki(args) -> int:
     srv = FusekiLite({args.name: df}, enable_update=args.update,
                      port=args.port)
     base = srv.start()
-    print(f"fuseki-lite: serving /{args.name}/sparql"
+    print(f"fuseki-lite: serving /{args.name}/sparql + /{args.name}/data"
           + (f" + /{args.name}/update" if args.update else "")
           + f" at {base}", flush=True)
     try:
@@ -640,6 +640,78 @@ def _cmd_schemagen(args) -> int:
     else:
         sys.stdout.write(text)
     return 0
+
+
+#: file extension -> request Content-Type for s-put/s-post (the soh
+#: script's content_type() extension table).
+_SOH_EXT_CT = {
+    "nt": "application/n-triples", "nq": "application/n-quads",
+    "ttl": "text/turtle", "n3": "text/turtle",
+    "trig": "application/trig", "rdf": "application/rdf+xml",
+    "xml": "application/rdf+xml", "jsonld": "application/ld+json",
+}
+
+
+def _cmd_soh(args) -> int:
+    """SOH — SPARQL over HTTP command scripts.
+
+    Reference: ``jena-fuseki2/apache-jena-fuseki/bin/soh`` (one ruby
+    client behind the ``s-*`` symlinks): ``s-get``/``s-put``/
+    ``s-post``/``s-delete`` speak the Graph Store Protocol against a
+    ``…/data`` service (graph name ``default`` = the default graph),
+    ``s-query``/``s-update`` the SPARQL 1.1 protocol. Pure HTTP
+    clients — no Spark session is started (the reference's soh is a
+    standalone script for the same reason)."""
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote
+
+    verb = args.verb
+
+    def text_of(v: str) -> str:
+        if v.startswith("@"):  # soh accepts --query=file; @file here
+            with open(v[1:], encoding="utf-8") as f:
+                return f.read()
+        return v
+
+    try:
+        if verb in ("s-query", "s-update"):
+            ct = ("application/sparql-query" if verb == "s-query"
+                  else "application/sparql-update")
+            accept = "application/sparql-results+json"
+            req = urllib.request.Request(
+                args.service, data=text_of(args.text).encode("utf-8"),
+                headers={"Content-Type": ct, "Accept": accept},
+                method="POST")
+        else:
+            base = args.dataset.rstrip("/")
+            url = base + ("?default" if args.graph == "default"
+                          else "?graph=" + quote(args.graph, safe=""))
+            method = {"s-get": "GET", "s-put": "PUT",
+                      "s-post": "POST", "s-delete": "DELETE"}[verb]
+            body, headers = None, {"Accept": "application/n-triples"}
+            if verb in ("s-put", "s-post"):
+                with open(args.file, "rb") as f:
+                    body = f.read()
+                ext = args.file.rsplit(".", 1)[-1].lower()
+                headers["Content-Type"] = _SOH_EXT_CT.get(
+                    ext, "application/n-triples")
+            req = urllib.request.Request(
+                url, data=body, headers=headers, method=method)
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = r.read().decode("utf-8", "replace")
+        if verb in ("s-get", "s-query"):
+            sys.stdout.write(out if out.endswith("\n") or not out
+                             else out + "\n")
+        return 0
+    except urllib.error.HTTPError as e:
+        print(f"{verb}: HTTP {e.code}: "
+              f"{e.read().decode('utf-8', 'replace').strip()}",
+              file=sys.stderr)
+        return 1
+    except urllib.error.URLError as e:
+        print(f"{verb}: {e.reason}", file=sys.stderr)
+        return 1
 
 
 def _cmd_version(args) -> int:  # noqa: ARG001
@@ -831,6 +903,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--update", default=None,
                    help="inline update text instead of a file")
     p.set_defaults(fn=_cmd_uparse)
+
+    for name, hlp in [
+        ("s-get", "GSP GET a graph (soh: s-get dataset graph)"),
+        ("s-put", "GSP PUT (replace) a graph from a file"),
+        ("s-post", "GSP POST (merge) a file into a graph"),
+        ("s-delete", "GSP DELETE a graph"),
+    ]:
+        p = sub.add_parser(name, help=hlp)
+        p.add_argument("dataset", help="GSP service URL (…/<ds>/data)")
+        p.add_argument("graph", help="'default' or a graph IRI")
+        if name in ("s-put", "s-post"):
+            p.add_argument("file")
+        p.set_defaults(fn=_cmd_soh, verb=name)
+
+    for name, hlp in [
+        ("s-query", "SPARQL protocol query (soh: s-query --service=…)"),
+        ("s-update", "SPARQL protocol update"),
+    ]:
+        p = sub.add_parser(name, help=hlp)
+        p.add_argument("--service", required=True)
+        p.add_argument("text", help="query/update string, or @file")
+        p.set_defaults(fn=_cmd_soh, verb=name)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=_cmd_version)

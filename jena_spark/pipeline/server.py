@@ -20,7 +20,15 @@ Jetty; here a ``ThreadingHTTPServer`` fronts the engine:
 * UPDATE (opt-in ``enable_update=True``) -> the request body runs
   through :func:`jena_spark.pipeline.sparql_update.update_sparql` and
   the dataset's frame is REPLACED (Fuseki's transactional dataset swap
-  analog; last write wins, one update at a time under a lock).
+  analog; last write wins, one update at a time under a lock);
+* Graph Store Protocol on ``/<dataset>/data`` (``GSP_R.java`` /
+  ``GSP_RW.java``): ``?default`` / ``?graph=<iri>`` select the target
+  graph, no query string is the whole-dataset quads mode
+  (``GSP_Base.isQuads``); GET serializes (N-Triples / N-Quads), PUT
+  replaces, POST merges, DELETE drops — writes gated behind
+  ``enable_update`` (the reference's GSP_R vs GSP_RW service split),
+  request bodies parsed by Content-Type through the RDFLanguages
+  dispatch.
 
 Driver-side by design: the HTTP listener is protocol plumbing; every
 query still executes distributed on the cluster. This is a test/dev
@@ -39,11 +47,30 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 QUERY_CT = "application/sparql-query"
 UPDATE_CT = "application/sparql-update"
 SRJ_CT = "application/sparql-results+json"
 NT_CT = "application/n-triples"
+NQ_CT = "application/n-quads"
+
+#: request-body Content-Type -> RDFLanguages name (GSP parse dispatch;
+#: ``WebContent.java`` constants -> ``RDFLanguages`` in the reference).
+_CT_LANG = {
+    "application/n-triples": "ntriples",
+    "text/plain": "ntriples",
+    "application/n-quads": "nquads",
+    "text/turtle": "turtle",
+    "application/trig": "trig",
+    "application/rdf+xml": "rdfxml",
+    "application/ld+json": "jsonld",
+    "application/rdf+thrift": "thrift",
+    "application/trix+xml": "trix",
+}
+
+_TERM_COLS = ["s_kind", "s_val", "p_val", "o_kind", "o_val",
+              "o_datatype", "o_lang"]
 
 
 class FusekiLite:
@@ -104,6 +131,104 @@ class FusekiLite:
         with self._lock:  # one update at a time; frame swap is atomic
             self.datasets[name] = update_sparql(self.datasets[name], body)
 
+    # --- Graph Store Protocol engine ops --------------------------------
+    #
+    # ``/<ds>/data`` is Fuseki's GSP service: ``?default`` or
+    # ``?graph=<iri>`` selects the target graph; NO query string is the
+    # "quads operation on the dataset" mode (``GSP_Base.isQuads``).
+    # Verb mapping (``GSP_R.java`` read, ``GSP_RW.java`` write): GET
+    # serializes the target, PUT replaces it, POST merges into it,
+    # DELETE drops it; a missing NAMED graph is 404 for GET/DELETE
+    # (``GSP_R.java:111``, ``GSP_RW.java:101``), the default graph
+    # always exists.
+
+    @staticmethod
+    def _quads(df: DataFrame) -> DataFrame:
+        if "graph" not in df.columns:
+            df = df.select(*_TERM_COLS).withColumn(
+                "graph", F.lit(None).cast("string"))
+        return df.select(*_TERM_COLS, "graph")
+
+    @staticmethod
+    def _gsp_cond(mode: str, iri: str | None):
+        return (F.col("graph").isNull() if mode == "default"
+                else F.col("graph") == iri)
+
+    @staticmethod
+    def gsp_target(qs: str | None) -> tuple[str, str | None]:
+        """``GSP_Base.validate`` analog: the request query string ->
+        ``('default'|'graph'|'quads', target_iri)``; protocol errors
+        raise ``ValueError`` (the servlet's 400 responses)."""
+        if not qs:
+            return "quads", None
+        params = parse_qs(qs, keep_blank_values=True)
+        has_d, has_g = "default" in params, "graph" in params
+        if has_d and has_g:
+            raise ValueError("Both ?default and ?graph in the request")
+        if not has_d and not has_g:
+            raise ValueError("Neither ?default nor ?graph in the request")
+        for k, v in params.items():
+            if k not in ("default", "graph"):
+                raise ValueError(f"Unknown parameter {k!r}")
+            if len(v) != 1:
+                raise ValueError(f"Multiple parameters {k!r}")
+        return ("default", None) if has_d else ("graph", params["graph"][0])
+
+    def _parse_body(self, name: str, body: bytes, ct: str) -> DataFrame:
+        """Request body -> triple/quad frame through the RDFLanguages
+        dispatch (the reference streams the servlet body into a RIOT
+        parser — ``GSP_RW.java`` via ``system/Upload.java``). The
+        parsed frame is ``localCheckpoint``-ed (bounded: one HTTP
+        body) so the temp file can be removed immediately."""
+        lang = _CT_LANG.get(ct)
+        if lang is None:
+            raise ValueError(f"unsupported RDF Content-Type {ct!r}")
+        from jena_spark.sources.languages import read_rdf_bytes
+
+        return read_rdf_bytes(self.datasets[name].sparkSession, body, lang)
+
+    def _gsp_get(self, name: str, mode: str, iri: str | None):
+        from jena_spark.sources.ntriples import format_ntriples
+
+        q = self._quads(self.datasets[name])
+        if mode == "quads":
+            lines = format_ntriples(q, quads=True)
+            return NQ_CT, (r[0] + "\n" for r in lines.toLocalIterator())
+        tgt = q.where(self._gsp_cond(mode, iri))
+        if mode == "graph" and not tgt.take(1):
+            raise KeyError(f"No such graph: <{iri}>")
+        lines = format_ntriples(tgt.select(*_TERM_COLS))
+        return NT_CT, (r[0] + "\n" for r in lines.toLocalIterator())
+
+    def _gsp_write(self, name: str, mode: str, iri: str | None,
+                   body: bytes, ct: str, replace: bool) -> None:
+        doc = self._parse_body(name, body, ct)
+        with self._lock:
+            q = self._quads(self.datasets[name])
+            if mode == "quads":
+                new = self._quads(doc)
+                self.datasets[name] = (
+                    new.distinct() if replace
+                    else q.unionByName(new).distinct())
+                return
+            cond = self._gsp_cond(mode, iri)
+            doc_t = doc.select(*_TERM_COLS).withColumn(
+                "graph", F.lit(iri).cast("string"))
+            keep = q.where(~F.coalesce(cond, F.lit(False)))
+            merged = doc_t if replace else q.where(cond).unionByName(doc_t)
+            self.datasets[name] = keep.unionByName(merged.distinct())
+
+    def _gsp_delete(self, name: str, mode: str, iri: str | None) -> None:
+        with self._lock:
+            q = self._quads(self.datasets[name])
+            if mode == "quads":
+                self.datasets[name] = q.limit(0)
+                return
+            cond = self._gsp_cond(mode, iri)
+            if mode == "graph" and not q.where(cond).take(1):
+                raise KeyError(f"No such graph: <{iri}>")
+            self.datasets[name] = q.where(~F.coalesce(cond, F.lit(False)))
+
     # --- HTTP listener ----------------------------------------------------
 
     def start(self) -> str:
@@ -132,26 +257,93 @@ class FusekiLite:
                     return None
                 return seg[0], seg[1]
 
+            def _gsp_route(self, name: str):
+                """Validated GSP target or None (error already sent)."""
+                try:
+                    return outer.gsp_target(urlparse(self.path).query)
+                except ValueError as e:
+                    self._error(400, str(e))
+                    return None
+
             def do_GET(self):  # noqa: N802
                 route = self._route()
                 if route is None:
                     return
                 name, svc = route
+                if svc == "data":
+                    tgt = self._gsp_route(name)
+                    if tgt is None:
+                        return
+                    try:
+                        ct, chunks = outer._gsp_get(name, *tgt)
+                    except KeyError as e:
+                        return self._error(404, str(e.args[0]))
+                    return self._send(200, ct, chunks)
                 if svc != "sparql":
-                    return self._error(404, "GET serves /<ds>/sparql")
+                    return self._error(404, "GET serves /<ds>/sparql or /<ds>/data")
                 qs = parse_qs(urlparse(self.path).query)
                 if "query" not in qs:
                     return self._error(400, "missing ?query=")
                 self._dispatch_query(name, qs["query"][0])
+
+            def _read_body(self) -> bytes:
+                n = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(n)
+
+            def _ct(self) -> str:
+                return (self.headers.get("Content-Type") or "").split(";")[0]
+
+            def _dispatch_gsp_write(self, name: str, replace: bool) -> None:
+                if not outer.enable_update:
+                    return self._error(405, "graph store write disabled")
+                tgt = self._gsp_route(name)
+                if tgt is None:
+                    return
+                try:
+                    outer._gsp_write(name, *tgt, self._read_body(),
+                                     self._ct(), replace)
+                except ValueError as e:
+                    return self._error(415, str(e))
+                except Exception as e:  # noqa: BLE001 — parse error -> 400
+                    return self._error(400, f"body parse failed: {e}")
+                self._send(200, "text/plain", [])
+
+            def do_PUT(self):  # noqa: N802
+                route = self._route()
+                if route is None:
+                    return
+                name, svc = route
+                if svc != "data":
+                    return self._error(404, "PUT serves /<ds>/data")
+                self._dispatch_gsp_write(name, replace=True)
+
+            def do_DELETE(self):  # noqa: N802
+                route = self._route()
+                if route is None:
+                    return
+                name, svc = route
+                if svc != "data":
+                    return self._error(404, "DELETE serves /<ds>/data")
+                if not outer.enable_update:
+                    return self._error(405, "graph store write disabled")
+                tgt = self._gsp_route(name)
+                if tgt is None:
+                    return
+                try:
+                    outer._gsp_delete(name, *tgt)
+                except KeyError as e:
+                    return self._error(404, str(e.args[0]))
+                self._send(204, "text/plain", [])
 
             def do_POST(self):  # noqa: N802
                 route = self._route()
                 if route is None:
                     return
                 name, svc = route
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n).decode("utf-8")
-                ct = (self.headers.get("Content-Type") or "").split(";")[0]
+                if svc == "data":
+                    return self._dispatch_gsp_write(name, replace=False)
+                body = self._read_body().decode("utf-8")
+                ct = self._ct()
                 if svc == "sparql":
                     if ct == QUERY_CT:
                         return self._dispatch_query(name, body)

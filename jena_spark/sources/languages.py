@@ -61,6 +61,26 @@ def read_rdf(spark: SparkSession, path: str, lang: str | None = None) -> DataFra
     return reader(spark, path)
 
 
+def read_rdf_bytes(spark: SparkSession, data: bytes, lang: str) -> DataFrame:
+    """Parse an in-memory document (an HTTP request/response body)
+    through the registered language's distributed reader. The parsed
+    frame is ``localCheckpoint``-ed — bounded by construction (one
+    protocol body) — so the backing temp file is removed before
+    returning."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="jena_spark_body_")
+    try:
+        path = os.path.join(tmp, "body")
+        with open(path, "wb") as f:
+            f.write(data)
+        return read_rdf(spark, path, lang=lang).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_rdf(df: DataFrame, path: str, lang: str | None = None) -> None:
     """RDFDataMgr.write analog (distributed part-file writers)."""
     name = (lang or lang_for_path(path)).lower()
