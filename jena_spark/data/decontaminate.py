@@ -1,0 +1,94 @@
+"""Train/test decontamination — benchmark n-gram overlap flagging.
+
+The standard LLM-corpus hygiene pass (GPT-3 appendix C, PaLM, Llama
+reports): a training document is CONTAMINATED when it shares any
+normalized word n-gram (8-13 words in the literature) with any
+evaluation-benchmark instance. This is the batch twin of the
+near-dedup family in :mod:`jena_spark.data.dedup` — same inverted
+posture, but one side is tiny and known in advance.
+
+Scale design (100 TB corpus vs ~10^5-10^6 benchmark instances): the
+benchmark n-gram set is minuscule next to the corpus, so it is
+deduplicated and BROADCAST; the corpus side explodes to (doc, gram)
+rows only within the map-side hash semi-join against the broadcast
+set — the corpus is never shuffled, and the only aggregation is the
+per-doc hit count (map-side partial combine). ``hash_grams=True``
+ships 8-byte ``xxhash64`` keys instead of gram strings in the
+broadcast (the bloom-filter posture of the published pipelines, minus
+the false positives — collisions at 2^64 are negligible and the check
+is one-sided anyway); the default keeps exact strings so results are
+oracle-comparable.
+
+No reference-twin: Jena has no corpus operator family — this extends
+the repo's LLM-data-pipeline surface (SURVEY.md "beyond the
+reference" mandate) alongside dedup/curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: normalization: lowercase, non-alphanumeric runs -> single space.
+_NORM_RE = "[^a-z0-9]+"
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text_col), _NORM_RE, " ")), " ")
+
+
+def ngrams(df: DataFrame, id_col: str, text_col: str, n: int,
+           out: str = "gram") -> DataFrame:
+    """(id, gram) rows — every normalized word ``n``-gram of every
+    document, DISTINCT per document (one shared gram counts once).
+    Documents shorter than ``n`` words produce no rows."""
+    words = _words(F.col(text_col))
+    d = df.select(F.col(id_col), words.alias("_w")).where(F.size("_w") >= n)
+    # starts 0..len-n, each sliced back out as a space-joined gram; the
+    # >=n guard above keeps the sequence ascending (a descending
+    # sequence is valid Spark and would silently emit garbage grams)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - F.lit(n)),
+        lambda i: F.array_join(F.slice("_w", i + F.lit(1), n), " "),
+    )
+    return (d.select(id_col, F.explode(grams).alias(out))
+            .distinct())
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  doc_id: str = "doc_id", text: str = "text",
+                  bench_text: str = "text",
+                  hash_grams: bool = False) -> DataFrame:
+    """Annotate ``docs`` with benchmark-overlap contamination.
+
+    Returns one row per input document: ``(doc_id,
+    n_contaminated_grams, contaminated)`` where the count is the
+    number of DISTINCT document n-grams that appear anywhere in the
+    benchmark, and ``contaminated`` is the GPT-3-style any-overlap
+    flag. ``benchmark`` only needs ``bench_text``.
+    """
+    bench_grams = (
+        benchmark.select(_words(F.col(bench_text)).alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("_w") - F.lit(n)),
+            lambda i: F.array_join(F.slice("_w", i + F.lit(1), n), " "),
+        )).alias("gram"))
+        .distinct()
+    )
+    doc_grams = ngrams(docs, doc_id, text, n)
+    if hash_grams:
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+        doc_grams = doc_grams.select(
+            doc_id, F.xxhash64("gram").alias("gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(doc_id)
+            .agg(F.count("*").alias("n_contaminated_grams")))
+    return docs.select(doc_id).join(hits, doc_id, "left").select(
+        doc_id,
+        F.coalesce("n_contaminated_grams", F.lit(0)).cast("long")
+        .alias("n_contaminated_grams"),
+        (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+        .alias("contaminated"),
+    )

@@ -1538,6 +1538,46 @@ FROM freq GROUP BY doc_id"""
 _register("data_repetition", _q_repetition, _REP_SQL)
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark-overlap decontamination (``data/decontaminate.py``):
+    the 'benchmark' is derived deterministically from the corpus —
+    every 17th document contributes its first 30 words as one eval
+    instance — so source docs (and any near-copies) must come back
+    flagged. 8-gram overlap, GPT-3 appendix-C posture."""
+    from jena_spark.data.decontaminate import decontaminate
+
+    d = _docs(spark, sf)
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " ")
+    bench = d.where(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(words, 1, 30), " ").alias("text"))
+    return decontaminate(d, bench, n=8)
+
+
+_DECON_SQL = r"""WITH dw AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+bw AS (SELECT ws[1:30] AS ws FROM dw WHERE doc_id % 17 = 0),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+  FROM bw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM dw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+_register("data_decontaminate", _q_decontaminate, _DECON_SQL)
+
+
 def _q_fingerprint(spark, sf):
     d = _docs(spark, sf)
     return d.select("doc_id", TX.fingerprint(F.col("text"), 3).alias("fp"))
@@ -4934,8 +4974,9 @@ _PRIORITY = [
     # rounding in the oracle + double-typed Spark column) — the driver
     # must witness it green:
     "kg_sparql_custom_fn",
-    # (c) new this round (temporal value-space shadows):
-    "expr_temporal", "kg_order_temporal",
+    # (c) new this round (temporal value-space shadows; benchmark
+    # n-gram decontamination):
+    "expr_temporal", "kg_order_temporal", "data_decontaminate",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -4952,7 +4993,7 @@ _PRIORITY = [
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
     "kg_stats_predicates", "kg_stats_datatypes", "kg_stats_namespaces",
-    "kg_characteristic_sets", "kg_node_dictionary", "expr_strings",
+    "kg_characteristic_sets", "kg_node_dictionary",
     # --- driver cap (50) falls here. Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local

@@ -1,0 +1,61 @@
+"""Benchmark n-gram decontamination (``data/decontaminate.py``)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from jena_spark.data.decontaminate import decontaminate, ngrams  # noqa: E402
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog tonight"),
+    (1, "a completely different sentence with no shared phrasing at all"),
+    (2, "prefix words then the quick brown fox jumps over the lazy dog"),
+    (3, "too short"),
+    # punctuation/case must normalize away before gram comparison
+    (4, "The QUICK, brown fox! Jumps over the lazy dog? tonight"),
+]
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string")
+    return docs, bench
+
+
+def test_flags_and_counts(spark):
+    docs, bench = _frames(spark)
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert len(out) == 5  # every input doc gets a row
+    # docs 0, 2, 4 contain the benchmark 8-grams; 1 and 3 do not
+    assert {i for i, r in out.items() if r.contaminated} == {0, 2, 4}
+    # the 9-word benchmark has two 8-grams; doc 0 contains both
+    assert out[0].n_contaminated_grams == 2
+    assert out[1].n_contaminated_grams == 0
+    assert out[3].n_contaminated_grams == 0
+
+
+def test_hash_grams_identical(spark):
+    """The scale path (8-byte hashed broadcast) must flag identically."""
+    docs, bench = _frames(spark)
+    plain = decontaminate(docs, bench, n=8).collect()
+    hashed = decontaminate(docs, bench, n=8, hash_grams=True).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, hashed))
+
+
+def test_ngrams_distinct_per_doc(spark):
+    df = spark.createDataFrame([(7, "a b a b a b")], "doc_id long, text string")
+    rows = ngrams(df, "doc_id", "text", 2).collect()
+    # six positions but only two distinct bigrams
+    assert sorted(r.gram for r in rows) == ["a b", "b a"]
+
+
+def test_short_docs_and_empty_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(0, "one two three")], "doc_id long, text string")
+    empty_bench = spark.createDataFrame([], "text string")
+    out = decontaminate(docs, empty_bench, n=8).collect()
+    assert len(out) == 1 and not out[0].contaminated
