@@ -1578,6 +1578,42 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 _register("data_decontaminate", _q_decontaminate, _DECON_SQL)
 
 
+def _q_procedure(spark, sf):
+    """OpProcedure dispatch (``ProcEval.java:30-56``): a registered
+    binding-stream procedure — whole-frame per-key top-k (keep the 2
+    lexicographically-smallest mentioned entities per turn) — applied
+    to the mention BGP's bindings through the ProcedureRegistry
+    analog (``queries/procedure.py``). Procedures transform the WHOLE
+    stream (unlike property functions, which join per binding), so
+    the Spark twin is a window over the binding frame."""
+    from jena_spark.queries import procedure as PR
+
+    t = _triples(spark, sf)
+    b = A.bgp(t, [(Var("turn"), TM.P_MENTIONS, Var("e"))])
+
+    def limit_per_key(bindings, args):
+        key, val, k = args
+        w = Window.partitionBy(A.v(key)).orderBy(A.v(val))
+        return (bindings.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k).drop("_rn"))
+
+    PR.register_procedure("http://example/proc#limitPerKey", limit_per_key)
+    out = PR.op_procedure(
+        b, "http://example/proc#limitPerKey", ("turn", "e", 2))
+    return A.flatten(A.project(out, "turn", "e"), ["turn", "e"])
+
+
+_register(
+    "kg_procedure",
+    _q_procedure,
+    _W + f""", b AS (
+      SELECT s_val AS turn, o_val AS e,
+             row_number() OVER (PARTITION BY s_val ORDER BY o_val) AS rn
+      FROM triples WHERE p_val = '{TM.P_MENTIONS}')
+    SELECT turn, e FROM b WHERE rn <= 2""",
+)
+
+
 def _q_fingerprint(spark, sf):
     d = _docs(spark, sf)
     return d.select("doc_id", TX.fingerprint(F.col("text"), 3).alias("fp"))
@@ -4977,6 +5013,7 @@ _PRIORITY = [
     # (c) new this round (temporal value-space shadows; benchmark
     # n-gram decontamination):
     "expr_temporal", "kg_order_temporal", "data_decontaminate",
+    "kg_procedure",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -4993,7 +5030,7 @@ _PRIORITY = [
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
     "kg_stats_predicates", "kg_stats_datatypes", "kg_stats_namespaces",
-    "kg_characteristic_sets", "kg_node_dictionary",
+    "kg_characteristic_sets",
     # --- driver cap (50) falls here. Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local

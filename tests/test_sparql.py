@@ -188,11 +188,26 @@ def test_slice_offset_and_term_equality(people):
 def test_errors_out_of_profile(people):
     for bad in [
         f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ GRAPH ?g {{ ?x ?p ?o }} }}",
-        "SELECT ?x WHERE { SERVICE <http://remote/> { ?x ?p ?o } }",
         "SELECT ?x WHERE { ?x unknown:p ?o }",
     ]:
         with pytest.raises(ValueError):
             sparql_query(people, bad).collect()
+    # an unregistered http IRI is only out-of-profile when the real
+    # SPARQL-protocol client is switched off (HTTP_ENABLED=False
+    # restores the pure-registry posture); with it on, the engine
+    # would genuinely dial the endpoint
+    from jena_spark.queries import service as SVC
+
+    old = SVC.HTTP_ENABLED
+    SVC.HTTP_ENABLED = False
+    try:
+        with pytest.raises(ValueError):
+            sparql_query(
+                people,
+                "SELECT ?x WHERE { SERVICE <http://remote/> { ?x ?p ?o } }",
+            ).collect()
+    finally:
+        SVC.HTTP_ENABLED = old
 
 
 def test_sparql_on_kg(spark, transcripts_df):
