@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     # regexp machinery + Gregorian instant anchors, all codegen)
     "expr_temporal",
     "kg_order_temporal",
+    # benchmark n-gram decontamination (broadcast gram set; the corpus
+    # side is the cost being measured)
+    "data_decontaminate",
 ]
 
 
