@@ -38,11 +38,9 @@ def _words(text_col: Column) -> Column:
         F.trim(F.regexp_replace(F.lower(text_col), _NORM_RE, " ")), " ")
 
 
-def ngrams(df: DataFrame, id_col: str, text_col: str, n: int,
-           out: str = "gram") -> DataFrame:
-    """(id, gram) rows — every normalized word ``n``-gram of every
-    document, DISTINCT per document (one shared gram counts once).
-    Documents shorter than ``n`` words produce no rows."""
+def _raw_ngrams(df: DataFrame, id_col: str, text_col: str, n: int,
+                out: str = "gram") -> DataFrame:
+    """(id, gram) rows WITH positional duplicates — map-only."""
     words = _words(F.col(text_col))
     d = df.select(F.col(id_col), words.alias("_w")).where(F.size("_w") >= n)
     # starts 0..len-n, each sliced back out as a space-joined gram; the
@@ -52,8 +50,15 @@ def ngrams(df: DataFrame, id_col: str, text_col: str, n: int,
         F.sequence(F.lit(0), F.size("_w") - F.lit(n)),
         lambda i: F.array_join(F.slice("_w", i + F.lit(1), n), " "),
     )
-    return (d.select(id_col, F.explode(grams).alias(out))
-            .distinct())
+    return d.select(id_col, F.explode(grams).alias(out))
+
+
+def ngrams(df: DataFrame, id_col: str, text_col: str, n: int,
+           out: str = "gram") -> DataFrame:
+    """(id, gram) rows — every normalized word ``n``-gram of every
+    document, DISTINCT per document (one shared gram counts once).
+    Documents shorter than ``n`` words produce no rows."""
+    return _raw_ngrams(df, id_col, text_col, n, out).distinct()
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
@@ -77,12 +82,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         )).alias("gram"))
         .distinct()
     )
-    doc_grams = ngrams(docs, doc_id, text, n)
+    # the corpus side stays MAP-ONLY up to the broadcast join: raw
+    # (doc, gram) rows filter against the broadcast set first, and only
+    # the HITS (bounded by contamination volume, not corpus volume) are
+    # deduplicated per (doc, gram) and counted — a pre-join distinct
+    # would shuffle every corpus gram
+    doc_grams = _raw_ngrams(docs, doc_id, text, n)
     if hash_grams:
         bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
         doc_grams = doc_grams.select(
             doc_id, F.xxhash64("gram").alias("gram"))
     hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .select(doc_id, "gram").distinct()
             .groupBy(doc_id)
             .agg(F.count("*").alias("n_contaminated_grams")))
     return docs.select(doc_id).join(hits, doc_id, "left").select(
