@@ -53,6 +53,32 @@ def test_ngrams_distinct_per_doc(spark):
     assert sorted(r.gram for r in rows) == ["a b", "b a"]
 
 
+def test_corpus_side_never_shuffles(spark):
+    """Scale invariant: the corpus side of the gram join is map-only
+    (Scan -> explode -> BroadcastHashJoin). Every non-broadcast
+    Exchange in the plan carries either benchmark grams or join HITS —
+    never raw corpus grams. Three such exchanges exist (bench-gram
+    distinct, hit distinct, per-doc count); a pre-join corpus distinct
+    would add a fourth."""
+    docs, bench = _frames(spark)
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the gram join is a broadcast hash join ...
+    lines = plan.splitlines()
+    (j,) = [i for i, l in enumerate(lines)
+            if "BroadcastHashJoin [gram" in l]
+    # ... whose corpus branch (the lines between the join and its
+    # broadcast build side) is Generate/Project/Filter/Scan only — no
+    # Exchange of raw corpus grams
+    branch = []
+    for line in lines[j + 1:]:
+        if "BroadcastExchange" in line:
+            break
+        branch.append(line)
+    assert any("Generate" in l for l in branch)
+    assert not any("Exchange" in l for l in branch), branch
+
+
 def test_short_docs_and_empty_benchmark(spark):
     docs = spark.createDataFrame(
         [(0, "one two three")], "doc_id long, text string")
