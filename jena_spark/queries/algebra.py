@@ -224,16 +224,26 @@ def pred_counts_of(triples: DataFrame) -> dict[str, int]:
 def bgp(
     triples: DataFrame, patterns: list[Pattern], reorder: bool = True,
     pred_counts: dict[str, int] | None = None,
+    measured_cards: dict[str, int] | None = None,
 ) -> DataFrame:
     """Basic graph pattern: conjunctive self-joins over the triple table
     (OpBGP, ``OpExecutor.java:127``; stage generator
     ``engine/main/StageGeneratorGeneric.java:37``). Logical join order
     follows the ReorderFixed heuristic (:func:`reorder_patterns`) — or,
     when collected statistics are supplied, the stats-weighted order
-    (:func:`reorder_patterns_stats`, the TDB StatsMatcher posture);
-    AQE/CBO then own the physical strategy — together the analog of
-    TDB's ReorderFixed + runtime re-order (``OpExecutorTDB1.java:187``)."""
-    if pred_counts is not None:
+    (:func:`reorder_patterns_stats`, the TDB StatsMatcher posture), or,
+    when a measured-cardinality harvest from a prior run is supplied
+    (``jointree.pattern_cardinalities``), the executed-weight order
+    (``jointree.reorder_patterns_measured``, the neo-optimizer fork's
+    feedback loop); AQE/CBO then own the physical strategy — together
+    the analog of TDB's ReorderFixed + runtime re-order
+    (``OpExecutorTDB1.java:187``)."""
+    if measured_cards is not None:
+        from jena_spark.queries.jointree import reorder_patterns_measured
+
+        patterns = reorder_patterns_measured(
+            patterns, measured_cards, pred_counts)
+    elif pred_counts is not None:
         patterns = reorder_patterns_stats(patterns, pred_counts)
     elif reorder:
         patterns = reorder_patterns(patterns)

@@ -284,6 +284,47 @@ def pattern_cardinalities(triples, patterns) -> dict[str, int]:
     return {k: int(row[f"c{i}"] or 0) for i, k in enumerate(keys)}
 
 
+def reorder_patterns_measured(
+    patterns, cards: dict[str, int],
+    pred_counts: dict[str, int] | None = None,
+):
+    """Close the fork's research loop: ``ReorderWeighted`` driven by
+    EXECUTED cardinalities instead of estimates
+    (``OpExecutorTDB2Neo.java:74,381`` logs ``currentCardinality`` per
+    pattern key precisely so later runs can weight with the measured
+    number). A pattern whose :func:`pattern_key` appears in ``cards``
+    (a :func:`pattern_cardinalities` /
+    :func:`measured_query_plan` harvest) weights as fixed boundness ×
+    measured scan rows; unmeasured patterns fall back to the
+    stats-fed estimate when ``pred_counts`` is given, else to a
+    pessimistic max-measured+1 prior (StatsMatcher's no-information
+    path defers to the fallback reorder — here that means measured
+    patterns lead). Greedy smallest-first with bound-variable
+    substitution, same as the estimate-fed twin."""
+    default = (max(cards.values()) + 1) if cards else 1
+    remaining = list(patterns)
+    bound: set[str] = set()
+    out = []
+    while remaining:
+
+        def weight(pat) -> int:
+            key = pattern_key(pat)
+            if key in cards:
+                return _reorder_weight(pat, bound) * max(1, cards[key])
+            if pred_counts is not None:
+                return stats_weight(pat, bound, pred_counts)
+            return _reorder_weight(pat, bound) * default
+
+        best = min(range(len(remaining)),
+                   key=lambda i: (weight(remaining[i]), i))
+        chosen = remaining.pop(best)
+        out.append(chosen)
+        for t in chosen:
+            if isinstance(t, Var):
+                bound.add(t.name)
+    return out
+
+
 def tree_json_measured(
     node: dict, cards: dict[str, int],
     delim: str = DELIM, val_delim: str = VAL_DELIM,

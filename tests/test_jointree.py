@@ -234,3 +234,44 @@ def test_cli_queryplan_measure(capsys, tmp_path, spark):
     # --measure without --data is a loud usage error
     assert main(["queryplan", "--queries-file", str(qcsv),
                  "--measure"]) == 2
+
+
+def test_reorder_patterns_measured_feedback(spark):
+    """The fork's feedback loop closed: cardinalities harvested from a
+    run re-order the next run's BGP (ReorderWeighted with EXECUTED
+    weights), and the reordered plan returns identical bindings."""
+    from jena_spark.queries import algebra as A
+    from jena_spark.queries.jointree import (
+        pattern_cardinalities,
+        reorder_patterns_measured,
+    )
+
+    rows = [("iri", EX + "a", EX + "rare", "iri", EX + "b", None, None)]
+    rows += [("iri", EX + ("a" if i == 0 else f"x{i}"), EX + "common",
+              "iri", EX + f"y{i}", None, None) for i in range(6)]
+    data = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+              "o_val string, o_datatype string, o_lang string")
+    # both patterns have the same SHAPE (VAR_URI_VAR) so ReorderFixed
+    # keeps the written order; only measured weights can flip it
+    pats = [_pat("?s", EX + "common", "?a"), _pat("?s", EX + "rare", "?b")]
+    cards = pattern_cardinalities(data, pats)
+    assert cards[f"?s <{EX}rare> ?b"] == 1
+    ordered = reorder_patterns_measured(pats, cards)
+    assert ordered[0][1] == ("iri", EX + "rare")  # measured-rare leads
+
+    # unmeasured patterns defer to measured ones (max+1 prior) ...
+    extra = _pat("?b", EX + "unseen", "?c")
+    ordered2 = reorder_patterns_measured([extra, *pats], cards)
+    assert ordered2[0][1] == ("iri", EX + "rare")
+    # ... and fall back to the stats estimate when provided
+    ordered3 = reorder_patterns_measured(
+        [extra, *pats], cards, pred_counts={EX + "unseen": 1000})
+    assert ordered3[-1][1] == ("iri", EX + "unseen")
+
+    # end-to-end: bgp(measured_cards=...) binds identically
+    want = sorted(map(tuple, A.flatten(
+        A.bgp(data, pats), ["s", "a", "b"]).collect()))
+    got = sorted(map(tuple, A.flatten(
+        A.bgp(data, pats, measured_cards=cards), ["s", "a", "b"]).collect()))
+    assert got == want and len(got) == 1
