@@ -52,6 +52,9 @@ from pyspark.sql import functions as F
 QUERY_CT = "application/sparql-query"
 UPDATE_CT = "application/sparql-update"
 SRJ_CT = "application/sparql-results+json"
+XML_RS_CT = "application/sparql-results+xml"
+CSV_CT = "text/csv"
+TSV_CT = "text/tab-separated-values"
 NT_CT = "application/n-triples"
 NQ_CT = "application/n-quads"
 
@@ -93,7 +96,19 @@ class FusekiLite:
 
     # --- engine calls ---------------------------------------------------
 
-    def _run_query(self, name: str, query: str) -> tuple[str, "object"]:
+    @staticmethod
+    def _negotiate(accept: str) -> str:
+        """First-match content negotiation over the Accept header (the
+        reference runs full conneg via ``ConNeg.java``; the protocol
+        contract exercised — one of Fuseki's four SELECT renderers by
+        requested type — is the same). No recognized type -> SRJ."""
+        for ct in (SRJ_CT, XML_RS_CT, CSV_CT, TSV_CT):
+            if ct in (accept or ""):
+                return ct
+        return SRJ_CT
+
+    def _run_query(self, name: str, query: str,
+                   accept: str = "") -> tuple[str, "object"]:
         """-> (content_type, line_iterator) — lines stream from the
         cluster; the envelope is O(#vars) driver-side."""
         from jena_spark.queries.sparql import Parser, sparql_query
@@ -106,13 +121,54 @@ class FusekiLite:
             lines = format_ntriples(sparql_query(df, query))
             return NT_CT, (r[0] + "\n" for r in lines.toLocalIterator())
         out = sparql_query(df, query, flat=False)
+        ct = self._negotiate(accept)
         if form == "ask":
             val = bool(out.collect()[0]["ask"])
-            doc = json.dumps({"head": {}, "boolean": val})
-            return SRJ_CT, iter([doc])
-        from jena_spark.sources.resultsets import _srj_binding_json
-
+            if ct == XML_RS_CT:
+                doc = ('<?xml version="1.0"?>\n<sparql xmlns="http://www.'
+                       'w3.org/2005/sparql-results#">\n<head/>\n'
+                       f"<boolean>{str(val).lower()}</boolean>\n</sparql>\n")
+                return XML_RS_CT, iter([doc])
+            return SRJ_CT, iter([json.dumps({"head": {}, "boolean": val})])
         names = out.columns
+        if ct == CSV_CT:
+            # SPARQL results CSV: header of var names, plain lexical
+            # values (CSVOutput.java), csv-quoted by the JVM renderer
+            vals = [
+                (F.col(n).getField("val") if d.startswith("struct")
+                 else F.col(n).cast("string")).alias(n)
+                for n, d in out.dtypes]
+            rows = out.select(F.to_csv(F.struct(*vals)).alias("line"))
+
+            def gen_csv():
+                yield ",".join(names) + "\r\n"
+                for r in rows.toLocalIterator():
+                    yield r["line"] + "\r\n"
+
+            return CSV_CT, gen_csv()
+        if ct == TSV_CT:
+            from jena_spark.sources.resultsets import tsv_cols
+
+            rows = out.select(F.concat_ws(
+                "\t", *tsv_cols(out)).alias("line"))
+
+            def gen_tsv():
+                yield "\t".join("?" + n for n in names) + "\n"
+                for r in rows.toLocalIterator():
+                    yield r["line"] + "\n"
+
+            return TSV_CT, gen_tsv()
+        if ct == XML_RS_CT:
+            from jena_spark.sources.resultsets import _xml_head, to_xml_rows
+
+            def gen_xml():
+                yield _xml_head(names)
+                for r in to_xml_rows(out).toLocalIterator():
+                    yield r["xml"] + "\n"
+                yield "</results>\n</sparql>\n"
+
+            return XML_RS_CT, gen_xml()
+        from jena_spark.sources.resultsets import _srj_binding_json
 
         def gen():
             yield '{ "head": { "vars": %s },' % json.dumps(names)
@@ -370,7 +426,8 @@ class FusekiLite:
 
             def _dispatch_query(self, name: str, query: str) -> None:
                 try:
-                    ct, chunks = outer._run_query(name, query)
+                    ct, chunks = outer._run_query(
+                        name, query, self.headers.get("Accept") or "")
                 except Exception as e:  # noqa: BLE001 — protocol 400
                     return self._error(400, f"query failed: {e}")
                 self._send(200, ct, chunks)

@@ -133,12 +133,9 @@ def _nt_escape(c):
     return F.regexp_replace(out, "\t", r"\\t")
 
 
-def write_tsv(results: DataFrame, path: str) -> None:
-    """TSVOutput parity: SPARQL TSV quotes terms. Var-struct columns
-    (kind, val, datatype, lang) are rendered as N-Triples-style terms —
-    literal values N-Triples-escaped and suffixed with ``@lang`` /
-    ``^^<datatype>`` when present (lossless round-trip); plain string
-    columns pass through with the same escaping."""
+def tsv_cols(results: DataFrame) -> list:
+    """SPARQL-TSV term renderings, one column per variable (shared by
+    :func:`write_tsv` and the protocol endpoint's streamed variant)."""
     cols = []
     for name, dtype in results.dtypes:
         if dtype.startswith("struct"):
@@ -167,12 +164,21 @@ def write_tsv(results: DataFrame, path: str) -> None:
             cols.append(term.alias("?" + name))
         else:
             cols.append(_nt_escape(F.col(name)).alias("?" + name))
+    return cols
+
+
+def write_tsv(results: DataFrame, path: str) -> None:
+    """TSVOutput parity: SPARQL TSV quotes terms. Var-struct columns
+    (kind, val, datatype, lang) are rendered as N-Triples-style terms —
+    literal values N-Triples-escaped and suffixed with ``@lang`` /
+    ``^^<datatype>`` when present (lossless round-trip); plain string
+    columns pass through with the same escaping."""
     # disable the CSV writer's own quoting: terms are already quoted
     # SPARQL-TSV style and tab/newline are escaped above. Header vars
     # carry the W3C results-TSV "?" prefix (TSVOutput.java does).
-    results.select(*cols).write.mode("overwrite").option("sep", "\t").option(
-        "header", True
-    ).option("quote", "").csv(path)
+    results.select(*tsv_cols(results)).write.mode("overwrite").option(
+        "sep", "\t"
+    ).option("header", True).option("quote", "").csv(path)
 
 
 # --- readers (ResultSetFactory.load analog) ---------------------------------

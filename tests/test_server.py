@@ -170,3 +170,51 @@ def test_cli_fuseki(tmp_path, spark):
     assert rc == 0 and results.get("st") == 200
     doc = json.loads(results["body"])
     assert [b["n"]["value"] for b in doc["results"]["bindings"]] == ["ada"]
+
+
+def test_content_negotiation(data):
+    """Accept-driven SELECT/ASK renderers (the reference's ConNeg over
+    Fuseki's four result writers): CSV plain lexical values, TSV
+    NT-style terms, XML results document, SRJ default."""
+    with FusekiLite({"ds": data}) as base:
+        q = f"SELECT ?x ?n WHERE {{ ?x <{EX}name> ?n }} ORDER BY ?n"
+
+        def fetch(accept):
+            req = urllib.request.Request(
+                f"{base}/ds/sparql", data=q.encode("utf-8"),
+                headers={"Content-Type": "application/sparql-query",
+                         "Accept": accept})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.headers.get("Content-Type", ""), \
+                    r.read().decode("utf-8")
+
+        ct, body = fetch("text/csv")
+        assert ct.startswith("text/csv")
+        lines = body.strip().splitlines()
+        assert lines[0] == "x,n" and lines[1].endswith(",alice")
+
+        ct, body = fetch("text/tab-separated-values")
+        assert ct.startswith("text/tab-separated-values")
+        lines = body.strip().splitlines()
+        assert lines[0] == "?x\t?n"
+        assert f"<{EX}alice>\t\"alice\"" in lines
+
+        ct, body = fetch("application/sparql-results+xml")
+        assert ct.startswith("application/sparql-results+xml")
+        assert '<variable name="n"/>' in body
+        assert "<literal>alice</literal>" in body
+        assert body.rstrip().endswith("</sparql>")
+
+        # unrecognized Accept falls back to SRJ
+        ct, body = fetch("application/wat")
+        assert ct.startswith("application/sparql-results+json")
+        assert json.loads(body)["head"]["vars"] == ["x", "n"]
+
+        # ASK as an XML boolean document
+        req = urllib.request.Request(
+            f"{base}/ds/sparql",
+            data=f'ASK {{ ?x <{EX}name> "alice" }}'.encode(),
+            headers={"Content-Type": "application/sparql-query",
+                     "Accept": "application/sparql-results+xml"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert "<boolean>true</boolean>" in r.read().decode("utf-8")
