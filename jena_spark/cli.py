@@ -656,12 +656,12 @@ def _cmd_soh(args) -> int:
     """SOH — SPARQL over HTTP command scripts.
 
     Reference: ``jena-fuseki2/apache-jena-fuseki/bin/soh`` (one ruby
-    client behind the ``s-*`` symlinks): ``s-get``/``s-put``/
-    ``s-post``/``s-delete`` speak the Graph Store Protocol against a
-    ``…/data`` service (graph name ``default`` = the default graph),
-    ``s-query``/``s-update`` the SPARQL 1.1 protocol. Pure HTTP
-    clients — no Spark session is started (the reference's soh is a
-    standalone script for the same reason)."""
+    client behind the ``s-*`` symlinks): ``s-get``/``s-head``/
+    ``s-put``/``s-post``/``s-delete`` speak the Graph Store Protocol
+    against a ``…/data`` service (graph name ``default`` = the default
+    graph), ``s-query``/``s-update`` the SPARQL 1.1 protocol. Pure
+    HTTP clients — no Spark session is started (the reference's soh is
+    a standalone script for the same reason)."""
     import urllib.error
     import urllib.request
     from urllib.parse import quote
@@ -687,7 +687,7 @@ def _cmd_soh(args) -> int:
             base = args.dataset.rstrip("/")
             url = base + ("?default" if args.graph == "default"
                           else "?graph=" + quote(args.graph, safe=""))
-            method = {"s-get": "GET", "s-put": "PUT",
+            method = {"s-get": "GET", "s-head": "HEAD", "s-put": "PUT",
                       "s-post": "POST", "s-delete": "DELETE"}[verb]
             body, headers = None, {"Accept": "application/n-triples"}
             if verb in ("s-put", "s-post"):
@@ -906,6 +906,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     for name, hlp in [
         ("s-get", "GSP GET a graph (soh: s-get dataset graph)"),
+        ("s-head", "GSP HEAD: graph existence probe (exit 0/1)"),
         ("s-put", "GSP PUT (replace) a graph from a file"),
         ("s-post", "GSP POST (merge) a file into a graph"),
         ("s-delete", "GSP DELETE a graph"),

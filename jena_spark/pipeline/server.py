@@ -364,6 +364,27 @@ class FusekiLite:
                     return self._error(400, f"body parse failed: {e}")
                 self._send(200, "text/plain", [])
 
+            def do_HEAD(self):  # noqa: N802
+                """GSP HEAD (soh s-head): existence probe, no body."""
+                route = self._route()
+                if route is None:
+                    return
+                name, svc = route
+                if svc != "data":
+                    return self._error(404, "HEAD serves /<ds>/data")
+                tgt = self._gsp_route(name)
+                if tgt is None:
+                    return
+                mode, iri = tgt
+                q = outer._quads(outer.datasets[name])
+                if mode == "graph" and not q.where(
+                        outer._gsp_cond(mode, iri)).take(1):
+                    return self._error(404, f"No such graph: <{iri}>")
+                ct = NQ_CT if mode == "quads" else NT_CT
+                self.send_response(200)
+                self.send_header("Content-Type", ct)
+                self.end_headers()
+
             def do_PUT(self):  # noqa: N802
                 route = self._route()
                 if route is None:

@@ -175,8 +175,13 @@ def test_soh_cli(spark, tmp_path):
         assert run("s-update", "--service", f"{base}/ds/update",
                    f'INSERT DATA {{ <{EX}d> <{EX}name> "dan" }}'
                    ).returncode == 0
+        assert run("s-head", data, EX + "g1").returncode == 0
         assert run("s-delete", data, EX + "g1").returncode == 0
         r = run("s-get", data, EX + "g1")
         assert r.returncode == 1 and "404" in r.stderr
+        # s-head is the existence probe: 404 -> exit 1, no body
+        r = run("s-head", data, EX + "g1")
+        assert r.returncode == 1 and r.stdout == ""
+        assert run("s-head", data, "default").returncode == 0
     finally:
         srv.stop()
