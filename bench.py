@@ -131,6 +131,11 @@ BENCH_QUERIES = [
     # benchmark n-gram decontamination (broadcast gram set; the corpus
     # side is the cost being measured)
     "data_decontaminate",
+    # data selection: DSIR hashed-ngram scoring (two corpus passes +
+    # broadcast bucket dim) and concat-and-chunk packing (one global
+    # ordered cumsum)
+    "data_importance_weights",
+    "data_pack",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Data selection — deterministic sampling and DSIR-style importance
+scoring for training-corpus assembly.
+
+Two public operators a 100 TB pipeline runs between curation and
+packing:
+
+* :func:`stratified_sample` — per-source deterministic sampling (the
+  "mixture weights" step of every published pretraining recipe): keep
+  a row iff an md5-derived uniform of its id falls under the source's
+  rate. Pure map-side filter — no shuffle, no rand() (re-running the
+  job reselects the identical subset, the repo-wide determinism
+  invariant), exact-integer threshold comparison.
+* :func:`importance_weights` — hashed n-gram importance scoring in
+  the DSIR posture (Xie et al. 2023, "Data Selection for Language
+  Models via Importance Resampling" — public method): estimate
+  bag-of-hashed-ngram distributions for a small TARGET corpus and the
+  RAW corpus, then score every raw document by its log-likelihood
+  ratio Σ_b count_b·(ln p_target(b) − ln q_raw(b)). High scores =
+  "looks like the target domain"; downstream selection takes the
+  top-k or samples ∝ exp(score).
+
+Scale design: gram→bucket hashing is md5-prefix modulo (engine-
+portable, so the DuckDB oracle evaluates the IDENTICAL buckets); the
+bucket distributions are B-row aggregates (B ≤ 64k) joined back
+BROADCAST, so the corpus side of the scorer is map-only explode →
+broadcast join → per-doc sum, exactly the decontaminate shuffle
+shape. The per-bucket log-ratio is quantized to integer 1e-4 nats
+BEFORE the per-doc sum, making the final aggregation exact integer
+arithmetic — float summation order (which differs between engines and
+between partitionings) can never perturb the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jena_spark.data.decontaminate import _raw_ngrams
+
+#: md5-prefix uniform: first 8 hex chars -> [0, 2^32)
+_HASH_SPAN = 1 << 32
+
+
+def _hash32(col) -> F.Column:
+    """Deterministic 32-bit uniform of a string column (md5 prefix —
+    identical in Spark and DuckDB, unlike xxhash64)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      source_col: str = "source",
+                      id_col: str = "doc_id",
+                      salt: str = "") -> DataFrame:
+    """Keep each row with its source's probability, deterministically:
+    row kept iff ``hash32(salt || id) < rate * 2^32`` (exact integer
+    threshold, computed driver-side — no float comparison drifts).
+    Sources absent from ``rates`` are dropped (rate 0)."""
+    thresholds = {s: min(_HASH_SPAN, int(r * _HASH_SPAN))
+                  for s, r in rates.items()}
+    thr = F.lit(0)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    h = _hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.where(h < thr)
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n: int, buckets: int,
+                   id_col: str | None = None) -> DataFrame:
+    """(bucket, cnt) — or (id, bucket, cnt) with ``id_col`` — hashed
+    n-gram occurrence counts. Map-only up to the counting aggregate."""
+    tmp = df.select(
+        *( [F.col(id_col)] if id_col else [] ),
+        F.col(text_col).alias("text"),
+    ).withColumn("_id", F.lit(0) if id_col is None else F.col(id_col))
+    grams = _raw_ngrams(tmp, "_id", "text", n)
+    b = grams.select("_id", (_hash32(F.col("gram")) % buckets)
+                     .alias("bucket"))
+    keys = ["bucket"] if id_col is None else ["_id", "bucket"]
+    out = b.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    if id_col is not None:
+        out = out.withColumnRenamed("_id", id_col)
+    return out
+
+
+def importance_weights(docs: DataFrame, target: DataFrame, n: int = 1,
+                       buckets: int = 256,
+                       doc_id: str = "doc_id", text: str = "text",
+                       target_text: str = "text") -> DataFrame:
+    """DSIR log-likelihood-ratio score per document.
+
+    Distributions use add-one smoothing over the ``buckets`` hashed
+    n-gram buckets; the per-bucket ratio ``ln((tc+1)/(T+B)) −
+    ln((rc+1)/(R+B))`` is quantized to integer 1e-4 nats and the
+    per-doc score is the exact integer ``Σ count_b · ratio_b``
+    (column ``score_unats``; divide by 1e4 for nats). Documents with
+    no n-grams score 0."""
+    tgt = _bucket_counts(target, target_text, n, buckets) \
+        .withColumnRenamed("cnt", "tc")
+    raw = _bucket_counts(docs, text, n, buckets) \
+        .withColumnRenamed("cnt", "rc")
+    # totals are 1-row dims; cross-joined onto the B-row bucket dim
+    t_total = tgt.agg(F.sum("tc").alias("T"))
+    r_total = raw.agg(F.sum("rc").alias("R"))
+    dim = (raw.join(tgt, "bucket", "left")
+           .crossJoin(F.broadcast(t_total))
+           .crossJoin(F.broadcast(r_total))
+           .select(
+               "bucket",
+               F.floor(
+                   (F.log((F.coalesce("tc", F.lit(0)) + 1).cast("double")
+                          / (F.col("T") + buckets))
+                    - F.log((F.col("rc") + 1).cast("double")
+                            / (F.col("R") + buckets))) * 1e4
+                   + F.lit(0.5)).cast("bigint").alias("lr_unats")))
+    per_doc = _bucket_counts(docs, text, n, buckets, id_col=doc_id)
+    scores = (per_doc.join(F.broadcast(dim), "bucket")
+              .groupBy(doc_id)
+              .agg(F.sum(F.col("cnt") * F.col("lr_unats"))
+                   .alias("score_unats")))
+    return docs.select(doc_id).join(scores, doc_id, "left").select(
+        doc_id,
+        F.coalesce("score_unats", F.lit(0)).cast("bigint")
+        .alias("score_unats"))

@@ -1603,6 +1603,114 @@ def _q_procedure(spark, sf):
     return A.flatten(A.project(out, "turn", "e"), ["turn", "e"])
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-language mixture sampling
+    (``data/selection.py::stratified_sample``): md5-uniform of the doc
+    id against exact integer thresholds — re-running reselects the
+    identical subset; zh rate 0 drops the stratum."""
+    from jena_spark.data.selection import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf),
+        {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125},
+        source_col="lang",
+    ).select("doc_id", "lang", "source")
+
+
+_register(
+    "data_stratified_sample",
+    _q_stratified_sample,
+    """SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+      CASE lang WHEN 'en' THEN 4294967296
+                WHEN 'de' THEN 2147483648
+                WHEN 'fr' THEN 1073741824
+                WHEN 'es' THEN 536870912
+                ELSE 0 END""",
+)
+
+
+def _q_pack(spark, sf):
+    """Concat-and-chunk packing (``data/pack.py``): global token
+    offsets + occupied context windows per doc, all exact-integer over
+    one ordered cumulative sum."""
+    from jena_spark.data.pack import pack_documents
+
+    return pack_documents(_docs(spark, sf), context_len=512)
+
+
+_register(
+    "data_pack",
+    _q_pack,
+    r"""WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_offset
+      FROM t)
+    SELECT doc_id, n_tokens,
+           end_offset - n_tokens AS start_offset,
+           CAST(floor((end_offset - n_tokens) / 512) AS BIGINT)
+             AS chunk_first,
+           greatest(
+             CAST(floor((end_offset - 1) / 512) AS BIGINT),
+             CAST(floor((end_offset - n_tokens) / 512) AS BIGINT))
+             AS chunk_last
+    FROM c""",
+)
+
+
+def _q_importance_weights(spark, sf):
+    """DSIR hashed-unigram importance scoring
+    (``data/selection.py::importance_weights``): target = the English
+    slice of the corpus, 256 md5 buckets, integer 1e-4-nat quantized
+    log-ratios so the per-doc sum is exact integer arithmetic."""
+    from jena_spark.data.selection import importance_weights
+
+    d = _docs(spark, sf)
+    return importance_weights(
+        d, d.where(F.col("lang") == "en").select("text"),
+        n=1, buckets=256)
+
+
+_IW_SQL = r"""WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+  WHERE len(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) >= 1),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket
+  FROM words),
+raw AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en'
+        GROUP BY bucket),
+tot AS (SELECT (SELECT sum(rc) FROM raw) AS R,
+               (SELECT coalesce(sum(tc), 0) FROM tgt) AS T),
+dim AS (
+  SELECT raw.bucket,
+         CAST(floor((ln((coalesce(tc, 0) + 1) / (T + 256))
+                     - ln((rc + 1) / (R + 256))) * 1e4 + 0.5) AS BIGINT)
+           AS lr_unats
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot),
+per_doc AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+scores AS (
+  SELECT doc_id, sum(cnt * lr_unats) AS score_unats
+  FROM per_doc JOIN dim USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.score_unats, 0) AS BIGINT) AS score_unats
+FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id"""
+
+_register("data_importance_weights", _q_importance_weights, _IW_SQL)
+
+
 _register(
     "kg_procedure",
     _q_procedure,
@@ -5010,10 +5118,11 @@ _PRIORITY = [
     # rounding in the oracle + double-typed Spark column) — the driver
     # must witness it green:
     "kg_sparql_custom_fn",
-    # (c) new this round (temporal value-space shadows; benchmark
-    # n-gram decontamination):
+    # (c) new this round (temporal value-space shadows; training-data
+    # selection/packing ops; benchmark n-gram decontamination):
     "expr_temporal", "kg_order_temporal", "data_decontaminate",
-    "kg_procedure",
+    "kg_procedure", "data_stratified_sample", "data_pack",
+    "data_importance_weights",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5029,8 +5138,7 @@ _PRIORITY = [
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
-    "kg_stats_predicates", "kg_stats_datatypes", "kg_stats_namespaces",
-    "kg_characteristic_sets",
+    "kg_stats_predicates",
     # --- driver cap (50) falls here. Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local

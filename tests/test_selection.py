@@ -1,0 +1,84 @@
+"""Data selection + packing ops (``data/selection.py``,
+``data/pack.py``)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jena_spark.data.pack import pack_documents  # noqa: E402
+from jena_spark.data.selection import (  # noqa: E402
+    importance_weights,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    rows = [(i, "en" if i % 2 == 0 else "de",
+             ("the cat sat on the mat " * 3) if i % 2 == 0
+             else ("der hund lief im park " * 3)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, text string")
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    d = _docs(spark)
+    out = stratified_sample(d, {"en": 1.0, "de": 0.5}, source_col="lang")
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert by["en"] == 200  # rate 1.0 keeps everything
+    assert 60 <= by.get("de", 0) <= 140  # ~100 expected, md5-uniform
+    # deterministic: identical subset on re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(
+        d, {"en": 1.0, "de": 0.5}, source_col="lang").collect())
+    assert ids1 == ids2
+    # absent source = rate 0; salt changes the subset
+    assert stratified_sample(d, {"en": 1.0}, source_col="lang") \
+        .where(F.col("lang") == "de").count() == 0
+    salted = sorted(r.doc_id for r in stratified_sample(
+        d, {"en": 1.0, "de": 0.5}, source_col="lang", salt="v2").collect())
+    assert salted != ids1
+
+
+def test_pack_documents_layout(spark):
+    rows = [(0, "a b c"), (1, "d e"), (2, "f g h i"), (3, "j")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_documents(d, context_len=4).collect()}
+    # offsets are the exact concatenation layout: 3,2,4,1 tokens
+    assert [out[i].start_offset for i in range(4)] == [0, 3, 5, 9]
+    assert [out[i].n_tokens for i in range(4)] == [3, 2, 4, 1]
+    # doc0 sits in chunk 0; doc1 straddles tokens 3..4 -> chunks 0-1;
+    # doc2 tokens 5..8 -> chunks 1-2; doc3 token 9 -> chunk 2
+    assert (out[0].chunk_first, out[0].chunk_last) == (0, 0)
+    assert (out[1].chunk_first, out[1].chunk_last) == (0, 1)
+    assert (out[2].chunk_first, out[2].chunk_last) == (1, 2)
+    assert (out[3].chunk_first, out[3].chunk_last) == (2, 2)
+
+
+def test_pack_partitioned_streams(spark):
+    rows = [(0, "s0", "a b"), (1, "s1", "c d e"), (2, "s0", "f"),
+            (3, "s1", "g h")]
+    d = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {r.doc_id: r for r in pack_documents(
+        d, context_len=2, partition_cols=["src"]).collect()}
+    # each source packs its own stream from offset 0
+    assert out[0].start_offset == 0 and out[2].start_offset == 2
+    assert out[1].start_offset == 0 and out[3].start_offset == 3
+
+
+def test_importance_weights_favor_target(spark):
+    d = _docs(spark, n=40)
+    target = d.where(F.col("lang") == "en").select("text")
+    out = {r.doc_id: r.score_unats for r in
+           importance_weights(d, target, n=1, buckets=64).collect()}
+    assert len(out) == 40
+    en = [out[i] for i in range(40) if i % 2 == 0]
+    de = [out[i] for i in range(40) if i % 2 == 1]
+    # every English doc outscores every German doc against an
+    # English-only target (disjoint vocabularies)
+    assert min(en) > max(de)
