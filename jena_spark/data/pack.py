@@ -14,11 +14,17 @@ Everything is exact integer arithmetic over one ordered cumulative
 sum, so the assignment is reproducible run-to-run and engine-to-engine
 (the DuckDB oracle evaluates the identical window).
 
-Scale: the cumulative sum needs a total order — a global range
-exchange, the one shuffle this op owns (packing IS an output-stage
-global layout decision; there is no cheaper honest version). Pass
-``partition_cols`` to pack independently within partitions (e.g. one
-stream per source shard) and the sort becomes per-group, the common
+Scale: the cumulative sum needs a total order. Spark's
+``Window.orderBy`` WITHOUT a partition key funnels every row through
+ONE task — fine at test scale, a non-starter at 100 TB — so
+``num_partitions=N`` switches to the classic distributed prefix sum:
+range-exchange on ``doc_id``, per-partition token totals (N driver
+rows), exclusive prefix offsets broadcast back, and the cumsum runs
+as N PARALLEL per-partition windows. The result is boundary-invariant
+(offsets depend only on the doc order, not where ranges split), so
+the two paths are row-identical — asserted in
+``tests/test_selection.py``. Pass ``partition_cols`` instead to pack
+independent per-shard streams (one stream per source), the common
 cluster posture.
 """
 
@@ -34,10 +40,40 @@ def token_counts(df: DataFrame, text_col: str = "text") -> F.Column:
     return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
 
 
+def _prefix_sum_distributed(base: DataFrame, doc_id: str,
+                            num_partitions: int) -> DataFrame:
+    """base(doc_id, n_tokens) -> + ``end_offset`` via the two-pass
+    distributed prefix sum. The range-partitioned frame is persisted
+    so the partial-totals job and the final plan see the SAME
+    partition boundaries (range boundaries come from sampling; two
+    separate executions could legally split differently — harmless
+    for values, but the _pid join must match its own totals)."""
+    d = (base.repartitionByRange(num_partitions, F.col(doc_id))
+         .sortWithinPartitions(doc_id)
+         .withColumn("_pid", F.spark_partition_id())
+         .persist())
+    partials = sorted(
+        d.groupBy("_pid").agg(F.sum("n_tokens").alias("psum")).collect(),
+        key=lambda r: r["_pid"])  # ranges ascend with partition id
+    offsets, acc = [], 0
+    for r in partials:
+        offsets.append((r["_pid"], acc))
+        acc += int(r["psum"] or 0)
+    off = d.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long")
+    w = (Window.partitionBy("_pid").orderBy(doc_id)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(off), "_pid")
+            .withColumn("end_offset",
+                        F.sum("n_tokens").over(w) + F.col("_off"))
+            .drop("_pid", "_off"))
+
+
 def pack_documents(df: DataFrame, context_len: int,
                    doc_id: str = "doc_id", text: str = "text",
                    n_tokens: str | None = None,
-                   partition_cols: list[str] | None = None) -> DataFrame:
+                   partition_cols: list[str] | None = None,
+                   num_partitions: int | None = None) -> DataFrame:
     """-> one row per document: ``n_tokens``, ``start_offset`` (global
     token position of its first token), ``chunk_first`` /
     ``chunk_last`` (the ``context_len`` windows it occupies).
@@ -48,13 +84,17 @@ def pack_documents(df: DataFrame, context_len: int,
     ``chunk_first``."""
     toks = (F.col(n_tokens) if n_tokens
             else token_counts(df, text)).cast("bigint")
-    w = Window.orderBy(doc_id) if not partition_cols else \
-        Window.partitionBy(*partition_cols).orderBy(doc_id)
     base = df.select(
         *(partition_cols or []), doc_id, toks.alias("n_tokens"))
-    end = F.sum("n_tokens").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = base.withColumn("end_offset", end).select(
+    if num_partitions is not None and not partition_cols:
+        with_end = _prefix_sum_distributed(base, doc_id, num_partitions)
+    else:
+        w = Window.orderBy(doc_id) if not partition_cols else \
+            Window.partitionBy(*partition_cols).orderBy(doc_id)
+        end = F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        with_end = base.withColumn("end_offset", end)
+    out = with_end.select(
         *(partition_cols or []), doc_id, "n_tokens",
         (F.col("end_offset") - F.col("n_tokens")).alias("start_offset"),
         "end_offset",

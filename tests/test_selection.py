@@ -71,6 +71,21 @@ def test_pack_partitioned_streams(spark):
     assert out[1].start_offset == 0 and out[3].start_offset == 3
 
 
+def test_pack_two_pass_equals_window(spark):
+    """The distributed prefix-sum path (num_partitions=N) is
+    row-identical to the single-window path — boundary-invariant by
+    construction."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "w " * rng.randint(1, 30)) for i in range(311)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_documents(d, context_len=64).collect()))
+    b = sorted(map(tuple, pack_documents(
+        d, context_len=64, num_partitions=7).collect()))
+    assert a == b
+
+
 def test_importance_weights_favor_target(spark):
     d = _docs(spark, n=40)
     target = d.where(F.col("lang") == "en").select("text")
