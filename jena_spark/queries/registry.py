@@ -1711,6 +1711,51 @@ FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id"""
 _register("data_importance_weights", _q_importance_weights, _IW_SQL)
 
 
+def _q_segment_dedup(spark, sf):
+    """Exact segment-level dedup with document reconstruction
+    (``data/paragraph.py::dedup_segments``): 20-word windows, keep
+    the globally-first (doc_id, pos) occurrence of every distinct
+    segment, stitch each document back from its survivors."""
+    from jena_spark.data.paragraph import dedup_segments
+
+    return dedup_segments(_docs(spark, sf), mode="words", k=20)
+
+
+_SEGD_SQL = r"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+e AS (
+  SELECT doc_id, words,
+         unnest(generate_series(
+           0, CAST(ceil(len(words) / 20.0) AS BIGINT) - 1)) AS pos
+  FROM w),
+segs AS (
+  SELECT * FROM (
+    SELECT doc_id, pos,
+           array_to_string(list_slice(words, pos*20 + 1, pos*20 + 20),
+                           ' ') AS seg
+    FROM e)
+  WHERE seg <> ''),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs),
+reb AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(coalesce(tot.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id"""
+
+_register("data_segment_dedup", _q_segment_dedup, _SEGD_SQL)
+
+
 _register(
     "kg_procedure",
     _q_procedure,
@@ -5122,7 +5167,7 @@ _PRIORITY = [
     # selection/packing ops; benchmark n-gram decontamination):
     "expr_temporal", "kg_order_temporal", "data_decontaminate",
     "kg_procedure", "data_stratified_sample", "data_pack",
-    "data_importance_weights",
+    "data_importance_weights", "data_segment_dedup",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5138,11 +5183,11 @@ _PRIORITY = [
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
     "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
-    "kg_stats_predicates",
     # --- driver cap (50) falls here. Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local
     # check_oracle full sweeps each round.
+    "kg_stats_predicates",
     "kg_union", "kg_intersection", "kg_difference", "kg_minus",
     "kg_rdfs_inference", "kg_owl_inference",
     "kg_rule_reasoner", "kg_rdb_direct_map", "kg_workload_shapes",
