@@ -253,6 +253,26 @@ class _Parser:
         if not head_p and not head_b:
             raise ValueError("rule has an empty head")
         for b in head_b:
+            if b.name in ("listMapAsSubject", "listMapAsObject") and not backward:
+                # ListMapAsSubject/ListMapAsObject.java fire the head
+                # template once per list member. Desugared: a binding
+                # listContains over a fresh variable in the body plus a
+                # plain head pattern over that variable — row-identical
+                # to the reference semantics, no procedural head needed.
+                if len(b.args) != 3:
+                    raise ValueError(
+                        f"head builtin {b.name} expects (list, p, o) /"
+                        " (s, p, list) — 3 args")
+                self._anon += 1
+                fresh = Var(f"_lm{self._anon}")
+                if b.name == "listMapAsSubject":
+                    lst, pp, oo = b.args
+                    head_p.append((fresh, pp, oo))
+                else:
+                    ss, pp, lst = b.args
+                    head_p.append((ss, pp, fresh))
+                body_b.append(BuiltinCall("listContains", (lst, fresh)))
+                continue
             raise ValueError(
                 f"head builtin {b.name!r} is not supported (procedural "
                 "attachments are driver-side effects, not graph rows)")
@@ -534,7 +554,7 @@ def _apply_builtin(df: DataFrame, b: BuiltinCall, graph: DataFrame) -> DataFrame
             F.lit(XSD + "int").alias("datatype"), F.lit("").alias("lang"),
         )
         return _bind(joined, out_arg, col).drop("_n")
-    if n.startswith("list"):
+    if n.startswith("list") and n not in ("listContains", "listNotContains"):
         raise ValueError(f"builtin {n!r} is not supported (RDF list walks — "
                          "use queries.propfunc list:* property functions)")
 
@@ -576,7 +596,75 @@ def _apply_builtin(df: DataFrame, b: BuiltinCall, graph: DataFrame) -> DataFrame
                        F.lit("").alias("datatype"), F.lit("").alias("lang"))
         return _bind(df, a[0], col)
 
+    if n in ("listContains", "listNotContains"):
+        # ListContains/ListNotContains.java — membership of arg 2 in the
+        # rdf:first/rdf:rest list arg 1, against the CURRENT graph. With
+        # an unbound second arg, listContains is a BINDER enumerating the
+        # members (the expansion target of the listMapAsSubject /
+        # listMapAsObject head builtins, which parse_rule desugars into
+        # exactly this form over a fresh variable).
+        need(2)
+        mem = F.broadcast(_list_members(graph))  # TBox-sized by posture
+        lst = _struct(a[0], cols)
+        on = ((lst.getField("kind") == mem["_lc_k"])
+              & (lst.getField("val") == mem["_lc_v"]))
+        if (n == "listContains" and isinstance(a[1], Var)
+                and a[1].name not in cols):
+            return (df.join(mem, on)
+                      .withColumn(a[1].name, F.col("_lc_m"))
+                      .drop("_lc_k", "_lc_v", "_lc_m"))
+        cond = on & (_struct(a[1], cols) == mem["_lc_m"])
+        how = "left_semi" if n == "listContains" else "left_anti"
+        return df.join(mem, cond, how)
+
     raise ValueError(f"unknown builtin {n!r} (BuiltinRegistry has no analog here)")
+
+
+def _list_members(graph: DataFrame) -> DataFrame:
+    """``(_lc_k, _lc_v, _lc_m)``: for every RDF collection node in
+    ``graph``, one row per member term reachable via rdf:rest*/rdf:first
+    (``Util.convertList`` in the reference builtins). Reachability is
+    path-doubled — log rounds in the longest list — and every frame is
+    schema-vocabulary-sized (lists appear in TBox positions such as
+    owl:unionOf), so the result is broadcastable by construction."""
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rest = (graph.where(F.col("p_val") == rdf_ns + "rest")
+            .select(F.col("s_kind").alias("a_k"), F.col("s_val").alias("a_v"),
+                    F.col("o_kind").alias("b_k"), F.col("o_val").alias("b_v")))
+    first = (graph.where(F.col("p_val") == rdf_ns + "first")
+             .select(F.col("s_kind").alias("b_k"), F.col("s_val").alias("b_v"),
+                     F.struct(
+                         F.col("o_kind").alias("kind"),
+                         F.col("o_val").alias("val"),
+                         F.coalesce("o_datatype", F.lit("")).alias("datatype"),
+                         F.coalesce("o_lang", F.lit("")).alias("lang"),
+                     ).alias("_lc_m")))
+    cells = (rest.select(F.col("a_k").alias("k"), F.col("a_v").alias("v"))
+             .unionByName(first.select(F.col("b_k").alias("k"),
+                                       F.col("b_v").alias("v")))
+             .distinct())
+    reach = (cells.select(F.col("k").alias("a_k"), F.col("v").alias("a_v"),
+                          F.col("k").alias("b_k"), F.col("v").alias("b_v"))
+             .unionByName(rest).distinct().localCheckpoint(eager=True))
+    for _ in range(8):  # doubling: lists up to 2^8 cells
+        n0 = reach.count()
+        step = (reach.alias("x").join(
+                    reach.alias("y"),
+                    (F.col("x.b_k") == F.col("y.a_k"))
+                    & (F.col("x.b_v") == F.col("y.a_v")))
+                .select(F.col("x.a_k").alias("a_k"),
+                        F.col("x.a_v").alias("a_v"),
+                        F.col("y.b_k").alias("b_k"),
+                        F.col("y.b_v").alias("b_v")))
+        reach = (reach.unionByName(step).distinct()
+                 .localCheckpoint(eager=True))
+        if reach.count() == n0:
+            break
+    else:
+        raise ValueError("rdf list longer than 256 cells — not a TBox list")
+    return (reach.join(first, ["b_k", "b_v"])
+            .select(F.col("a_k").alias("_lc_k"), F.col("a_v").alias("_lc_v"),
+                    "_lc_m"))
 
 
 # --- head emission -----------------------------------------------------------
@@ -709,7 +797,8 @@ def rule_closure(
         needs no such pass: a growing graph only SHRINKS its matches,
         and already-derived triples are never retracted (same
         fire-time-state semantics as the reference engine)."""
-        return any(b.name == "countLiteralValues" for b in r.body_builtins)
+        return any(b.name in ("countLiteralValues", "listContains")
+                   for b in r.body_builtins)
 
     base = triples.select(*TM.TERM_COLS)
     if not rules:

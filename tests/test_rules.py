@@ -470,3 +470,89 @@ def test_head_constants_and_multi_head(spark):
            "(?x v:status 'known')]")
     assert ("a", V + "Agent", None, "iri") in _rows(out, TM.RDF_TYPE)
     assert _rows(out, V + "status") == [("a", "known", None, "literal")]
+
+
+# --- RDF list builtins ---------------------------------------------------------
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _list_graph(spark):
+    """s1 -> (a, "x", b); s2 -> (c)."""
+    nil = RDF_NS + "nil"
+    return _g(spark, [
+        ("bnode", "l1", RDF_NS + "first", "iri", V + "a", None, None),
+        ("bnode", "l1", RDF_NS + "rest", "bnode", "l2", None, None),
+        ("bnode", "l2", RDF_NS + "first", "literal", "x", None, None),
+        ("bnode", "l2", RDF_NS + "rest", "bnode", "l3", None, None),
+        ("bnode", "l3", RDF_NS + "first", "iri", V + "b", None, None),
+        ("bnode", "l3", RDF_NS + "rest", "iri", nil, None, None),
+        ("bnode", "m1", RDF_NS + "first", "iri", V + "c", None, None),
+        ("bnode", "m1", RDF_NS + "rest", "iri", nil, None, None),
+        ("iri", "s1", V + "hasList", "bnode", "l1", None, None),
+        ("iri", "s2", V + "hasList", "bnode", "m1", None, None),
+    ])
+
+
+def test_list_contains_filter(spark):
+    # ListContains.java: member test against rdf:first/rdf:rest chains
+    g = _list_graph(spark)
+    out = rule_closure(
+        g, f"[r: (?s <{V}hasList> ?l), listContains(?l, <{V}a>) "
+           f"-> (?s <{V}hasA> 'y')]")
+    assert _rows(out, V + "hasA") == [("s1", "y", None, "literal")]
+
+
+def test_list_not_contains(spark):
+    g = _list_graph(spark)
+    out = rule_closure(
+        g, f"[r: (?s <{V}hasList> ?l), listNotContains(?l, <{V}a>) "
+           f"-> (?s <{V}noA> 'y')]")
+    assert _rows(out, V + "noA") == [("s2", "y", None, "literal")]
+
+
+def test_list_contains_binder_enumerates_members(spark):
+    # unbound second arg: one binding per member, tail cells included
+    g = _list_graph(spark)
+    out = rule_closure(
+        g, f"[r: (?s <{V}hasList> ?l), listContains(?l, ?m) "
+           f"-> (?s <{V}member> ?m)]")
+    assert _rows(out, V + "member") == sorted([
+        ("s1", V + "a", None, "iri"),
+        ("s1", "x", None, "literal"),
+        ("s1", V + "b", None, "iri"),
+        ("s2", V + "c", None, "iri"),
+    ])
+
+
+def test_list_map_as_object_head(spark):
+    # ListMapAsObject.java: head fires once per member as the object
+    g = _list_graph(spark)
+    out = rule_closure(
+        g, f"[r: (?s <{V}hasList> ?l) -> listMapAsObject(?s, <{V}item>, ?l)]")
+    assert _rows(out, V + "item") == sorted([
+        ("s1", V + "a", None, "iri"),
+        ("s1", "x", None, "literal"),
+        ("s1", V + "b", None, "iri"),
+        ("s2", V + "c", None, "iri"),
+    ])
+
+
+def test_list_map_as_subject_head(spark):
+    # ListMapAsSubject.java: each member becomes the asserted subject
+    g = _list_graph(spark)
+    out = rule_closure(
+        g, f"[r: (<s2> <{V}hasList> ?l) "
+           f"-> listMapAsSubject(?l, rdf:type, <{V}Thing>)]")
+    typed = _rows(out, TM.RDF_TYPE)
+    assert (V + "c", V + "Thing", None, "iri") in typed
+    assert all(row[0] != V + "a" for row in typed)
+
+
+def test_unsupported_head_builtin_still_raises(spark):
+    with pytest.raises(ValueError, match="head builtin"):
+        parse_rules(f"[r: (?a <{V}p> ?b) -> print(?a)]")
+    # backward rules keep the restriction: no procedural heads
+    with pytest.raises(ValueError, match="head builtin"):
+        parse_rules(
+            f"[r: listMapAsSubject(?l, rdf:type, <{V}T>) <- (?s <{V}p> ?l)]")
