@@ -290,7 +290,14 @@ class _Parser:
 #   (OWLFBRuleReasoner.loadRules): inverseOf (both directions),
 #   SymmetricProperty, TransitiveProperty. The variable head
 #   predicates disable delta pruning, which is correct — any
-#   predicate can become derivable.
+#   predicate can become derivable. Plus the forward class-expression
+#   extraction rules of owl-fb: equivalentClass/equivalentProperty as
+#   mutual sub-links and intersectionOf/unionOf list extraction via
+#   the listMapAs* head builtins (recognition — "instance of ALL
+#   members ⇒ instance of the intersection" — is owl-fb's TABLED
+#   backward half and stays out of the forward core, same split as
+#   the reference). Pair with ``@include <rdfs>`` for the sub-link
+#   rules to propagate instances, as OWLFBRuleReasoner does.
 _INCLUDE_LIBS = {
     "rdfs": """
     [rdfs5:  (?p1 rdfs:subPropertyOf ?p2), (?p2 rdfs:subPropertyOf ?p3)
@@ -308,6 +315,14 @@ _INCLUDE_LIBS = {
     [sym:  (?p rdf:type owl:SymmetricProperty), (?s ?p ?o) -> (?o ?p ?s)]
     [trans: (?p rdf:type owl:TransitiveProperty), (?x ?p ?y), (?y ?p ?z)
             -> (?x ?p ?z)]
+    [equivalentClass1: (?p owl:equivalentClass ?q)
+            -> (?p rdfs:subClassOf ?q), (?q rdfs:subClassOf ?p)]
+    [equivalentProperty1: (?p owl:equivalentProperty ?q)
+            -> (?p rdfs:subPropertyOf ?q), (?q rdfs:subPropertyOf ?p)]
+    [intersectionOf1: (?c owl:intersectionOf ?l)
+            -> listMapAsObject(?c, rdfs:subClassOf, ?l)]
+    [unionOf1: (?c owl:unionOf ?l)
+            -> listMapAsSubject(?l, rdfs:subClassOf, ?c)]
     """,
 }
 

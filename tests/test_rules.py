@@ -556,3 +556,41 @@ def test_unsupported_head_builtin_still_raises(spark):
     with pytest.raises(ValueError, match="head builtin"):
         parse_rules(
             f"[r: listMapAsSubject(?l, rdf:type, <{V}T>) <- (?s <{V}p> ?l)]")
+
+
+def test_owl_library_class_expressions(spark):
+    """owl-fb.rules forward class-expression extraction: C ≡ A ⊓ B makes
+    C a subclass of each conjunct; U ⊇ each disjunct of owl:unionOf.
+    With the RDFS core included, instance types propagate through."""
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    nil = RDF_NS + "nil"
+    g = _g(spark, [
+        # C owl:intersectionOf (A B)
+        ("iri", V + "C", OWL + "intersectionOf", "bnode", "i1", None, None),
+        ("bnode", "i1", RDF_NS + "first", "iri", V + "A", None, None),
+        ("bnode", "i1", RDF_NS + "rest", "bnode", "i2", None, None),
+        ("bnode", "i2", RDF_NS + "first", "iri", V + "B", None, None),
+        ("bnode", "i2", RDF_NS + "rest", "iri", nil, None, None),
+        # U owl:unionOf (A D)
+        ("iri", V + "U", OWL + "unionOf", "bnode", "u1", None, None),
+        ("bnode", "u1", RDF_NS + "first", "iri", V + "A", None, None),
+        ("bnode", "u1", RDF_NS + "rest", "bnode", "u2", None, None),
+        ("bnode", "u2", RDF_NS + "first", "iri", V + "D", None, None),
+        ("bnode", "u2", RDF_NS + "rest", "iri", nil, None, None),
+        ("iri", V + "E", OWL + "equivalentClass", "iri", V + "A", None, None),
+        ("iri", "x", TM.RDF_TYPE, "iri", V + "C", None, None),
+        ("iri", "y", TM.RDF_TYPE, "iri", V + "D", None, None),
+    ])
+    out = rule_closure(g, "@include <owl>.\n@include <rdfs>.")
+    types = _rows(out, TM.RDF_TYPE)
+    # x : C ⇒ x : A and x : B (intersection extraction + rdfs9)
+    assert ("x", V + "A", None, "iri") in types
+    assert ("x", V + "B", None, "iri") in types
+    # y : D ⇒ y : U (union extraction + rdfs9)
+    assert ("y", V + "U", None, "iri") in types
+    # x : A ⇒ x : E (equivalentClass both directions + rdfs9)
+    assert ("x", V + "E", None, "iri") in types
+    sub = _rows(out, RDFS + "subClassOf")
+    assert (V + "C", V + "A", None, "iri") in sub
+    assert (V + "A", V + "U", None, "iri") in sub
