@@ -14,6 +14,10 @@ Reference contract (paths relative to
 | ``rdfcompare`` | ``jena/rdfcompare.java`` | graph isomorphism compare, exit status 0/1 |
 | ``shacl``      | ``shacl/shacl.java`` (``validate``) | SHACL-core validation report |
 | ``stats``      | ``tdb/tdbstats.java`` | per-predicate counts of a dataset |
+| ``tdbstats``   | ``tdb/tdbstats.java`` | full stats.opt SSE census (predicates + rdf:type classes) |
+| ``tdbbackup``  | ``tdb/tdbbackup.java`` / ``TDBBackup.java`` | gzipped N-Quads backup of a store |
+| ``rsparql``    | ``rdfconnection cmds rsparql`` | query a remote SPARQL endpoint over HTTP |
+| ``rupdate``    | ``rdfconnection cmds rupdate`` | run an update on a remote endpoint |
 | ``load``       | ``tdb/tdbloader.java`` | bulk-load RDF into a parquet store directory |
 | ``version``    | ``jena/version.java`` | print the engine version |
 
@@ -268,6 +272,45 @@ def _cmd_tdbdump(args) -> int:
     with --out)."""
     spark = _spark(args)
     _emit(_read_store(spark, args.location), args.out, args.syntax)
+    return 0
+
+
+def _cmd_tdbstats(args) -> int:
+    """``tdb/tdbstats.java`` — gather the ``StatsCollector`` census
+    (predicate counts, rdf:type class counts, total) over a store or
+    RDF files and emit the ``stats.opt`` SSE document ``StatsMatcher``
+    / ``ReorderWeighted`` consume. ``--timestamp`` (never ``now()``)
+    opts into the reference's meta timestamp pairs."""
+    from jena_spark.pipeline.stats import gather_stats, write_stats_sse
+
+    spark = _spark(args)
+    df = (_read_store(spark, args.location) if args.location
+          else _read_all(spark, args.files, None))
+    text = write_stats_sse(gather_stats(df), timestamp=args.timestamp)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def _cmd_tdbbackup(args) -> int:
+    """``TDBBackup.java`` — one gzip-compressed N-Quads file of the
+    store (the reference's backup artifact shape). The dump streams
+    through ``toLocalIterator`` — a backup is a single file by
+    contract, so the driver writes it, but never holds more than one
+    partition."""
+    import gzip
+
+    from jena_spark.sources.ntriples import format_ntriples
+
+    spark = _spark(args)
+    df = _read_store(spark, args.location)
+    with gzip.open(args.out, "wt", encoding="utf-8", compresslevel=6) as f:
+        for row in format_ntriples(df, quads="graph" in df.columns
+                                   ).toLocalIterator():
+            f.write(row["value"] + "\n")
     return 0
 
 
@@ -769,6 +812,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_tdbdump)
 
+    p = sub.add_parser(
+        "tdbstats", help="emit a stats.opt SSE document (tdbstats)")
+    p.add_argument("files", nargs="*")
+    p.add_argument("--location", default=None,
+                   help="read a pipeline-job store instead of files")
+    p.add_argument("--timestamp", default=None,
+                   help="ISO dateTime for the meta pairs (omitted when "
+                        "not given — deterministic output)")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_tdbstats)
+
+    p = sub.add_parser(
+        "tdbbackup", help="gzip-compressed N-Quads backup of a store")
+    p.add_argument("--location", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=_cmd_tdbbackup)
+
     p = sub.add_parser("tdbnode", help="print node-dictionary entries")
     p.add_argument("--location", required=True)
     p.add_argument("node_ids", nargs="+")
@@ -918,14 +978,19 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("file")
         p.set_defaults(fn=_cmd_soh, verb=name)
 
-    for name, hlp in [
-        ("s-query", "SPARQL protocol query (soh: s-query --service=…)"),
-        ("s-update", "SPARQL protocol update"),
+    for name, verb, hlp in [
+        ("s-query", "s-query",
+         "SPARQL protocol query (soh: s-query --service=…)"),
+        ("s-update", "s-update", "SPARQL protocol update"),
+        # jena-cmds spellings of the same two protocol operations
+        # (rdfconnection/.../examples & cmds rsparql.java / rupdate.java)
+        ("rsparql", "s-query", "query a remote SPARQL endpoint (rsparql)"),
+        ("rupdate", "s-update", "update a remote SPARQL endpoint (rupdate)"),
     ]:
         p = sub.add_parser(name, help=hlp)
         p.add_argument("--service", required=True)
         p.add_argument("text", help="query/update string, or @file")
-        p.set_defaults(fn=_cmd_soh, verb=name)
+        p.set_defaults(fn=_cmd_soh, verb=verb)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=_cmd_version)

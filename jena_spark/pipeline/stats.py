@@ -11,6 +11,8 @@ feeds ``StatsMatcher``.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,3 +80,156 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
         .groupBy("pred_set")
         .agg(F.count("*").alias("n_subjects"))
     )
+
+# --- TDB stats.opt file (tdbstats) -------------------------------------------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_CONTAINER_MEMBER = "http://www.w3.org/1999/02/22-rdf-syntax-ns#_"
+_XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+@dataclass
+class StatsResults:
+    """``StatsResults.java``: the three numbers ``tdbstats`` gathers —
+    per-predicate triple counts, per-class ``rdf:type`` object counts,
+    and the total triple count."""
+
+    predicates: dict[str, int]
+    types: dict[str, int]
+    count: int
+    other: int = 0
+
+
+def gather_stats(triples: DataFrame) -> StatsResults:
+    """``Stats.gather`` (``jena-tdb/.../solver/stats/Stats.java:77``,
+    ``StatsCollectorBase.record``): one pass over the graph counting
+    predicates, plus ``rdf:type`` object frequencies. Two partial-agg
+    hash aggregations; driver memory is bounded by the number of
+    DISTINCT predicates / classes (schema-sized, not data-sized)."""
+    preds = {
+        r["predicate"]: r["n"] for r in predicate_counts(triples).collect()
+    }
+    types = {
+        r["o_val"]: r["n"]
+        for r in triples.where(
+            (F.col("p_val") == _RDF_TYPE) & (F.col("o_kind") == "iri"))
+        .groupBy("o_val").agg(F.count("*").alias("n")).collect()
+    }
+    return StatsResults(preds, types, sum(preds.values()))
+
+
+def write_stats_sse(stats: StatsResults, timestamp: str | None = None) -> str:
+    """Serialize to the ``stats.opt`` SSE format ``StatsMatcher`` reads
+    (writer: ``Stats.format``, ``Stats.java:95-127``): a ``(stats …)``
+    list with a ``(meta (count N))`` header, one ``((VAR rdf:type <T>)
+    n)`` entry per class, one ``(<pred> n)`` pair per predicate —
+    ``rdf:_N`` container memberships skipped, as the reference skips
+    them — and the ``(other 0)`` default rule. Deviations for the
+    repo's determinism rule: entries are IRI-sorted and the
+    ``timestamp``/``run@`` meta pairs appear only when a timestamp is
+    supplied by the caller (never ``now()``)."""
+    out = ["(stats"]
+    meta = ["  (meta"]
+    if timestamp is not None:
+        meta.append(f'    (timestamp "{timestamp}"^^<{_XSD_DT}>)')
+        meta.append(f'    (run@ "{timestamp}")')
+    meta.append(f"    (count {stats.count}))")
+    out.extend(meta)
+    for t in sorted(stats.types):
+        out.append(f"  ((VAR rdf:type <{t}>) {stats.types[t]})")
+    for p in sorted(stats.predicates):
+        if p.startswith(_RDF_CONTAINER_MEMBER):
+            continue
+        out.append(f"  (<{p}> {stats.predicates[p]})")
+    out.append(f"  (other {stats.other})")
+    out.append(")")
+    return "\n".join(out) + "\n"
+
+
+def _sse_tokens(text: str):
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            yield c
+            i += 1
+        elif c == "<":
+            j = text.index(">", i)
+            yield ("iri", text[i + 1:j])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            lex, i = text[i + 1:j], j + 1
+            if text.startswith("^^<", i):  # typed literal — keep the lexical
+                i = text.index(">", i) + 1
+            yield ("str", lex)
+        else:
+            j = i
+            while j < n and not text[j].isspace() and text[j] not in "()":
+                j += 1
+            word = text[i:j]
+            i = j
+            try:
+                yield ("int", int(word))
+            except ValueError:
+                yield ("sym", word)
+
+
+def _sse_read(toks) -> object:
+    t = next(toks)
+    if t == "(":
+        items = []
+        while True:
+            nxt = _sse_read(toks)
+            if nxt == ")":
+                return items
+            items.append(nxt)
+    return t
+
+
+def parse_stats_sse(text: str) -> StatsResults:
+    """Read a ``stats.opt`` file back (``StatsMatcher.init``,
+    ``jena-arq/.../optimizer/StatsMatcher.java:106-160``): the
+    ``(meta (count N))`` header, ``(<pred> n)`` pairs, ``((VAR
+    rdf:type <T>) n)`` class patterns — ``rdf:type`` accepted in both
+    prefixed and ``<full-IRI>`` spelling — and the ``(other n)``
+    default. The result feeds ``queries.algebra.reorder_patterns_stats``
+    directly (predicates/types maps), closing the tdbstats →
+    stats.opt → ReorderWeighted loop offline."""
+    tree = _sse_read(_sse_tokens(text))
+    if not (isinstance(tree, list) and tree and tree[0] == ("sym", "stats")):
+        raise ValueError("not a (stats ...) SSE document")
+    preds: dict[str, int] = {}
+    types: dict[str, int] = {}
+    count = -1
+    other = 0
+    for entry in tree[1:]:
+        if not isinstance(entry, list) or not entry:
+            raise ValueError(f"malformed stats entry: {entry!r}")
+        head = entry[0]
+        if head == ("sym", "meta"):
+            for pair in entry[1:]:
+                if isinstance(pair, list) and pair[:1] == [("sym", "count")]:
+                    count = pair[1][1]
+            continue
+        if head == ("sym", "other"):
+            other = entry[1][1]
+            continue
+        n = entry[1][1]
+        if isinstance(head, list):  # ((VAR rdf:type <T>) n)
+            if len(head) != 3:
+                raise ValueError(f"unsupported stats pattern: {head!r}")
+            p, o = head[1], head[2]
+            if p not in (("sym", "rdf:type"), ("iri", _RDF_TYPE)):
+                raise ValueError(
+                    f"only rdf:type patterns are supported, got {p!r}")
+            types[o[1]] = n
+        else:
+            preds[head[1]] = n
+    if count < 0:
+        count = sum(preds.values())
+    return StatsResults(preds, types, count, other)

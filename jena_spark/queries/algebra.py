@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jena_spark import terms as TM
 from jena_spark.queries.graph import TermSpec, _normalize, pattern_predicate
 
 
@@ -162,6 +163,7 @@ def _pattern_pred_iri(p) -> str | None:
 
 def reorder_patterns_stats(
     patterns: list[Pattern], pred_counts: dict[str, int],
+    type_counts: dict[str, int] | None = None,
 ) -> list[Pattern]:
     """Statistics-fed join ordering — the ``StatsMatcher`` /
     ``ReorderWeighted`` posture (``jena-arq/.../engine/optimizer/
@@ -182,7 +184,7 @@ def reorder_patterns_stats(
     while remaining:
 
         def weight(pat: Pattern) -> int:
-            return stats_weight(pat, bound, pred_counts)
+            return stats_weight(pat, bound, pred_counts, type_counts)
 
         best = min(range(len(remaining)), key=lambda i: (weight(remaining[i]), i))
         chosen = remaining.pop(best)
@@ -195,6 +197,7 @@ def reorder_patterns_stats(
 
 def stats_weight(
     pattern: Pattern, bound: set[str], pred_counts: dict[str, int],
+    type_counts: dict[str, int] | None = None,
 ) -> int:
     """One pattern's stats-scaled weight: the fixed boundness weight ×
     the predicate's collected count (``ReorderWeighted.
@@ -202,12 +205,22 @@ def stats_weight(
     estimates 1 — StatsMatcher treats it as matching nothing (weight 0
     would be ideal-first; 1 keeps fully concrete known patterns
     winning ties deterministically); a variable predicate estimates
-    the corpus total. Shared by :func:`reorder_patterns_stats` and the
-    join-tree explain (``queries/jointree.py``) so the printed
-    cardinality cannot drift from the reorder."""
+    the corpus total. When a ``type_counts`` map is supplied (the
+    ``((VAR rdf:type <T>) n)`` entries of a ``stats.opt`` file —
+    ``StatsMatcher.addPattern`` registers exactly these,
+    ``StatsMatcher.java:140-160``), an ``rdf:type`` pattern with a
+    CONCRETE class estimates that class's instance count instead of
+    the whole rdf:type census. Shared by
+    :func:`reorder_patterns_stats` and the join-tree explain
+    (``queries/jointree.py``) so the printed cardinality cannot drift
+    from the reorder."""
     pred = _pattern_pred_iri(pattern[1])
     total = max(1, sum(pred_counts.values()))
     est = total if pred is None else pred_counts.get(pred, 1)
+    if type_counts is not None and pred == TM.RDF_TYPE:
+        obj = pattern[2]
+        if isinstance(obj, tuple) and obj[0] == "iri":
+            est = type_counts.get(obj[1], 1)
     return _reorder_weight(pattern, bound) * max(1, est)
 
 

@@ -302,3 +302,68 @@ def test_store_commands(capsys, tmp_path, spark):
     import pytest as _p
     with _p.raises(SystemExit):
         _run(capsys, "tdbquery", "--query", "SELECT * WHERE { ?s ?p ?o }")
+
+
+def test_tdbstats(capsys, ttl_file, tmp_path):
+    """tdb/tdbstats.java: the stats.opt SSE census document."""
+    from jena_spark.pipeline.stats import parse_stats_sse
+
+    typed = tmp_path / "typed.ttl"
+    typed.write_text(
+        TTL + f"ex:alice a ex:Person .\nex:bob a ex:Person .\n")
+    rc, out = _run(capsys, "tdbstats", str(typed))
+    assert rc == 0 and out.startswith("(stats")
+    s = parse_stats_sse(out)
+    assert s.count == 7
+    assert s.predicates[EX + "name"] == 2
+    assert s.types == {EX + "Person": 2}
+    # --out writes the file; --timestamp opts into the meta pairs
+    dest = tmp_path / "stats.opt"
+    rc, _ = _run(capsys, "tdbstats", str(typed), "--out", str(dest),
+                 "--timestamp", "2026-01-01T00:00:00Z")
+    assert rc == 0
+    text = dest.read_text()
+    assert '(run@ "2026-01-01T00:00:00Z")' in text
+    assert parse_stats_sse(text).predicates == s.predicates
+
+
+def test_tdbbackup(capsys, ttl_file, tmp_path):
+    """TDBBackup.java: one gzipped N-Quads file of the store."""
+    import gzip
+
+    store = str(tmp_path / "store")
+    rc, _ = _run(capsys, "load", ttl_file, "--location", f"{store}/triples")
+    assert rc == 0
+    backup = str(tmp_path / "backup.nq.gz")
+    rc, _ = _run(capsys, "tdbbackup", "--location", store, "--out", backup)
+    assert rc == 0
+    with gzip.open(backup, "rt", encoding="utf-8") as f:
+        lines = {ln.strip() for ln in f if ln.strip()}
+    rc, out = _run(capsys, "tdbdump", "--location", store)
+    assert lines == {ln.strip() for ln in out.splitlines() if ln.strip()}
+    assert len(lines) == 5
+
+
+def test_rsparql_rupdate(capsys, spark):
+    """rsparql/rupdate — the jena-cmds remote-endpoint spellings drive
+    a live SPARQL-protocol server end-to-end."""
+    from jena_spark.pipeline.server import FusekiLite
+
+    rows = [("iri", EX + "alice", EX + "name", "literal", "alice",
+             None, None)]
+    data = spark.createDataFrame(
+        rows, "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string")
+    with FusekiLite({"ds": data}, enable_update=True) as base:
+        rc, out = _run(
+            capsys, "rsparql", "--service", f"{base}/ds/sparql",
+            f"SELECT ?n WHERE {{ ?s <{EX}name> ?n }}")
+        assert rc == 0 and '"alice"' in out
+        rc, _ = _run(
+            capsys, "rupdate", "--service", f"{base}/ds/update",
+            f"INSERT DATA {{ <{EX}c> <{EX}name> \"carol\" }}")
+        assert rc == 0
+        rc, out = _run(
+            capsys, "rsparql", "--service", f"{base}/ds/sparql",
+            f"SELECT ?n WHERE {{ <{EX}c> <{EX}name> ?n }}")
+        assert rc == 0 and '"carol"' in out
