@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     # ordered cumsum)
     "data_importance_weights",
     "data_pack",
+    # CCNet-style bigram-LM perplexity scoring (two corpus passes to
+    # train, shuffle-join scoring — the gram-key join is the cost)
+    "data_lm_perplexity",
 ]
 
 

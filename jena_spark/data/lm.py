@@ -1,0 +1,101 @@
+"""N-gram language-model scoring — CCNet-style perplexity filtering.
+
+The classic data-selection signal (Wenzek et al., *CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data*, LREC 2020):
+train a small LM on a reference corpus, score every candidate document
+by its per-token negative log-likelihood, and keep the
+low-perplexity (reference-like) tail. The production pipeline uses a
+KenLM 5-gram; this operator is the same selection machinery over an
+add-one-smoothed bigram model, which is what the sandbox can train
+deterministically — the join/aggregation shape (the part that matters
+at 100 TB) is identical for any n.
+
+Determinism follows ``data/selection.py::importance_weights``: each
+bigram's negative log2-probability is quantized ONCE to an integer
+number of micro-bits (1e-6 bits), and every aggregation from there is
+exact integer arithmetic — no float-sum ordering drift between
+partitions, runs, or engines, so a DuckDB oracle can reproduce the
+scores bit-for-bit.
+
+Scale posture: the trained model is two count tables — distinct
+bigrams and distinct context unigrams of the reference corpus. They
+are corpus-vocabulary-sized, NOT row-count-sized, but can still be
+large (web-scale vocab), so scoring joins them by shuffle hash join on
+the gram key and leaves broadcast decisions to AQE; only the 1-row
+vocabulary-size dim is broadcast explicitly. Per-document work is
+pre-combined to one row per DISTINCT (doc, bigram) before any join —
+the same map-side-combine trick as ``text.repetition_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jena_spark.data.text import tokens
+
+
+def _word_pairs(docs: DataFrame, text: str, *keep) -> DataFrame:
+    """One row per ADJACENT word pair occurrence: ``(*keep, w1, w2)``.
+    Documents with fewer than two words contribute nothing."""
+    ws = tokens(F.col(text))
+    pairs = F.when(
+        F.size(ws) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2")),
+        )
+    )
+    return (docs.where(F.length(F.trim(F.col(text))) > 0)
+            .select(*keep, F.explode(pairs).alias("g"))
+            .select(*keep, F.col("g.w1").alias("w1"),
+                    F.col("g.w2").alias("w2")))
+
+
+def bigram_lm_scores(docs: DataFrame, lm_docs: DataFrame | None = None,
+                     doc_id: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` — add-one smoothing
+    over the reference corpus ``lm_docs`` (default: ``docs`` itself,
+    the self-perplexity census). Returns one row per document with at
+    least one bigram:
+
+    * ``n_bigrams`` — scored bigram occurrences (exact),
+    * ``nll_ubits`` — Σ occurrences × quantized −log2 P, in integer
+      micro-bits (exact — the engine-portable score),
+    * ``avg_logprob`` — bits per bigram, ``nll_ubits / (1e6·n)``
+      rounded to 6 dp,
+    * ``perplexity`` — ``2^avg_logprob`` rounded to 4 dp (float
+      convenience; threshold on the exact columns in pipelines).
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    lm_pairs = _word_pairs(lm, text)
+    big = lm_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = lm_pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (lm.where(F.length(F.trim(F.col(text))) > 0)
+             .select(F.explode(tokens(F.col(text))).alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+
+    freq = (_word_pairs(docs, text, doc_id)
+            .groupBy(doc_id, "w1", "w2").agg(F.count(F.lit(1)).alias("m")))
+    p = ((F.coalesce("c2", F.lit(0)) + 1).cast("double")
+         / (F.coalesce("c1", F.lit(0)) + F.col("v")))
+    scored = (freq.join(big, ["w1", "w2"], "left")
+              .join(ctx, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .select(doc_id, "m",
+                      F.floor(-F.log2(p) * 1e6 + F.lit(0.5))
+                      .cast("bigint").alias("q")))
+    agg = scored.groupBy(doc_id).agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("q")).cast("bigint").alias("nll_ubits"))
+    avg = F.col("nll_ubits") / (F.lit(1e6) * F.col("n_bigrams"))
+    return agg.select(
+        doc_id, "n_bigrams", "nll_ubits",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.pow(F.lit(2.0), avg), 4).alias("perplexity"))

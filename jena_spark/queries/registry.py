@@ -1538,6 +1538,57 @@ FROM freq GROUP BY doc_id"""
 _register("data_repetition", _q_repetition, _REP_SQL)
 
 
+def _q_lm_perplexity(spark, sf):
+    """CCNet-style LM data selection (``data/lm.py::bigram_lm_scores``):
+    every document scored by an add-one-smoothed bigram model trained
+    on the corpus itself. The checked projection is the exact integer
+    micro-bit score plus the derived bits-per-bigram; the float
+    ``perplexity`` convenience column stays out of the hash (the
+    ``kg_sparql_custom_fn`` lesson: keep ``pow`` off the oracle
+    surface)."""
+    from jena_spark.data.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf)).select(
+        "doc_id", "n_bigrams", "nll_ubits", "avg_logprob")
+
+
+_LM_SQL = r"""WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT w.doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM words w,
+       LATERAL (SELECT unnest(generate_series(1, len(w.ws)-1)) AS i) t
+), freq AS (
+  SELECT doc_id, w1, w2, count(*) AS m FROM grams GROUP BY doc_id, w1, w2
+), big AS (
+  SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, count(*) AS c1 FROM grams GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ws) AS w FROM words) u
+), scored AS (
+  SELECT f.doc_id, f.m,
+         CAST(floor(-log2((coalesce(b.c2, 0) + 1) * 1.0
+                          / (coalesce(c.c1, 0) + v.v)) * 1e6 + 0.5)
+              AS BIGINT) AS q
+  FROM freq f
+  LEFT JOIN big b ON f.w1 = b.w1 AND f.w2 = b.w2
+  LEFT JOIN ctx c ON f.w1 = c.w1
+  CROSS JOIN vocab v
+), agg AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         CAST(sum(m * q) AS BIGINT) AS nll_ubits
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, nll_ubits,
+       round(nll_ubits * 1.0 / (1e6 * n_bigrams), 6) AS avg_logprob
+FROM agg"""
+
+_register("data_lm_perplexity", _q_lm_perplexity, _LM_SQL)
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark-overlap decontamination (``data/decontaminate.py``):
     the 'benchmark' is derived deterministically from the corpus —
@@ -5168,6 +5219,7 @@ _PRIORITY = [
     "expr_temporal", "kg_order_temporal", "data_decontaminate",
     "kg_procedure", "data_stratified_sample", "data_pack",
     "data_importance_weights", "data_segment_dedup",
+    "data_lm_perplexity",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5182,11 +5234,12 @@ _PRIORITY = [
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
-    "kg_quads_roundtrip", "kg_salted_agg", "kg_path_alt_inverse",
+    "kg_quads_roundtrip", "kg_salted_agg",
     # --- driver cap (50) falls here. Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local
     # check_oracle full sweeps each round.
+    "kg_path_alt_inverse",
     "kg_stats_predicates",
     "kg_union", "kg_intersection", "kg_difference", "kg_minus",
     "kg_rdfs_inference", "kg_owl_inference",

@@ -1,0 +1,80 @@
+"""Bigram-LM perplexity scoring (``jena_spark/data/lm.py``) — CCNet-style
+data selection. The integer micro-bit columns must match a pure-Python
+reference bit-for-bit (the same exactness contract as
+``data/selection.py::importance_weights``)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from jena_spark.data.lm import bigram_lm_scores
+
+DOCS = [
+    ("d1", "the cat sat on the mat"),
+    ("d2", "the cat sat"),
+    ("d3", "a dog barked at the cat"),
+    ("d4", "one"),          # single word: no bigrams, omitted
+    ("d5", "   "),          # blank: omitted
+    ("d6", "the cat sat on the mat"),  # exact dup of d1: same score
+]
+
+
+def _py_scores(docs, lm):
+    big, ctx, vocab = Counter(), Counter(), set()
+    for _i, t in lm:
+        ws = t.split()
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    v = len(vocab)
+    out = {}
+    for i, t in docs:
+        ws = t.split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        s = 0
+        for a, b in pairs:
+            pr = (big.get((a, b), 0) + 1) / (ctx.get(a, 0) + v)
+            s += math.floor(-math.log2(pr) * 1e6 + 0.5)
+        out[i] = (len(pairs), s)
+    return out
+
+
+def _spark_scores(spark, docs, lm_docs=None):
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    lm = (spark.createDataFrame(lm_docs, "doc_id string, text string")
+          if lm_docs is not None else None)
+    rows = bigram_lm_scores(df, lm).collect()
+    return {r["doc_id"]: (r["n_bigrams"], r["nll_ubits"]) for r in rows}
+
+
+def test_self_perplexity_matches_python(spark):
+    got = _spark_scores(spark, DOCS)
+    assert got == _py_scores(DOCS, DOCS)
+    assert "d4" not in got and "d5" not in got
+    assert got["d1"] == got["d6"]  # content-deterministic
+
+
+def test_separate_reference_corpus(spark):
+    lm = [("r1", "the cat sat"), ("r2", "a cat ran")]
+    got = _spark_scores(spark, DOCS, lm)
+    assert got == _py_scores(DOCS, lm)
+    # fully OOV context: P = 1/V for every pair, V = 5
+    oov = [("x1", "zzz qqq www")]
+    got_oov = _spark_scores(spark, oov, lm)
+    q = math.floor(-math.log2(1 / 5) * 1e6 + 0.5)
+    assert got_oov == {"x1": (2, 2 * q)}
+
+
+def test_derived_float_columns(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    r = {x["doc_id"]: x for x in bigram_lm_scores(df).collect()}
+    row = r["d1"]
+    avg = row["nll_ubits"] / (1e6 * row["n_bigrams"])
+    assert row["avg_logprob"] == round(avg, 6)
+    assert abs(row["perplexity"] - 2 ** avg) < 1e-3
+    # repeated text is more predictable than one-off text
+    assert r["d1"]["avg_logprob"] < r["d3"]["avg_logprob"]
