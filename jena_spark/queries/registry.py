@@ -1589,6 +1589,28 @@ FROM agg"""
 _register("data_lm_perplexity", _q_lm_perplexity, _LM_SQL)
 
 
+def _q_bpe_fertility(spark, sf):
+    """BPE tokenizer loop (``data/bpe.py``): train Sennrich-et-al
+    merges on the corpus (one word-census shuffle + a driver merge
+    loop bounded by distinct word types), then per-document subword
+    counts and fertility through the broadcast merge ranks. Rows-only
+    by design: an iterative merge learner has no SQL twin — exactness
+    is pinned in ``tests/test_bpe.py`` against an independent
+    recount-from-scratch reference implementation."""
+    from jena_spark.data.bpe import bpe_token_stats, train_bpe
+
+    docs = _docs(spark, sf)
+    # 48 merges: the synthetic corpus has ~31 word types, so full
+    # convergence would collapse every word to one token (fertility
+    # uniformly 1.0); a partial vocabulary keeps the subword path
+    # exercised and the fertility column informative.
+    merges = train_bpe(docs, n_merges=48)
+    return bpe_token_stats(docs, merges)
+
+
+_register("data_bpe_fertility", _q_bpe_fertility, None)
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark-overlap decontamination (``data/decontaminate.py``):
     the 'benchmark' is derived deterministically from the corpus —
@@ -5219,7 +5241,7 @@ _PRIORITY = [
     "expr_temporal", "kg_order_temporal", "data_decontaminate",
     "kg_procedure", "data_stratified_sample", "data_pack",
     "data_importance_weights", "data_segment_dedup",
-    "data_lm_perplexity",
+    "data_lm_perplexity", "data_bpe_fertility",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5233,13 +5255,13 @@ _PRIORITY = [
     # window — freshness pass over the long tail:
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
-    "kg_agg_stats", "kg_propfunc_split", "kg_text_search",
+    "kg_agg_stats", "kg_propfunc_split",
     "kg_quads_roundtrip", "kg_salted_agg",
     # --- driver cap (50) falls here. Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local
     # check_oracle full sweeps each round.
-    "kg_path_alt_inverse",
+    "kg_text_search", "kg_path_alt_inverse",
     "kg_stats_predicates",
     "kg_union", "kg_intersection", "kg_difference", "kg_minus",
     "kg_rdfs_inference", "kg_owl_inference",
