@@ -21,6 +21,18 @@ Jetty; here a ``ThreadingHTTPServer`` fronts the engine:
   through :func:`jena_spark.pipeline.sparql_update.update_sparql` and
   the dataset's frame is REPLACED (Fuseki's transactional dataset swap
   analog; last write wins, one update at a time under a lock);
+* Administration protocol under ``$/`` (``jena-fuseki2/
+  jena-fuseki-core/.../ctl/ActionPing.java``, ``ActionStats.java``,
+  ``jena-fuseki-webapp/.../mgt/ActionServerStatus.java``,
+  ``ActionDatasets.java``): ``GET $/ping`` (plain-text liveness
+  timestamp), ``GET $/server`` (version/uptime + dataset
+  descriptions), ``GET $/datasets[/name]`` (``JsonDescription``'s
+  ``ds.name``/``ds.state``/``ds.services`` shape), ``GET
+  $/stats[/name]`` (per-dataset and per-endpoint
+  Requests/RequestsGood/RequestsBad counters — ``CounterName.java``
+  key spellings), plus dataset lifecycle ``POST $/datasets?dbName=``
+  / ``DELETE $/datasets/name`` (writes gated behind
+  ``enable_update``, the admin-area security split);
 * Graph Store Protocol on ``/<dataset>/data`` (``GSP_R.java`` /
   ``GSP_RW.java``): ``?default`` / ``?graph=<iri>`` select the target
   graph, no query string is the whole-dataset quads mode
@@ -43,6 +55,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -93,6 +107,10 @@ class FusekiLite:
         self._host, self._port = host, port
         self._srv: ThreadingHTTPServer | None = None
         self._lock = threading.Lock()
+        #: name -> endpoint -> [Requests, RequestsGood, RequestsBad]
+        #: (``CounterName.java:43-49`` key spellings).
+        self._counters: dict[str, dict[str, list[int]]] = {}
+        self._started: float | None = None
 
     # --- engine calls ---------------------------------------------------
 
@@ -285,6 +303,110 @@ class FusekiLite:
                 raise KeyError(f"No such graph: <{iri}>")
             self.datasets[name] = q.where(~F.coalesce(cond, F.lit(False)))
 
+    # --- administration protocol -----------------------------------------
+    #
+    # ``$/ping``, ``$/server``, ``$/datasets[/name]``, ``$/stats[/name]``
+    # (``ActionPing.java`` / ``ActionServerStatus.java`` /
+    # ``ActionDatasets.java`` / ``ActionStats.java``). JSON key names
+    # follow ``ServerConst.java`` (``ds.name``/``ds.state``/
+    # ``ds.services``/``srv.type``/``srv.description``/
+    # ``srv.endpoints``) and ``ServerMgtConst.java``
+    # (``version``/``built``/``startDateTime``/``uptime``).
+
+    VERSION = "jena-spark-lite"
+
+    def _count(self, name: str, endpoint: str, good: bool) -> None:
+        with self._lock:
+            c = self._counters.setdefault(name, {}).setdefault(
+                endpoint, [0, 0, 0])
+            c[0] += 1
+            c[1 if good else 2] += 1
+
+    def _services(self, name: str) -> list[tuple[str, str, str]]:
+        """(operation json-name, description, endpoint) per
+        ``Operation.java:85-89`` registrations."""
+        svcs = [("query", "SPARQL Query", "sparql")]
+        if self.enable_update:
+            svcs.append(("update", "SPARQL Update", "update"))
+            svcs.append(("gsp-rw", "Graph Store Protocol", "data"))
+        else:
+            svcs.append(("gsp-r", "Graph Store Protocol (Read)", "data"))
+        return svcs
+
+    def describe_dataset(self, name: str) -> dict:
+        """``JsonDescription.describe`` shape."""
+        if name not in self.datasets:
+            raise KeyError(name)
+        return {
+            "ds.name": "/" + name,
+            "ds.state": True,
+            "ds.services": [
+                {"srv.type": op, "srv.description": desc,
+                 "srv.endpoints": [ep]}
+                for op, desc, ep in self._services(name)],
+        }
+
+    def admin_server(self) -> dict:
+        started = self._started or time.time()
+        return {
+            "version": self.VERSION,
+            "built": "Unknown",
+            "startDateTime": datetime.fromtimestamp(
+                started, tz=timezone.utc).isoformat(
+                timespec="milliseconds"),
+            "uptime": int(time.time() - started),
+            "datasets": [self.describe_dataset(n)
+                         for n in sorted(self.datasets)],
+        }
+
+    def admin_stats(self, name: str | None = None) -> dict:
+        """``ActionStats.generateStats`` shape: dataset-level request
+        counters plus per-endpoint counters tagged with the operation
+        name/description."""
+        names = [name] if name is not None else sorted(self.datasets)
+        out: dict[str, dict] = {}
+        for n in names:
+            if n not in self.datasets:
+                raise KeyError(n)
+            eps = {}
+            tot = [0, 0, 0]
+            with self._lock:
+                snap = {ep: list(c) for ep, c in
+                        self._counters.get(n, {}).items()}
+            for op, desc, ep in self._services(n):
+                c = snap.get(ep, [0, 0, 0])
+                tot = [a + b for a, b in zip(tot, c)]
+                eps[ep] = {"Requests": c[0], "RequestsGood": c[1],
+                           "RequestsBad": c[2], "operation": op,
+                           "description": desc}
+            out["/" + n] = {"Requests": tot[0], "RequestsGood": tot[1],
+                            "RequestsBad": tot[2], "endpoints": eps}
+        return {"datasets": out}
+
+    def add_dataset(self, name: str) -> None:
+        """``POST $/datasets?dbName=&dbType=mem`` analog: register an
+        empty in-memory dataset (``ActionDatasets.execPostContainer``;
+        only the mem flavor exists here — there is no TDB directory)."""
+        if name in self.datasets:
+            raise ValueError(f"dataset {name!r} already registered")
+        spark = next(iter(self.datasets.values())).sparkSession \
+            if self.datasets else None
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        empty = spark.createDataFrame(
+            [], ", ".join(f"{c} string" for c in _TERM_COLS))
+        with self._lock:
+            self.datasets[name] = empty
+
+    def remove_dataset(self, name: str) -> None:
+        if name not in self.datasets:
+            raise KeyError(name)
+        with self._lock:
+            del self.datasets[name]
+            self._counters.pop(name, None)
+
     # --- HTTP listener ----------------------------------------------------
 
     def start(self) -> str:
@@ -313,6 +435,83 @@ class FusekiLite:
                     return None
                 return seg[0], seg[1]
 
+            def _json(self, obj) -> None:
+                self._send(200, "application/json; charset=utf-8",
+                           [json.dumps(obj), "\n"])
+
+            def _admin(self) -> bool:
+                """Administration area (``$/…``); True if the path was
+                an admin path (response already sent)."""
+                parts = urlparse(self.path)
+                seg = [p for p in parts.path.split("/") if p]
+                if not seg or seg[0] != "$":
+                    return False
+                verb = self.command
+                op = seg[1] if len(seg) > 1 else ""
+                item = "/".join(seg[2:]) if len(seg) > 2 else None
+                if op == "ping" and item is None:
+                    # ActionPing: GET/POST/HEAD, plain-text timestamp
+                    ts = datetime.now(timezone.utc).isoformat(
+                        timespec="milliseconds") + "\n"
+                    if verb == "HEAD":
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "text/plain; charset=utf-8")
+                        self.end_headers()
+                    elif verb in ("GET", "POST"):
+                        self._send(200, "text/plain; charset=utf-8", [ts])
+                    else:
+                        self._error(405, "ping is GET/POST/HEAD")
+                    return True
+                if op == "server" and item is None and verb in (
+                        "GET", "POST"):
+                    self._json(outer.admin_server())
+                    return True
+                if op == "datasets":
+                    if verb == "GET":
+                        try:
+                            self._json(
+                                {"datasets": [outer.describe_dataset(n)
+                                              for n in sorted(
+                                                  outer.datasets)]}
+                                if item is None
+                                else outer.describe_dataset(item))
+                        except KeyError:
+                            self._error(404, f"no dataset {item!r}")
+                        return True
+                    if not outer.enable_update:
+                        self._error(405, "dataset administration disabled")
+                        return True
+                    if verb == "POST" and item is None:
+                        qs = parse_qs(parts.query)
+                        dbname = (qs.get("dbName") or [""])[0].strip("/")
+                        if not dbname:
+                            self._error(400, "missing ?dbName=")
+                            return True
+                        try:
+                            outer.add_dataset(dbname)
+                        except ValueError as e:
+                            self._error(409, str(e))
+                            return True
+                        self._send(200, "text/plain", [])
+                        return True
+                    if verb == "DELETE" and item is not None:
+                        try:
+                            outer.remove_dataset(item)
+                        except KeyError:
+                            self._error(404, f"no dataset {item!r}")
+                            return True
+                        self._send(200, "text/plain", [])
+                        return True
+                if op == "stats" and verb in ("GET", "POST"):
+                    try:
+                        self._json(outer.admin_stats(item))
+                    except KeyError:
+                        self._error(404, f"no dataset {item!r}")
+                    return True
+                self._error(404, f"no admin action {parts.path!r}")
+                return True
+
             def _gsp_route(self, name: str):
                 """Validated GSP target or None (error already sent)."""
                 try:
@@ -322,6 +521,8 @@ class FusekiLite:
                     return None
 
             def do_GET(self):  # noqa: N802
+                if self._admin():
+                    return
                 route = self._route()
                 if route is None:
                     return
@@ -329,11 +530,14 @@ class FusekiLite:
                 if svc == "data":
                     tgt = self._gsp_route(name)
                     if tgt is None:
+                        outer._count(name, "data", good=False)
                         return
                     try:
                         ct, chunks = outer._gsp_get(name, *tgt)
                     except KeyError as e:
+                        outer._count(name, "data", good=False)
                         return self._error(404, str(e.args[0]))
+                    outer._count(name, "data", good=True)
                     return self._send(200, ct, chunks)
                 if svc != "sparql":
                     return self._error(404, "GET serves /<ds>/sparql or /<ds>/data")
@@ -354,18 +558,24 @@ class FusekiLite:
                     return self._error(405, "graph store write disabled")
                 tgt = self._gsp_route(name)
                 if tgt is None:
+                    outer._count(name, "data", good=False)
                     return
                 try:
                     outer._gsp_write(name, *tgt, self._read_body(),
                                      self._ct(), replace)
                 except ValueError as e:
+                    outer._count(name, "data", good=False)
                     return self._error(415, str(e))
                 except Exception as e:  # noqa: BLE001 — parse error -> 400
+                    outer._count(name, "data", good=False)
                     return self._error(400, f"body parse failed: {e}")
+                outer._count(name, "data", good=True)
                 self._send(200, "text/plain", [])
 
             def do_HEAD(self):  # noqa: N802
                 """GSP HEAD (soh s-head): existence probe, no body."""
+                if self._admin():
+                    return
                 route = self._route()
                 if route is None:
                     return
@@ -386,6 +596,8 @@ class FusekiLite:
                 self.end_headers()
 
             def do_PUT(self):  # noqa: N802
+                if self._admin():
+                    return
                 route = self._route()
                 if route is None:
                     return
@@ -395,6 +607,8 @@ class FusekiLite:
                 self._dispatch_gsp_write(name, replace=True)
 
             def do_DELETE(self):  # noqa: N802
+                if self._admin():
+                    return
                 route = self._route()
                 if route is None:
                     return
@@ -405,14 +619,19 @@ class FusekiLite:
                     return self._error(405, "graph store write disabled")
                 tgt = self._gsp_route(name)
                 if tgt is None:
+                    outer._count(name, "data", good=False)
                     return
                 try:
                     outer._gsp_delete(name, *tgt)
                 except KeyError as e:
+                    outer._count(name, "data", good=False)
                     return self._error(404, str(e.args[0]))
+                outer._count(name, "data", good=True)
                 self._send(204, "text/plain", [])
 
             def do_POST(self):  # noqa: N802
+                if self._admin():
+                    return
                 route = self._route()
                 if route is None:
                     return
@@ -441,7 +660,9 @@ class FusekiLite:
                     try:
                         outer._run_update(name, body)
                     except Exception as e:  # noqa: BLE001 — protocol 400
+                        outer._count(name, "update", good=False)
                         return self._error(400, f"update failed: {e}")
+                    outer._count(name, "update", good=True)
                     return self._send(204, "text/plain", [])
                 return self._error(404, f"unknown service {svc!r}")
 
@@ -450,10 +671,13 @@ class FusekiLite:
                     ct, chunks = outer._run_query(
                         name, query, self.headers.get("Accept") or "")
                 except Exception as e:  # noqa: BLE001 — protocol 400
+                    outer._count(name, "sparql", good=False)
                     return self._error(400, f"query failed: {e}")
+                outer._count(name, "sparql", good=True)
                 self._send(200, ct, chunks)
 
         self._srv = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._started = time.time()
         threading.Thread(target=self._srv.serve_forever, daemon=True).start()
         host, port = self._srv.server_address[:2]
         return f"http://{host}:{port}"

@@ -218,3 +218,87 @@ def test_content_negotiation(data):
                      "Accept": "application/sparql-results+xml"})
         with urllib.request.urlopen(req, timeout=30) as r:
             assert "<boolean>true</boolean>" in r.read().decode("utf-8")
+
+
+def _delete(url: str) -> int:
+    req = urllib.request.Request(url, method="DELETE")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_admin_protocol(data):
+    """Administration area (``ActionPing`` / ``ActionServerStatus`` /
+    ``ActionDatasets`` / ``ActionStats``): ping liveness, server and
+    dataset descriptions (ServerConst key spellings), request counters
+    incremented by real traffic, and mem-dataset lifecycle."""
+    with FusekiLite({"ds": data}, enable_update=True) as base:
+        # $/ping — plain text timestamp
+        st, ct, body = _get(f"{base}/$/ping")
+        assert st == 200 and ct.startswith("text/plain")
+        assert body.strip()[:4].isdigit()  # ISO year
+
+        # $/server — version/uptime + dataset array
+        st, ct, body = _get(f"{base}/$/server")
+        assert st == 200 and ct.startswith("application/json")
+        srv = json.loads(body)
+        assert {"version", "built", "startDateTime", "uptime",
+                "datasets"} <= set(srv)
+        assert srv["datasets"][0]["ds.name"] == "/ds"
+
+        # $/datasets — JsonDescription shape, item + container
+        st, _, body = _get(f"{base}/$/datasets")
+        desc = json.loads(body)["datasets"][0]
+        assert desc["ds.state"] is True
+        svc_types = {s["srv.type"] for s in desc["ds.services"]}
+        assert svc_types == {"query", "update", "gsp-rw"}
+        st, _, body = _get(f"{base}/$/datasets/ds")
+        assert st == 200 and json.loads(body)["ds.name"] == "/ds"
+        assert _get(f"{base}/$/datasets/nope")[0] == 404
+
+        # counters: one good query, one bad query
+        q = urllib.parse.quote(f"SELECT ?n WHERE {{ ?x <{EX}name> ?n }}")
+        assert _get(f"{base}/ds/sparql?query=" + q)[0] == 200
+        assert _get(f"{base}/ds/sparql?query=NOT(")[0] == 400
+        st, _, body = _get(f"{base}/$/stats")
+        stats = json.loads(body)["datasets"]["/ds"]
+        assert stats["Requests"] == 2
+        assert stats["RequestsGood"] == 1 and stats["RequestsBad"] == 1
+        ep = stats["endpoints"]["sparql"]
+        assert ep["operation"] == "query"
+        assert ep["description"] == "SPARQL Query"
+        assert ep["Requests"] == 2
+        # item form
+        st, _, body = _get(f"{base}/$/stats/ds")
+        assert json.loads(body)["datasets"]["/ds"]["Requests"] == 2
+
+        # dataset lifecycle: POST creates an empty mem dataset
+        st, _ = _post(f"{base}/$/datasets?dbName=fresh&dbType=mem", "",
+                      "application/x-www-form-urlencoded")
+        assert st == 200
+        st, _, body = _get(f"{base}/$/datasets/fresh")
+        assert st == 200
+        st, _, body = _get(
+            f"{base}/fresh/sparql?query=" + urllib.parse.quote(
+                "SELECT ?s WHERE { ?s ?p ?o }"))
+        assert st == 200
+        assert json.loads(body)["results"]["bindings"] == []
+        # duplicate name -> 409
+        assert _post(f"{base}/$/datasets?dbName=fresh", "",
+                     "application/x-www-form-urlencoded")[0] == 409
+        assert _delete(f"{base}/$/datasets/fresh") == 200
+        assert _get(f"{base}/$/datasets/fresh")[0] == 404
+
+        # unknown admin op
+        assert _get(f"{base}/$/wat")[0] == 404
+
+    # writes gated behind enable_update (admin-area security split)
+    with FusekiLite({"ds": data}) as base:
+        assert _post(f"{base}/$/datasets?dbName=x", "",
+                     "application/x-www-form-urlencoded")[0] == 405
+        st, _, body = _get(f"{base}/$/datasets")
+        svc_types = {s["srv.type"]
+                     for s in json.loads(body)["datasets"][0]["ds.services"]}
+        assert svc_types == {"query", "gsp-r"}
