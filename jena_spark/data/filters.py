@@ -1,0 +1,157 @@
+"""Classic web-corpus filter batteries: Gopher rules and C4 filters.
+
+* :func:`gopher_rules` — the Gopher quality heuristics (Rae et al.
+  2021, "Scaling Language Models: ...", Appendix A1.1): word-count
+  band, mean-word-length band, symbol-to-word ratio, bullet-line and
+  ellipsis-line fractions, alphabetic-word fraction, required-stopword
+  presence. One row per document with every measured signal, a
+  per-rule boolean, and the conjunctive verdict.
+* :func:`c4_filters` — the C4 cleaning pass (Raffel et al. 2020,
+  "Exploring the Limits of Transfer Learning...", §2.2): per-LINE
+  retention (terminal punctuation, minimum words, no "javascript"),
+  then per-PAGE verdict (minimum sentences in the retained text, no
+  "lorem ipsum", no curly brace). Returns the cleaned text alongside
+  the verdict — the operator's product is the filtered corpus, not
+  just a flag.
+
+Both are single-pass, map-only column expressions (split / filter /
+transform / regexp inside whole-stage codegen — zero shuffle, zero
+Python), so at 100 TB they cost one scan fused with whatever else the
+curation pipeline computes. All arithmetic is deliberately
+expressible in ANSI SQL; the DuckDB oracles in the registry evaluate
+the identical formulas (ratios rounded to 6dp on both sides before
+thresholding, the ``data_pii_redaction`` precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher's required-stopword set (App. A1.1: "contains at least two
+#: of the following English words: the, be, to, of, and, that, have,
+#: with").
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _r6(c: Column) -> Column:
+    return F.round(c, 6)
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1, max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3, min_alpha_frac: float = 0.8,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule verdicts. Thresholds default to the
+    paper's; the signals:
+
+    - ``n_words``: whitespace tokens; ``mean_word_len`` = non-space
+      chars / words (identical to the mean of token lengths under
+      whitespace tokenization).
+    - ``symbol_ratio``: (# ``#`` + # ``...``/``…``) per word.
+    - ``bullet_frac`` / ``ellipsis_frac``: fraction of NON-EMPTY lines
+      starting with a bullet (•, -, *) / ending with an ellipsis.
+    - ``alpha_frac``: fraction of words containing an alphabetic char.
+    - ``n_required_stops``: how many DISTINCT members of
+      :data:`GOPHER_STOPS` appear as whole words.
+    """
+    t = F.col(text_col)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+        / n_words.cast("double"))
+    n_sym = (
+        F.size(F.regexp_extract_all(t, F.lit(r"#"), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0))))
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_sym.cast("double") / n_words.cast("double"))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^[•\-*]")))
+    n_ellip = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_bullet.cast("double") / n_lines.cast("double"))
+    ellipsis_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_ellip.cast("double") / n_lines.cast("double"))
+    words = F.filter(
+        F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike(r"[A-Za-z]")))
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n_words.cast("double"))
+    low = F.lower(t)
+    n_stops = sum(
+        (F.when(low.rlike(r"\b" + s + r"\b"), 1).otherwise(0)
+         for s in GOPHER_STOPS),
+        start=F.lit(0))
+
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        _r6(mean_wl).alias("mean_word_len"),
+        _r6(symbol_ratio).alias("symbol_ratio"),
+        _r6(bullet_frac).alias("bullet_frac"),
+        _r6(ellipsis_frac).alias("ellipsis_frac"),
+        _r6(alpha_frac).alias("alpha_frac"),
+        n_stops.alias("n_required_stops"),
+    )
+    rules = {
+        "words_ok": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "mwl_ok": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "symbol_ok": F.col("symbol_ratio") <= max_symbol_ratio,
+        "bullet_ok": F.col("bullet_frac") <= max_bullet_frac,
+        "ellipsis_ok": F.col("ellipsis_frac") <= max_ellipsis_frac,
+        "alpha_ok": F.col("alpha_frac") >= min_alpha_frac,
+        "stops_ok": F.col("n_required_stops") >= min_required_stops,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    verdict = None
+    for name in rules:
+        verdict = F.col(name) if verdict is None else verdict & F.col(name)
+    return out.withColumn("gopher_ok", verdict)
+
+
+def c4_filters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words_per_line: int = 3, min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning (§2.2): keep lines that end in terminal punctuation
+    (``.!?"``), have at least ``min_words_per_line`` words, and don't
+    mention "javascript"; then judge the page — at least
+    ``min_sentences`` sentence-final marks in the retained text, no
+    "lorem ipsum", no curly brace anywhere on the page.
+
+    Returns ``(id_col, n_lines, n_kept, n_sentences, c4_ok,
+    clean_text)`` where ``clean_text`` is the retained lines rejoined
+    with newlines (empty string when nothing survives).
+    """
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), lambda x: F.trim(x))
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(r"[.!?\"]$")
+        & (F.size(F.split(x, r"\s+")) >= min_words_per_line)
+        & ~F.lower(x).contains("javascript"))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
+    low = F.lower(t)
+    ok = ((n_sent >= min_sentences)
+          & ~low.contains("lorem ipsum")
+          & ~t.contains("{"))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.filter(lines, lambda x: F.length(x) > 0)).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        ok.alias("c4_ok"),
+        clean.alias("clean_text"),
+    )

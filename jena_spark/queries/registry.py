@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from jena_spark import terms as TM
 from jena_spark.data import dedup as DD
+from jena_spark.data import filters as FT
 from jena_spark.data import similarity as SIM
 from jena_spark.data import text as TX
 from jena_spark.data.transcripts import transcripts_df
@@ -2085,6 +2086,112 @@ _register(
     "data_dedup_embedding_lsh",
     lambda spark, sf: SIM.embedding_near_dups_lsh(_embs(spark, sf), threshold=0.2),
     None,
+)
+
+
+# Gopher rule battery (Rae et al. 2021 App. A1.1) over the raw docs;
+# min_words at the corpus median and a 1-stopword floor so verdicts
+# split. Oracle evaluates the identical formulas (6dp-rounded ratios).
+_register(
+    "data_gopher_rules",
+    lambda spark, sf: FT.gopher_rules(_docs(spark, sf), min_words=50,
+                                      min_required_stops=1),
+    r"""WITH m AS (
+      SELECT doc_id, text,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\.\.\.|…')) AS n_sym,
+        list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),
+                    x -> length(x) > 0) AS lines,
+        list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> length(x) > 0) AS words
+      FROM documents),
+    sig AS (
+      SELECT doc_id, n_words,
+        round(CASE WHEN n_words = 0 THEN 0.0
+          ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / n_words END, 6) AS mean_word_len,
+        round(CASE WHEN n_words = 0 THEN 0.0
+          ELSE CAST(n_sym AS DOUBLE) / n_words END, 6) AS symbol_ratio,
+        round(CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines, x -> regexp_matches(x, '^[•\-*]')))
+               AS DOUBLE) / len(lines) END, 6) AS bullet_frac,
+        round(CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines,
+                    x -> regexp_matches(x, '(\.\.\.|…)$')))
+               AS DOUBLE) / len(lines) END, 6) AS ellipsis_frac,
+        round(CASE WHEN n_words = 0 THEN 0.0
+          ELSE CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / n_words END, 6) AS alpha_frac,
+        (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+        ) AS n_required_stops
+      FROM m)
+    SELECT *,
+      n_words >= 50 AND n_words <= 100000 AS words_ok,
+      mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mwl_ok,
+      symbol_ratio <= 0.1 AS symbol_ok,
+      bullet_frac <= 0.9 AS bullet_ok,
+      ellipsis_frac <= 0.3 AS ellipsis_ok,
+      alpha_frac >= 0.8 AS alpha_ok,
+      n_required_stops >= 1 AS stops_ok,
+      (n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND n_required_stops >= 1 AS gopher_ok
+    FROM sig""",
+)
+
+
+def _q_c4(spark, sf):
+    """C4 cleaning over sentence-structured text derived from the flat
+    corpus by one deterministic rewrite (the synthetic docs carry no
+    newlines/punctuation): ' line '/' row ' become sentence breaks and
+    a final period closes the page — the identical regexp runs in the
+    oracle."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.regexp_replace("text", r" (line|row) ", ".\n"),
+                 F.lit(".")).alias("text"))
+    return FT.c4_filters(d, min_sentences=3)
+
+
+_register(
+    "data_c4_filters",
+    _q_c4,
+    r"""WITH d AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (line|row) ', '.' || chr(10), 'g')
+               || '.' AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id, text,
+        list_transform(str_split(text, chr(10)), x -> trim(x)) AS lines
+      FROM d),
+    k AS (
+      SELECT doc_id, text, lines,
+        list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+          AND len(regexp_split_to_array(x, '\s+')) >= 3
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM m)
+    SELECT doc_id,
+      len(list_filter(lines, x -> length(x) > 0)) AS n_lines,
+      len(kept) AS n_kept,
+      len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))
+        AS n_sentences,
+      len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{') AS c4_ok,
+      array_to_string(kept, chr(10)) AS clean_text
+    FROM k""",
 )
 
 
@@ -5294,6 +5401,7 @@ _PRIORITY = [
     "kg_procedure", "data_stratified_sample", "data_pack",
     "data_importance_weights", "data_segment_dedup",
     "data_lm_perplexity", "data_bpe_fertility", "data_semdedup",
+    "data_gopher_rules", "data_c4_filters",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
