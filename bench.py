@@ -139,6 +139,16 @@ BENCH_QUERIES = [
     # CCNet-style bigram-LM perplexity scoring (two corpus passes to
     # train, shuffle-join scoring — the gram-key join is the cost)
     "data_lm_perplexity",
+    # round 4 late additions: md5-threshold mixture sampling (map-only),
+    # Lee-et-al segment dedup + reconstruction, BPE word census +
+    # tokenize, SemDedup embedding-cluster dedup (IVF cells -> bounded
+    # pairwise -> CC), Gopher/C4 filter batteries (map-only codegen)
+    "data_stratified_sample",
+    "data_segment_dedup",
+    "data_bpe_fertility",
+    "data_semdedup",
+    "data_gopher_rules",
+    "data_c4_filters",
 ]
 
 

@@ -207,12 +207,19 @@ def semdedup(
     """
     from jena_spark.data.dedup import dedup_clusters
 
+    # the assigned frame feeds FOUR consumers (both self-join sides,
+    # the singleton fill, the final cell join) and Spark replays a
+    # subtree once per consumer — without a checkpoint the 16-cosine
+    # assignment codegen runs 4x (measured 23.8s -> ~8s at sf0.1).
+    # One narrow pass over the corpus, standard at scale too.
     assigned, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
     e = (
         embeddings.select(F.col(id_col).alias("id"),
                           _as_double(vec_col).alias("v"))
         .join(assigned, "id")
+        .localCheckpoint(eager=False)
     )
+    assigned = e.select("id", "cell")
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
@@ -221,6 +228,9 @@ def semdedup(
                 F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
         .select("doc_a", "doc_b")
+        # consumed twice inside dedup_clusters (the negative-id guard
+        # + the edge list) and each replay is the full pairwise join
+        .localCheckpoint(eager=False)
     )
     clusters = dedup_clusters(
         pairs, docs=embeddings.withColumnRenamed(id_col, "doc_id"))
