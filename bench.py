@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "data_semdedup",
     "data_gopher_rules",
     "data_c4_filters",
+    # full A1.2 repetition battery: one token explode + lead-window
+    # gram census for all n=2..10 at once
+    "data_gopher_repetition",
 ]
 
 

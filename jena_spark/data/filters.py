@@ -155,3 +155,144 @@ def c4_filters(
         ok.alias("c4_ok"),
         clean.alias("clean_text"),
     )
+
+
+def gopher_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30, max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: tuple = (0.20, 0.18, 0.16),      # n = 2,3,4
+    max_dup_ngram_char_frac: tuple = (0.15, 0.14, 0.13,
+                                      0.12, 0.11, 0.10),      # n = 5..10
+) -> DataFrame:
+    """The Gopher repetitious-text battery (Rae et al. 2021, Appendix
+    A1.2): duplicate line / paragraph fractions, duplicate line /
+    paragraph CHARACTER fractions, top n-gram character fraction for
+    n=2..4, duplicate n-gram character fraction for n=5..10 — plus the
+    conjunctive ``rep_ok`` verdict at the paper's thresholds.
+
+    Pinned definitions (engine-independent, mirrored in the oracle):
+
+    - lines split on ``\\n``, paragraphs on ``\\n\\n`` (trimmed,
+      empties dropped); a value occurring k times contributes k-1
+      duplicate instances — char fractions count the characters of the
+      k-1 REPEATED occurrences (``total - distinct``), over
+      ``length(text)``.
+    - n-grams are whitespace words joined by single spaces;
+      ``top_{n}gram_char_frac`` is ``count*length`` of the most
+      frequent gram (ties: longer gram, then lexicographic),
+      ``dup_{n}gram_char_frac`` sums ``count*length`` over grams
+      occurring more than once (overlaps NOT deduplicated — the
+      Dolma-style approximation of the paper's position-marked
+      coverage, capped at 1.0), both over ``length(text)``.
+
+    Plan shape: the line/paragraph family is pure per-document array
+    arithmetic — zero shuffle, fused into the scan. The n-gram family
+    is ONE explode over all n (2..10) with map-side combine, so the
+    shuffle carries one row per distinct ``(doc, n, gram)``; at 100 TB
+    that is the same single-pass posture as
+    :func:`jena_spark.data.text.repetition_stats`.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+
+    def _dup_fracs(parts: Column, prefix: str) -> list[Column]:
+        n_all = F.size(parts)
+        n_dis = F.size(F.array_distinct(parts))
+        chars = lambda arr: F.aggregate(  # noqa: E731
+            arr, F.lit(0), lambda s, x: s + F.length(x))
+        c_all = chars(parts)
+        c_dis = chars(F.array_distinct(parts))
+        frac = F.when(n_all == 0, F.lit(0.0)).otherwise(
+            (n_all - n_dis).cast("double") / n_all.cast("double"))
+        cfrac = F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+            (c_all - c_dis).cast("double") / F.length(t).cast("double"))
+        return [F.round(frac, 6).alias(f"dup_{prefix}_frac"),
+                F.round(cfrac, 6).alias(f"dup_{prefix}_char_frac")]
+
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+    paras = F.filter(F.transform(F.split(t, r"\n\s*\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+    base = docs.select(
+        F.col(id_col), F.length(t).alias("n_chars"),
+        *_dup_fracs(lines, "line"), *_dup_fracs(paras, "para"))
+
+    # One token explode + ONE lead-window pass yields every gram size
+    # at once (gram_n at a position = word || lead(1..n-1)); nesting
+    # nine word_ngrams() array expressions instead blows past the
+    # codegen method limit and falls back to interpreted eval
+    # (measured 40s -> ~3s at sf0.1). The shuffle carries the corpus
+    # as tokens exactly once — the BPE word-census posture.
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.trim(t), r"\s+"),
+                              lambda x: F.length(x) > 0))
+        .alias("pos", "word"))
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    led = toks.select(
+        F.col(id_col), F.col("word"),
+        *[F.lead("word", k).over(w_ord).alias(f"l{k}")
+          for k in range(1, 10)])
+    gram_structs = F.array(*[
+        F.struct(
+            F.lit(n).alias("n"),
+            F.when(F.col(f"l{n - 1}").isNotNull(),
+                   F.concat_ws(" ", F.col("word"),
+                               *[F.col(f"l{k}") for k in range(1, n)]))
+            .alias("gram"))
+        for n in range(2, 11)])
+    grams = (
+        led.select(F.col(id_col), F.explode(gram_structs).alias("g"))
+        .select(id_col, F.col("g.n").alias("n"),
+                F.col("g.gram").alias("gram"))
+        .where(F.col("gram").isNotNull()))
+    counted = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.desc("c"), F.desc(F.length("gram")), F.asc("gram"))
+    per_n = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .groupBy(id_col, "n")
+        .agg(
+            F.max(F.when(F.col("rk") == 1,
+                         F.col("c") * F.length("gram"))).alias("top_chars"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1,
+                                    F.col("c") * F.length("gram"))),
+                       F.lit(0)).alias("dup_chars"),
+        ))
+    agg_cols = []
+    for n in (2, 3, 4):
+        agg_cols.append(F.max(F.when(F.col("n") == n, F.col("top_chars")))
+                        .alias(f"top_{n}"))
+    for n in range(5, 11):
+        agg_cols.append(F.max(F.when(F.col("n") == n, F.col("dup_chars")))
+                        .alias(f"dup_{n}"))
+    pivoted = per_n.groupBy(id_col).agg(*agg_cols)
+
+    out = base.join(pivoted, id_col, "left")
+    frac = lambda c: F.round(  # noqa: E731
+        F.least(F.coalesce(c, F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+                F.lit(1.0)), 6)
+    for n in (2, 3, 4):
+        out = out.withColumn(f"top_{n}gram_char_frac",
+                             frac(F.col(f"top_{n}")))
+    for n in range(5, 11):
+        out = out.withColumn(f"dup_{n}gram_char_frac",
+                             frac(F.col(f"dup_{n}")))
+    checks = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_frac))
+    for n, thr in zip((2, 3, 4), max_top_ngram_char_frac):
+        checks = checks & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in zip(range(5, 11), max_dup_ngram_char_frac):
+        checks = checks & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    drop = ["n_chars"] + [f"top_{n}" for n in (2, 3, 4)] + [
+        f"dup_{n}" for n in range(5, 11)]
+    return out.withColumn("rep_ok", checks).drop(*drop)

@@ -2195,6 +2195,112 @@ _register(
 )
 
 
+def _q_gopher_repetition(spark, sf):
+    """Gopher repetitious-text battery over sentence/paragraph-
+    structured text (same deterministic rewrite family as
+    data_c4_filters: ' line '/' row ' -> '.\\n' sentence breaks,
+    ' window '/' batch ' -> '.\\n\\n' paragraph breaks — the synthetic
+    corpus carries no newlines of its own)."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", r" (line|row) ", ".\n"),
+            r" (window|batch) ", ".\n\n").alias("text"))
+    return FT.gopher_repetition(d)
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB twin of gopher_repetition: identical list arithmetic for
+    the line/paragraph families, per-n gram census via one UNION ALL
+    of slice-built n-grams, identical tie-breaks and 6dp rounding."""
+    gram_selects = "\n      UNION ALL ".join(
+        f"""SELECT doc_id, {n} AS n, unnest(
+          CASE WHEN len(words) < {n} THEN CAST([] AS VARCHAR[])
+          ELSE list_transform(range(1, len(words) - {n} + 2),
+                 i -> array_to_string(words[i:i+{n}-1], ' ')) END) AS gram
+        FROM m"""
+        for n in range(2, 11))
+    top_cols = ",\n      ".join(
+        f"max(CASE WHEN n = {n} THEN top_chars END) AS top_{n}"
+        for n in (2, 3, 4))
+    dup_cols = ",\n      ".join(
+        f"max(CASE WHEN n = {n} THEN dup_chars END) AS dup_{n}"
+        for n in range(5, 11))
+    frac = (lambda src: f"round(least(CAST(coalesce({src}, 0) AS DOUBLE)"
+            " / greatest(n_chars, 1), 1.0), 6)")
+    out_cols = ",\n      ".join(
+        [f"{frac(f'p.top_{n}')} AS top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"{frac(f'p.dup_{n}')} AS dup_{n}gram_char_frac"
+           for n in range(5, 11)])
+    thr = (["b.dup_line_frac <= 0.30", "b.dup_para_frac <= 0.30",
+            "b.dup_line_char_frac <= 0.20", "b.dup_para_char_frac <= 0.20"]
+           + [f"{frac(f'p.top_{n}')} <= {t}"
+              for n, t in zip((2, 3, 4), (0.20, 0.18, 0.16))]
+           + [f"{frac(f'p.dup_{n}')} <= {t}"
+              for n, t in zip(range(5, 11),
+                              (0.15, 0.14, 0.13, 0.12, 0.11, 0.10))])
+    dup_pair = lambda arr, pre: f"""
+        round(CASE WHEN len({arr}) = 0 THEN 0.0
+          ELSE CAST(len({arr}) - len(list_distinct({arr})) AS DOUBLE)
+               / len({arr}) END, 6) AS dup_{pre}_frac,
+        round(CASE WHEN n_chars = 0 THEN 0.0
+          ELSE CAST(coalesce(list_sum(list_transform({arr}, x -> length(x))), 0)
+             - coalesce(list_sum(list_transform(list_distinct({arr}),
+                                                x -> length(x))), 0) AS DOUBLE)
+               / n_chars END, 6) AS dup_{pre}_char_frac"""
+    return rf"""WITH d AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(text, ' (line|row) ',
+                                      '.' || chr(10), 'g'),
+                       ' (window|batch) ',
+                       '.' || chr(10) || chr(10), 'g') AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+        list_filter(list_transform(str_split(text, chr(10)),
+                                   x -> trim(x)),
+                    x -> length(x) > 0) AS lines,
+        list_filter(list_transform(regexp_split_to_array(text,
+                                     '\n\s*\n'), x -> trim(x)),
+                    x -> length(x) > 0) AS paras,
+        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+      FROM d),
+    base AS (
+      SELECT doc_id, n_chars, {dup_pair('lines', 'line')},
+        {dup_pair('paras', 'para')}
+      FROM m),
+    grams AS (
+      {gram_selects}),
+    counted AS (
+      SELECT doc_id, n, gram, count(*) AS c
+      FROM grams GROUP BY doc_id, n, gram),
+    per_n AS (
+      SELECT doc_id, n,
+        max(CASE WHEN rk = 1 THEN c * length(gram) END) AS top_chars,
+        coalesce(sum(CASE WHEN c > 1 THEN c * length(gram) END), 0)
+          AS dup_chars
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id, n
+              ORDER BY c DESC, length(gram) DESC, gram) AS rk
+            FROM counted)
+      GROUP BY doc_id, n),
+    pv AS (
+      SELECT doc_id,
+      {top_cols},
+      {dup_cols}
+      FROM per_n GROUP BY doc_id)
+    SELECT b.doc_id, b.dup_line_frac, b.dup_line_char_frac,
+      b.dup_para_frac, b.dup_para_char_frac,
+      {out_cols},
+      {' AND '.join(thr)} AS rep_ok
+    FROM base b LEFT JOIN pv p ON p.doc_id = b.doc_id"""
+
+
+_register("data_gopher_repetition", _q_gopher_repetition,
+          _gopher_rep_sql())
+
+
 # SemDedup (Abbas et al. 2023): IVF coarse-quantize, near-dup within
 # cells only, min-id survivor per component. Oracle rebuilds the whole
 # chain — seed centroids (first 16 by id), argmax-cosine assignment
@@ -5401,7 +5507,7 @@ _PRIORITY = [
     "kg_procedure", "data_stratified_sample", "data_pack",
     "data_importance_weights", "data_segment_dedup",
     "data_lm_perplexity", "data_bpe_fertility", "data_semdedup",
-    "data_gopher_rules", "data_c4_filters",
+    "data_gopher_rules", "data_c4_filters", "data_gopher_repetition",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure

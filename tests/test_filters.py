@@ -76,3 +76,50 @@ def test_c4_filters(spark):
     assert not out[2]["c4_ok"]          # curly brace page kill
     assert not out[3]["c4_ok"] and out[3]["n_sentences"] == 1
     assert out[4]["n_kept"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_gopher_repetition(spark):
+    from jena_spark.data.filters import gopher_repetition
+
+    rows = [
+        (0, "same line\nsame line\nother line here"),   # dup lines
+        (1, "p one\n\np one\n\np two"),                 # dup paragraphs
+        (2, "a b a b a b"),                             # hot bigram
+        (3, "x y z w v x y z w v"),                     # dup 5-gram
+        (4, " ".join(f"w{i:02d}" for i in range(40))),    # all distinct
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+
+    # doc 0: 3 lines, 1 repeated once -> dup_line_frac = 1/3; the
+    # repeat re-spends len("same line")=9 chars of a 35-char doc
+    assert out[0]["dup_line_frac"] == round(1 / 3, 6)
+    assert out[0]["dup_line_char_frac"] == round(9 / 35, 6)
+    assert out[0]["dup_para_frac"] == 0.0   # one paragraph, no repeat
+
+    # doc 1: 3 paragraphs, one repeated once
+    assert out[1]["dup_para_frac"] == round(1 / 3, 6)
+    assert out[1]["dup_para_char_frac"] == round(5 / 19, 6)
+
+    # doc 2: bigrams of "a b a b a b": "a b"x3, "b a"x2 ->
+    # top_2 = 3*3 = 9 chars of an 11-char doc
+    assert out[2]["top_2gram_char_frac"] == round(9 / 11, 6)
+    assert not out[2]["rep_ok"]
+
+    # doc 3: "x y z w v" (len 9) occurs twice among the 6 5-grams ->
+    # dup_5 = 2*9 = 18 chars of a 19-char doc
+    assert out[3]["dup_5gram_char_frac"] == round(18 / 19, 6)
+    assert not out[3]["rep_ok"]
+
+    # doc 4: nothing repeats at any granularity — every dup signal is
+    # zero; top_{n}gram signals count the (c=1) top gram's chars, so
+    # they are small-but-nonzero by the paper's definition
+    assert out[4]["rep_ok"]
+    for c in out[4].asDict():
+        if c.startswith("dup_") and c.endswith("_frac"):
+            assert out[4][c] == 0.0
+    assert 0 < out[4]["top_2gram_char_frac"] < 0.2
+
+    # doc 5: empty doc -> all-zero signals, passes
+    assert out[5]["rep_ok"] and out[5]["dup_line_frac"] == 0.0
