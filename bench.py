@@ -152,6 +152,16 @@ BENCH_QUERIES = [
     # full A1.2 repetition battery: one token explode + lead-window
     # gram census for all n=2..10 at once
     "data_gopher_repetition",
+    # round 4 final additions: NB quality classifier (train = one
+    # counting agg, score = broadcast-dim join), ExactSubstr span
+    # excision (overlapping-window census + covered-position
+    # anti-join), semantic decontamination (broadcast benchmark
+    # vectors, map-only cosine max), per-source quota cap (two-phase
+    # salted ranking)
+    "data_nb_classifier",
+    "data_substr_dedup",
+    "data_semantic_decontaminate",
+    "data_source_cap",
 ]
 
 

@@ -103,3 +103,45 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
         .alias("contaminated"),
     )
+
+
+def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_vec: str = "embedding") -> DataFrame:
+    """Embedding-space decontamination — the semantic twin of the
+    n-gram overlap flag (the "fuzzy contamination" check of the newer
+    eval-hygiene literature: a training item is suspect when it is a
+    near-paraphrase of a benchmark item even with zero shared n-grams).
+
+    Flags every corpus vector whose max cosine against ANY benchmark
+    vector reaches ``threshold``. Returns one row per corpus vector:
+    ``(id, max_cos_r, contaminated)`` — ``max_cos_r`` rounded to 4
+    decimals for engine-portable comparison; the flag compares the
+    unrounded maximum.
+
+    Scale design: benchmark suites are 10^4-10^6 vectors against a
+    10^10-document corpus, so the benchmark side is BROADCAST and the
+    corpus side is map-only expand → per-id max (partial-agg combine
+    collapses each corpus partition to one row per id before the
+    shuffle). The corpus is never shuffled by vector. For benchmark
+    sets too large to broadcast, pre-bucket both sides with the IVF
+    cells of :mod:`jena_spark.data.similarity` and run this per cell.
+    """
+    b = benchmark.select(
+        F.transform(bench_vec, lambda x: x.cast("double")).alias("_bv"))
+    c = corpus.select(F.col(id_col),
+                      F.transform(vec_col,
+                                  lambda x: x.cast("double")).alias("_cv"))
+    from jena_spark.data.dedup import cosine
+
+    scored = (c.crossJoin(F.broadcast(b))
+               .groupBy(id_col)
+               .agg(F.max(cosine(F.col("_cv"), F.col("_bv")))
+                    .alias("_mc")))
+    return scored.select(
+        id_col,
+        F.round("_mc", 4).alias("max_cos_r"),
+        (F.col("_mc") >= F.lit(threshold)).cast("int")
+        .alias("contaminated"))

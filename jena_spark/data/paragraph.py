@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["segment_documents", "dedup_segments"]
+__all__ = ["segment_documents", "dedup_segments", "dedup_substrings"]
 
 
 def segment_documents(df: DataFrame, *, doc_id: str = "doc_id",
@@ -117,3 +117,77 @@ def dedup_segments(df: DataFrame, *, doc_id: str = "doc_id",
                         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                         F.coalesce("n_segs", F.lit(0)).cast("bigint").alias("n_segs"),
                         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept")))
+
+
+def dedup_substrings(df: DataFrame, *, doc_id: str = "doc_id",
+                     text: str = "text", k: int = 20) -> DataFrame:
+    """Exact-substring deduplication with span EXCISION — the
+    unrestricted form of Lee et al.'s ExactSubstr treatment (ACL 2022
+    §4.1: "remove from every document any substring of ≥k tokens that
+    occurs elsewhere, keeping one occurrence"), where
+    :func:`dedup_segments` is the boundary-aligned restriction.
+
+    Every OVERLAPPING ``k``-word window of every document is hashed;
+    for each distinct window the globally-smallest ``(doc_id, pos)``
+    occurrence wins and all other occurrences LOSE. A word is excised
+    iff it is covered by at least one losing window; each document is
+    rebuilt from its surviving words in order (single-space joined —
+    original inter-word whitespace is normalized, same contract as
+    ``mode="words"`` segment dedup). Documents shorter than ``k``
+    words have no windows and come back intact (normalized).
+
+    Returns one row per input document:
+    ``(doc_id, clean_text, n_words, n_removed)``.
+
+    Scale design: window census is the same partial-aggregatable
+    ``groupBy(md5).agg(min(struct))`` as segment dedup — a boilerplate
+    passage occurring 10^9 times collapses map-side. Losing windows
+    (and ONLY losers) explode ×k into covered word positions; the
+    excision is a distinct + anti-join on (doc, pos), both shuffling
+    16-byte keys. Reassembly is one sorted-collect hash aggregate per
+    document, bounded by document length.
+    """
+    words = F.split(F.trim(F.col(text)), r"\s+")
+    base = df.select(F.col(doc_id).alias("doc_id"), words.alias("_w")) \
+             .where(F.element_at("_w", 1) != "")
+    # one row per word, 0-based position
+    wp = base.select("doc_id", F.posexplode("_w").alias("wpos", "word"))
+    # one row per overlapping k-window: (doc_id, gpos, 128-bit key)
+    gram_keys = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - F.lit(k)),
+        lambda i: F.md5(F.array_join(F.slice("_w", i + 1, k), " ")))
+    occ = (base.where(F.size("_w") >= k)
+               .select("doc_id", F.posexplode(gram_keys).alias("gpos", "_k")))
+    winners = (occ.groupBy("_k")
+                  .agg(F.min(F.struct("doc_id", F.col("gpos").alias("pos")))
+                       .alias("_first")))
+    losers = (occ.join(winners, "_k")
+                 .where((F.col("doc_id") != F.col("_first.doc_id"))
+                        | (F.col("gpos") != F.col("_first.pos")))
+                 .select("doc_id", "gpos"))
+    covered = (losers.select(
+                   "doc_id",
+                   F.explode(F.sequence(F.col("gpos"),
+                                        F.col("gpos") + (k - 1)))
+                   .alias("wpos"))
+                     .distinct())
+    kept = wp.join(covered, ["doc_id", "wpos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+                   .agg(F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("wpos", "word"))),
+                                lambda s: s["word"]),
+                            " ").alias("clean_text"),
+                        F.count("*").alias("n_kept")))
+    totals = wp.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    ids = df.select(F.col(doc_id).alias("doc_id")).distinct()
+    return (ids.join(totals, "doc_id", "left")
+               .join(rebuilt, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                       F.coalesce("n_words", F.lit(0)).cast("bigint")
+                        .alias("n_words"),
+                       (F.coalesce("n_words", F.lit(0))
+                        - F.coalesce("n_kept", F.lit(0))).cast("bigint")
+                       .alias("n_removed")))

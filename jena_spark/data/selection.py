@@ -64,6 +64,44 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(h < thr)
 
 
+def cap_per_source(df: DataFrame, n_max: int,
+                   source_col: str = "source",
+                   id_col: str = "doc_id",
+                   salt_buckets: int = 16) -> DataFrame:
+    """Per-source quota — keep at most ``n_max`` rows per source, the
+    RefinedWeb-style per-domain cap that stops one giant domain from
+    dominating the mixture. Selection is deterministic: the ``n_max``
+    rows with the smallest ``(md5-rank, id)`` within each source
+    survive, so re-running the job keeps the identical subset and the
+    result is a uniform random-looking sample of the source.
+
+    Skew design (the reason this isn't one window): a hot source
+    (10^9 docs from one domain at 100 TB) would funnel through a
+    single task under ``row_number() OVER (PARTITION BY source)``.
+    Phase 1 ranks within ``(source, hash % salt_buckets)`` — fan-out
+    ``salt_buckets``× — and keeps ``n_max`` per salt, which provably
+    contains every global top-``n_max`` candidate (any global winner
+    is also within its own bucket's top ``n_max``). Phase 2 ranks the
+    ≤ ``n_max × salt_buckets`` survivors per source — a bounded
+    frame. Result is row-identical to the single-window formulation
+    (the oracle's shape)."""
+    h = _hash32(F.concat(F.col(source_col).cast("string"),
+                         F.lit(" "),
+                         F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    salted = Window.partitionBy(
+        F.col(source_col), (h % salt_buckets)).orderBy(h.asc(),
+                                                       F.col(id_col).asc())
+    final = Window.partitionBy(F.col(source_col)).orderBy(
+        h.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rs", F.row_number().over(salted))
+              .where(F.col("_rs") <= n_max)
+              .withColumn("_rf", F.row_number().over(final))
+              .where(F.col("_rf") <= n_max)
+              .drop("_rs", "_rf"))
+
+
 def _bucket_counts(df: DataFrame, text_col: str, n: int, buckets: int,
                    id_col: str | None = None) -> DataFrame:
     """(bucket, cnt) — or (id, bucket, cnt) with ``id_col`` — hashed

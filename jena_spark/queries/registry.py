@@ -5471,6 +5471,180 @@ _register(
 )
 
 
+def _q_nb_classifier(spark, sf):
+    """Naive-Bayes quality classifier (``data/classifier.py``):
+    train on the ``doc_id % 3 == 0`` split with label = (lang='en'),
+    256 md5 hash buckets, then score EVERY document — integer
+    1e-4-nat log-odds (prior included) plus the argmax prediction."""
+    from jena_spark.data.classifier import nb_quality_scores
+
+    d = _docs(spark, sf)
+    labeled = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return nb_quality_scores(d, labeled, buckets=256)
+
+
+_NB_SQL = r"""WITH lab AS (
+  SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE doc_id % 3 = 0),
+lwords AS (
+  SELECT y, unnest(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM lab
+  WHERE len(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) >= 1),
+lb AS (
+  SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket, y
+  FROM lwords WHERE w <> ''),
+cnts AS (SELECT bucket, sum(y) AS pc, sum(1 - y) AS nc
+         FROM lb GROUP BY bucket),
+dense AS (
+  SELECT g.bucket, coalesce(pc, 0) AS pc, coalesce(nc, 0) AS nc
+  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+  LEFT JOIN cnts ON g.bucket = cnts.bucket),
+tot AS (SELECT sum(pc) AS P, sum(nc) AS N FROM dense),
+w AS (
+  SELECT bucket,
+         CAST(floor((ln((pc + 1) / (P + 256))
+                     - ln((nc + 1) / (N + 256))) * 1e4 + 0.5) AS BIGINT)
+           AS w_unats
+  FROM dense, tot),
+prior AS (
+  SELECT CAST(floor((ln(CAST(sum(y) AS DOUBLE))
+                     - ln(CAST(sum(1 - y) AS DOUBLE))) * 1e4 + 0.5)
+              AS BIGINT) AS p
+  FROM lab),
+dwords AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+  WHERE len(string_split(
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) >= 1),
+db AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket,
+         count(*) AS cnt
+  FROM dwords WHERE w <> '' GROUP BY doc_id, bucket),
+sums AS (
+  SELECT doc_id, sum(cnt * w_unats) AS s
+  FROM db JOIN w USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s, 0) + p AS BIGINT) AS score_unats,
+       CAST(coalesce(s, 0) + p > 0 AS INT) AS pred
+FROM documents d LEFT JOIN sums ON d.doc_id = sums.doc_id, prior"""
+
+_register("data_nb_classifier", _q_nb_classifier, _NB_SQL)
+
+
+def _q_substr_dedup(spark, sf):
+    """ExactSubstr span excision (``data/paragraph.py::
+    dedup_substrings``): every overlapping 20-word window hashed,
+    keep-first by global (doc_id, pos); words covered by any losing
+    window are excised and each document rebuilt from survivors."""
+    from jena_spark.data.paragraph import dedup_substrings
+
+    return dedup_substrings(_docs(spark, sf), k=20)
+
+
+_SUBSTR_SQL = r"""WITH w AS (
+  SELECT * FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+    FROM documents)
+  WHERE words[1] <> ''),
+wp AS (
+  SELECT doc_id, i - 1 AS wpos, words[i] AS word FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, CAST(len(words) AS BIGINT))) AS i
+    FROM w)),
+occ AS (
+  SELECT doc_id, gpos,
+         md5(array_to_string(
+               list_slice(words, gpos + 1, gpos + 20), ' ')) AS k
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(0, CAST(len(words) AS BIGINT) - 20))
+             AS gpos
+    FROM w WHERE len(words) >= 20)),
+ranked AS (
+  SELECT doc_id, gpos,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, gpos) AS rn
+  FROM occ),
+covered AS (
+  SELECT DISTINCT doc_id, cpos FROM (
+    SELECT doc_id, unnest(generate_series(gpos, gpos + 19)) AS cpos
+    FROM ranked WHERE rn > 1)),
+kept AS (
+  SELECT wp.doc_id, wp.wpos, wp.word FROM wp
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = wp.doc_id AND c.cpos = wp.wpos)),
+reb AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_words FROM wp GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(coalesce(tot.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(tot.n_words, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id"""
+
+_register("data_substr_dedup", _q_substr_dedup, _SUBSTR_SQL)
+
+
+def _q_semantic_decontaminate(spark, sf):
+    """Embedding-space decontamination (``data/decontaminate.py::
+    decontaminate_semantic``): benchmark = vectors with vec_id < 64
+    (broadcast), corpus = the rest; flag max-cosine >= 0.35."""
+    from jena_spark.data.decontaminate import decontaminate_semantic
+
+    e = _embs(spark, sf)
+    return decontaminate_semantic(
+        e.where(F.col("vec_id") >= 64), e.where(F.col("vec_id") < 64),
+        threshold=0.35)
+
+
+_register(
+    "data_semantic_decontaminate",
+    _q_semantic_decontaminate,
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    m AS (
+      SELECT c.vec_id, max(list_cosine_similarity(c.v, b.v)) AS mc
+      FROM e c, e b WHERE c.vec_id >= 64 AND b.vec_id < 64
+      GROUP BY c.vec_id)
+    SELECT vec_id, round(mc, 4) AS max_cos_r,
+           CAST(mc >= 0.35 AS INT) AS contaminated
+    FROM m""",
+)
+
+
+def _q_source_cap(spark, sf):
+    """Per-source quota (``data/selection.py::cap_per_source``): keep
+    the 12 smallest-md5-rank documents of every source — two-phase
+    salted ranking, row-identical to the single-window formulation."""
+    from jena_spark.data.selection import cap_per_source
+
+    return cap_per_source(_docs(spark, sf), 12).select(
+        "doc_id", "lang", "source")
+
+
+_register(
+    "data_source_cap",
+    _q_source_cap,
+    """SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(source || ' ' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents) WHERE rn <= 12""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5508,6 +5682,8 @@ _PRIORITY = [
     "data_importance_weights", "data_segment_dedup",
     "data_lm_perplexity", "data_bpe_fertility", "data_semdedup",
     "data_gopher_rules", "data_c4_filters", "data_gopher_repetition",
+    "data_nb_classifier", "data_substr_dedup",
+    "data_semantic_decontaminate", "data_source_cap",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5521,9 +5697,12 @@ _PRIORITY = [
     # window — freshness pass over the long tail:
     "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
     "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
+    # --- driver cap (50) falls here (the four new data_* entries
+    # displaced kg_agg_stats/kg_propfunc_split/kg_quads_roundtrip/
+    # kg_salted_agg — all r01-green + pytest-covered — below it).
     "kg_agg_stats", "kg_propfunc_split",
     "kg_quads_roundtrip", "kg_salted_agg",
-    # --- driver cap (50) falls here. Everything below is driver-green
+    # Everything below is driver-green
     # in r01∪r02∪r03 (union verified by the r3 judge) or rows-only by
     # design; all of it stays covered by pytest + the local
     # check_oracle full sweeps each round.

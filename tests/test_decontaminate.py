@@ -85,3 +85,39 @@ def test_short_docs_and_empty_benchmark(spark):
     empty_bench = spark.createDataFrame([], "text string")
     out = decontaminate(docs, empty_bench, n=8).collect()
     assert len(out) == 1 and not out[0].contaminated
+
+
+def test_semantic_decontaminate_flags_near_paraphrases(spark):
+    from jena_spark.data.decontaminate import decontaminate_semantic
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]),    # identical to bench 100 -> cos 1
+         (1, [0.9, 0.1, 0.0]),    # near bench 100
+         (2, [0.0, 0.0, 1.0]),    # orthogonal to both
+         (3, [0.0, -1.0, 0.0])],  # anti-parallel to bench 101
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in decontaminate_semantic(
+        corpus, bench, threshold=0.95).collect()}
+    assert out[0].contaminated == 1 and out[0].max_cos_r == 1.0
+    assert out[1].contaminated == 1 and out[1].max_cos_r > 0.99
+    assert out[2].contaminated == 0 and out[2].max_cos_r == 0.0
+    assert out[3].contaminated == 0 and out[3].max_cos_r == 0.0
+
+
+def test_semantic_decontaminate_benchmark_is_broadcast(spark):
+    from jena_spark.data.decontaminate import decontaminate_semantic
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    plan = decontaminate_semantic(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the expand is a broadcast nested loop; the only Exchange is the
+    # per-id max aggregation
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

@@ -9,6 +9,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from jena_spark.data.paragraph import (  # noqa: E402
     dedup_segments,
+    dedup_substrings,
     segment_documents,
 )
 
@@ -68,3 +69,66 @@ def test_words_mode_windows_and_dedup(spark):
     assert out[0].clean_text == "a b c d e f g"
     assert out[1].clean_text == "x y z"
     assert out[2].clean_text == "" and out[2].n_segs == 1
+
+
+# --- ExactSubstr span excision ------------------------------------------
+
+
+def _brute_substr(docs: list[tuple[int, str]], k: int):
+    """Reference implementation of the dedup_substrings contract."""
+    words = {d: t.split() for d, t in docs}
+    first: dict[str, tuple[int, int]] = {}
+    for d in sorted(words):
+        ws = words[d]
+        for p in range(len(ws) - k + 1):
+            first.setdefault(" ".join(ws[p:p + k]), (d, p))
+    out = {}
+    for d, _ in docs:
+        ws = words[d]
+        covered: set[int] = set()
+        for p in range(len(ws) - k + 1):
+            if first[" ".join(ws[p:p + k])] != (d, p):
+                covered.update(range(p, p + k))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[d] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+def test_substr_excision_basics(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog but differently"),
+        (3, "a short doc"),               # < k words -> intact
+        (4, ""),                          # empty -> 0 words
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_substrings(d, k=5).collect()}
+    # doc1 (global first) keeps everything
+    assert out[1].clean_text == rows[0][1] and out[1].n_removed == 0
+    # doc2 loses exactly the 9-word shared run
+    assert out[2].clean_text == "but differently"
+    assert out[2].n_removed == 9 and out[2].n_words == 11
+    # short / empty docs pass through
+    assert out[3].clean_text == "a short doc" and out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_words == 0
+    # exact duplicate of doc1 is fully excised
+    assert out[5].clean_text == "" and out[5].n_removed == 12
+
+
+def test_substr_matches_bruteforce(spark):
+    # deterministic corpus with heavy cross-doc and intra-doc repeats
+    vocab = ["red", "blue", "green", "ox", "hen", "sky", "mud", "fir"]
+    docs = []
+    for d in range(12):
+        ws = [vocab[(d * 7 + i * i) % len(vocab)] for i in range(30)]
+        if d % 3 == 1:      # splice in a shared run
+            ws[5:13] = ["shared"] * 4 + ["run", "of", "words", "here"]
+        if d % 4 == 2:      # intra-doc repeat
+            ws.extend(ws[:10])
+        docs.append((d, " ".join(ws)))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (4, 7):
+        got = {r.doc_id: (r.clean_text, r.n_words, r.n_removed)
+               for r in dedup_substrings(sdf, k=k).collect()}
+        assert got == _brute_substr(docs, k), f"k={k}"

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from jena_spark.data.pack import pack_documents  # noqa: E402
 from jena_spark.data.selection import (  # noqa: E402
+    cap_per_source,
     importance_weights,
     stratified_sample,
 )
@@ -97,3 +98,25 @@ def test_importance_weights_favor_target(spark):
     # every English doc outscores every German doc against an
     # English-only target (disjoint vocabularies)
     assert min(en) > max(de)
+
+
+def test_cap_per_source_quota_and_salt_invariance(spark):
+    # skewed sources: one hot (300 rows), one small (7), one tiny (2)
+    rows = ([(i, "hot") for i in range(300)]
+            + [(1000 + i, "small") for i in range(7)]
+            + [(2000 + i, "tiny") for i in range(2)])
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_source(d, 10, id_col="doc_id")
+    by = {r.source: r["count"]
+          for r in out.groupBy("source").count().collect()}
+    assert by == {"hot": 10, "small": 7, "tiny": 2}
+    # the two-phase salted ranking is row-identical across fan-outs
+    # (and to the single-window formulation, salt_buckets=1)
+    base = sorted(map(tuple, cap_per_source(
+        d, 10, salt_buckets=1).collect()))
+    for sb in (4, 16, 64):
+        assert sorted(map(tuple, cap_per_source(
+            d, 10, salt_buckets=sb).collect())) == base, sb
+    # deterministic re-run
+    again = sorted(map(tuple, cap_per_source(d, 10).collect()))
+    assert again == base
