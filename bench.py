@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     "data_substr_dedup",
     "data_semantic_decontaminate",
     "data_source_cap",
+    # whole-conversation dedup (per-conv hash agg + 16-byte-key winner
+    # election) and CCNet per-language perplexity terciles (LM scoring
+    # + one tiny threshold dim + map-only CASE)
+    "data_conv_dedup",
+    "data_ccnet_buckets",
 ]
 
 

@@ -99,3 +99,41 @@ def bigram_lm_scores(docs: DataFrame, lm_docs: DataFrame | None = None,
         doc_id, "n_bigrams", "nll_ubits",
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.pow(F.lit(2.0), avg), 4).alias("perplexity"))
+
+
+def ccnet_buckets(docs: DataFrame, lm_docs: DataFrame | None = None,
+                  group: str = "lang",
+                  doc_id: str = "doc_id", text: str = "text",
+                  cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                  exact: bool = True) -> DataFrame:
+    """CCNet's head/middle/tail selection (Wenzek et al. 2020 §4.3):
+    per-``group`` (language) perplexity terciles — the best-modeled
+    third of each language is ``head``, the worst ``tail``. The actual
+    CCNet release ships data partitioned exactly this way; downstream
+    recipes train on head+middle.
+
+    Returns one row per scored document (documents with no bigrams
+    have no perplexity and are absent, as in ``bigram_lm_scores``):
+    ``(doc_id, <group>, avg_logprob, bucket)`` with ``bucket`` ∈
+    head/middle/tail by ``avg_logprob <= q(cuts[0]) / q(cuts[1])``.
+
+    Scale: the threshold frame is one row per group — tiny — and the
+    bucket assignment is a broadcast join + map-only CASE. With
+    ``exact=True`` the quantiles are the exact interpolated order
+    statistics (engine-portable vs the oracle; per-group distinct
+    6dp-rounded values must fit one aggregation buffer — fine up to
+    ~10^7 distincts). At data scale set ``exact=False`` for the
+    mergeable ``percentile_approx`` sketch instead."""
+    scores = bigram_lm_scores(docs, lm_docs, doc_id=doc_id, text=text)
+    scored = scores.join(docs.select(doc_id, group), doc_id)
+    pct = "percentile" if exact else "percentile_approx"
+    thr = scored.groupBy(group).agg(
+        F.expr(f"{pct}(avg_logprob, array({cuts[0]!r}, {cuts[1]!r}))")
+        .alias("_q"))
+    return (scored.join(F.broadcast(thr), group)
+                  .select(doc_id, group, "avg_logprob",
+                          F.when(F.col("avg_logprob") <= F.col("_q")[0],
+                                 "head")
+                           .when(F.col("avg_logprob") <= F.col("_q")[1],
+                                 "middle")
+                           .otherwise("tail").alias("bucket")))

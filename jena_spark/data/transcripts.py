@@ -107,6 +107,58 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversation_fingerprints(turns: DataFrame, *,
+                              conv_id: str = "conv_id",
+                              turn_idx: str = "turn_idx",
+                              role: str = "role",
+                              text: str = "text") -> DataFrame:
+    """``(conv_id, n_turns, fp)`` — md5 of the ordered ``role|text``
+    turn sequence (record-separator joined), the whole-conversation
+    identity key. One hash aggregate per conversation; the collect is
+    bounded by conversation length (day-bucketed conv_ids keep that
+    small by construction)."""
+    unit = F.concat_ws("|", F.col(role), F.col(text))
+    return (turns.groupBy(F.col(conv_id).alias("conv_id"))
+                 .agg(F.count("*").alias("n_turns"),
+                      F.md5(F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct(F.col(turn_idx).alias("i"),
+                                           unit.alias("u")))),
+                              lambda s: s["u"]),
+                          "\x1e")).alias("fp")))
+
+
+def dedup_conversations(turns: DataFrame, *,
+                        conv_id: str = "conv_id",
+                        turn_idx: str = "turn_idx",
+                        role: str = "role",
+                        text: str = "text") -> DataFrame:
+    """Whole-conversation exact dedup — the transcript-corpus analog
+    of document dedup (agent corpora are dominated by replayed tool
+    loops: identical (role, text) turn sequences under different
+    conv_ids). Keep-first by smallest conv_id per fingerprint.
+
+    Returns ``(conv_id, n_turns, fp, keep)`` — one row per input
+    conversation; filter ``keep = 1`` for the surviving corpus.
+
+    Scale design: the fingerprint is one per-conversation hash
+    aggregate (the same conv_id shuffle the transcripts derivation
+    already pays); the winner election is a partial-aggregatable
+    ``min`` over 16-byte fingerprint keys — a tool loop replayed 10^6
+    times collapses map-side, never a hot window; the verdict join
+    carries (fp, winner) rows only.
+    """
+    fps = conversation_fingerprints(turns, conv_id=conv_id,
+                                    turn_idx=turn_idx, role=role,
+                                    text=text)
+    winners = fps.groupBy("fp").agg(F.min("conv_id").alias("_w"))
+    return (fps.join(winners, "fp")
+               .select("conv_id", "n_turns", "fp",
+                       (F.col("conv_id") == F.col("_w")).cast("int")
+                       .alias("keep")))
+
+
 def transcripts_cte() -> str:
     """DuckDB CTE body producing the identical transcripts relation.
 

@@ -5645,6 +5645,70 @@ _register(
 )
 
 
+def _q_conv_dedup(spark, sf):
+    """Whole-conversation exact dedup (``data/transcripts.py::
+    dedup_conversations``): md5 fingerprint of the ordered role|text
+    turn sequence, keep-first by smallest conv_id per fingerprint."""
+    from jena_spark.data.transcripts import dedup_conversations, \
+        transcripts_df
+
+    return dedup_conversations(transcripts_df(spark, sf))
+
+
+def _conv_dedup_sql() -> str:
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return f"""WITH transcripts AS ({transcripts_cte()}),
+fps AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         md5(string_agg(role || '|' || text, chr(30)
+             ORDER BY turn_idx)) AS fp
+  FROM transcripts GROUP BY conv_id),
+w AS (SELECT fp, min(conv_id) AS winner FROM fps GROUP BY fp)
+SELECT f.conv_id, f.n_turns, f.fp,
+       CAST(f.conv_id = w.winner AS INT) AS keep
+FROM fps f JOIN w USING (fp)"""
+
+
+_register("data_conv_dedup", _q_conv_dedup, _conv_dedup_sql())
+
+
+def _q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail selection (``data/lm.py::
+    ccnet_buckets``): per-language self-perplexity terciles, exact
+    interpolated quantiles, broadcast threshold dim."""
+    from jena_spark.data.lm import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf))
+
+
+_CCNET_SQL = (
+    _LM_SQL.replace(
+        "SELECT doc_id, n_bigrams, nll_ubits,\n"
+        "       round(nll_ubits * 1.0 / (1e6 * n_bigrams), 6) AS avg_logprob\n"
+        "FROM agg",
+        """lp AS (
+  SELECT a.doc_id, d.lang,
+         round(a.nll_ubits * 1.0 / (1e6 * a.n_bigrams), 6) AS avg_logprob
+  FROM agg a JOIN documents d ON a.doc_id = d.doc_id),
+thr AS (
+  SELECT lang,
+         quantile_cont(avg_logprob, 0.3333333333333333) AS q1,
+         quantile_cont(avg_logprob, 0.6666666666666666) AS q2
+  FROM lp GROUP BY lang)
+SELECT lp.doc_id, lp.lang, lp.avg_logprob,
+       CASE WHEN lp.avg_logprob <= thr.q1 THEN 'head'
+            WHEN lp.avg_logprob <= thr.q2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp JOIN thr USING (lang)""")
+)
+# the replace() turns _LM_SQL's final SELECT into two more CTEs + the
+# bucketed projection, so ", lp AS" needs the preceding block comma
+_CCNET_SQL = _CCNET_SQL.replace(")\nlp AS (", "),\nlp AS (")
+
+_register("data_ccnet_buckets", _q_ccnet_buckets, _CCNET_SQL)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5684,6 +5748,7 @@ _PRIORITY = [
     "data_gopher_rules", "data_c4_filters", "data_gopher_repetition",
     "data_nb_classifier", "data_substr_dedup",
     "data_semantic_decontaminate", "data_source_cap",
+    "data_conv_dedup", "data_ccnet_buckets",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5695,11 +5760,14 @@ _PRIORITY = [
     "kg_triples", "kg_raw_triples", "kg_incremental",
     # (f) oldest driver evidence (r01-only) rotated back into the
     # window — freshness pass over the long tail:
-    "kg_find_pattern", "kg_find_by_subject", "kg_describe", "kg_ask",
-    "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
-    # --- driver cap (50) falls here (the four new data_* entries
-    # displaced kg_agg_stats/kg_propfunc_split/kg_quads_roundtrip/
-    # kg_salted_agg — all r01-green + pytest-covered — below it).
+    "kg_find_pattern", "kg_find_by_subject",
+    # --- driver cap (50) falls here (the six new data_* entries
+    # displaced kg_describe/kg_ask/kg_subjects/kg_predicates/
+    # kg_objects/kg_slice/kg_agg_stats/kg_propfunc_split/
+    # kg_quads_roundtrip/kg_salted_agg — all r01-green +
+    # pytest-covered — below it).
+    "kg_describe",
+    "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
     "kg_quads_roundtrip", "kg_salted_agg",
     # Everything below is driver-green

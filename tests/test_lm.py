@@ -69,6 +69,50 @@ def test_separate_reference_corpus(spark):
     assert got_oov == {"x1": (2, 2 * q)}
 
 
+def test_ccnet_buckets_terciles(spark):
+    from jena_spark.data.lm import ccnet_buckets
+
+    # 6 docs per lang with clearly ordered predictability: the more
+    # repetitive, the lower the bits/bigram
+    rows = []
+    for lang in ("en", "de"):
+        for i in range(6):
+            base = "aa bb" if lang == "en" else "xx yy"
+            uniq = " ".join(f"{lang}{i}w{j}" for j in range(i * 2))
+            rows.append((f"{lang}{i}", lang, (base + " ") * 6 + uniq))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = {r.doc_id: r.bucket for r in ccnet_buckets(df).collect()}
+    assert len(out) == 12
+    for lang in ("en", "de"):
+        buckets = [out[f"{lang}{i}"] for i in range(6)]
+        # monotone score => first two head, middle two middle, rest tail
+        assert buckets == ["head", "head", "middle", "middle",
+                           "tail", "tail"], (lang, buckets)
+    # approx path returns the same schema and a full assignment
+    approx = ccnet_buckets(df, exact=False)
+    assert approx.columns == ["doc_id", "lang", "avg_logprob", "bucket"]
+    assert approx.count() == 12
+
+
+def test_conversation_dedup_keep_first(spark):
+    from jena_spark.data.transcripts import dedup_conversations
+
+    turns = []
+    for cid in ("c1", "c3", "c2"):   # c1/c2 identical, c3 differs
+        seq = [("user", "hello"), ("assistant", "hi"),
+               ("tool", "run" if cid == "c3" else "exec")]
+        for i, (role, text) in enumerate(seq):
+            turns.append((cid, i, role, text))
+    # same text arriving with shuffled turn order must fingerprint
+    # identically (array_sort by turn_idx)
+    df = spark.createDataFrame(
+        turns[::-1], "conv_id string, turn_idx int, role string, text string")
+    out = {r.conv_id: r for r in dedup_conversations(df).collect()}
+    assert out["c1"].fp == out["c2"].fp != out["c3"].fp
+    assert (out["c1"].keep, out["c2"].keep, out["c3"].keep) == (1, 0, 1)
+    assert all(r.n_turns == 3 for r in out.values())
+
+
 def test_derived_float_columns(spark):
     df = spark.createDataFrame(DOCS, "doc_id string, text string")
     r = {x["doc_id"]: x for x in bigram_lm_scores(df).collect()}
