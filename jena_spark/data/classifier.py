@@ -124,11 +124,21 @@ def nb_score(docs: DataFrame, weights: DataFrame, *,
     wb = weights.where(F.col("bucket") >= 0)
     # raw occurrence rows join the broadcast dim directly; the per-doc
     # sum is the only shuffle, collapsed map-side to one row per doc
-    # per partition
+    # per partition. LEFT join + raise_error: the weight frame is
+    # dense over the TRAINING bucket count, so a scored bucket with no
+    # weight row means ``buckets`` here exceeds the training value —
+    # error loudly instead of silently dropping grams. (The opposite
+    # mismatch — scoring with fewer buckets — is undetectable from the
+    # join; callers own passing the training value.)
     sums = (_bucket_rows(docs, [doc_id], text, n, buckets)
-            .join(F.broadcast(wb), "bucket")
+            .join(F.broadcast(wb), "bucket", "left")
             .groupBy(doc_id)
-            .agg(F.sum("w_unats").alias("_s")))
+            .agg(F.sum(F.coalesce(
+                "w_unats",
+                F.raise_error(F.lit(
+                    "nb_score: gram bucket outside the weight frame — "
+                    "`buckets` must equal the nb_train value"))))
+                 .alias("_s")))
     prior = weights.where(F.col("bucket") == -1) \
                    .select(F.col("w_unats").alias("_prior"))
     return (docs.select(doc_id)

@@ -50,11 +50,16 @@ def curate_corpus(
     max_rep_frac: float | None = None,
     max_pii: int | None = None,
     rep_ngram: int = 2,
+    nb_weights: DataFrame | None = None,
+    min_nb_unats: int = 0,
+    nb_buckets: int = 4096,
+    max_avg_logprob: float | None = None,
+    lm_docs: DataFrame | None = None,
 ) -> DataFrame:
     """-> ``(doc_id, kept, reason)``: one verdict row per document;
     ``reason`` is null for kept docs, else the first failing rule
     (``lang`` / ``quality`` / ``repetition`` / ``pii`` /
-    ``exact_dup`` / ``near_dup``).
+    ``classifier`` / ``perplexity`` / ``exact_dup`` / ``near_dup``).
 
     Opt-in content rules (default off, so the four-rule verdict stays
     byte-stable): ``max_rep_frac`` thresholds the Gopher-style
@@ -62,7 +67,15 @@ def curate_corpus(
     (:func:`jena_spark.data.text.repetition_stats`; docs too short to
     measure pass), ``max_pii`` bounds the total PII match count
     (:func:`jena_spark.data.redact.pii_counts`; ``0`` = reject any
-    email/IP/SSN/phone).
+    email/IP/SSN/phone), ``nb_weights`` (a trained
+    :func:`jena_spark.data.classifier.nb_train` frame) rejects docs
+    whose NB log-odds score falls below ``min_nb_unats`` (the GPT-3
+    quality-classifier gate; ``nb_buckets`` MUST equal the value the
+    weights were trained with — the hash space is not recorded in the
+    frame), and ``max_avg_logprob`` rejects docs the
+    bigram LM (trained on ``lm_docs``, default the corpus itself)
+    models WORSE than the threshold bits/bigram — the CCNet
+    perplexity gate (docs with no bigrams pass).
 
     ``pairs``: a precomputed near-dup pair frame (the
     :func:`jena_spark.data.dedup.jaccard_pairs` output). Callers that
@@ -115,6 +128,25 @@ def curate_corpus(
     if max_pii is not None:
         flags.append(F.col("pii_ok"))
         reason = reason.when(~F.col("pii_ok"), "pii")
+    if nb_weights is not None:
+        from jena_spark.data.classifier import nb_score
+
+        clf = nb_score(docs, nb_weights, buckets=nb_buckets).select(
+            "doc_id",
+            (F.col("score_unats") >= min_nb_unats).alias("clf_ok"))
+        v = v.join(clf, "doc_id")
+        flags.append(F.col("clf_ok"))
+        reason = reason.when(~F.col("clf_ok"), "classifier")
+    if max_avg_logprob is not None:
+        from jena_spark.data.lm import bigram_lm_scores
+
+        ppl = bigram_lm_scores(docs, lm_docs).select(
+            "doc_id",
+            (F.col("avg_logprob") <= max_avg_logprob).alias("ppl_ok"))
+        v = v.join(ppl, "doc_id", "left").withColumn(
+            "ppl_ok", F.coalesce(F.col("ppl_ok"), F.lit(True)))
+        flags.append(F.col("ppl_ok"))
+        reason = reason.when(~F.col("ppl_ok"), "perplexity")
     flags += [F.col("exact_ok"), F.col("near_ok")]
     reason = reason.when(~F.col("exact_ok"), "exact_dup") \
                    .when(~F.col("near_ok"), "near_dup")

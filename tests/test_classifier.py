@@ -60,6 +60,15 @@ def test_nb_empty_doc_scores_bare_prior(spark):
     assert row.pred == 1  # prior alone favors the majority class
 
 
+def test_nb_bucket_mismatch_errors_loudly(spark):
+    import pytest
+
+    d = _docs(spark)
+    w = nb_train(d, buckets=32)
+    with pytest.raises(Exception, match="nb_train value"):
+        nb_score(d, w, buckets=256).collect()
+
+
 def test_nb_deterministic(spark):
     d = _docs(spark)
     a = sorted(map(tuple, nb_quality_scores(d, d, buckets=128).collect()))

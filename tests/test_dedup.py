@@ -238,3 +238,37 @@ def test_curate_repetition_and_pii_rules(spark):
     loose = {r["doc_id"]: r for r in curate_corpus(
         docs, min_quality_bp=0).collect()}
     assert all(loose[i]["kept"] for i in (1, 2, 3))
+
+
+def test_curate_classifier_and_perplexity_rules(spark):
+    """Opt-in NB-classifier gate and CCNet perplexity gate, with
+    reason precedence classifier > perplexity > dedup."""
+    from jena_spark.data.classifier import nb_train
+    from jena_spark.data.curate import curate_corpus
+
+    rows = [
+        (1, "clean prose with meaning and structure and clarity", "en"),
+        (2, "spam spam buy now click here buy spam now click", "en"),
+        (3, "zq xv qj wk vz jx kq zw xq vj", "en"),  # unmodelable junk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    labeled = spark.createDataFrame(
+        [(10, "clean prose with meaning and clarity in structure", 1),
+         (11, "spam buy now click here spam buy click now offer", 0)],
+        "doc_id long, text string, label int")
+    w = nb_train(labeled, buckets=128)
+    # LM trained on prose-like reference: doc3's alien bigrams score
+    # worst; classifier catches doc2 first (rule order)
+    lm_ref = docs.where(F.col("doc_id") == 1).select("text")
+    v = {r["doc_id"]: r for r in curate_corpus(
+        docs, min_quality_bp=0, nb_weights=w, min_nb_unats=1,
+        nb_buckets=128, max_avg_logprob=2.5, lm_docs=lm_ref).collect()}
+    assert v[1]["kept"] and v[1]["reason"] is None
+    assert not v[2]["kept"] and v[2]["reason"] == "classifier"
+    assert not v[3]["kept"] and v[3]["reason"] in ("classifier", "perplexity")
+    # with the classifier gate off, doc3 still fails on perplexity
+    v2 = {r["doc_id"]: r for r in curate_corpus(
+        docs, min_quality_bp=0, max_avg_logprob=2.5,
+        lm_docs=lm_ref).collect()}
+    assert not v2[3]["kept"] and v2[3]["reason"] == "perplexity"
+    assert v2[1]["kept"]
