@@ -60,6 +60,30 @@ def test_nb_empty_doc_scores_bare_prior(spark):
     assert row.pred == 1  # prior alone favors the majority class
 
 
+def test_nb_score_plan_broadcasts_weights(spark):
+    """Scale invariant: the corpus side never shuffles text — the
+    weight dim joins broadcast and the only hash-partitioned Exchange
+    is the per-doc sum."""
+    d = _docs(spark)
+    w = nb_train(d, buckets=64)
+    plan = nb_score(d, w, buckets=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    lines = plan.splitlines()
+    # the scoring join: broadcast, with the corpus branch (lines
+    # between the join and its broadcast build side) map-only —
+    # Generate/Project/Filter/Scan, no Exchange (the training pass
+    # shuffles its own tiny (bucket, label) rows; that is fine)
+    (j,) = [i for i, ln in enumerate(lines)
+            if "BroadcastHashJoin [bucket" in ln]
+    branch = []
+    for ln in lines[j + 1:]:
+        if "BroadcastExchange" in ln:
+            break
+        branch.append(ln)
+    assert any("Generate" in ln for ln in branch)
+    assert not any("Exchange" in ln for ln in branch), branch
+
+
 def test_nb_bucket_mismatch_errors_loudly(spark):
     import pytest
 

@@ -116,6 +116,18 @@ def test_substr_excision_basics(spark):
     assert out[5].clean_text == "" and out[5].n_removed == 12
 
 
+def test_substr_plan_no_window(spark):
+    """Scale invariant: the winner election is a hash aggregate, never
+    a window over the (hot) gram key — a boilerplate passage occurring
+    10^9 times must collapse map-side."""
+    d = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(4)], "doc_id long, text string")
+    plan = dedup_substrings(d, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_substr_matches_bruteforce(spark):
     # deterministic corpus with heavy cross-doc and intra-doc repeats
     vocab = ["red", "blue", "green", "ox", "hen", "sky", "mud", "fir"]

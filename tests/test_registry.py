@@ -33,8 +33,10 @@ def test_oracle_keys_subset():
 
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
-    # the vast majority of queries must be oracle-checked, not rows-only
-    assert len(os_) >= len(qs) - 5
+    # the vast majority of queries must be oracle-checked, not
+    # rows-only (6 by design: xxhash64-keyed MinHash/SimHash/LSH/IVF
+    # have no DuckDB twin; BPE merge training has no SQL twin)
+    assert len(os_) >= len(qs) - 6
 
 
 def test_all_queries_match_oracle():
