@@ -89,6 +89,14 @@ def main() -> None:
                          "batch (conv ids suffixed --conv-suffix) via "
                          "construct_incremental[_encoded], and write the "
                          "next snapshot to --out")
+    ap.add_argument("--dedup-convs", action="store_true",
+                    help="drop exact whole-conversation duplicates "
+                         "(ordered role|text fingerprint, keep-first by "
+                         "conv_id) before construction — the corpus-"
+                         "hygiene stage of a transcript pipeline; "
+                         "applied BEFORE --replicate (replicas are "
+                         "deliberate duplicates for scale testing and "
+                         "must survive)")
     ap.add_argument("--conv-suffix", default="-b2",
                     help="suffix making the appended batch's conv ids new "
                          "(deployment appends genuinely new conversations)")
@@ -116,6 +124,12 @@ def main() -> None:
         shutil.rmtree(args.out, ignore_errors=True)
 
     tr = transcripts_df(spark, args.sf_dir)
+    if args.dedup_convs:
+        from jena_spark.data.transcripts import dedup_conversations
+
+        keep = dedup_conversations(tr).where(F.col("keep") == 1) \
+            .select("conv_id")
+        tr = tr.join(keep, "conv_id", "left_semi")
     if args.replicate > 1:
         tr = tr.crossJoin(
             spark.range(args.replicate).select(F.col("id").alias("rep"))
