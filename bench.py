@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     # + one tiny threshold dim + map-only CASE)
     "data_conv_dedup",
     "data_ccnet_buckets",
+    # incremental exact dedup: two batch folds against the hash store
+    "data_dedup_incremental",
 ]
 
 

@@ -41,6 +41,64 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     return docs.join(F.broadcast(w), id_col, "left_semi")
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame, prior: DataFrame | None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a NEW batch into an existing exact-dedup state — the
+    data-side analog of ``canonicalize.construct_incremental``: at
+    corpus scale dedup is maintained per arriving batch against a
+    persistent hash store, never recomputed over the whole history.
+
+    ``prior`` is the ``(text_hash, rep_id)`` store from earlier
+    batches (``None`` for the first batch). Returns ``(verdicts,
+    state)``:
+
+    * ``verdicts`` — one row per NEW document: ``(doc_id, kept,
+      rep_id)`` where ``kept`` is True iff this document is the first
+      occurrence of its text EVER (prior batches win over this batch;
+      within the batch the min id wins) and ``rep_id`` is the
+      surviving witness of its text.
+    * ``state`` — the updated ``(text_hash, rep_id)`` store to pass to
+      the next fold.
+
+    Invariant (pytest-pinned): folding batches in order is
+    row-identical to one-shot ``exact_groups`` over the concatenation
+    whenever ids are globally monotone across batches (the
+    keep-first total order is (batch, id) either way).
+
+    Scale shape: one hash aggregate over the NEW batch only, one
+    left join against the store on 32-byte hash keys (AQE picks
+    broadcast while the delta is small, shuffled-hash when it is
+    not); the store is append-only — per-batch cost never grows with
+    corpus history beyond the join's store side."""
+    batch = exact_groups(new_docs, text_col, id_col) \
+        .select("text_hash", F.col("rep_id").alias("_batch_rep"))
+    if prior is None:
+        winners = batch.select(
+            "text_hash", F.col("_batch_rep").alias("rep_id"),
+            F.lit(True).alias("_new"))
+    else:
+        winners = batch.join(
+            prior.select("text_hash", F.col("rep_id").alias("_prior_rep")),
+            "text_hash", "left",
+        ).select(
+            "text_hash",
+            F.coalesce("_prior_rep", "_batch_rep").alias("rep_id"),
+            F.col("_prior_rep").isNull().alias("_new"))
+    verdicts = (new_docs.select(
+                    F.col(id_col),
+                    F.sha2(F.col(text_col), 256).alias("text_hash"))
+                .join(winners, "text_hash")
+                .select(id_col,
+                        (F.col(id_col) == F.col("rep_id")).alias("kept"),
+                        "rep_id"))
+    new_state = winners.where("_new").select("text_hash", "rep_id")
+    state = new_state if prior is None else \
+        prior.select("text_hash", "rep_id").unionByName(new_state)
+    return verdicts, state
+
+
 # --- token-set Jaccard (inverted-index join) --------------------------------
 
 def _token_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

@@ -5709,6 +5709,34 @@ _CCNET_SQL = _CCNET_SQL.replace(")\nlp AS (", "),\nlp AS (")
 _register("data_ccnet_buckets", _q_ccnet_buckets, _CCNET_SQL)
 
 
+def _q_dedup_incremental(spark, sf):
+    """Incremental exact dedup (``data/dedup.py::
+    exact_dedup_incremental``): fold the even-id batch then the odd-id
+    batch; union of per-batch verdicts. Keep-first total order is
+    (batch, doc_id) — the oracle ranks by (doc_id % 2, doc_id)."""
+    from jena_spark.data.dedup import exact_dedup_incremental
+
+    d = _docs(spark, sf)
+    v1, state = exact_dedup_incremental(
+        d.where(F.col("doc_id") % 2 == 0), None)
+    v2, _ = exact_dedup_incremental(d.where(F.col("doc_id") % 2 == 1), state)
+    return v1.unionByName(v2).select(
+        "doc_id", F.col("kept").cast("int").alias("kept"), "rep_id")
+
+
+_register(
+    "data_dedup_incremental",
+    _q_dedup_incremental,
+    """SELECT doc_id,
+              CAST(doc_id = first_value(doc_id) OVER w AS INT) AS kept,
+              first_value(doc_id) OVER w AS rep_id
+       FROM (SELECT doc_id, sha256(text) AS th FROM documents)
+       WINDOW w AS (PARTITION BY th ORDER BY doc_id % 2, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5748,7 +5776,7 @@ _PRIORITY = [
     "data_gopher_rules", "data_c4_filters", "data_gopher_repetition",
     "data_nb_classifier", "data_substr_dedup",
     "data_semantic_decontaminate", "data_source_cap",
-    "data_conv_dedup", "data_ccnet_buckets",
+    "data_conv_dedup", "data_ccnet_buckets", "data_dedup_incremental",
     # (d) behavior touched this round: SHACL (focus dt/lang carry +
     # path-doubling closure), redaction (domestic phone recall, salted
     # query + oracle both extended), SERVICE (compile-path restructure
@@ -5760,13 +5788,13 @@ _PRIORITY = [
     "kg_triples", "kg_raw_triples", "kg_incremental",
     # (f) oldest driver evidence (r01-only) rotated back into the
     # window — freshness pass over the long tail:
-    "kg_find_pattern", "kg_find_by_subject",
-    # --- driver cap (50) falls here (the six new data_* entries
-    # displaced kg_describe/kg_ask/kg_subjects/kg_predicates/
-    # kg_objects/kg_slice/kg_agg_stats/kg_propfunc_split/
-    # kg_quads_roundtrip/kg_salted_agg — all r01-green +
-    # pytest-covered — below it).
-    "kg_describe",
+    "kg_find_pattern",
+    # --- driver cap (50) falls here (the seven new data_* entries
+    # displaced kg_find_by_subject/kg_describe/kg_ask/kg_subjects/
+    # kg_predicates/kg_objects/kg_slice/kg_agg_stats/
+    # kg_propfunc_split/kg_quads_roundtrip/kg_salted_agg — all
+    # r01-green + pytest-covered — below it).
+    "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
     "kg_quads_roundtrip", "kg_salted_agg",

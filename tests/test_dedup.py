@@ -179,6 +179,36 @@ def test_dedup_clusters_transitive_chain(spark):
     assert k == 2
 
 
+def test_exact_dedup_incremental_equals_oneshot(spark):
+    """Invariant: folding batches in id order == one-shot exact_groups
+    over the concatenation (state and survivors both)."""
+    from jena_spark.data.dedup import exact_dedup_incremental, exact_groups
+
+    texts = ["aaa", "bbb", "ccc", "ddd"]
+    rows = [(i, texts[i % 4] if i < 8 else f"unique {i}")
+            for i in range(12)]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [all_docs.where(c) for c in
+               ("doc_id < 5", "doc_id >= 5 and doc_id < 9", "doc_id >= 9")]
+    state = None
+    verdicts = []
+    for b in batches:
+        v, state = exact_dedup_incremental(b, state)
+        verdicts.append(v.collect())
+    oneshot = {(r.text_hash, r.rep_id) for r in
+               exact_groups(all_docs).select("text_hash", "rep_id").collect()}
+    assert {(r.text_hash, r.rep_id) for r in state.collect()} == oneshot
+    flat = [r for v in verdicts for r in v]
+    assert len(flat) == 12
+    assert {r.doc_id for r in flat if r.kept} == {r[1] for r in oneshot}
+    # each verdict's rep_id is the global first occurrence of its text
+    by_text = {}
+    for i, t in rows:
+        by_text.setdefault(t, i)
+    for r in flat:
+        assert r.rep_id == by_text[rows[r.doc_id][1]]
+
+
 def test_curate_corpus_reasons_and_apply(spark):
     """Verdicts: reason precedence (lang > quality > exact_dup >
     near_dup), apply_curation keeps exactly the kept slice."""
