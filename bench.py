@@ -169,6 +169,11 @@ BENCH_QUERIES = [
     "data_ccnet_buckets",
     # incremental exact dedup: two batch folds against the hash store
     "data_dedup_incremental",
+    # deterministic spherical k-means (2 Lloyd passes: broadcast-literal
+    # cosine assignment + k*dim-row integer agg) and sliding-window RAG
+    # chunking (map-only explode + slice)
+    "data_kmeans",
+    "data_chunk_overlap",
 ]
 
 

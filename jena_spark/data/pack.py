@@ -106,3 +106,54 @@ def pack_documents(df: DataFrame, context_len: int,
         first.alias("chunk_first"),
         F.greatest(last, first).alias("chunk_last"),
     )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, doc_id: str = "doc_id",
+                    text: str = "text") -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval-corpus
+    (RAG) counterpart of :func:`pack_documents`: instead of laying
+    documents end-to-end, each document is cut independently into
+    ``chunk_tokens``-token windows stepping ``chunk_tokens - overlap``
+    tokens, so consecutive chunks share ``overlap`` tokens and no
+    sentence is lost at a boundary.
+
+    One row per (document, chunk): ``chunk_idx`` (0-based),
+    ``start_tok`` (0-based token offset), ``n_chunk_tokens`` (the last
+    window may be short), ``chunk_text`` (space-joined token window —
+    chunk ids are pure arithmetic on the token count, so the operator
+    is reproducible and resumable). Tokens follow the pipeline's
+    whitespace contract (:func:`token_counts`).
+
+    Scale: map-only — split, an integer-arithmetic chunk count,
+    ``explode(sequence(...))`` and a slice per output row; no shuffle,
+    no Python, stays in whole-stage codegen. Chunk fan-out is
+    ~n_tokens/step rows per document, the same output cardinality any
+    chunker must materialize.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    base = df.select(
+        F.col(doc_id),
+        F.split(F.trim(F.col(text)), r"\s+").alias("_toks"),
+    ).withColumn("_n", F.size("_toks").cast("bigint"))
+    # last chunk index: 0 when the doc fits one window, else the
+    # ceil-div of the overhang in exact integer arithmetic (DIV) —
+    # the oracle evaluates the identical `(n - W + step - 1) // step`
+    last_idx = F.when(
+        F.col("_n") <= chunk_tokens, F.lit(0).cast("bigint"),
+    ).otherwise(F.expr(
+        f"(_n - {chunk_tokens} + {step - 1}) DIV {step}"))
+    chunks = base.select(
+        doc_id, "_toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             last_idx)).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * step).cast("bigint")
+    window = F.slice(F.col("_toks"), start + 1, F.lit(chunk_tokens))
+    return chunks.select(
+        doc_id, "chunk_idx", start.alias("start_tok"),
+        F.size(window).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

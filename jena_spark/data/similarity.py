@@ -239,3 +239,87 @@ def semdedup(
         .join(assigned.withColumnRenamed("id", id_col), id_col)
         .select(id_col, "cell", "cluster", "keep")
     )
+
+
+def _assign_cluster(v_col, centroids):
+    """(cluster, cos) for the nearest centroid by cosine. Argmax is
+    array_position(arr, array_max(arr)) — first max wins, so ties break
+    toward the LOWEST cluster id, mirroring the oracle's
+    ``ORDER BY cos DESC, c``. Each cosine expression appears exactly
+    once (see ivf_assign's 2^n note on chained when())."""
+    cos_arr = F.array(*[
+        cosine(v_col, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    cluster = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    return cluster, cos_arr
+
+
+def kmeans(
+    embeddings: DataFrame, k: int = 4, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Spherical k-means (Lloyd's) over the embedding column — the
+    trained version of :func:`ivf_assign`'s coarse quantizer (reference
+    semantics: the clustering step of SemDedup, arXiv:2303.09540 §3).
+
+    Determinism contract (the whole point of this variant):
+
+    * seeds = the first ``k`` vectors by ``id_col`` — no RNG;
+    * the centroid update is EXACT integer arithmetic: each component
+      is ``sum(floor(x * quant + 0.5)::long) / (quant * n)`` over the
+      members, so the result is independent of partition count, task
+      order and engine (float sums are not associative; quantized
+      BIGINT sums are). The DuckDB oracle evaluates the identical
+      expressions and hash-matches.
+
+    Scale shape: per iteration one map-side assignment pass (k
+    broadcast-literal cosines, whole-stage codegen) + one
+    (cluster, pos) hash aggregation whose output is k×dim rows — the
+    centroids always fit on the driver, the corpus never shuffles
+    except by the k×dim-row agg. This is exactly Spark MLlib's KMeans
+    loop posture, minus its RNG.
+
+    Returns ``(assignments, centroids)``: assignments =
+    ``(id_col, cluster int, cos_r double)`` against the FINAL
+    centroids, ``cos_r`` rounded ``floor(x*1e4 + 0.5)/1e4``.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+    ).localCheckpoint(eager=False)  # consumed 2*n_iter + 2 times
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in e.orderBy("id").limit(k).collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        cluster, _arr = _assign_cluster(F.col("v"), cents)
+        assigned = e.select("id", cluster.alias("c"))
+        rows = (
+            e.join(assigned, "id")
+            .select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * quant + F.lit(0.5))
+                      .cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            # double division of exact integers — bit-identical to the
+            # oracle's CAST(s AS DOUBLE) / (quant * n)
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["s"] / (float(quant) * r["n"])
+        cents = [
+            [by_c[c][p] for p in range(dim)] if c in by_c else cents[c]
+            for c in range(k)
+        ]
+    cluster, cos_arr = _assign_cluster(F.col("v"), cents)
+    out = e.select(
+        F.col("id").alias(id_col), cluster.alias("cluster"),
+        (F.floor(F.element_at(cos_arr, cluster + 1) * 10000.0 + 0.5)
+         / 10000.0).alias("cos_r"),
+    )
+    return out, cents

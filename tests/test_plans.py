@@ -146,3 +146,35 @@ def test_fp_ifp_star_is_single_pass(spark):
     # one scan for the declaration collect happens eagerly; the PLAN
     # itself scans the source once per rule family (ifp only here)
     assert plan.count("Scan ExistingRDD") <= 2  # witness scan + broadcast dim
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Scale invariant: sliding-window chunking is one narrow pass —
+    split, integer chunk arithmetic, explode, slice; NO Exchange and
+    no Python anywhere in the physical plan."""
+    from jena_spark.data.pack import chunk_documents
+
+    d = spark.createDataFrame(
+        [(i, "tok " * 40) for i in range(8)], "doc_id long, text string")
+    plan = chunk_documents(d, chunk_tokens=8, overlap=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Generate" in plan            # the explode
+    assert "Exchange" not in plan, plan  # map-only
+    assert "Python" not in plan, plan    # whole-stage codegen
+
+
+def test_kmeans_final_assignment_is_map_only(spark):
+    """kmeans' returned frame assigns against driver-collected
+    centroid literals: one narrow pass over the (checkpointed) corpus,
+    no Exchange in the final plan (the update shuffles only k*dim
+    rows inside the loop, which this plan no longer contains)."""
+    from jena_spark.data.similarity import kmeans
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    out, cents = kmeans(e, k=3, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert len(cents) == 3

@@ -120,3 +120,28 @@ def test_cap_per_source_quota_and_salt_invariance(spark):
     # deterministic re-run
     again = sorted(map(tuple, cap_per_source(d, 10).collect()))
     assert again == base
+
+
+def test_chunk_documents_overlap_layout(spark):
+    from jena_spark.data.pack import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h"), (3, "x"),
+         (4, "  p  q  ")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]):
+           (r["start_tok"], r["n_chunk_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, chunk_tokens=3,
+                                    overlap=1).collect()}
+    assert out[(1, 0)] == (0, 3, "a b c")
+    assert out[(1, 1)] == (2, 3, "c d e")
+    assert out[(1, 2)] == (4, 3, "e f g")
+    # 8 tokens: the last window is short
+    assert out[(2, 3)] == (6, 2, "g h")
+    # single-token and whitespace-normalized docs chunk once
+    assert out[(3, 0)] == (0, 1, "x")
+    assert out[(4, 0)] == (0, 2, "p q")
+    # consecutive chunks share exactly `overlap` tokens
+    assert out[(1, 0)][2].split()[-1:] == out[(1, 1)][2].split()[:1]
+    assert len([k for k in out if k[0] == 1]) == 3
+    assert len([k for k in out if k[0] == 2]) == 4

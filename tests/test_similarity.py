@@ -113,3 +113,56 @@ def test_semdedup(spark, emb):
              for r in S.semdedup(emb, n_cells=8, threshold=0.2).collect()}
     assert again == {(r["vec_id"], r["cell"], r["cluster"], r["keep"])
                      for r in rows}
+
+
+def _np_kmeans(rows, k, n_iter, quant=1_000_000):
+    """Driver-side mirror of the identical quantized Lloyd's loop."""
+    import numpy as np
+
+    ids = [r["vec_id"] for r in rows]
+    vs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+          for r in rows}
+
+    def cos(a, b):
+        na = float(np.sqrt(np.sum(a * a)))
+        nb = float(np.sqrt(np.sum(b * b)))
+        return float(a @ b) / (na * nb)
+
+    cents = [vs[i].copy() for i in sorted(ids)[:k]]
+    for _ in range(n_iter):
+        assign = {i: max(range(k), key=lambda c: (cos(vs[i], cents[c]), -c))
+                  for i in ids}
+        for c in range(k):
+            members = [vs[i] for i in ids if assign[i] == c]
+            if members:
+                q = np.floor(np.stack(members) * quant + 0.5).astype(
+                    np.int64).sum(axis=0)
+                cents[c] = q / (float(quant) * len(members))
+    out = {}
+    for i in ids:
+        c = max(range(k), key=lambda c: (cos(vs[i], cents[c]), -c))
+        out[i] = (c, int(np.floor(cos(vs[i], cents[c]) * 10000.0 + 0.5))
+                  / 10000.0)
+    return out
+
+
+def test_kmeans_matches_numpy_mirror(spark, emb):
+    got, cents = S.kmeans(emb, k=3, n_iter=2)
+    want = _np_kmeans(emb.collect(), k=3, n_iter=2)
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        c, cr = want[r["vec_id"]]
+        assert r["cluster"] == c, r
+        assert abs(r["cos_r"] - cr) < 1e-6, r
+    # spherical k-means on >=3 distinct vectors should use >1 cluster
+    assert len({r["cluster"] for r in rows}) > 1
+
+
+def test_kmeans_partition_invariant(spark, emb):
+    a, ca = S.kmeans(emb, k=3, n_iter=2)
+    b, cb = S.kmeans(emb.repartition(7), k=3, n_iter=2)
+    # exact integer centroid updates -> bit-identical centroids and
+    # assignments regardless of partitioning
+    assert ca == cb
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
