@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     # chunking (map-only explode + slice)
     "data_kmeans",
     "data_chunk_overlap",
+    # deterministic shuffle+shard (one Exchange + per-shard sorts) and
+    # fractional epoch mixture (map-only when-chain + explode)
+    "data_shuffle_shards",
+    "data_epoch_upsample",
 ]
 
 

@@ -159,3 +159,65 @@ def importance_weights(docs: DataFrame, target: DataFrame, n: int = 1,
         doc_id,
         F.coalesce("score_unats", F.lit(0)).cast("bigint")
         .alias("score_unats"))
+
+
+def shuffle_shards(df: DataFrame, n_shards: int,
+                   id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic global shuffle + sharding — the "shuffle the
+    corpus before training" step of every pretraining recipe, without
+    ``rand()``: ``shuffle_key = md5(salt || id)`` (hex uniform, so
+    lexicographic key order IS a reproducible random permutation),
+    ``shard = hash32(key) % n_shards``, ``pos_in_shard`` = rank within
+    the shard by ``(key, id)``. Changing ``salt`` reshuffles; re-running
+    does not.
+
+    Scale shape: ONE hash-partition Exchange on ``shard`` and
+    ``n_shards`` parallel in-shard sorts — there is deliberately no
+    global total order (a single ``orderBy(key)`` would range-exchange
+    100 TB through a sampled boundary plan for no training benefit;
+    readers consume shards independently and the permutation quality
+    is the same)."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key)
+    h = F.conv(F.substring(F.col("shuffle_key"), 1, 8), 16, 10) \
+        .cast("bigint")
+    out = out.withColumn("shard", (h % n_shards).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("bigint"))
+
+
+def epoch_upsample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source",
+                   id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Fractional epoch mixture — the upsampling half of the mixture
+    recipe (:func:`stratified_sample` is the downsampling half):
+    a source with weight 2.5 is seen twice by every consumer plus a
+    deterministic md5-selected half once more. Per row the epoch count
+    is ``floor(w) + (hash32(salt || id) < frac(w) * 2^32)`` — exact
+    integer threshold like stratified_sample — and the row explodes
+    into ``epoch = 0 .. e-1`` copies. Sources absent from ``weights``
+    are dropped; integer weights give exact copy counts.
+
+    Scale: map-only (a when-chain over the broadcast-literal weight
+    table + explode); output cardinality is Σ w_s·|s| — the rows any
+    upsampler must emit."""
+    full = {s: int(w) for s, w in weights.items()}
+    thr = {s: min(_HASH_SPAN, int((w - int(w)) * _HASH_SPAN))
+           for s, w in weights.items()}
+    nf_col, thr_col = F.lit(0), F.lit(-1)
+    for s in sorted(weights):
+        nf_col = F.when(F.col(source_col) == s,
+                        F.lit(full[s])).otherwise(nf_col)
+        thr_col = F.when(F.col(source_col) == s,
+                         F.lit(thr[s])).otherwise(thr_col)
+    h = _hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    e = nf_col + F.when(h < thr_col, F.lit(1)).otherwise(F.lit(0))
+    return (df.withColumn("_e", e)
+              .where(F.col("_e") > 0)
+              .withColumn("epoch",
+                          F.explode(F.sequence(F.lit(0),
+                                               F.col("_e") - 1)))
+              .drop("_e"))

@@ -5824,6 +5824,72 @@ _register(
 )
 
 
+def _q_shuffle_shards(spark, sf):
+    """Deterministic corpus shuffle + sharding (``data/selection.py::
+    shuffle_shards``): md5 permutation key, hash-mod shard, per-shard
+    rank — one Exchange, n_shards parallel sorts."""
+    from jena_spark.data.selection import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf), n_shards=8, salt="r4").select(
+        "doc_id", "shuffle_key", "shard", "pos_in_shard")
+
+
+_register(
+    "data_shuffle_shards",
+    _q_shuffle_shards,
+    """WITH k AS (
+      SELECT doc_id,
+             md5('r4' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             CAST(('0x' || substr(md5('r4' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 8 AS INT) AS shard
+      FROM documents)
+    SELECT doc_id, shuffle_key, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY shuffle_key, doc_id)
+             AS pos_in_shard
+    FROM k""",
+)
+
+
+_EPOCH_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 3.0}
+
+
+def _q_epoch_upsample(spark, sf):
+    """Fractional epoch mixture (``data/selection.py::
+    epoch_upsample``): floor(w) full copies + md5-threshold fractional
+    epoch; sources outside the mixture drop."""
+    from jena_spark.data.selection import epoch_upsample
+
+    return epoch_upsample(_docs(spark, sf), _EPOCH_WEIGHTS).select(
+        "doc_id", "source", "epoch")
+
+
+def _epoch_upsample_sql(weights: dict[str, float]) -> str:
+    span = 1 << 32
+    nf = " ".join(f"WHEN '{s}' THEN {int(w)}"
+                  for s, w in sorted(weights.items()))
+    th = " ".join(
+        f"WHEN '{s}' THEN {min(span, int((w - int(w)) * span))}"
+        for s, w in sorted(weights.items()))
+    return f"""WITH d AS (
+      SELECT doc_id, source,
+             CASE source {nf} ELSE 0 END AS nf,
+             CASE source {th} ELSE -1 END AS thr,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents),
+    e AS (SELECT doc_id, source,
+                 nf + CASE WHEN h < thr THEN 1 ELSE 0 END AS ne
+          FROM d)
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(0, ne - 1)) AS INT) AS epoch
+    FROM e WHERE ne > 0"""
+
+
+_register("data_epoch_upsample", _q_epoch_upsample,
+          _epoch_upsample_sql(_EPOCH_WEIGHTS))
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5881,6 +5947,10 @@ _PRIORITY = [
     # kg_subjects/kg_predicates/kg_objects/kg_slice/kg_agg_stats/
     # kg_propfunc_split/kg_quads_roundtrip/kg_salted_agg — all
     # r01-green + pytest-covered — below it).
+    # r5 rotation MUST lead with these two: registered after the r4
+    # window froze, judge-gate (check_oracle) + pytest covered, but
+    # never driver-checked:
+    "data_shuffle_shards", "data_epoch_upsample",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -145,3 +145,57 @@ def test_chunk_documents_overlap_layout(spark):
     assert out[(1, 0)][2].split()[-1:] == out[(1, 1)][2].split()[:1]
     assert len([k for k in out if k[0] == 1]) == 3
     assert len([k for k in out if k[0] == 2]) == 4
+
+
+def test_shuffle_shards_layout_and_determinism(spark):
+    from jena_spark.data.selection import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string")
+    out = shuffle_shards(docs, n_shards=4, salt="s").collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r)
+    # positions are contiguous 1..n per shard and follow key order
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos_in_shard"])
+        assert [r["pos_in_shard"] for r in rows] == \
+            list(range(1, len(rows) + 1))
+        keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+    # deterministic across partitionings; a different salt reshuffles
+    again = shuffle_shards(docs.repartition(13), n_shards=4,
+                           salt="s").collect()
+    key = lambda rs: sorted((r["doc_id"], r["shard"], r["pos_in_shard"])
+                            for r in rs)
+    assert key(again) == key(out)
+    other = shuffle_shards(docs, n_shards=4, salt="t").collect()
+    assert key(other) != key(out)
+
+
+def test_epoch_upsample_counts(spark):
+    from jena_spark.data.selection import epoch_upsample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 100 else ("b" if i < 200 else "c"))
+         for i in range(300)], "doc_id long, source string")
+    out = epoch_upsample(docs, {"a": 2.5, "b": 1.0}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # source c (absent) dropped entirely
+    assert all(d < 200 for d in per_doc)
+    # b: exactly one copy, epoch 0
+    assert all(per_doc[d] == [0] for d in range(100, 200))
+    # a: 2 or 3 copies, contiguous epochs from 0; fraction ~ half
+    n3 = 0
+    for d in range(100):
+        es = sorted(per_doc[d])
+        assert es in ([0, 1], [0, 1, 2])
+        n3 += len(es) == 3
+    assert 25 <= n3 <= 75
+    # deterministic
+    again = epoch_upsample(docs.repartition(7), {"a": 2.5, "b": 1.0})
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
