@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     # fractional epoch mixture (map-only when-chain + explode)
     "data_shuffle_shards",
     "data_epoch_upsample",
+    # transcripts-payload ops: SFT example assembly (one window pass
+    # per conversation) and tool-loop run-length census
+    "data_sft_examples",
+    "data_tool_loops",
 ]
 
 

@@ -5890,6 +5890,49 @@ _register("data_epoch_upsample", _q_epoch_upsample,
           _epoch_upsample_sql(_EPOCH_WEIGHTS))
 
 
+def _q_sft_examples(spark, sf):
+    """SFT example assembly (``data/sft.py::sft_examples``): every
+    assistant turn -> (context, target) with the context the maximal
+    preceding-turn suffix under a 32-token budget; loss-mask-ready
+    token counts; one window pass per conversation."""
+    from jena_spark.data.sft import sft_examples
+    from jena_spark.data.transcripts import transcripts_df
+
+    return sft_examples(transcripts_df(spark, sf), 32)
+
+
+def _sft_examples_oracle() -> str:
+    from jena_spark.data.sft import sft_examples_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return sft_examples_sql(transcripts_cte(), 32)
+
+
+_register("data_sft_examples", _q_sft_examples, _sft_examples_oracle())
+
+
+def _q_tool_loops(spark, sf):
+    """Tool-loop detection (``data/agentic.py::detect_loops``): per-
+    conversation run-length census of consecutive identical ROLES
+    (assistant/tool storms) — gaps-and-islands, keep iff longest run
+    <= 2."""
+    from jena_spark.data.agentic import detect_loops
+    from jena_spark.data.transcripts import transcripts_df
+
+    return detect_loops(transcripts_df(spark, sf), max_run=2,
+                        value="role")
+
+
+def _tool_loops_oracle() -> str:
+    from jena_spark.data.agentic import detect_loops_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return detect_loops_sql(transcripts_cte(), max_run=2, value="role")
+
+
+_register("data_tool_loops", _q_tool_loops, _tool_loops_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5947,10 +5990,11 @@ _PRIORITY = [
     # kg_subjects/kg_predicates/kg_objects/kg_slice/kg_agg_stats/
     # kg_propfunc_split/kg_quads_roundtrip/kg_salted_agg — all
     # r01-green + pytest-covered — below it).
-    # r5 rotation MUST lead with these two: registered after the r4
+    # r5 rotation MUST lead with these four: registered after the r4
     # window froze, judge-gate (check_oracle) + pytest covered, but
     # never driver-checked:
     "data_shuffle_shards", "data_epoch_upsample",
+    "data_sft_examples", "data_tool_loops",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -97,6 +97,13 @@ def main() -> None:
                          "applied BEFORE --replicate (replicas are "
                          "deliberate duplicates for scale testing and "
                          "must survive)")
+    ap.add_argument("--drop-loops", type=int, default=None,
+                    metavar="MAX_RUN",
+                    help="drop conversations whose longest run of "
+                         "consecutive identical turn texts exceeds "
+                         "MAX_RUN (stuck tool loops; "
+                         "data.agentic.detect_loops) — like "
+                         "--dedup-convs, applied before --replicate")
     ap.add_argument("--conv-suffix", default="-b2",
                     help="suffix making the appended batch's conv ids new "
                          "(deployment appends genuinely new conversations)")
@@ -129,6 +136,12 @@ def main() -> None:
 
         keep = dedup_conversations(tr).where(F.col("keep") == 1) \
             .select("conv_id")
+        tr = tr.join(keep, "conv_id", "left_semi")
+    if args.drop_loops is not None:
+        from jena_spark.data.agentic import detect_loops
+
+        keep = detect_loops(tr, max_run=args.drop_loops) \
+            .where(F.col("keep") == 1).select("conv_id")
         tr = tr.join(keep, "conv_id", "left_semi")
     if args.replicate > 1:
         tr = tr.crossJoin(
