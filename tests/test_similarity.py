@@ -166,3 +166,24 @@ def test_kmeans_partition_invariant(spark, emb):
     # assignments regardless of partitioning
     assert ca == cb
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    """A seed duplicated among the first k vectors gets no members
+    (ties break to the lower cluster id) — its centroid must stay the
+    seed, mirroring the oracle's COALESCE, and the run must still
+    match the numpy mirror."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]),
+            (3, [0.9, 0.1]), (4, [0.1, 0.9]), (5, [0.8, 0.2])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got, cents = S.kmeans(e, k=3, n_iter=2)
+    want = _np_kmeans(
+        [{"vec_id": i, "embedding": v} for i, v in rows], k=3, n_iter=2)
+    out = {r["vec_id"]: r["cluster"] for r in got.collect()}
+    assert out == {i: want[i][0] for i, _ in rows}
+    # cluster 2 (the duplicate seed) had no members in the update, so
+    # it kept its seed centroid — and that pristine [1,0] then wins
+    # back the exact-match vectors from cluster 0's moved mean in the
+    # final assignment (standard k-means empty-cluster behavior)
+    assert cents[2] == [1.0, 0.0]
+    assert out[0] == 2 and out[2] == 2
