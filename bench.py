@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     # per conversation) and tool-loop run-length census
     "data_sft_examples",
     "data_tool_loops",
+    # DSIR resampling: Gumbel-top-k over the importance scores
+    # (TakeOrderedAndProject — no global sort)
+    "data_importance_resample",
 ]
 
 

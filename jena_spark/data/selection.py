@@ -221,3 +221,39 @@ def epoch_upsample(df: DataFrame, weights: dict[str, float],
                           F.explode(F.sequence(F.lit(0),
                                                F.col("_e") - 1)))
               .drop("_e"))
+
+
+def importance_resample(scores: DataFrame, n: int,
+                        id_col: str = "doc_id",
+                        score_col: str = "score_unats",
+                        temperature: float = 1.0,
+                        salt: str = "") -> DataFrame:
+    """The RESAMPLING half of DSIR (:func:`importance_weights` is the
+    scoring half): draw ``n`` documents without replacement with
+    probability ∝ ``exp(score / temperature)`` via the Gumbel-top-k
+    trick (Kool et al. 2019, public method) — ``key = score/T +
+    Gumbel(0,1)``, take the n largest keys. The Gumbel noise is
+    derived from the md5 uniform (``u = (hash32 + 0.5)/2^32``,
+    ``g = -ln(-ln u)``), so the draw is deterministic: re-running
+    selects the identical sample, a different ``salt`` redraws.
+
+    Scale: ``orderBy().limit(n)`` plans TakeOrderedAndProject —
+    per-partition top-n, driver merges n·P candidates; the corpus
+    never globally sorts. Returns ``(id_col, score_col, key_r, rank)``
+    with the key rounded to 1e-6 (ln ulp differences between engines
+    are ~1e-16; rank ties would need key gaps at that scale).
+    """
+    u = (_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+         + F.lit(0.5)) / float(_HASH_SPAN)
+    g = -F.log(-F.log(u))
+    key = F.col(score_col) / (10000.0 * temperature) + g
+    top = (scores.select(id_col, score_col, key.alias("_key"))
+           .orderBy(F.desc("_key"), F.col(id_col)).limit(n))
+    from pyspark.sql import Window
+
+    # rank over the n survivors only (bounded single-task window)
+    w = Window.orderBy(F.desc("_key"), F.col(id_col))
+    return top.select(
+        id_col, score_col,
+        (F.floor(F.col("_key") * 1e6 + 0.5) / 1e6).alias("key_r"),
+        F.row_number().over(w).cast("bigint").alias("rank"))

@@ -5933,6 +5933,37 @@ def _tool_loops_oracle() -> str:
 _register("data_tool_loops", _q_tool_loops, _tool_loops_oracle())
 
 
+def _q_importance_resample(spark, sf):
+    """DSIR resampling (``data/selection.py::importance_resample``):
+    Gumbel-top-50 over the data_importance_weights scores — draw ∝
+    exp(score) deterministically (md5-derived Gumbel noise, salt 'g');
+    TakeOrderedAndProject, the corpus never globally sorts."""
+    from jena_spark.data.selection import importance_resample
+
+    return importance_resample(_q_importance_weights(spark, sf),
+                               n=50, salt="g")
+
+
+_register(
+    "data_importance_resample",
+    _q_importance_resample,
+    f"""WITH sc AS ({_IW_SQL}),
+k AS (
+  SELECT doc_id, score_unats,
+         score_unats / 10000.0
+         + -ln(-ln((('0x' || substr(md5('g' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT + 0.5)
+                   / 4294967296.0)) AS key
+  FROM sc)
+SELECT doc_id, score_unats,
+       floor(key * 1e6 + 0.5) / 1e6 AS key_r,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+      FROM k)
+WHERE rn <= 50""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5990,11 +6021,11 @@ _PRIORITY = [
     # kg_subjects/kg_predicates/kg_objects/kg_slice/kg_agg_stats/
     # kg_propfunc_split/kg_quads_roundtrip/kg_salted_agg — all
     # r01-green + pytest-covered — below it).
-    # r5 rotation MUST lead with these four: registered after the r4
+    # r5 rotation MUST lead with these: registered after the r4
     # window froze, judge-gate (check_oracle) + pytest covered, but
     # never driver-checked:
     "data_shuffle_shards", "data_epoch_upsample",
-    "data_sft_examples", "data_tool_loops",
+    "data_sft_examples", "data_tool_loops", "data_importance_resample",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

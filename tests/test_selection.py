@@ -199,3 +199,29 @@ def test_epoch_upsample_counts(spark):
     # deterministic
     again = epoch_upsample(docs.repartition(7), {"a": 2.5, "b": 1.0})
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
+def test_importance_resample_bias_and_determinism(spark):
+    from jena_spark.data.selection import importance_resample
+
+    # 100 low-score docs (0 unats) + 100 high-score docs (+3 nats)
+    scores = spark.createDataFrame(
+        [(i, 0 if i < 100 else 30000) for i in range(200)],
+        "doc_id long, score_unats long")
+    out = importance_resample(scores, n=50, salt="s").collect()
+    assert len(out) == 50
+    assert sorted(r["rank"] for r in out) == list(range(1, 51))
+    # ranks follow descending key
+    byrank = sorted(out, key=lambda r: r["rank"])
+    keys = [r["key_r"] for r in byrank]
+    assert keys == sorted(keys, reverse=True)
+    # exp(3) ~ 20x preference: the sample must be dominated by the
+    # high-score half (P[this failing under the null] is negligible)
+    n_high = sum(r["doc_id"] >= 100 for r in out)
+    assert n_high >= 40
+    # deterministic; a different salt redraws
+    again = importance_resample(scores.repartition(9), n=50, salt="s")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+    other = {r["doc_id"] for r in
+             importance_resample(scores, n=50, salt="t").collect()}
+    assert other != {r["doc_id"] for r in out}
