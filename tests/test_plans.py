@@ -178,3 +178,45 @@ def test_kmeans_final_assignment_is_map_only(spark):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
     assert len(cents) == 3
+
+
+def test_sft_examples_single_conv_exchange_no_python(spark):
+    """sft_examples is ONE window pass per conversation: the physical
+    plan has exactly one hash-partition Exchange (conv_id) and no
+    Python — context assembly is higher-order array codegen."""
+    from jena_spark.data.sft import sft_examples
+
+    t = spark.createDataFrame(
+        [("c%d" % (i % 4), i // 4, "assistant" if i % 2 else "user",
+          "w x y") for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string")
+    plan = sft_examples(t, 16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan, plan
+    n_ex = sum(1 for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln)
+    assert n_ex == 1, plan
+
+
+def test_epoch_upsample_is_map_only(spark):
+    from jena_spark.data.selection import epoch_upsample
+
+    d = spark.createDataFrame(
+        [(i, "a") for i in range(16)], "doc_id long, source string")
+    plan = epoch_upsample(d, {"a": 2.5})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_importance_resample_takes_ordered(spark):
+    """The top-n never globally sorts: TakeOrderedAndProject, no Sort
+    + Exchange rangepartitioning pair."""
+    from jena_spark.data.selection import importance_resample
+
+    s = spark.createDataFrame(
+        [(i, i * 100) for i in range(64)], "doc_id long, score_unats long")
+    plan = importance_resample(s, 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
