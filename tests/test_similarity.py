@@ -187,3 +187,26 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     # final assignment (standard k-means empty-cluster behavior)
     assert cents[2] == [1.0, 0.0]
     assert out[0] == 2 and out[2] == 2
+
+
+def test_semdedup_trained_quantizer(spark):
+    """train_iters>0 swaps the seed quantizer for k-means centroids;
+    dedup invariants hold and near-identical vectors still collapse."""
+    rows = ([(i, [1.0, 0.0, 0.0]) for i in range(4)]
+            + [(10 + i, [0.0, 1.0, 0.0]) for i in range(4)]
+            + [(20, [0.0, 0.0, 1.0])])
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semdedup(e, n_cells=3, threshold=0.99,
+                     train_iters=2).collect()
+    assert len(out) == len(rows)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        # exactly one survivor per duplicate group, min id wins
+        assert sum(m["keep"] for m in members) == 1
+        assert min(m["vec_id"] for m in members) == \
+            [m["vec_id"] for m in members if m["keep"]][0]
+    # the two 4-clone groups collapsed; the singleton kept itself
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [1, 4, 4]
