@@ -225,3 +225,29 @@ def test_importance_resample_bias_and_determinism(spark):
     other = {r["doc_id"] for r in
              importance_resample(scores, n=50, salt="t").collect()}
     assert other != {r["doc_id"] for r in out}
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Stitching chunks (dropping each subsequent chunk's first
+    `overlap` tokens) reproduces the original token stream — for
+    assorted lengths around every boundary condition."""
+    from jena_spark.data.pack import chunk_documents
+
+    texts = [(n, " ".join(f"w{i}" for i in range(1, n + 1)))
+             for n in (1, 2, 5, 6, 7, 8, 12, 13, 19, 40)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    W, O = 6, 2
+    rows = chunk_documents(docs, chunk_tokens=W, overlap=O).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, text in texts:
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+        toks = []
+        for j, r in enumerate(chunks):
+            ct = r["chunk_text"].split(" ")
+            assert len(ct) == r["n_chunk_tokens"] <= W
+            toks.extend(ct if j == 0 else ct[O:])
+        assert toks == text.split(" "), (n, toks)
+        # every chunk except possibly the last is full-width
+        assert all(r["n_chunk_tokens"] == W for r in chunks[:-1])
