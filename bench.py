@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     # DSIR resampling: Gumbel-top-k over the importance scores
     # (TakeOrderedAndProject — no global sort)
     "data_importance_resample",
+    # incremental MinHash-LSH near-dedup: two batch folds against the
+    # signature store (new-batch signatures + arithmetic-only store
+    # banding + size-k integer estimate verify)
+    "data_dedup_minhash_incremental",
 ]
 
 

@@ -213,11 +213,11 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
-    """Band the signature; docs sharing any band bucket are candidates."""
+def _banded(signatures: DataFrame, bands: int) -> DataFrame:
+    """(doc, band, bucket) — one bucket hash per signature band."""
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         F.posexplode(
             F.transform(
@@ -236,6 +236,11 @@ def lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates."""
+    banded = _banded(signatures, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -474,3 +479,89 @@ def dedup_clusters(
             id_col, F.coalesce("cluster", F.col(id_col)).alias("cluster"))
     return clusters.select(
         id_col, "cluster", (F.col(id_col) == F.col("cluster")).alias("keep"))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame, prior: DataFrame | None = None, *,
+    k: int = 32, bands: int = 8, threshold: float = 0.7,
+    text_col: str = "text", id_col: str = "doc_id", ngram: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a NEW batch into a persistent MinHash-LSH store — the
+    fuzzy counterpart of :func:`exact_dedup_incremental`: at corpus
+    scale near-dedup is maintained per arriving batch against a
+    signature store, never recomputed over the whole history.
+
+    ``prior`` is the ``(doc, batch, sig)`` store from earlier batches
+    (``None`` first batch) — it holds ALL earlier docs, not survivors
+    only: under chained near-dups (C≈B≈A but C≉A) a survivor-only
+    store would silently change semantics between fold orders. Returns
+    ``(verdicts, state)``:
+
+    * ``verdicts`` — one row per NEW document: ``(doc_id, kept,
+      rep_id)``. ``kept`` is True iff NO earlier document (prior
+      batches win over this batch; within the batch the smaller id
+      wins) shares an LSH band bucket AND matches on the signature
+      estimate; ``rep_id`` is the earliest such match (self when
+      kept). Verification is the signature ESTIMATE — the integer
+      count of equal MinHash components ``>= ceil(threshold*k)`` — 
+      because the store holds signatures only, never text (the honest
+      scale design: k longs per historical doc). The one-shot path
+      with exact-Jaccard verification remains ``lsh_candidates`` +
+      ``jaccard_for_pairs``.
+    * ``state`` — ``prior`` plus this batch's ``(doc, batch, sig)``.
+
+    Invariant (pytest-pinned): folding batches in order is
+    row-identical to one fold of the concatenation whenever ids are
+    globally monotone across batches — the match total order is
+    (batch, id) either way.
+
+    Scale shape: signatures are computed for the NEW batch only; the
+    store side contributes arithmetic-only banding (no text, no
+    explode of history tokens); the candidate join keys on (band,
+    bucket) — the same equi-shuffle LSH always pays — and the verify
+    is a size-k integer comparison per candidate pair.
+    """
+    import math
+
+    sig_new = minhash_signatures(new_docs, k, text_col, id_col, ngram)
+    if prior is None:
+        batch_no, store = 0, None
+    else:
+        batch_no = prior.agg(F.max("batch")).first()[0] + 1
+        store = prior
+    mine = sig_new.select("doc", F.lit(batch_no).alias("batch"), "sig") \
+        .localCheckpoint(eager=False)  # banding + verify + state reuse
+    earlier = mine if store is None else store.unionByName(mine)
+    bn = _banded(mine.select("doc", "sig"), bands) \
+        .withColumnRenamed("doc", "doc_b")
+    be = _banded(earlier.select("doc", "sig"), bands) \
+        .withColumnRenamed("doc", "doc_a")
+    ea = earlier.select(F.col("doc").alias("doc_a"),
+                        F.col("batch").alias("batch_a"),
+                        F.col("sig").alias("sig_a"))
+    nb = mine.select(F.col("doc").alias("doc_b"),
+                     F.col("batch").alias("batch_b"),
+                     F.col("sig").alias("sig_b"))
+    cand = (be.join(bn, ["band", "bucket"])
+            .select("doc_a", "doc_b").distinct()
+            .join(ea, "doc_a").join(nb, "doc_b")
+            # "earlier" = strictly smaller (batch, id)
+            .where((F.col("batch_a") < F.col("batch_b"))
+                   | ((F.col("batch_a") == F.col("batch_b"))
+                      & (F.col("doc_a") < F.col("doc_b")))))
+    need = int(math.ceil(threshold * k))
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                     lambda x, y: x == y),
+                          lambda v: v))
+    matches = cand.where(est >= need)
+    best = matches.groupBy("doc_b").agg(
+        F.min(F.struct("batch_a", "doc_a")).alias("_m"))
+    verdicts = (mine.select(F.col("doc").alias(id_col))
+                .join(best.withColumnRenamed("doc_b", id_col),
+                      id_col, "left")
+                .select(id_col,
+                        F.col("_m").isNull().alias("kept"),
+                        F.coalesce(F.col("_m")["doc_a"],
+                                   F.col(id_col)).alias("rep_id")))
+    state = mine if store is None else store.unionByName(mine)
+    return verdicts, state

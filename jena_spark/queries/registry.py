@@ -5964,6 +5964,27 @@ WHERE rn <= 50""",
 )
 
 
+def _q_minhash_incremental(spark, sf):
+    """Incremental MinHash-LSH near-dedup (``data/dedup.py::
+    minhash_dedup_incremental``): fold the even-id then the odd-id
+    batch against the signature store; union of per-batch verdicts.
+    Rows-only (xxhash64 has no DuckDB twin) — the fold==one-shot
+    invariant and a brute signature-estimate reference are pinned in
+    ``tests/test_dedup.py``."""
+    from jena_spark.data.dedup import minhash_dedup_incremental
+
+    d = _docs(spark, sf)
+    v1, st = minhash_dedup_incremental(
+        d.where(F.col("doc_id") % 2 == 0), None)
+    v2, _ = minhash_dedup_incremental(
+        d.where(F.col("doc_id") % 2 == 1), st)
+    return v1.unionByName(v2).select(
+        "doc_id", F.col("kept").cast("int").alias("kept"), "rep_id")
+
+
+_register("data_dedup_minhash_incremental", _q_minhash_incremental, None)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6026,6 +6047,7 @@ _PRIORITY = [
     # never driver-checked:
     "data_shuffle_shards", "data_epoch_upsample",
     "data_sft_examples", "data_tool_loops", "data_importance_resample",
+    "data_dedup_minhash_incremental",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

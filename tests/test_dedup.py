@@ -302,3 +302,58 @@ def test_curate_classifier_and_perplexity_rules(spark):
         lm_docs=lm_ref).collect()}
     assert not v2[3]["kept"] and v2[3]["reason"] == "perplexity"
     assert v2[1]["kept"]
+
+
+def test_minhash_incremental_fold_equals_one_shot(spark):
+    """Fold-chain == one fold of the concatenation under globally
+    monotone ids — the same invariant exact_dedup_incremental pins."""
+    from jena_spark.data.dedup import minhash_dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the bank"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            txt = base
+        elif i % 3 == 1:
+            txt = base + f" extra{i}"          # near-dup of base
+        else:
+            txt = f"totally different text number {i} with unique words w{i} v{i} u{i}"
+        rows.append((i, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = docs.where("doc_id < 15")
+    b2 = docs.where("doc_id >= 15")
+
+    v1, st = minhash_dedup_incremental(b1, None, threshold=0.6)
+    v2, st2 = minhash_dedup_incremental(b2, st, threshold=0.6)
+    chained = sorted(map(tuple, v1.unionByName(v2).collect()))
+
+    v_all, _ = minhash_dedup_incremental(docs, None, threshold=0.6)
+    oneshot = sorted(map(tuple, v_all.collect()))
+    assert chained == oneshot
+    # state grew append-only to the full corpus
+    assert st2.count() == 30
+    # and the brute signature-estimate reference agrees
+    from jena_spark.data.dedup import minhash_signatures
+    import math
+
+    sigs = {r["doc"]: list(r["sig"])
+            for r in minhash_signatures(docs, 32).collect()}
+    need = math.ceil(0.6 * 32)
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b]))
+
+    for doc_id, kept, rep in chained:
+        earlier_matches = [j for j in range(doc_id)
+                           if est(j, doc_id) >= need]
+        # LSH candidacy can only MISS pairs the estimate would accept
+        # (banding recall), never invent them — kept docs must have no
+        # candidate, and a reported rep must be a true estimate match
+        if not kept:
+            assert rep in earlier_matches
+        else:
+            assert rep == doc_id
+    # the exact clones MUST collapse (identical sigs share every band)
+    clones = {d: (k, r) for d, k, r in chained if d % 3 == 0}
+    assert clones[0] == (True, 0)
+    assert all(v == (False, 0) for d, v in clones.items() if d > 0)
