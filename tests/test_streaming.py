@@ -202,3 +202,43 @@ def test_canonical_maintenance_replay_after_commit_is_noop(
     # empty batch is also a skip
     empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
     assert apply_canonical_batch(spark, empty, 2, store) is False
+
+
+def test_streaming_dedup_maintenance_matches_batch_fold(spark, tmp_path):
+    """Stream of document batches folded through the hash store ==
+    the batch fold chain == keep-first over arrival order."""
+    from jena_spark.streaming.ingest import (
+        read_current_snapshot,
+        read_verdicts,
+        start_dedup_maintenance,
+    )
+
+    inp = tmp_path / "docs_in"
+    store = str(tmp_path / "dedup_store")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")],
+        "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(str(inp))
+    q = start_dedup_maintenance(spark, str(inp), store, ckpt)
+    q.awaitTermination()
+    b2.coalesce(1).write.mode("append").parquet(str(inp))
+    q = start_dedup_maintenance(spark, str(inp), store, ckpt)
+    q.awaitTermination()
+
+    verdicts = {r["doc_id"]: (r["kept"], r["rep_id"])
+                for r in read_verdicts(spark, store).collect()}
+    assert verdicts == {
+        0: (True, 0), 1: (True, 1), 2: (False, 0),   # batch 1
+        10: (False, 1),                               # beta seen in b1
+        11: (True, 11), 12: (False, 11),              # gamma new in b2
+    }
+    # the committed store holds one rep per distinct text ever seen
+    state = {r["rep_id"] for r in
+             read_current_snapshot(spark, store).collect()}
+    assert state == {0, 1, 11}
