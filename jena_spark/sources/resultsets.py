@@ -404,3 +404,155 @@ def bindings_wide(long_df: DataFrame) -> DataFrame:
         for v in names
     ]
     return long_df.groupBy("row_key").agg(*aggs).drop("row_key")
+
+
+# --- ResultSetCompare ---------------------------------------------------------
+# Reference: jena-arq/.../sparql/resultset/ResultSetCompare.java
+# (equalsByTerm / equalsByValue) with the blank-node bijection of
+# util/iso/BNodeIso.java. Like ARQ — which materializes both sides as
+# ResultSetRewindable — this is a driver-side utility over collected
+# results; the engine's distributed equality paths are the oracle
+# hash-compare and graph isomorphism (queries/isomorphism.py).
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DTS = {
+    _XSD + t for t in (
+        "integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+}
+
+
+def _rs_rows(results: DataFrame):
+    """Collected rows as tuples of (var, term) pairs; term =
+    ('bnode', label) or ('term', kind, val, datatype, lang)."""
+    rows = []
+    struct_cols = {n for n, t in results.dtypes if t.startswith("struct")}
+    for r in results.collect():
+        row = []
+        for n in sorted(results.columns):
+            v = r[n]
+            if v is None:
+                row.append((n, None))
+            elif n in struct_cols:
+                kind = v["kind"]
+                if kind == "bnode":
+                    row.append((n, ("bnode", v["val"])))
+                else:
+                    row.append((n, ("term", kind, v["val"],
+                                    v["datatype"] or "", v["lang"] or "")))
+            else:
+                row.append((n, ("term", "literal", str(v), "", "")))
+        rows.append(tuple(row))
+    return rows
+
+
+def _value_key(term):
+    """NodeValue-style value-space key: numeric literals compare
+    numerically across datatypes, plain literal == xsd:string,
+    booleans/dateTimes by parsed value; everything else by term."""
+    if term is None or term[0] == "bnode":
+        return term
+    _, kind, val, dt, lang = term
+    if kind != "literal":
+        return term
+    if lang:
+        return ("lit-lang", val, lang.lower())
+    if dt in _NUMERIC_DTS:
+        from decimal import Decimal, InvalidOperation
+
+        try:
+            return ("num", Decimal(val))
+        except InvalidOperation:
+            try:
+                return ("num", Decimal(repr(float(val))))
+            except (ValueError, InvalidOperation):
+                return term
+    if dt == _XSD + "boolean":
+        return ("bool", val.strip() in ("true", "1"))
+    if dt in (_XSD + "dateTime", _XSD + "date"):
+        from datetime import datetime
+
+        try:
+            return ("dt", datetime.fromisoformat(
+                val.replace("Z", "+00:00")))
+        except ValueError:
+            return term
+    if dt in ("", _XSD + "string"):
+        return ("lit-str", val)
+    return ("lit", val, dt)
+
+
+def _rs_iso(rows_a, rows_b, by_value: bool) -> bool:
+    """Multiset row equality under ONE global blank-node bijection
+    (BNodeIso semantics), backtracking over skeleton-bucketed
+    candidates."""
+    if len(rows_a) != len(rows_b):
+        return False
+
+    def norm(t):
+        return _value_key(t) if by_value else t
+
+    def skeleton(row):
+        return tuple((n, "*" if t is not None and t[0] == "bnode"
+                      else norm(t)) for n, t in row)
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for j, rb in enumerate(rows_b):
+        buckets[skeleton(rb)].append(j)
+
+    used = [False] * len(rows_b)
+    fwd: dict = {}
+    rev: dict = {}
+
+    def try_row(i) -> bool:
+        if i == len(rows_a):
+            return True
+        ra = rows_a[i]
+        for j in buckets.get(skeleton(ra), ()):
+            if used[j]:
+                continue
+            rb = rows_b[j]
+            added = []
+            ok = True
+            for (_, ta), (_, tb) in zip(ra, rb):
+                if ta is None or ta[0] != "bnode":
+                    continue
+                la, lb = ta[1], tb[1]
+                if fwd.get(la, lb) != lb or rev.get(lb, la) != la:
+                    ok = False
+                    break
+                if la not in fwd:
+                    fwd[la], rev[lb] = lb, la
+                    added.append((la, lb))
+            if ok:
+                used[j] = True
+                if try_row(i + 1):
+                    return True
+                used[j] = False
+            for la, lb in added:
+                del fwd[la], rev[lb]
+        return False
+
+    return try_row(0)
+
+
+def equal_by_term(a: DataFrame, b: DataFrame) -> bool:
+    """``ResultSetCompare.equalsByTerm``: same variables, same row
+    multiset term-for-term, up to one consistent blank-node bijection."""
+    if sorted(a.columns) != sorted(b.columns):
+        return False
+    return _rs_iso(_rs_rows(a), _rs_rows(b), by_value=False)
+
+
+def equal_by_value(a: DataFrame, b: DataFrame) -> bool:
+    """``ResultSetCompare.equalsByValue``: like :func:`equal_by_term`
+    but literals compare in VALUE space — "01"^^xsd:integer matches
+    "1"^^xsd:integer, 5.0e0 matches 5, plain matches xsd:string."""
+    if sorted(a.columns) != sorted(b.columns):
+        return False
+    return _rs_iso(_rs_rows(a), _rs_rows(b), by_value=True)

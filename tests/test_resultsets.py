@@ -251,3 +251,82 @@ def test_csv_reader_lossy(spark, tmp_path):
     write_csv(flat, out)
     back = read_csv_results(spark, out)
     assert {r["x"] for r in back.collect()} == {"http://e/a", "hi"}
+
+
+def _term(kind, val, dt="", lang=""):
+    return (kind, val, dt, lang)
+
+
+def _rs(spark, rows, cols):
+    schema = ", ".join(
+        f"{c}: struct<kind string, val string, datatype string, lang string>"
+        .replace(": ", " ") for c in cols)
+    return spark.createDataFrame(rows, schema)
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_resultset_compare_bnode_bijection(spark):
+    """ResultSetCompare.equalsByTerm semantics: row order irrelevant,
+    blank-node labels match under ONE consistent bijection, crossed
+    mappings are rejected."""
+    from jena_spark.sources.resultsets import equal_by_term
+
+    a = _rs(spark, [
+        (_term("bnode", "b1"), _term("iri", "http://x/p")),
+        (_term("bnode", "b1"), _term("iri", "http://x/q")),
+        (_term("bnode", "b2"), _term("iri", "http://x/p")),
+    ], ["s", "p"])
+    # same shape, renamed bnodes, shuffled rows
+    b = _rs(spark, [
+        (_term("bnode", "z9"), _term("iri", "http://x/p")),
+        (_term("bnode", "z7"), _term("iri", "http://x/p")),
+        (_term("bnode", "z7"), _term("iri", "http://x/q")),
+    ], ["s", "p"])
+    assert equal_by_term(a, b)
+    # a's bnode degree profile is {p,q} + {p}; c's is {p,q} + {q} —
+    # no bijection can make b2's {p} row match a {q} row
+    c = _rs(spark, [
+        (_term("bnode", "z7"), _term("iri", "http://x/p")),
+        (_term("bnode", "z7"), _term("iri", "http://x/q")),
+        (_term("bnode", "z9"), _term("iri", "http://x/q")),
+    ], ["s", "p"])
+    assert not equal_by_term(a, c)
+    # and a crossed SHARED mapping is rejected: one bnode on the left
+    # cannot map to two on the right even when per-row terms align
+    d = _rs(spark, [
+        (_term("bnode", "b1"), _term("bnode", "b1")),
+    ], ["s", "p"])
+    e = _rs(spark, [
+        (_term("bnode", "z1"), _term("bnode", "z2")),
+    ], ["s", "p"])
+    assert not equal_by_term(d, e)
+    assert equal_by_term(d, _rs(spark, [
+        (_term("bnode", "w"), _term("bnode", "w"))], ["s", "p"]))
+    # different column sets never match
+    assert not equal_by_term(a, b.withColumnRenamed("p", "o"))
+
+
+def test_resultset_compare_by_value(spark):
+    from jena_spark.sources.resultsets import equal_by_term, equal_by_value
+
+    a = _rs(spark, [
+        (_term("literal", "01", XSD + "integer"),),
+        (_term("literal", "5.0", XSD + "double"),),
+        (_term("literal", "plain"),),
+    ], ["x"])
+    b = _rs(spark, [
+        (_term("literal", "1", XSD + "integer"),),
+        (_term("literal", "5", XSD + "decimal"),),
+        (_term("literal", "plain", XSD + "string"),),
+    ], ["x"])
+    assert equal_by_value(a, b)
+    assert not equal_by_term(a, b)
+    # value space still distinguishes actual differences
+    c = _rs(spark, [
+        (_term("literal", "2", XSD + "integer"),),
+        (_term("literal", "5", XSD + "decimal"),),
+        (_term("literal", "plain"),),
+    ], ["x"])
+    assert not equal_by_value(a, c)
