@@ -233,3 +233,63 @@ def parse_stats_sse(text: str) -> StatsResults:
     if count < 0:
         count = sum(preds.values())
     return StatsResults(preds, types, count, other)
+
+
+# --- elephas transform/filter one-liners (SURVEY §2.13 rows) ------------------
+# Reference: jena-elephas/jena-elephas-mapreduce/.../rdf/mapreduce/
+# filter/{ValidTripleFilterMapper,GroundTripleFilterMapper}.java,
+# filter/positional/TripleFilterByPredicateUriMapper.java,
+# split/TripleSplitToNodesMapper.java,
+# transform/{TriplesToQuadsConstantGraphMapper,QuadsToTriplesMapper}.java.
+# Each is a map-only DataFrame expression — named here so the operator
+# inventory is explicit, tested surface, not a comment.
+
+def valid_triples(triples: DataFrame) -> DataFrame:
+    """ValidTripleFilterMapper: keep rows that form a legal RDF triple
+    — subject an IRI or bnode, predicate a non-null IRI, object any
+    non-null term."""
+    return triples.where(
+        F.col("s_kind").isin("iri", "bnode")
+        & (F.col("p_val").isNotNull())
+        & F.col("o_kind").isin("iri", "bnode", "literal"))
+
+
+def ground_triples(triples: DataFrame) -> DataFrame:
+    """GroundTripleFilterMapper: keep triples with NO blank nodes."""
+    return triples.where((F.col("s_kind") != "bnode")
+                         & (F.col("o_kind") != "bnode"))
+
+
+def filter_by_predicate(triples: DataFrame, iris: list[str]) -> DataFrame:
+    """TripleFilterByPredicateUriMapper: predicate-IRI allowlist."""
+    return triples.where(F.col("p_val").isin(list(iris)))
+
+
+def split_to_nodes(triples: DataFrame) -> DataFrame:
+    """TripleSplitToNodesMapper: one output row per term position —
+    ``(pos, kind, val, datatype, lang)``."""
+    node = F.explode(F.array(
+        F.struct(F.lit("s").alias("pos"), F.col("s_kind").alias("kind"),
+                 F.col("s_val").alias("val"),
+                 F.lit(None).cast("string").alias("datatype"),
+                 F.lit(None).cast("string").alias("lang")),
+        F.struct(F.lit("p").alias("pos"), F.lit("iri").alias("kind"),
+                 F.col("p_val").alias("val"),
+                 F.lit(None).cast("string").alias("datatype"),
+                 F.lit(None).cast("string").alias("lang")),
+        F.struct(F.lit("o").alias("pos"), F.col("o_kind").alias("kind"),
+                 F.col("o_val").alias("val"), F.col("o_datatype").alias("datatype"),
+                 F.col("o_lang").alias("lang")),
+    )).alias("node")
+    return triples.select(node).select("node.*")
+
+
+def triples_to_quads(triples: DataFrame, graph_iri: str) -> DataFrame:
+    """TriplesToQuadsConstantGraphMapper: stamp a constant graph."""
+    return triples.withColumn("graph", F.lit(graph_iri))
+
+
+def quads_to_triples(quads: DataFrame) -> DataFrame:
+    """QuadsToTriplesMapper: project the graph away (a straight map,
+    like the reference — cross-graph dedup is the caller's call)."""
+    return quads.drop("graph")

@@ -117,3 +117,37 @@ def test_type_counts_refine_reorder():
     typed3 = reorder_patterns_stats(
         [var_pat, knows_pat], preds, type_counts={V + "RareClass": 3})
     assert typed3[0] == knows_pat
+
+
+def test_elephas_transform_oneliners(spark):
+    """SURVEY §2.13 filter/split/transform rows — explicit surface."""
+    from jena_spark.pipeline.stats import (
+        filter_by_predicate,
+        ground_triples,
+        quads_to_triples,
+        split_to_nodes,
+        triples_to_quads,
+        valid_triples,
+    )
+
+    t = spark.createDataFrame(
+        [("iri", "http://x/s", "http://x/p", "iri", "http://x/o", None, None),
+         ("bnode", "b0", "http://x/p", "literal", "5",
+          "http://www.w3.org/2001/XMLSchema#integer", None),
+         ("iri", "http://x/s2", "http://x/q", "bnode", "b1", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string, "
+        "o_val string, o_datatype string, o_lang string")
+    assert valid_triples(t).count() == 3
+    assert {r["s_val"] for r in ground_triples(t).collect()} == \
+        {"http://x/s"}
+    assert filter_by_predicate(t, ["http://x/q"]).count() == 1
+    nodes = split_to_nodes(t).collect()
+    assert len(nodes) == 9
+    assert {(r["pos"], r["kind"]) for r in nodes} >= \
+        {("s", "iri"), ("s", "bnode"), ("p", "iri"),
+         ("o", "literal"), ("o", "bnode")}
+    dts = {r["datatype"] for r in nodes if r["pos"] == "o"}
+    assert "http://www.w3.org/2001/XMLSchema#integer" in dts
+    q = triples_to_quads(t, "urn:g")
+    assert q.where("graph = 'urn:g'").count() == 3
+    assert quads_to_triples(q).columns == t.columns
