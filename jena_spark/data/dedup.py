@@ -556,7 +556,11 @@ def minhash_dedup_incremental(
     matches = cand.where(est >= need)
     best = matches.groupBy("doc_b").agg(
         F.min(F.struct("batch_a", "doc_a")).alias("_m"))
-    verdicts = (mine.select(F.col("doc").alias(id_col))
+    # verdict for EVERY input doc: a token-less document has no
+    # signature (no row in `mine`), can collide with nothing, and is
+    # kept as its own representative — it is also excluded from the
+    # store (nothing to match against later)
+    verdicts = (new_docs.select(F.col(id_col))
                 .join(best.withColumnRenamed("doc_b", id_col),
                       id_col, "left")
                 .select(id_col,

@@ -357,3 +357,17 @@ def test_minhash_incremental_fold_equals_one_shot(spark):
     clones = {d: (k, r) for d, k, r in chained if d % 3 == 0}
     assert clones[0] == (True, 0)
     assert all(v == (False, 0) for d, v in clones.items() if d > 0)
+
+
+def test_minhash_incremental_tokenless_docs_kept(spark):
+    from jena_spark.data.dedup import minhash_dedup_incremental
+
+    docs = spark.createDataFrame(
+        [(0, "real text here"), (1, ""), (2, "   "), (3, "real text here")],
+        "doc_id long, text string")
+    v, st = minhash_dedup_incremental(docs, None)
+    got = {r["doc_id"]: (r["kept"], r["rep_id"]) for r in v.collect()}
+    assert got == {0: (True, 0), 1: (True, 1), 2: (True, 2),
+                   3: (False, 0)}
+    # token-less docs are not in the signature store
+    assert st.count() == 2
