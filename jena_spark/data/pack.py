@@ -132,8 +132,10 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
     chunker must materialize.
     """
     step = chunk_tokens - overlap
-    if step <= 0:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if overlap < 0 or step <= 0:
+        raise ValueError(
+            "overlap must be in [0, chunk_tokens) — a negative overlap "
+            "would silently skip tokens between chunks")
     base = df.select(
         F.col(doc_id),
         F.split(F.trim(F.col(text)), r"\s+").alias("_toks"),

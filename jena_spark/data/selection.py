@@ -243,6 +243,8 @@ def importance_resample(scores: DataFrame, n: int,
     with the key rounded to 1e-6 (ln ulp differences between engines
     are ~1e-16; rank ties would need key gaps at that scale).
     """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
     u = (_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
          + F.lit(0.5)) / float(_HASH_SPAN)
     g = -F.log(-F.log(u))

@@ -302,6 +302,10 @@ def kmeans(
         [float(x) for x in r["v"]]
         for r in e.orderBy("id").limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans: k={k} but only {len(cents)} vectors — seeds are "
+            "the first k vectors by id and cannot be synthesized")
     dim = len(cents[0])
     for _ in range(n_iter):
         cluster, _arr = _assign_cluster(F.col("v"), cents)

@@ -251,3 +251,24 @@ def test_chunk_documents_reconstruction_property(spark):
         assert toks == text.split(" "), (n, toks)
         # every chunk except possibly the last is full-width
         assert all(r["n_chunk_tokens"] == W for r in chunks[:-1])
+
+
+def test_data_op_input_guards(spark):
+    import pytest
+
+    from jena_spark.data.pack import chunk_documents
+    from jena_spark.data.selection import importance_resample
+    from jena_spark.data.similarity import kmeans
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk_tokens=4, overlap=-1)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
+    s = spark.createDataFrame([(1, 10)], "doc_id long, score_unats long")
+    with pytest.raises(ValueError, match="temperature"):
+        importance_resample(s, 1, temperature=0)
+    e = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="kmeans: k="):
+        kmeans(e, k=3)
