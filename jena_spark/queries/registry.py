@@ -5985,6 +5985,71 @@ def _q_minhash_incremental(spark, sf):
 _register("data_dedup_minhash_incremental", _q_minhash_incremental, None)
 
 
+def _q_preference_pairs(spark, sf):
+    """DPO/RLHF preference-pair construction (``data/preference.py::
+    preference_pairs``): assistant responses grouped by the md5 of
+    the preceding user prompt; chosen/rejected = struct-max/min of an
+    exact-integer lexical-diversity score; pairs with margin >= 500bp.
+    One lag window + one prompt-keyed hash agg."""
+    from jena_spark.data.preference import preference_pairs
+    from jena_spark.data.transcripts import transcripts_df
+
+    return preference_pairs(transcripts_df(spark, sf), min_margin_bp=500)
+
+
+def _preference_pairs_oracle() -> str:
+    from jena_spark.data.preference import preference_pairs_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return preference_pairs_sql(transcripts_cte(), min_margin_bp=500)
+
+
+_register("data_preference_pairs", _q_preference_pairs,
+          _preference_pairs_oracle())
+
+
+def _q_trajectory_filter(spark, sf):
+    """Agent-trajectory completeness gate (``data/trajectory.py::
+    trajectory_verdicts``): drop conversations that end on a tool turn
+    or carry no assistant content — one conv-keyed hash agg with a
+    max_by last-role election."""
+    from jena_spark.data.trajectory import trajectory_verdicts
+    from jena_spark.data.transcripts import transcripts_df
+
+    return trajectory_verdicts(transcripts_df(spark, sf))
+
+
+def _trajectory_filter_oracle() -> str:
+    from jena_spark.data.trajectory import trajectory_verdicts_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return trajectory_verdicts_sql(transcripts_cte())
+
+
+_register("data_trajectory_filter", _q_trajectory_filter,
+          _trajectory_filter_oracle())
+
+
+def _q_tool_census(spark, sf):
+    """Per-tool call volume / conversation reach census
+    (``data/trajectory.py::tool_census``) — the agent-corpus
+    observability table; one tool-keyed hash agg."""
+    from jena_spark.data.trajectory import tool_census
+    from jena_spark.data.transcripts import transcripts_df
+
+    return tool_census(transcripts_df(spark, sf))
+
+
+def _tool_census_oracle() -> str:
+    from jena_spark.data.trajectory import tool_census_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return tool_census_sql(transcripts_cte())
+
+
+_register("data_tool_census", _q_tool_census, _tool_census_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6048,6 +6113,7 @@ _PRIORITY = [
     "data_shuffle_shards", "data_epoch_upsample",
     "data_sft_examples", "data_tool_loops", "data_importance_resample",
     "data_dedup_minhash_incremental",
+    "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
