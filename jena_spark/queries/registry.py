@@ -6050,6 +6050,30 @@ def _tool_census_oracle() -> str:
 _register("data_tool_census", _q_tool_census, _tool_census_oracle())
 
 
+def _q_conv_near_dedup(spark, sf):
+    """Fuzzy whole-conversation near-dedup (``data/conv_dedup.py::
+    near_dedup_conversations``): token-set Jaccard >= 0.65 over turn
+    texts, greedy smaller-conv_id-wins election; exact integer
+    threshold inequality on both engines (no float division)."""
+    from jena_spark.data.conv_dedup import near_dedup_conversations
+    from jena_spark.data.transcripts import transcripts_df
+
+    return near_dedup_conversations(transcripts_df(spark, sf),
+                                    threshold_pm=650)
+
+
+def _conv_near_dedup_oracle() -> str:
+    from jena_spark.data.conv_dedup import near_dedup_conversations_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return near_dedup_conversations_sql(transcripts_cte(),
+                                        threshold_pm=650)
+
+
+_register("data_conv_near_dedup", _q_conv_near_dedup,
+          _conv_near_dedup_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6114,6 +6138,7 @@ _PRIORITY = [
     "data_sft_examples", "data_tool_loops", "data_importance_resample",
     "data_dedup_minhash_incremental",
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
+    "data_conv_near_dedup",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
