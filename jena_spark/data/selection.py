@@ -259,3 +259,79 @@ def importance_resample(scores: DataFrame, n: int,
         id_col, score_col,
         (F.floor(F.col("_key") * 1e6 + 0.5) / 1e6).alias("key_r"),
         F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def domain_mixture(docs: DataFrame, lm_docs: DataFrame | None = None,
+                   ref_weights: dict[str, float] | None = None,
+                   eta: float = 1.0,
+                   source_col: str = "source",
+                   doc_id: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """DoReMi-lite domain reweighting — ONE exponentiated-gradient
+    step of the DoReMi mixture update (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    public method): ``alpha'_d ∝ alpha_d · exp(eta · excess_d)`` where
+    ``excess_d`` is the domain's clipped excess loss. Full DoReMi
+    iterates this while training a proxy model; the sandbox stands in
+    the proxy/reference pair with the deterministic bigram LM
+    (:func:`jena_spark.data.lm.bigram_lm_scores` over ``lm_docs``,
+    default the corpus itself), so ``excess_d`` = domain mean NLL −
+    corpus mean NLL, clipped at 0 — domains the reference models WORSE
+    than average get upweighted, exactly DoReMi's hard-domain signal.
+    The output weight column feeds :func:`stratified_sample` /
+    :func:`epoch_upsample` directly.
+
+    Determinism: domain means are exact-integer micro-bits
+    (``nll_ubits DIV n_bigrams`` — bigint floor division, identical in
+    DuckDB as ``//``), so ``excess_ubits`` is engine-exact; only the
+    final D-row softmax touches floats, and ``weight_r`` is rounded to
+    1e-6 by the shared ``floor(x*1e6+0.5)/1e6`` recipe (ulp drift
+    ~1e-16 can't flip it).
+
+    Scale: everything after :func:`bigram_lm_scores` is one
+    domain-keyed hash aggregation (D rows out) plus two broadcast
+    1-row total dims — the 100 TB cost is the LM scoring pass, which
+    is shared with the perplexity-filter step a pipeline already runs.
+
+    ``ref_weights`` (default: the domain's token share, DoReMi's
+    initialization) maps source → prior weight; listed domains missing
+    from the data are ignored, data domains missing from the dict get
+    prior 0 (dropped after normalization, like
+    :func:`stratified_sample`'s absent-source rule).
+
+    Returns ``(source, n_bigrams, nll_ubits, mean_ubits, excess_ubits,
+    weight_r)``, one row per domain with ≥1 scored bigram.
+    """
+    from jena_spark.data.lm import bigram_lm_scores
+
+    scores = bigram_lm_scores(docs, lm_docs, doc_id=doc_id, text=text)
+    dom = (scores.join(docs.select(doc_id, source_col), doc_id)
+           .groupBy(source_col)
+           .agg(F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+                F.sum("nll_ubits").cast("bigint").alias("nll_ubits")))
+    tot = dom.agg(F.sum("n_bigrams").alias("tn"),
+                  F.sum("nll_ubits").alias("tnll"))
+    mean_u = F.expr("nll_ubits DIV n_bigrams")
+    gmean_u = F.expr("tnll DIV tn")
+    if ref_weights is None:
+        prior = F.col("n_bigrams").cast("double") / F.col("tn")
+    else:
+        prior = F.lit(0.0)
+        for s, w in sorted(ref_weights.items()):
+            prior = F.when(F.col(source_col) == s,
+                           F.lit(float(w))).otherwise(prior)
+    ex = (dom.crossJoin(F.broadcast(tot))
+          .select(source_col, "n_bigrams", "nll_ubits",
+                  mean_u.alias("mean_ubits"),
+                  F.greatest(F.lit(0), mean_u - gmean_u)
+                  .cast("bigint").alias("excess_ubits"),
+                  (prior * F.exp(F.lit(float(eta))
+                                 * F.greatest(F.lit(0), mean_u - gmean_u)
+                                 / F.lit(1e6))).alias("_raw"))
+          .where(F.col("_raw") > 0))
+    z = ex.agg(F.sum("_raw").alias("_z"))
+    return (ex.crossJoin(F.broadcast(z))
+            .select(source_col, "n_bigrams", "nll_ubits", "mean_ubits",
+                    "excess_ubits",
+                    (F.floor(F.col("_raw") / F.col("_z") * 1e6 + 0.5)
+                     / 1e6).alias("weight_r")))

@@ -6074,6 +6074,52 @@ _register("data_conv_near_dedup", _q_conv_near_dedup,
           _conv_near_dedup_oracle())
 
 
+def _q_domain_mixture(spark, sf):
+    """DoReMi-lite domain reweighting (``data/selection.py::
+    domain_mixture``): one exponentiated-gradient mixture update from
+    token-share priors, excess = domain mean bigram NLL above the
+    corpus mean (exact integer micro-bits); weights rounded 1e-6 by
+    the shared floor recipe."""
+    from jena_spark.data.selection import domain_mixture
+
+    return domain_mixture(_docs(spark, sf))
+
+
+_DOMAIN_MIX_SQL = _LM_SQL.replace(
+    "SELECT doc_id, n_bigrams, nll_ubits,\n"
+    "       round(nll_ubits * 1.0 / (1e6 * n_bigrams), 6) AS avg_logprob\n"
+    "FROM agg",
+    """dom AS (
+  SELECT d.source,
+         CAST(sum(a.n_bigrams) AS BIGINT) AS n_bigrams,
+         CAST(sum(a.nll_ubits) AS BIGINT) AS nll_ubits
+  FROM agg a JOIN documents d USING (doc_id)
+  GROUP BY d.source),
+tot AS (
+  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tn,
+         CAST(sum(nll_ubits) AS BIGINT) AS tnll FROM dom),
+ex AS (
+  SELECT source, n_bigrams, nll_ubits,
+         nll_ubits // n_bigrams AS mean_ubits,
+         greatest(0, nll_ubits // n_bigrams - tnll // tn)
+           AS excess_ubits,
+         (n_bigrams * 1.0 / tn)
+         * exp((1.0 * greatest(0, nll_ubits // n_bigrams - tnll // tn))
+               / 1e6) AS raw
+  FROM dom CROSS JOIN tot),
+z AS (SELECT sum(raw) AS s FROM ex)
+SELECT source,
+       n_bigrams, nll_ubits,
+       CAST(mean_ubits AS BIGINT) AS mean_ubits,
+       CAST(excess_ubits AS BIGINT) AS excess_ubits,
+       floor(raw / s * 1e6 + 0.5) / 1e6 AS weight_r
+FROM ex CROSS JOIN z
+WHERE raw > 0""")
+_DOMAIN_MIX_SQL = _DOMAIN_MIX_SQL.replace(")\ndom AS (", "),\ndom AS (")
+
+_register("data_domain_mixture", _q_domain_mixture, _DOMAIN_MIX_SQL)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6138,7 +6184,7 @@ _PRIORITY = [
     "data_sft_examples", "data_tool_loops", "data_importance_resample",
     "data_dedup_minhash_incremental",
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
-    "data_conv_near_dedup",
+    "data_conv_near_dedup", "data_domain_mixture",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -272,3 +272,36 @@ def test_data_op_input_guards(spark):
                               "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="kmeans: k="):
         kmeans(e, k=3)
+
+
+def test_domain_mixture_upweights_hard_domains(spark):
+    # "easy" = one repetitive sentence everywhere; "hard" = per-doc
+    # distinct vocabulary the shared bigram LM models poorly.
+    rows = [(i, "easy", "the cat sat on the mat the cat sat") for i in range(20)]
+    rows += [(i + 100, "hard",
+              f"zeta{i} quark{i*7} blorp{i*13} vex{i*3} nub{i*11} vex{i} vog{i*5}")
+             for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from jena_spark.data.selection import domain_mixture
+
+    out = {r.source: r.asDict() for r in domain_mixture(d).collect()}
+    assert set(out) == {"easy", "hard"}
+    # weights normalize (1e-6 rounding per domain)
+    assert abs(out["easy"]["weight_r"] + out["hard"]["weight_r"] - 1.0) < 1e-5
+    # the hard domain's excess is positive and its weight exceeds its
+    # token share; the easy domain sits at or below token share
+    tn = out["easy"]["n_bigrams"] + out["hard"]["n_bigrams"]
+    assert out["hard"]["excess_ubits"] > 0
+    assert out["hard"]["weight_r"] > out["hard"]["n_bigrams"] / tn
+    assert out["easy"]["excess_ubits"] == 0
+    # deterministic
+    again = {r.source: r.weight_r for r in domain_mixture(d).collect()}
+    assert again == {s: v["weight_r"] for s, v in out.items()}
+    # explicit priors: unlisted domains drop; listed renormalize to 1
+    pri = {r.source: r.weight_r
+           for r in domain_mixture(d, ref_weights={"easy": 3.0}).collect()}
+    assert set(pri) == {"easy"} and abs(pri["easy"] - 1.0) < 1e-5
+    # eta=0 reduces to the prior (token share) exactly
+    flat = {r.source: r.weight_r for r in domain_mixture(d, eta=0.0).collect()}
+    for s in flat:
+        assert abs(flat[s] - out[s]["n_bigrams"] / tn) < 2e-6
