@@ -61,6 +61,20 @@ def ngrams(df: DataFrame, id_col: str, text_col: str, n: int,
     return _raw_ngrams(df, id_col, text_col, n, out).distinct()
 
 
+def _gram_set(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """DISTINCT normalized word n-grams of every row — the broadcast
+    side of a contamination check."""
+    return (
+        df.select(_words(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("_w") - F.lit(n)),
+            lambda i: F.array_join(F.slice("_w", i + F.lit(1), n), " "),
+        )).alias("gram"))
+        .distinct()
+    )
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                   doc_id: str = "doc_id", text: str = "text",
                   bench_text: str = "text",
@@ -73,15 +87,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     benchmark, and ``contaminated`` is the GPT-3-style any-overlap
     flag. ``benchmark`` only needs ``bench_text``.
     """
-    bench_grams = (
-        benchmark.select(_words(F.col(bench_text)).alias("_w"))
-        .where(F.size("_w") >= n)
-        .select(F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("_w") - F.lit(n)),
-            lambda i: F.array_join(F.slice("_w", i + F.lit(1), n), " "),
-        )).alias("gram"))
-        .distinct()
-    )
+    bench_grams = _gram_set(benchmark, bench_text, n)
     # the corpus side stays MAP-ONLY up to the broadcast join: raw
     # (doc, gram) rows filter against the broadcast set first, and only
     # the HITS (bounded by contamination volume, not corpus volume) are
@@ -145,3 +151,48 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
         F.round("_mc", 4).alias("max_cos_r"),
         (F.col("_mc") >= F.lit(threshold)).cast("int")
         .alias("contaminated"))
+
+
+def decontaminate_conversations(turns: DataFrame, benchmark: DataFrame,
+                                n: int = 8,
+                                conv_id: str = "conv_id",
+                                text: str = "text",
+                                role_col: str = "role",
+                                roles: tuple[str, ...] = ("assistant",),
+                                bench_text: str = "text") -> DataFrame:
+    """Conversation-corpus decontamination — the transcript twin of
+    :func:`decontaminate` (the same prerelease hygiene pass, applied
+    to SFT/agent corpora: a conversation whose ASSISTANT output
+    overlaps an eval instance teaches the model the benchmark).
+
+    A conversation is contaminated when any of its ``roles`` turns
+    shares a normalized word n-gram with any benchmark instance.
+    Grams are computed PER TURN and never span turn boundaries —
+    leakage is a copied utterance, not an artifact of concatenation
+    order (and the per-turn frame is exactly what the one-shot
+    :func:`decontaminate` sees for a document).
+
+    Returns one row per DISTINCT conversation: ``(conv_id,
+    n_contaminated_grams, contaminated)`` — the count is distinct
+    contaminated grams ACROSS the conversation's matched turns.
+
+    Scale shape is inherited: benchmark grams dedup + broadcast; the
+    turn side is map-only explode → broadcast semi-join; only hits
+    reach the per-conv aggregation. The verdict frame adds one
+    distinct over conv ids — the output key set, already the
+    conversation table's natural partitioning.
+    """
+    bench_grams = _gram_set(benchmark, bench_text, n)
+    scoped = turns.where(F.col(role_col).isin(*roles))
+    turn_grams = _raw_ngrams(scoped, conv_id, text, n)
+    hits = (turn_grams.join(F.broadcast(bench_grams), "gram")
+            .select(conv_id, "gram").distinct()
+            .groupBy(conv_id)
+            .agg(F.count("*").alias("n_contaminated_grams")))
+    return turns.select(conv_id).distinct().join(hits, conv_id, "left") \
+        .select(
+            conv_id,
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+            .alias("contaminated"))

@@ -6120,6 +6120,56 @@ _DOMAIN_MIX_SQL = _DOMAIN_MIX_SQL.replace(")\ndom AS (", "),\ndom AS (")
 _register("data_domain_mixture", _q_domain_mixture, _DOMAIN_MIX_SQL)
 
 
+def _q_conv_decontaminate(spark, sf):
+    """Conversation-corpus decontamination (``data/decontaminate.py::
+    decontaminate_conversations``): the 'benchmark' is every 5th turn
+    (turn_idx % 5 == 2) of the corpus itself, so conversations whose
+    ASSISTANT turns echo those texts must come back flagged; 4-gram
+    overlap (transcript turns run 3-10 words). Per-turn grams,
+    broadcast benchmark set, map-only corpus side."""
+    from jena_spark.data.decontaminate import decontaminate_conversations
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    bench = t.where(F.col("turn_idx") % 5 == 2).select("text")
+    return decontaminate_conversations(t, bench, n=4)
+
+
+def _conv_decontaminate_oracle() -> str:
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return f"""WITH transcripts AS ({transcripts_cte()}),
+tw AS (
+  SELECT conv_id, role,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')), ' ') AS ws
+  FROM transcripts),
+bw AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')), ' ') AS ws
+  FROM transcripts WHERE turn_idx % 5 = 2),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS gram
+  FROM bw, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 4),
+cg AS (
+  SELECT DISTINCT conv_id, array_to_string(ws[i:i+3], ' ') AS gram
+  FROM tw, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+  WHERE role = 'assistant' AND len(ws) >= 4),
+hits AS (
+  SELECT conv_id, count(*) AS n
+  FROM cg JOIN bg USING (gram) GROUP BY conv_id)
+SELECT c.conv_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT conv_id FROM transcripts) c
+LEFT JOIN hits h USING (conv_id)"""
+
+
+_register("data_conv_decontaminate", _q_conv_decontaminate,
+          _conv_decontaminate_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6185,6 +6235,7 @@ _PRIORITY = [
     "data_dedup_minhash_incremental",
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
     "data_conv_near_dedup", "data_domain_mixture",
+    "data_conv_decontaminate",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -121,3 +121,41 @@ def test_semantic_decontaminate_benchmark_is_broadcast(spark):
     # per-id max aggregation
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_conversation_decontamination(spark):
+    from jena_spark.data.decontaminate import decontaminate_conversations
+
+    turns = spark.createDataFrame(
+        [
+            # c1: assistant echoes a benchmark answer -> contaminated
+            ("c1", 0, "user", "what is the capital of france"),
+            ("c1", 1, "assistant", "the capital of france is paris"),
+            # c2: the USER quotes the benchmark, assistant clean ->
+            # default roles=('assistant',) must NOT flag it
+            ("c2", 0, "user", "the capital of france is paris right"),
+            ("c2", 1, "assistant", "yes that city is correct indeed"),
+            # c3: entirely unrelated
+            ("c3", 0, "user", "how do i sort a list in python"),
+            ("c3", 1, "assistant", "use the sorted builtin function here"),
+            # c4: assistant-only conv, two echoed turns -> grams count
+            # once across the conversation (distinct per conv)
+            ("c4", 0, "assistant", "the capital of france is paris"),
+            ("c4", 1, "assistant", "The Capital of France is PARIS!"),
+        ],
+        "conv_id string, turn_idx int, role string, text string")
+    bench = spark.createDataFrame(
+        [("the capital of france is paris",)], "text string")
+
+    out = {r.conv_id: r for r in
+           decontaminate_conversations(turns, bench, n=5).collect()}
+    assert set(out) == {"c1", "c2", "c3", "c4"}
+    assert out["c1"].contaminated and out["c1"].n_contaminated_grams == 2
+    assert not out["c2"].contaminated
+    assert not out["c3"].contaminated
+    # normalization collapses case/punct; distinct-per-conv counting
+    assert out["c4"].n_contaminated_grams == 2
+    # widening roles flags the user-quoting conversation too
+    wide = {r.conv_id: r.contaminated for r in decontaminate_conversations(
+        turns, bench, n=5, roles=("assistant", "user")).collect()}
+    assert wide["c2"] and wide["c1"] and not wide["c3"]
