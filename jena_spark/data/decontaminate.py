@@ -111,6 +111,66 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+def decontaminate_fraction(docs: DataFrame, benchmark: DataFrame,
+                           n: int = 8, threshold_bp: int = 7000,
+                           doc_id: str = "doc_id", text: str = "text",
+                           bench_text: str = "text") -> DataFrame:
+    """PaLM-style fractional contamination ("seen documents"): a
+    document is contaminated when at least ``threshold_bp``/10000 of
+    its DISTINCT word n-grams appear in the benchmark (the PaLM report
+    used 70% of 8-grams; GPT-3's any-overlap flag is the
+    ``threshold_bp -> 1 gram`` limit implemented by
+    :func:`decontaminate`).
+
+    Returns one row per document: ``(doc_id, n_contaminated_grams,
+    total_grams, frac_bp, contaminated)``. ``frac_bp`` is the floored
+    basis-point fraction (integer arithmetic — engine-portable), and
+    the flag is the EXACT integer inequality
+    ``hits * 10000 >= threshold_bp * total`` (never a float compare).
+    Documents shorter than ``n`` words have ``total_grams = 0`` and
+    are never contaminated.
+
+    Scale design: identical to :func:`decontaminate` — broadcast
+    benchmark grams, map-only corpus side — plus one observation that
+    keeps the denominator free: a document's grams all live in ITS OWN
+    row, so ``total_grams = size(array_distinct(grams))`` is computed
+    per row before any explode. The denominator costs zero shuffle;
+    the corpus is still never shuffled by gram.
+    """
+    bench_grams = _gram_set(benchmark, bench_text, n)
+    words = _words(F.col(text))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + F.lit(1), n), " "),
+    )
+    totals = docs.select(
+        F.col(doc_id),
+        F.when(F.size(words) >= n,
+               F.size(F.array_distinct(grams)))
+        .otherwise(F.lit(0)).cast("long").alias("total_grams"))
+    doc_grams = _raw_ngrams(docs, doc_id, text, n)
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .select(doc_id, "gram").distinct()
+            .groupBy(doc_id)
+            .agg(F.count("*").alias("_h")))
+    return (totals.join(hits, doc_id, "left")
+            .select(
+                doc_id,
+                F.coalesce("_h", F.lit(0)).cast("long")
+                .alias("n_contaminated_grams"),
+                "total_grams")
+            .select(
+                doc_id, "n_contaminated_grams", "total_grams",
+                F.when(F.col("total_grams") > 0,
+                       F.expr("n_contaminated_grams * 10000 "
+                              "div total_grams"))
+                .otherwise(F.lit(0)).cast("long").alias("frac_bp"),
+                ((F.col("total_grams") > 0)
+                 & (F.col("n_contaminated_grams") * 10000
+                    >= F.lit(int(threshold_bp)) * F.col("total_grams")))
+                .alias("contaminated")))
+
+
 def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
                            threshold: float = 0.95,
                            id_col: str = "vec_id",

@@ -6170,6 +6170,56 @@ _register("data_conv_decontaminate", _q_conv_decontaminate,
           _conv_decontaminate_oracle())
 
 
+def _q_decontaminate_fraction(spark, sf):
+    """PaLM-style fractional contamination (``data/decontaminate.py::
+    decontaminate_fraction``): same planted benchmark as
+    ``data_decontaminate`` (first 30 words of every 17th document),
+    threshold 2000 bp — source documents sit at 25-47%% of their own
+    8-grams (23 benchmark grams / 49-92 total) so they flag, clean
+    documents sit at 0. Integer bp arithmetic on both sides."""
+    from jena_spark.data.decontaminate import decontaminate_fraction
+
+    d = _docs(spark, sf)
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " ")
+    bench = d.where(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(words, 1, 30), " ").alias("text"))
+    return decontaminate_fraction(d, bench, n=8, threshold_bp=2000)
+
+
+_DECON_FRAC_SQL = r"""WITH dw AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+bw AS (SELECT ws[1:30] AS ws FROM dw WHERE doc_id % 17 = 0),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+  FROM bw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM dw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8),
+tot AS (SELECT doc_id, count(*) AS total FROM dg GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       CAST(coalesce(t.total, 0) AS BIGINT) AS total_grams,
+       CAST(CASE WHEN coalesce(t.total, 0) > 0
+                 THEN coalesce(h.n, 0) * 10000 // t.total
+                 ELSE 0 END AS BIGINT) AS frac_bp,
+       coalesce(t.total, 0) > 0
+         AND coalesce(h.n, 0) * 10000 >= 2000 * t.total AS contaminated
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+_register("data_decontaminate_fraction", _q_decontaminate_fraction,
+          _DECON_FRAC_SQL)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6235,7 +6285,7 @@ _PRIORITY = [
     "data_dedup_minhash_incremental",
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
     "data_conv_near_dedup", "data_domain_mixture",
-    "data_conv_decontaminate",
+    "data_conv_decontaminate", "data_decontaminate_fraction",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -123,6 +123,44 @@ def test_semantic_decontaminate_benchmark_is_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_fractional_decontamination(spark):
+    from jena_spark.data.decontaminate import decontaminate_fraction
+
+    docs = spark.createDataFrame(
+        [
+            # 10 words -> 8 distinct 3-grams; bench covers the first 5
+            # words -> 3 hits -> 3750 bp: flagged at 3000, not at 4000
+            (1, "a b c d e f g h i j"),
+            # full copy of a benchmark instance -> 10000 bp
+            (2, "a b c d e"),
+            # no overlap at all
+            (3, "p q r s t u v w"),
+            # shorter than n -> total 0, never contaminated
+            (4, "x y"),
+            # repeated words: distinct-gram denominator ("a b a b a b"
+            # -> grams {a b a, b a b} -> total 2), zero hits
+            (5, "a b a b a b"),
+        ],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+
+    out = {r.doc_id: r for r in
+           decontaminate_fraction(docs, bench, n=3,
+                                  threshold_bp=3000).collect()}
+    assert out[1].total_grams == 8 and out[1].n_contaminated_grams == 3
+    assert out[1].frac_bp == 3750 and out[1].contaminated
+    assert out[2].frac_bp == 10000 and out[2].contaminated
+    assert out[3].n_contaminated_grams == 0 and not out[3].contaminated
+    assert out[4].total_grams == 0 and out[4].frac_bp == 0
+    assert not out[4].contaminated
+    assert out[5].total_grams == 2 and not out[5].contaminated
+
+    hi = {r.doc_id: r.contaminated for r in
+          decontaminate_fraction(docs, bench, n=3,
+                                 threshold_bp=4000).collect()}
+    assert not hi[1] and hi[2]  # exact boundary arithmetic, no floats
+
+
 def test_conversation_decontamination(spark):
     from jena_spark.data.decontaminate import decontaminate_conversations
 
