@@ -6220,6 +6220,42 @@ _register("data_decontaminate_fraction", _q_decontaminate_fraction,
           _DECON_FRAC_SQL)
 
 
+def _q_refusal_census(spark, sf):
+    """Refusal/boilerplate census (``data/refusals.py``): refusal
+    boilerplate is PLANTED deterministically — every assistant turn
+    with ``turn_idx %% 7 == 2`` gets ' i cannot help with that
+    request' appended — so conversations holding such a turn must
+    come back ``keep = 0`` and everything else clean. Identical
+    combined RE2-safe regex on both sides."""
+    from jena_spark.data.refusals import refusal_census
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    planted = t.withColumn(
+        "text",
+        F.when((F.col("role") == "assistant") & (F.col("turn_idx") % 7 == 2),
+               F.concat("text", F.lit(" i cannot help with that request")))
+        .otherwise(F.col("text")))
+    return refusal_census(planted, max_refusals=0)
+
+
+def _refusal_census_oracle() -> str:
+    from jena_spark.data.refusals import refusal_census_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    planted = f"""SELECT conv_id, turn_idx, role,
+      CASE WHEN role = 'assistant' AND turn_idx % 7 = 2
+           THEN text || ' i cannot help with that request'
+           ELSE text END AS text,
+      tool, ts
+    FROM ({transcripts_cte()})"""
+    return refusal_census_sql(planted)
+
+
+_register("data_refusal_census", _q_refusal_census,
+          _refusal_census_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6286,6 +6322,7 @@ _PRIORITY = [
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
     "data_conv_near_dedup", "data_domain_mixture",
     "data_conv_decontaminate", "data_decontaminate_fraction",
+    "data_refusal_census",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
