@@ -6256,6 +6256,46 @@ _register("data_refusal_census", _q_refusal_census,
           _refusal_census_oracle())
 
 
+def _q_hard_negatives(spark, sf):
+    """Lexical hard-negative mining (``data/retrieval.py``): queries
+    are conversation-opening user turns, the corpus is every
+    assistant turn, negatives must come from OTHER conversations.
+    ``max_df=500`` drops the filler tokens every transcript shares
+    (note/we/discussed run df 1000-4000 at sf0.01) so scoring rides
+    the planted gazetteer surfaces (~df 240) and k-suffix tokens.
+    k=3, min_overlap=2, (overlap desc, did asc) total order."""
+    from jena_spark.data.retrieval import hard_negatives
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    did = F.concat("conv_id", F.lit("#"),
+                   F.col("turn_idx").cast("string"))
+    q = (t.where((F.col("role") == "user") & (F.col("turn_idx") == 0))
+         .select(did.alias("qid"), "text", F.col("conv_id").alias("qgrp")))
+    d = (t.where(F.col("role") == "assistant")
+         .select(did.alias("did"), "text", F.col("conv_id").alias("dgrp")))
+    return hard_negatives(q, d, k=3, min_overlap=2, max_df=500,
+                          qgroup="qgrp", dgroup="dgrp")
+
+
+def _hard_negatives_oracle() -> str:
+    from jena_spark.data.retrieval import hard_negatives_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    tc = transcripts_cte()
+    qcte = (f"SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS qid, "
+            f"text, conv_id AS grp FROM ({tc}) "
+            f"WHERE role = 'user' AND turn_idx = 0")
+    dcte = (f"SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS did, "
+            f"text, conv_id AS grp FROM ({tc}) WHERE role = 'assistant'")
+    return hard_negatives_sql(qcte, dcte, k=3, min_overlap=2,
+                              max_df=500, grouped=True)
+
+
+_register("data_hard_negatives", _q_hard_negatives,
+          _hard_negatives_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6322,7 +6362,7 @@ _PRIORITY = [
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
     "data_conv_near_dedup", "data_domain_mixture",
     "data_conv_decontaminate", "data_decontaminate_fraction",
-    "data_refusal_census",
+    "data_refusal_census", "data_hard_negatives",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
