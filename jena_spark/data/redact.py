@@ -73,3 +73,39 @@ def redact_docs(docs: DataFrame, text_col: str = "text",
         redact_text(col).alias("redacted"),
         *[c.alias(f"n_{name}") for name, c in pii_counts(col)],
     )
+
+
+def pii_census_conversations(turns: DataFrame, conv_id: str = "conv_id",
+                             text: str = "text") -> DataFrame:
+    """Per-conversation PII census — the ship/scrub/drop verdict for a
+    transcript corpus (chat logs carry PII in USER turns far more
+    often than web documents do; the release decision is made per
+    conversation, not per turn).
+
+    Returns ``(conv_id, n_email, n_ip, n_ssn, n_phone, n_pii_turns,
+    clean)``: per-category totals over all turns, the number of turns
+    containing any PII, and ``clean = 1`` iff nothing matched.
+    Category counts use the same progressive-scrub order as
+    :func:`pii_counts` (an email's host never double-counts as an
+    IP-ish digit run).
+
+    Shape: the per-turn battery is the same map-only codegen
+    projection as :func:`redact_docs`; the rollup is one partial-agg
+    sum on the conv_id key the transcripts derivation already
+    partitions by. To actually scrub, apply :func:`redact_text` to
+    the turn text and keep conversations by this frame's verdict.
+    """
+    counts = pii_counts(F.col(text))
+    per_turn = turns.select(
+        F.col(conv_id).alias("conv_id"),
+        *[c.cast("long").alias(f"_{name}") for name, c in counts])
+    total = sum(F.col(f"_{name}") for name, _, _ in PII_PATTERNS)
+    return (per_turn
+            .withColumn("_hit", (total > 0).cast("long"))
+            .groupBy("conv_id")
+            .agg(*[F.sum(f"_{name}").alias(f"n_{name}")
+                   for name, _, _ in PII_PATTERNS],
+                 F.sum("_hit").alias("n_pii_turns"))
+            .select("conv_id", "n_email", "n_ip", "n_ssn", "n_phone",
+                    "n_pii_turns",
+                    (F.col("n_pii_turns") == 0).cast("int").alias("clean")))

@@ -6296,6 +6296,90 @@ _register("data_hard_negatives", _q_hard_negatives,
           _hard_negatives_oracle())
 
 
+def _q_pii_census(spark, sf):
+    """Per-conversation PII census (``data/redact.py::
+    pii_census_conversations``): the transcripts are PII-free by
+    construction, so turns are deterministically salted — keyed on
+    ``h = turn_idx + length(text)`` — with an email (user turns,
+    h%5=1), an IP (h%7=2), an SSN (h%11=3) and a phone (h%13=4); the
+    census rolls the progressive-scrub counts up to the
+    ship/scrub/drop verdict per conversation (short conversations
+    stay clean). Oracle evaluates the IDENTICAL RE2-safe patterns."""
+    from jena_spark.data.redact import pii_census_conversations
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    h = F.col("turn_idx") + F.length("text")
+    salted = t.select(
+        "conv_id",
+        F.concat(
+            F.col("text"),
+            F.when((F.col("role") == "user") & (h % 5 == 1),
+                   F.concat(F.lit(" mail u"),
+                            F.col("turn_idx").cast("string"),
+                            F.lit("@example.org"))).otherwise(""),
+            F.when(h % 7 == 2,
+                   F.concat(F.lit(" from 10.0."), (h % 250).cast("string"),
+                            F.lit(".9"))).otherwise(""),
+            F.when(h % 11 == 3,
+                   F.concat(F.lit(" ssn 987-65-"),
+                            F.lpad((h % 10000).cast("string"), 4, "0"))
+                   ).otherwise(""),
+            F.when(h % 13 == 4,
+                   F.concat(F.lit(" call 415-555-0"),
+                            F.lpad((h % 1000).cast("string"), 3, "0"))
+                   ).otherwise(""),
+        ).alias("text"))
+    return pii_census_conversations(salted)
+
+
+def _pii_census_oracle() -> str:
+    from jena_spark.data.redact import PII_PATTERNS
+    from jena_spark.data.transcripts import transcripts_cte
+
+    (_, email, _), (_, ip, _), (_, ssn, _), (_, phone, _) = PII_PATTERNS
+    h = "(turn_idx + len(text))"
+    return f"""WITH t AS ({transcripts_cte()}),
+aug AS (
+  SELECT conv_id,
+    text
+    || CASE WHEN role = 'user' AND {h} % 5 = 1
+            THEN ' mail u' || CAST(turn_idx AS VARCHAR) || '@example.org'
+            ELSE '' END
+    || CASE WHEN {h} % 7 = 2
+            THEN ' from 10.0.' || CAST({h} % 250 AS VARCHAR) || '.9'
+            ELSE '' END
+    || CASE WHEN {h} % 11 = 3
+            THEN ' ssn 987-65-' || lpad(CAST({h} % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN {h} % 13 = 4
+            THEN ' call 415-555-0' || lpad(CAST({h} % 1000 AS VARCHAR), 3, '0')
+            ELSE '' END AS text
+  FROM t),
+s1 AS (SELECT conv_id, text,
+              regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t1 FROM aug),
+s2 AS (SELECT *, regexp_replace(t1, '{ip}', '[IP]', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '{ssn}', '[SSN]', 'g') AS t3 FROM s2),
+per AS (
+  SELECT conv_id,
+    len(regexp_extract_all(text, '{email}')) AS e,
+    len(regexp_extract_all(t1, '{ip}')) AS i,
+    len(regexp_extract_all(t2, '{ssn}')) AS s,
+    len(regexp_extract_all(t3, '{phone}')) AS p
+  FROM s3)
+SELECT conv_id,
+  CAST(sum(e) AS BIGINT) AS n_email, CAST(sum(i) AS BIGINT) AS n_ip,
+  CAST(sum(s) AS BIGINT) AS n_ssn, CAST(sum(p) AS BIGINT) AS n_phone,
+  CAST(sum(CASE WHEN e + i + s + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pii_turns,
+  CAST(CASE WHEN sum(CASE WHEN e + i + s + p > 0 THEN 1 ELSE 0 END) = 0
+       THEN 1 ELSE 0 END AS INT) AS clean
+FROM per GROUP BY conv_id"""
+
+
+_register("data_pii_census", _q_pii_census, _pii_census_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6362,7 +6446,7 @@ _PRIORITY = [
     "data_preference_pairs", "data_trajectory_filter", "data_tool_census",
     "data_conv_near_dedup", "data_domain_mixture",
     "data_conv_decontaminate", "data_decontaminate_fraction",
-    "data_refusal_census", "data_hard_negatives",
+    "data_refusal_census", "data_hard_negatives", "data_pii_census",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -329,6 +329,31 @@ def test_pii_redaction(spark):
     assert got[7]["redacted"] == rows[6][1]  # bare digit triples stay
 
 
+def test_pii_census_conversations(spark):
+    """Conversation rollup: per-category totals sum over turns,
+    n_pii_turns counts turns with ANY hit once, clean flags only
+    fully PII-free conversations."""
+    from jena_spark.data.redact import pii_census_conversations
+
+    rows = [
+        ("c1", "user", "mail a@b.co please"),
+        ("c1", "assistant", "noted, also 10.0.0.1 is up"),
+        ("c1", "user", "thanks"),
+        ("c2", "user", "all clean here"),
+        ("c2", "assistant", "indeed clean"),
+        # one turn, two categories -> n_pii_turns counts it ONCE
+        ("c3", "user", "x 1.2.3.4 and 999-88-7777"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, "
+                                     "text string")
+    got = {r["conv_id"]: r for r in pii_census_conversations(df).collect()}
+    assert (got["c1"]["n_email"], got["c1"]["n_ip"],
+            got["c1"]["n_pii_turns"], got["c1"]["clean"]) == (1, 1, 2, 0)
+    assert got["c2"]["n_pii_turns"] == 0 and got["c2"]["clean"] == 1
+    assert (got["c3"]["n_ip"], got["c3"]["n_ssn"],
+            got["c3"]["n_pii_turns"], got["c3"]["clean"]) == (1, 1, 1, 0)
+
+
 def test_repetition_stats(spark):
     """Bigram repetition fraction: repeated boilerplate scores high,
     all-distinct text scores 1/total, short docs are omitted."""
