@@ -335,3 +335,84 @@ def domain_mixture(docs: DataFrame, lm_docs: DataFrame | None = None,
                     "excess_ubits",
                     (F.floor(F.col("_raw") / F.col("_z") * 1e6 + 0.5)
                      / 1e6).alias("weight_r")))
+
+
+def unimax_mixture(docs: DataFrame, budget: int, max_epochs: int = 4,
+                   lang_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """UniMax budget-capped language sampling (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining", public method): distribute
+    a total token ``budget`` across languages as uniformly as
+    possible, capping every language at ``max_epochs`` passes over its
+    data — the water-filling allocation that replaced temperature
+    sampling in mT5-class models (temperature sampling either starves
+    tail languages or repeats them unboundedly; UniMax bounds repeats
+    explicitly).
+
+    Closed form instead of the paper's sequential loop: sort languages
+    by ``cap = max_epochs * tokens`` ascending. A prefix of that order
+    is "capped" (they cannot absorb their fair share); the remainder
+    split the leftover budget equally. Language *j* (1-based, running
+    cap cumsum ``cum_j``) is capped iff
+
+        ``cap_j * (L - j + 1) + cum_{j-1} <= budget``
+
+    and the condition is monotone along the sort, so one running-AND
+    window finds the capped prefix and a second full-frame window
+    sizes the leftover — both over the **L-row language dim** (the
+    only corpus-scale work is the token-count aggregation; the
+    windows touch L rows, never the corpus, so the single-partition
+    window is bounded by construction).
+
+    Exact integer arithmetic throughout (the uncapped share is
+    ``(budget - capped_sum) DIV (L - k)``, floor division;
+    ``epochs_micro = alloc * 1e6 DIV tokens`` computed in decimal so
+    it cannot overflow at 100 TB token counts). If ``budget`` exceeds
+    the total capped supply, every language allocates its cap and the
+    remainder is deliberately unspent (the paper's behavior — repeats
+    are bounded even when the budget isn't).
+
+    Returns one row per language: ``(lang, tokens, cap_tokens,
+    alloc_tokens, epochs_micro)``.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    from jena_spark.data.pack import token_counts
+
+    t = (docs.groupBy(F.col(lang_col).alias("lang"))
+         .agg(F.sum(token_counts(docs, text_col))
+              .cast("bigint").alias("tokens"))
+         .withColumn("cap_tokens",
+                     (F.col("tokens") * max_epochs).cast("bigint")))
+    from pyspark.sql import Window
+
+    # every window carries an explicit constant partition: identical
+    # single-partition semantics, but no per-row WindowExec warning
+    order = [F.col("cap_tokens").asc(), F.col("lang").asc()]
+    run = (Window.partitionBy(F.lit(1)).orderBy(*order)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    whole = Window.partitionBy(F.lit(1))
+    b = F.lit(int(budget))
+    t = (t.withColumn("_i", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(*order)))
+         .withColumn("_cum", F.sum("cap_tokens").over(run))
+         .withColumn("_L", F.count("*").over(whole)))
+    fits = (F.col("cap_tokens") * (F.col("_L") - F.col("_i") + 1)
+            + (F.col("_cum") - F.col("cap_tokens"))) <= b
+    t = (t.withColumn("_viol", F.when(fits, F.lit(0)).otherwise(F.lit(1)))
+         .withColumn("_capped", (F.sum("_viol").over(run) == 0)))
+    t = (t.withColumn("_k", F.sum(F.col("_capped").cast("int")).over(whole))
+         .withColumn("_capsum",
+                     F.sum(F.when(F.col("_capped"), F.col("cap_tokens"))
+                           .otherwise(F.lit(0))).over(whole)))
+    alloc = F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(
+        F.expr("(CAST(_b AS BIGINT) - _capsum) DIV (_L - _k)"))
+    return (t.withColumn("_b", b)
+            .withColumn("alloc_tokens", alloc.cast("bigint"))
+            .select("lang", "tokens", "cap_tokens", "alloc_tokens",
+                    F.floor(F.col("alloc_tokens").cast("decimal(38,0)")
+                            * 1000000 / F.col("tokens"))
+                    .cast("bigint").alias("epochs_micro")))

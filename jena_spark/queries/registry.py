@@ -6380,6 +6380,55 @@ FROM per GROUP BY conv_id"""
 _register("data_pii_census", _q_pii_census, _pii_census_oracle())
 
 
+def _q_unimax(spark, sf):
+    """UniMax budget-capped language sampling (``data/selection.py::
+    unimax_mixture``): budget = 2x the corpus token count, 3-epoch
+    cap. On the en-dominant documents mix the low-resource tail caps
+    at 3 epochs while en is budget-bounded below 1 — the fairness
+    behavior the allocation exists for. The one-row total lookup is a
+    bounded driver collect (the CLAUDE.md 2-row-lookup class)."""
+    from jena_spark.data.pack import token_counts
+    from jena_spark.data.selection import unimax_mixture
+
+    d = _docs(spark, sf)
+    total = d.agg(F.sum(token_counts(d)).cast("bigint")).collect()[0][0]
+    return unimax_mixture(d, budget=2 * int(total), max_epochs=3)
+
+
+_UNIMAX_SQL = r"""WITH counts AS (
+  SELECT lang,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY lang),
+b AS (SELECT CAST(2 * sum(tokens) AS BIGINT) AS budget FROM counts),
+o AS (SELECT lang, tokens, tokens * 3 AS cap_tokens,
+        ROW_NUMBER() OVER (ORDER BY tokens * 3, lang) AS i,
+        SUM(tokens * 3) OVER (ORDER BY tokens * 3, lang) AS cum,
+        COUNT(*) OVER () AS L
+      FROM counts),
+c AS (SELECT o.*, b.budget,
+        CASE WHEN cap_tokens * (L - i + 1) + (cum - cap_tokens) <= budget
+             THEN 0 ELSE 1 END AS viol
+      FROM o, b),
+f AS (SELECT *, SUM(viol) OVER (ORDER BY cap_tokens, lang) AS bad FROM c),
+g AS (SELECT *, CASE WHEN bad = 0 THEN 1 ELSE 0 END AS capped FROM f),
+s AS (SELECT *, SUM(capped) OVER () AS k,
+        SUM(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END) OVER ()
+          AS capsum
+      FROM g),
+a AS (SELECT lang, tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+        CAST(CASE WHEN capped = 1 THEN cap_tokens
+             ELSE (budget - capsum) // (L - k) END AS BIGINT)
+          AS alloc_tokens
+      FROM s)
+SELECT lang, tokens, cap_tokens, alloc_tokens,
+  CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // tokens AS BIGINT)
+    AS epochs_micro
+FROM a"""
+
+_register("data_unimax", _q_unimax, _UNIMAX_SQL)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6447,6 +6496,7 @@ _PRIORITY = [
     "data_conv_near_dedup", "data_domain_mixture",
     "data_conv_decontaminate", "data_decontaminate_fraction",
     "data_refusal_census", "data_hard_negatives", "data_pii_census",
+    "data_unimax",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -305,3 +305,38 @@ def test_domain_mixture_upweights_hard_domains(spark):
     flat = {r.source: r.weight_r for r in domain_mixture(d, eta=0.0).collect()}
     for s in flat:
         assert abs(flat[s] - out[s]["n_bigrams"] / tn) < 2e-6
+
+
+def test_unimax_mixture(spark):
+    """Water-filling allocation: smallest language capped at
+    max_epochs, remainder split equally; budget edge cases."""
+    from jena_spark.data.selection import unimax_mixture
+
+    rows = [("A", ("t " * 10).strip()), ("B", ("t " * 100).strip()),
+            ("C", ("t " * 1000).strip())]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.lang: r
+           for r in unimax_mixture(df, budget=500, max_epochs=3).collect()}
+    # caps 30/300/3000: A fits 3 full epochs (30*3 + 0 <= 500 is the
+    # prefix test with L=3 -> 90 <= 500), B/C split (500-30)//2 = 235
+    assert (out["A"].alloc_tokens, out["B"].alloc_tokens,
+            out["C"].alloc_tokens) == (30, 235, 235)
+    assert out["A"].epochs_micro == 3_000_000
+    assert out["B"].epochs_micro == 2_350_000
+    assert out["C"].epochs_micro == 235_000
+    # budget above total capped supply: every language at its cap,
+    # remainder deliberately unspent
+    full = {r.lang: r
+            for r in unimax_mixture(df, budget=10**9,
+                                    max_epochs=2).collect()}
+    assert all(full[l].alloc_tokens == full[l].cap_tokens for l in "ABC")
+    # zero budget: nothing allocates
+    zero = {r.lang: r
+            for r in unimax_mixture(df, budget=0, max_epochs=2).collect()}
+    assert all(zero[l].alloc_tokens == 0 for l in "ABC")
+    # guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unimax_mixture(df, budget=-1)
+    with _pytest.raises(ValueError):
+        unimax_mixture(df, budget=1, max_epochs=0)
