@@ -6429,6 +6429,46 @@ FROM a"""
 _register("data_unimax", _q_unimax, _UNIMAX_SQL)
 
 
+def _q_span_corruption(spark, sf):
+    """T5/UL2 span corruption (``data/noising.py::span_corruption``):
+    20-token blocks, 3-token spans at md5 offsets, sentinel targets —
+    15% noise density, map-only."""
+    from jena_spark.data.noising import span_corruption
+
+    return span_corruption(_docs(spark, sf), block_size=20, span_len=3)
+
+
+def _span_corruption_oracle() -> str:
+    from jena_spark.data.noising import span_corruption_sql
+
+    return span_corruption_sql("SELECT doc_id, text FROM documents",
+                               block_size=20, span_len=3)
+
+
+_register("data_span_corruption", _q_span_corruption,
+          _span_corruption_oracle())
+
+
+def _q_fim(spark, sf):
+    """Fill-in-the-middle transform (``data/noising.py::
+    fim_transform``): PSM order at rate 0.75 — a quarter of the corpus
+    deterministically passes through untouched, per the paper's
+    recommended mixing."""
+    from jena_spark.data.noising import fim_transform
+
+    return fim_transform(_docs(spark, sf), rate=0.75, mode="psm")
+
+
+def _fim_oracle() -> str:
+    from jena_spark.data.noising import fim_transform_sql
+
+    return fim_transform_sql("SELECT doc_id, text FROM documents",
+                             rate=0.75, mode="psm")
+
+
+_register("data_fim", _q_fim, _fim_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6496,7 +6536,7 @@ _PRIORITY = [
     "data_conv_near_dedup", "data_domain_mixture",
     "data_conv_decontaminate", "data_decontaminate_fraction",
     "data_refusal_census", "data_hard_negatives", "data_pii_census",
-    "data_unimax",
+    "data_unimax", "data_span_corruption", "data_fim",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
