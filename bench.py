@@ -189,6 +189,28 @@ BENCH_QUERIES = [
     # signature store (new-batch signatures + arithmetic-only store
     # banding + size-k integer estimate verify)
     "data_dedup_minhash_incremental",
+    # transcripts-corpus release gates: DPO pair grouping, capped
+    # token-set-Jaccard conversation near-dedup (max_df=500 — the
+    # uncapped self-join OOMs at sf0.1), DoReMi mixture update,
+    # per-turn benchmark-overlap decontamination, refusal census,
+    # tool census + trajectory completeness gate, per-conversation
+    # PII census (data_decontaminate_fraction stays OUT: its corpus
+    # pass duplicates data_decontaminate's, not a distinct shape)
+    "data_preference_pairs",
+    "data_conv_near_dedup",
+    "data_domain_mixture",
+    "data_conv_decontaminate",
+    "data_refusal_census",
+    "data_tool_census",
+    "data_trajectory_filter",
+    "data_pii_census",
+    # retrieval/objective construction: lexical hard-negative mining
+    # (df-capped inverted-index join), UniMax water-filling, T5 span
+    # corruption and FIM reordering (map-only HOF projections)
+    "data_hard_negatives",
+    "data_unimax",
+    "data_span_corruption",
+    "data_fim",
 ]
 
 

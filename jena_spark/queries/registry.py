@@ -6054,12 +6054,16 @@ def _q_conv_near_dedup(spark, sf):
     """Fuzzy whole-conversation near-dedup (``data/conv_dedup.py::
     near_dedup_conversations``): token-set Jaccard >= 0.65 over turn
     texts, greedy smaller-conv_id-wins election; exact integer
-    threshold inequality on both engines (no float division)."""
+    threshold inequality on both engines (no float division).
+    ``max_df=500`` is MANDATORY here: the filler tokens every
+    transcript shares (note/we/discussed, df 1000+ at sf0.01 and 10x
+    that at sf0.1) make the uncapped token self-join quadratic —
+    measured OOM at sf0.1/local[32] without the cap."""
     from jena_spark.data.conv_dedup import near_dedup_conversations
     from jena_spark.data.transcripts import transcripts_df
 
     return near_dedup_conversations(transcripts_df(spark, sf),
-                                    threshold_pm=650)
+                                    threshold_pm=650, max_df=500)
 
 
 def _conv_near_dedup_oracle() -> str:
@@ -6067,7 +6071,7 @@ def _conv_near_dedup_oracle() -> str:
     from jena_spark.data.transcripts import transcripts_cte
 
     return near_dedup_conversations_sql(transcripts_cte(),
-                                        threshold_pm=650)
+                                        threshold_pm=650, max_df=500)
 
 
 _register("data_conv_near_dedup", _q_conv_near_dedup,
