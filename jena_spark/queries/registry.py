@@ -6473,6 +6473,28 @@ def _fim_oracle() -> str:
 _register("data_fim", _q_fim, _fim_oracle())
 
 
+def _q_rougel_dedup(spark, sf):
+    """Self-Instruct ROUGE-L gate (``data/rouge.py::rougel_dedup``):
+    assistant turns as the instruction pool, greedy smaller-id-wins
+    at ROUGE-L F1 >= 0.6; df-capped candidate blocking (max_df=500,
+    the data_hard_negatives rationale), exact integer permille
+    scores. Rows-only: the O(n*m) LCS DP has no DuckDB twin — pytest
+    owns exactness (naive-DP reference + exhaustive-recall check)."""
+    from jena_spark.data.rouge import rougel_dedup
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    d = (t.where(F.col("role") == "assistant")
+         .select(F.concat("conv_id", F.lit("#"),
+                          F.col("turn_idx").cast("string")).alias("did"),
+                 "text"))
+    return rougel_dedup(d, threshold_pm=600, max_df=500, min_overlap=2,
+                        max_tokens=64, id_col="did")
+
+
+_register("data_rougel_dedup", _q_rougel_dedup, None)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6541,6 +6563,7 @@ _PRIORITY = [
     "data_conv_decontaminate", "data_decontaminate_fraction",
     "data_refusal_census", "data_hard_negatives", "data_pii_census",
     "data_unimax", "data_span_corruption", "data_fim",
+    "data_rougel_dedup",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
