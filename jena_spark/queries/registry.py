@@ -6495,6 +6495,165 @@ def _q_rougel_dedup(spark, sf):
 _register("data_rougel_dedup", _q_rougel_dedup, None)
 
 
+def _q_wimbd_topk(spark, sf):
+    """WIMBD most-common-trigrams census (``data/wimbd.py::
+    top_ngrams``): positional occurrence counts, top-20, tie-broken
+    count desc / gram asc so both engines select the identical set."""
+    from jena_spark.data.wimbd import top_ngrams
+
+    return top_ngrams(_docs(spark, sf), n=3, k=20)
+
+
+def _wimbd_topk_oracle() -> str:
+    from jena_spark.data.wimbd import ngram_cte
+
+    return f"""WITH g AS ({ngram_cte(3)})
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
+FROM g GROUP BY gram
+ORDER BY n_occ DESC, gram ASC LIMIT 20"""
+
+
+_register("data_wimbd_topk", _q_wimbd_topk, _wimbd_topk_oracle())
+
+
+def _q_wimbd_dup(spark, sf):
+    """WIMBD duplicate-10-gram census (``data/wimbd.py::
+    duplicate_ngram_stats``): one summary row, duplicated share in
+    integer ppm (bigint floor division — engine-exact)."""
+    from jena_spark.data.wimbd import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(_docs(spark, sf), n=10)
+
+
+def _wimbd_dup_oracle() -> str:
+    from jena_spark.data.wimbd import ngram_cte
+
+    return f"""WITH g AS ({ngram_cte(10)}),
+c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+SELECT CAST(sum(c) AS BIGINT) AS n_grams,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_occ,
+  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000 // sum(c)
+       AS BIGINT) AS dup_pm
+FROM c"""
+
+
+_register("data_wimbd_dup", _q_wimbd_dup, _wimbd_dup_oracle())
+
+
+def _q_wimbd_domains(spark, sf):
+    """WIMBD per-domain census (``data/wimbd.py::domain_summary``):
+    doc/token/char tallies + integer-ppm doc share per source."""
+    from jena_spark.data.wimbd import domain_summary
+
+    return domain_summary(_docs(spark, sf))
+
+
+_WIMBD_DOMAINS_SQL = """WITH d AS (
+  SELECT source, count(*) AS n_docs,
+    sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens,
+    sum(len(text)) AS n_chars
+  FROM documents GROUP BY source),
+t AS (SELECT sum(n_docs) AS tot FROM d)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_docs * 1000000 // tot AS BIGINT) AS doc_pm
+FROM d, t"""
+
+
+_register("data_wimbd_domains", _q_wimbd_domains, _WIMBD_DOMAINS_SQL)
+
+
+def _q_conv_validate(spark, sf):
+    """Conversation structural lint (``data/convqc.py::
+    validate_conversations``): per-conversation census of chat-format
+    violations (bad opener, role repeats, empty turns, orphan tool
+    results) over the derived transcripts."""
+    from jena_spark.data.convqc import validate_conversations
+    from jena_spark.data.transcripts import transcripts_df
+
+    return validate_conversations(transcripts_df(spark, sf))
+
+
+def _conv_validate_oracle() -> str:
+    from jena_spark.data.convqc import validate_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return validate_sql(transcripts_cte())
+
+
+_register("data_conv_validate", _q_conv_validate, _conv_validate_oracle())
+
+
+def _q_truncate_middle(spark, sf):
+    """Middle-eviction context fitting (``data/convqc.py::
+    truncate_middle``): budget 40 whitespace tokens, keep the opening
+    turn + the largest fitting suffix; ts/text projected away so the
+    hash compares the decision columns."""
+    from jena_spark.data.convqc import truncate_middle
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    return truncate_middle(t, budget=40).select(
+        "conv_id", "turn_idx", "role", "n_tokens", "conv_tokens", "kept")
+
+
+def _truncate_middle_oracle() -> str:
+    from jena_spark.data.convqc import truncate_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return ("SELECT conv_id, turn_idx, role, n_tokens, conv_tokens, kept"
+            " FROM (" + truncate_sql(transcripts_cte(), 40) + ")")
+
+
+_register("data_truncate_middle", _q_truncate_middle,
+          _truncate_middle_oracle())
+
+
+#: deterministic pairwise matches for the BT entry: consecutive
+#: doc_ids with different sources play one match; the longer document
+#: (tie: lexicographically smaller source) wins — a quality-proxy
+#: arena over the corpus domains.
+_BT_MATCHES_SQL = """SELECT
+  CASE WHEN a.n_chars > b.n_chars
+            OR (a.n_chars = b.n_chars AND a.source < b.source)
+       THEN a.source ELSE b.source END AS winner,
+  CASE WHEN a.n_chars > b.n_chars
+            OR (a.n_chars = b.n_chars AND a.source < b.source)
+       THEN b.source ELSE a.source END AS loser
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.source <> b.source"""
+
+
+def _q_bt_ranking(spark, sf):
+    """Bradley-Terry domain arena (``data/ranking.py::bt_scores``):
+    consecutive cross-source doc pairs as matches (longer doc wins),
+    4 integer MM rounds; oracle is the fully-unrolled CTE chain."""
+    from jena_spark.data.ranking import bt_scores
+
+    d = _docs(spark, sf).select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    aw = ((F.col("a.n_chars") > F.col("b.n_chars"))
+          | ((F.col("a.n_chars") == F.col("b.n_chars"))
+             & (F.col("a.source") < F.col("b.source"))))
+    m = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+         .where(F.col("a.source") != F.col("b.source"))
+         .select(F.when(aw, F.col("a.source")).otherwise(F.col("b.source"))
+                 .alias("winner"),
+                 F.when(aw, F.col("b.source")).otherwise(F.col("a.source"))
+                 .alias("loser")))
+    return bt_scores(m, n_iter=4)
+
+
+def _bt_ranking_oracle() -> str:
+    from jena_spark.data.ranking import bt_scores_sql
+
+    return bt_scores_sql(_BT_MATCHES_SQL, n_iter=4)
+
+
+_register("data_bt_ranking", _q_bt_ranking, _bt_ranking_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6564,6 +6723,8 @@ _PRIORITY = [
     "data_refusal_census", "data_hard_negatives", "data_pii_census",
     "data_unimax", "data_span_corruption", "data_fim",
     "data_rougel_dedup",
+    "data_wimbd_topk", "data_wimbd_dup", "data_wimbd_domains",
+    "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
