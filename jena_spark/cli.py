@@ -19,6 +19,10 @@ Reference contract (paths relative to
 | ``rsparql``    | ``rdfconnection cmds rsparql`` | query a remote SPARQL endpoint over HTTP |
 | ``rupdate``    | ``rdfconnection cmds rupdate`` | run an update on a remote endpoint |
 | ``load``       | ``tdb/tdbloader.java`` | bulk-load RDF into a parquet store directory |
+| ``dumpthrift`` | ``riotcmd/dumpthrift.java`` | decode RDF-Thrift to N-Triples/N-Quads text |
+| ``tokens``     | ``riotcmd/printtokens.java`` | print the Turtle lexer token stream |
+| ``tdbcompact`` | ``tdb2/tdbcompact.java`` | delete non-current version dirs of a store |
+| ``shacl --parse`` | ``shacl/shacl_parse.java`` | print the compiled shape set |
 | ``version``    | ``jena/version.java`` | print the engine version |
 
 Spark posture: every command builds a DataFrame plan and either writes
@@ -201,12 +205,53 @@ def _cmd_rdfcompare(args) -> int:
     return 0 if same else 1
 
 
+def _print_shapes(shapes_df) -> None:
+    """``shacl/shacl_parse.java`` — print the compiled shape set in a
+    deterministic text form (shape IRI, targets, per-property path +
+    cardinality + sorted constraint keys)."""
+    from jena_spark.queries.shacl import parse_shapes
+
+    for ns in sorted(parse_shapes(shapes_df), key=lambda n: n.iri):
+        targets = []
+        for label, vals in (("class", ns.target_class),
+                            ("node", ns.target_node),
+                            ("subjectsOf", ns.target_subjects_of),
+                            ("objectsOf", ns.target_objects_of)):
+            names = sorted(v[1] if isinstance(v, tuple) else v for v in vals)
+            targets += [f"{label}={v}" for v in names]
+        flags = (" closed" if ns.closed else "") + \
+                (f" severity={ns.severity}" if ns.severity else "")
+        print(f"shape <{ns.iri}> [{' '.join(targets)}]{flags}")
+        for k in sorted(ns.constraints):
+            print(f"  node-constraint {k}")
+        for op, _inner in ns.logic:
+            print(f"  logic {op}")
+        for ps in sorted(ns.properties, key=lambda p: (p.path, p.inverse)):
+            card = ""
+            if ps.min_count is not None:
+                card += f" minCount={ps.min_count}"
+            if ps.max_count is not None:
+                card += f" maxCount={ps.max_count}"
+            cons = " ".join(sorted(ps.constraints))
+            extra = (" uniqueLang" if ps.unique_lang else "") + \
+                    (f" qualified" if ps.qualified else "") + \
+                    "".join(f" {op}" for op, _ in ps.logic) + \
+                    "".join(f" pair:{c}" for c, _ in sorted(ps.pairwise))
+            print(f"  property {ps.path}{card}"
+                  + (f" [{cons}]" if cons else "") + extra)
+
+
 def _cmd_shacl(args) -> int:
     from jena_spark.queries.shacl import validate
 
     spark = _spark(args)
-    data = _read_all(spark, [args.data], None)
     shapes = _read_all(spark, [args.shapes], None)
+    if getattr(args, "parse_only", False):
+        _print_shapes(shapes)
+        return 0
+    if not args.data:
+        raise SystemExit("shacl: --data is required unless --parse")
+    data = _read_all(spark, [args.data], None)
     report = validate(data, shapes)
     rows = report.collect()
     if args.out:
@@ -342,6 +387,62 @@ def _cmd_tdbnode(args) -> int:
             print(f"{i}: "
                   + TM.nt_term(r["kind"], r["val"], r["datatype"], r["lang"]))
     return 1 if missing else 0
+
+
+def _cmd_dumpthrift(args) -> int:
+    """``riotcmd/dumpthrift.java`` — decode an RDF-Thrift (RDF Binary)
+    file and stream it back out as N-Triples/N-Quads text."""
+    from jena_spark.sources.thrift import read_thrift
+
+    spark = _spark(args)
+    df = read_thrift(spark, args.file, quads=args.quads)
+    _emit(df, args.out, "nquads" if args.quads else "ntriples")
+    return 0
+
+
+def _cmd_tokens(args) -> int:
+    """``riotcmd/printtokens.java`` / ``arq/tokens.java`` — print the
+    Turtle-family lexer token stream, one ``kind<TAB>image`` line per
+    token. Driver-side by design: token dumping is a parser-debugging
+    tool over one document, not a data path."""
+    from jena_spark.sources.turtle import _Tokens
+
+    with open(args.file) as fh:
+        text = fh.read()
+    for kind, val in _Tokens(text).toks:
+        print(f"{kind}\t{val}")
+    return 0
+
+
+def _cmd_tdbcompact(args) -> int:
+    """``tdb2/tdbcompact.java`` — reclaim space in a versioned store:
+    delete every ``v<N>`` version directory except the one the
+    ``_CURRENT`` pointer names (TDB2 compaction keeps only the live
+    generation; our MVCC store's version dirs are its generations).
+    Readers of the live version are unaffected — the pointer is never
+    touched, so a crash mid-compact only leaves garbage versions, a
+    re-run finishes the job."""
+    import os
+    import shutil
+
+    from jena_spark.streaming.ingest import CURRENT
+
+    loc = args.location
+    ptr = os.path.join(loc, CURRENT)
+    if not os.path.exists(ptr):
+        raise SystemExit(f"tdbcompact: no {CURRENT} pointer in {loc}")
+    with open(ptr) as fh:
+        live = fh.read().strip()
+    removed = []
+    for name in sorted(os.listdir(loc)):
+        full = os.path.join(loc, name)
+        if (name != live and name.startswith("v") and name[1:].isdigit()
+                and os.path.isdir(full)):
+            shutil.rmtree(full)
+            removed.append(name)
+    print(f"live: {live}")
+    print(f"removed: {len(removed)}")
+    return 0
 
 
 def _cmd_qexpr(args) -> int:
@@ -867,10 +968,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=_cmd_rdfcompare)
 
     p = sub.add_parser("shacl", help="SHACL validation report (exit 0/1)")
-    p.add_argument("--data", required=True)
+    p.add_argument("--data")
     p.add_argument("--shapes", required=True)
+    p.add_argument("--parse", dest="parse_only", action="store_true",
+                   help="print the compiled shapes instead of validating")
     p.add_argument("--out")
     p.set_defaults(fn=_cmd_shacl)
+
+    p = sub.add_parser("dumpthrift", help="dump an RDF-Thrift file as text")
+    p.add_argument("file")
+    p.add_argument("--quads", action="store_true")
+    p.add_argument("--out")
+    p.set_defaults(fn=_cmd_dumpthrift)
+
+    p = sub.add_parser("tokens", help="print the Turtle lexer token stream")
+    p.add_argument("file")
+    p.set_defaults(fn=_cmd_tokens)
+
+    p = sub.add_parser("tdbcompact",
+                       help="drop non-current version dirs of a store")
+    p.add_argument("--location", required=True)
+    p.set_defaults(fn=_cmd_tdbcompact)
 
     p = sub.add_parser("stats", help="per-predicate counts")
     p.add_argument("files", nargs="+")

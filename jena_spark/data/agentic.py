@@ -76,3 +76,80 @@ SELECT conv_id,
        CAST(sum(len - 1) AS BIGINT) AS n_repeated,
        CAST(max(len) <= {max_run} AS INT) AS keep
 FROM runs GROUP BY conv_id"""
+
+
+def tool_call_census(turns: DataFrame, *,
+                     conv_id: str = "conv_id",
+                     args_col: str = "args_json",
+                     required: tuple = ("q",)) -> DataFrame:
+    """Tool-call payload validation census — the schema lint every
+    agentic-SFT pipeline runs before training on tool trajectories:
+    a tool-call argument blob must (a) parse as JSON and (b) carry
+    the required argument keys. Rows with a NULL ``args_col`` are not
+    tool calls and don't count.
+
+    Returns one row per conversation: ``(conv_id, n_calls,
+    n_bad_json, n_missing, n_ok, all_ok)`` where ``n_bad_json``
+    counts unparseable payloads, ``n_missing`` counts parseable
+    payloads lacking any ``required`` key (null-valued counts as
+    missing — the serializer emitted a hole), and ``all_ok = 1`` iff
+    every call in the conversation is clean.
+
+    Engine notes: parsing is JVM-side ``try_parse_json`` (variant;
+    malformed input yields NULL, never an abort — PERMISSIVE
+    ``from_json`` can't distinguish malformed from missing-key), one
+    map-only pass + the conv_id aggregation. Required keys are read
+    as scalars (``try_variant_get(..., 'string')`` /
+    ``json_extract_string``) — keep required args scalar-typed. The
+    DuckDB twin uses ``json_valid`` + ``json_extract_string`` — both
+    engines treat a valid object with a missing/null key identically.
+    """
+    parsed = F.expr(f"try_parse_json(`{args_col}`)")
+    is_call = F.col(args_col).isNotNull()
+    bad = is_call & parsed.isNull()
+    miss_any = F.lit(False)
+    for k in required:
+        miss_any = miss_any | F.expr(
+            f"try_variant_get(try_parse_json(`{args_col}`),"
+            f" '$.{k}', 'string')").isNull()
+    missing = is_call & ~bad & miss_any
+    ok = is_call & ~bad & ~missing
+    d = turns.select(
+        conv_id,
+        is_call.cast("int").alias("_c"),
+        bad.cast("int").alias("_b"),
+        missing.cast("int").alias("_m"),
+        ok.cast("int").alias("_o"))
+    return (d.groupBy(conv_id)
+            .agg(F.sum("_c").cast("bigint").alias("n_calls"),
+                 F.sum("_b").cast("bigint").alias("n_bad_json"),
+                 F.sum("_m").cast("bigint").alias("n_missing"),
+                 F.sum("_o").cast("bigint").alias("n_ok"))
+            .withColumn("all_ok",
+                        (F.col("n_calls") == F.col("n_ok")).cast("int")))
+
+
+def tool_call_census_sql(turns_cte: str, *, conv_id: str = "conv_id",
+                         args_col: str = "args_json",
+                         required: tuple = ("q",)) -> str:
+    """DuckDB twin of :func:`tool_call_census` over a CTE body."""
+    miss = " OR ".join(
+        f"json_extract_string({args_col}, '$.{k}') IS NULL"
+        for k in required)
+    return f"""WITH t AS ({turns_cte}),
+d AS (
+  SELECT {conv_id},
+    CASE WHEN {args_col} IS NOT NULL THEN 1 ELSE 0 END AS c,
+    CASE WHEN {args_col} IS NOT NULL
+              AND NOT json_valid({args_col}) THEN 1 ELSE 0 END AS b,
+    CASE WHEN {args_col} IS NOT NULL AND json_valid({args_col})
+              AND ({miss}) THEN 1 ELSE 0 END AS m
+  FROM t)
+SELECT {conv_id},
+  CAST(sum(c) AS BIGINT) AS n_calls,
+  CAST(sum(b) AS BIGINT) AS n_bad_json,
+  CAST(sum(m) AS BIGINT) AS n_missing,
+  CAST(sum(c - b - m) AS BIGINT) AS n_ok,
+  CAST(CASE WHEN sum(c) = sum(c - b - m) THEN 1 ELSE 0 END AS INT)
+    AS all_ok
+FROM d GROUP BY {conv_id}"""

@@ -6654,6 +6654,51 @@ def _bt_ranking_oracle() -> str:
 _register("data_bt_ranking", _q_bt_ranking, _bt_ranking_oracle())
 
 
+def _q_tool_call_census(spark, sf):
+    """Tool-call payload lint (``data/agentic.py::tool_call_census``):
+    tool turns carry a deterministic JSON args blob keyed on
+    ``h = turn_idx + length(text)`` — h%7=2 truncates the object (bad
+    JSON), h%11=3 drops the required ``q`` key; the census rolls
+    per-conversation bad/missing/ok counts (the PII-census salting
+    precedent). Engine parses via try_parse_json/try_variant_get, the
+    oracle via json_valid/json_extract_string."""
+    from jena_spark.data.agentic import tool_call_census
+    from jena_spark.data.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf)
+    h = F.col("turn_idx") + F.length("text")
+    head = F.concat(F.lit('{"q": "k'), F.col("turn_idx").cast("string"),
+                    F.lit('", "lang": "'), F.col("tool"))
+    args = F.when(
+        F.col("role") == "tool",
+        F.when(h % 7 == 2, head)                     # truncated object
+        .when(h % 11 == 3, F.concat(F.lit('{"lang": "'), F.col("tool"),
+                                    F.lit('"}')))    # q missing
+        .otherwise(F.concat(head, F.lit('"}'))))
+    d = t.select("conv_id", args.alias("args_json"))
+    return tool_call_census(d, required=("q", "lang"))
+
+
+def _tool_call_census_oracle() -> str:
+    from jena_spark.data.agentic import tool_call_census_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    h = "(turn_idx + len(text))"
+    head = """'{"q": "k' || CAST(turn_idx AS VARCHAR) || '", "lang": "' || tool"""
+    cte = f"""SELECT conv_id,
+  CASE WHEN role = 'tool' THEN
+    CASE WHEN {h} % 7 = 2 THEN {head}
+         WHEN {h} % 11 = 3 THEN '{{"lang": "' || tool || '"}}'
+         ELSE {head} || '"}}' END
+  END AS args_json
+FROM ({transcripts_cte()})"""
+    return tool_call_census_sql(cte, required=("q", "lang"))
+
+
+_register("data_tool_call_census", _q_tool_call_census,
+          _tool_call_census_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6725,6 +6770,7 @@ _PRIORITY = [
     "data_rougel_dedup",
     "data_wimbd_topk", "data_wimbd_dup", "data_wimbd_domains",
     "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
+    "data_tool_call_census",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

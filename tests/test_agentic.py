@@ -44,3 +44,49 @@ def test_detect_loops_by_role_and_partition_invariance(spark):
     assert (r["max_run"], r["n_repeated"], r["keep"]) == (5, 6, 0)
     again = detect_loops(t.repartition(5), max_run=4, value="role")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
+def test_tool_call_census(spark):
+    from jena_spark.data.agentic import tool_call_census
+
+    rows = [
+        # conv a: one clean call, one non-call turn
+        ("a", '{"q": "search", "retries": 1}'),
+        ("a", None),
+        # conv b: malformed + missing key + clean
+        ("b", '{"q": "x"'),                      # truncated -> bad json
+        ("b", '{"retries": 2}'),                 # parses, q missing
+        ("b", '{"q": null}'),                    # null-valued counts missing
+        ("b", '{"q": "ok"}'),
+        # conv c: no calls at all
+        ("c", None),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, args_json string")
+    out = {r["conv_id"]: r for r in tool_call_census(t).collect()}
+    assert (out["a"]["n_calls"], out["a"]["n_ok"], out["a"]["all_ok"]) \
+        == (1, 1, 1)
+    b = out["b"]
+    assert (b["n_calls"], b["n_bad_json"], b["n_missing"], b["n_ok"],
+            b["all_ok"]) == (4, 1, 2, 1, 0)
+    assert (out["c"]["n_calls"], out["c"]["all_ok"]) == (0, 1)
+
+
+def test_tool_call_census_duckdb_parity(spark):
+    import duckdb
+
+    from jena_spark.data.agentic import tool_call_census, tool_call_census_sql
+
+    rows = [
+        ("a", '{"q": "search"}'), ("a", '{"q": "y", "extra": [1,2]}'),
+        ("b", 'not json at all'), ("b", '{"q": "z"}'),
+        ("b", '{}'),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, args_json string")
+    got = sorted(map(tuple, tool_call_census(t).collect()))
+    vals = ", ".join("('%s', '%s')" % (c, a.replace("'", "''"))
+                     for c, a in rows)
+    cte = ("SELECT * FROM (VALUES " + vals
+           + ") AS v(conv_id, args_json)")
+    want = sorted(map(tuple,
+                      duckdb.sql(tool_call_census_sql(cte)).fetchall()))
+    assert got == want

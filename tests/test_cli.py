@@ -367,3 +367,94 @@ def test_rsparql_rupdate(capsys, spark):
             capsys, "rsparql", "--service", f"{base}/ds/sparql",
             f"SELECT ?n WHERE {{ <{EX}c> <{EX}name> ?n }}")
         assert rc == 0 and '"carol"' in out
+
+
+def test_dumpthrift(capsys, spark, tmp_path):
+    """riotcmd/dumpthrift.java: thrift file -> N-Triples text."""
+    from jena_spark.sources.thrift import write_thrift
+
+    t = spark.createDataFrame(
+        [("iri", "http://e/a", "http://e/p", "literal", "x", None, None)],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string")
+    path = str(tmp_path / "d.trdf")
+    write_thrift(t, path)
+    rc, out = _run(capsys, "dumpthrift", path)
+    assert rc == 0
+    assert out.strip() == '<http://e/a> <http://e/p> "x" .'
+
+
+def test_tokens(capsys, tmp_path):
+    """riotcmd/printtokens.java: kind<TAB>image token stream."""
+    p = tmp_path / "t.ttl"
+    p.write_text('@prefix ex: <http://e/> .\nex:a ex:p "x" .\n')
+    rc, out = _run(capsys, "tokens", str(p))
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert "iri\t<http://e/>" in lines
+    assert "pname_full\tex:a" in lines
+    assert 'str2\t"x"' in lines
+    # statement terminators present
+    assert lines.count("punct\t.") == 2
+
+
+def test_tdbcompact(capsys, spark, tmp_path):
+    """tdb2/tdbcompact.java: only the _CURRENT generation survives."""
+    import os
+
+    from jena_spark.pipeline.txn import TransactionalStore
+
+    quads = spark.createDataFrame(
+        [("iri", "http://e/a", "http://e/p", "literal", "1", None, None,
+          None)],
+        "s_kind string, s_val string, p_val string, o_kind string,"
+        " o_val string, o_datatype string, o_lang string, graph string")
+    loc = str(tmp_path / "store")
+    st = TransactionalStore(spark, quads=None, path=loc)
+    with st.write() as tx:
+        tx.put(quads)
+        tx.commit()
+    with st.write() as tx:
+        tx.update('INSERT DATA { <http://e/b> <http://e/p> "2" }')
+        tx.commit()
+    vdirs = sorted(d for d in os.listdir(loc) if d.startswith("v"))
+    assert len(vdirs) == 2
+    rc, out = _run(capsys, "tdbcompact", "--location", loc)
+    assert rc == 0 and "live: v2" in out and "removed: 1" in out
+    vdirs = sorted(d for d in os.listdir(loc) if d.startswith("v"))
+    assert vdirs == ["v2"]
+    # the store still reads after compaction
+    st2 = TransactionalStore(spark, quads=None, path=loc)
+    assert st2.dataset().count() == 2
+    # idempotent re-run
+    rc, out = _run(capsys, "tdbcompact", "--location", loc)
+    assert rc == 0 and "removed: 0" in out
+    # missing pointer errors loudly
+    import pytest as _p
+    with _p.raises(SystemExit):
+        _run(capsys, "tdbcompact", "--location", str(tmp_path / "nope"))
+
+
+def test_shacl_parse(capsys, tmp_path):
+    """shacl/shacl_parse.java: deterministic compiled-shape listing."""
+    shp = tmp_path / "shapes.ttl"
+    shp.write_text("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://e/> .
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:closed true ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                sh:datatype xsd:string ] ;
+  sh:property [ sh:path ex:age ; sh:maxCount 1 ] .
+""")
+    rc, out = _run(capsys, "shacl", "--parse", "--shapes", str(shp))
+    assert rc == 0
+    assert "shape <http://e/PersonShape> [class=http://e/Person] closed" in out
+    assert "minCount=1" in out and "maxCount=1" in out
+    assert "datatype" in out
+    # validating still requires --data
+    import pytest as _p
+    with _p.raises(SystemExit):
+        _run(capsys, "shacl", "--shapes", str(shp))
