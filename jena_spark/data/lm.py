@@ -55,6 +55,32 @@ def _word_pairs(docs: DataFrame, text: str, *keep) -> DataFrame:
                     F.col("g.w2").alias("w2")))
 
 
+def _scored_pairs(docs: DataFrame, lm_docs: DataFrame | None,
+                  doc_id: str, text: str) -> DataFrame:
+    """Per-document distinct-bigram scores: ``(doc_id, w1, w2, m, q)``
+    with occurrence count ``m`` and the add-one-smoothed bigram NLL
+    ``q`` in integer micro-bits (quantized once — see module
+    docstring)."""
+    lm = lm_docs if lm_docs is not None else docs
+    lm_pairs = _word_pairs(lm, text)
+    big = lm_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = lm_pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (lm.where(F.length(F.trim(F.col(text))) > 0)
+             .select(F.explode(tokens(F.col(text))).alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+
+    freq = (_word_pairs(docs, text, doc_id)
+            .groupBy(doc_id, "w1", "w2").agg(F.count(F.lit(1)).alias("m")))
+    p = ((F.coalesce("c2", F.lit(0)) + 1).cast("double")
+         / (F.coalesce("c1", F.lit(0)) + F.col("v")))
+    return (freq.join(big, ["w1", "w2"], "left")
+            .join(ctx, ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .select(doc_id, "w1", "w2", "m",
+                    F.floor(-F.log2(p) * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("q")))
+
+
 def bigram_lm_scores(docs: DataFrame, lm_docs: DataFrame | None = None,
                      doc_id: str = "doc_id",
                      text: str = "text") -> DataFrame:
@@ -73,24 +99,8 @@ def bigram_lm_scores(docs: DataFrame, lm_docs: DataFrame | None = None,
     * ``perplexity`` — ``2^avg_logprob`` rounded to 4 dp (float
       convenience; threshold on the exact columns in pipelines).
     """
-    lm = lm_docs if lm_docs is not None else docs
-    lm_pairs = _word_pairs(lm, text)
-    big = lm_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = lm_pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (lm.where(F.length(F.trim(F.col(text))) > 0)
-             .select(F.explode(tokens(F.col(text))).alias("w"))
-             .agg(F.countDistinct("w").alias("v")))
-
-    freq = (_word_pairs(docs, text, doc_id)
-            .groupBy(doc_id, "w1", "w2").agg(F.count(F.lit(1)).alias("m")))
-    p = ((F.coalesce("c2", F.lit(0)) + 1).cast("double")
-         / (F.coalesce("c1", F.lit(0)) + F.col("v")))
-    scored = (freq.join(big, ["w1", "w2"], "left")
-              .join(ctx, ["w1"], "left")
-              .crossJoin(F.broadcast(vocab))
-              .select(doc_id, "m",
-                      F.floor(-F.log2(p) * 1e6 + F.lit(0.5))
-                      .cast("bigint").alias("q")))
+    scored = _scored_pairs(docs, lm_docs, doc_id, text) \
+        .select(doc_id, "m", "q")
     agg = scored.groupBy(doc_id).agg(
         F.sum("m").cast("bigint").alias("n_bigrams"),
         F.sum(F.col("m") * F.col("q")).cast("bigint").alias("nll_ubits"))
@@ -137,3 +147,57 @@ def ccnet_buckets(docs: DataFrame, lm_docs: DataFrame | None = None,
                            .when(F.col("avg_logprob") <= F.col("_q")[1],
                                  "middle")
                            .otherwise("tail").alias("bucket")))
+
+
+def mink_prob_scores(docs: DataFrame, k_pct: int = 20,
+                     lm_docs: DataFrame | None = None,
+                     doc_id: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Min-K% prob membership score (Shi et al. 2024, *Detecting
+    Pretraining Data from Large Language Models*, public method): a
+    document's score is the mean NLL of its ``k_pct``% LEAST likely
+    token events — members of the training set lack high-surprise
+    outlier tokens, so a low Min-K% score flags likely contamination /
+    memorization. Here the token event is a bigram occurrence under
+    the same add-one bigram model as :func:`bigram_lm_scores` (the
+    production shape swaps in a real LM's per-token logprobs; the
+    selection machinery — the part that matters at scale — is
+    identical).
+
+    Exact integer arithmetic end-to-end: per-doc selection count
+    ``c = max(1, n_bigrams * k_pct DIV 100)``; occurrences are taken
+    in (q desc, w1, w2) order — a total order, since (w1,w2) is
+    distinct per doc — with partial takes from the boundary bigram's
+    multiplicity; the score is ``sum(take·q) DIV c`` micro-bits.
+
+    Scale: one extra window pass (partitioned by doc — bounded state)
+    over the per-(doc, distinct-bigram) rows the LM scoring already
+    produces; never an explode to per-occurrence rows.
+
+    Returns ``(doc_id, n_bigrams, n_sel, mink_ubits)``.
+    """
+    if not 1 <= k_pct <= 100:
+        raise ValueError(f"mink_prob_scores: k_pct in [1,100], got {k_pct}")
+    from pyspark.sql import Window
+
+    sc = _scored_pairs(docs, lm_docs, doc_id, text)
+    w_doc = Window.partitionBy(doc_id)
+    w_ord = (Window.partitionBy(doc_id)
+             .orderBy(F.desc("q"), F.asc("w1"), F.asc("w2"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.sum("m").over(w_doc)
+    cum = F.sum("m").over(w_ord)
+    c = F.greatest(F.lit(1), F.expr(f"n_total * {int(k_pct)} DIV 100"))
+    d = (sc.withColumn("n_total", n.cast("bigint"))
+           .withColumn("_cum", cum.cast("bigint"))
+           .withColumn("_c", c.cast("bigint"))
+           .withColumn("_take",
+                       F.greatest(F.lit(0),
+                                  F.least(F.col("m"),
+                                          F.col("_c") - (F.col("_cum")
+                                                         - F.col("m"))))))
+    return (d.groupBy(doc_id)
+            .agg(F.max("n_total").cast("bigint").alias("n_bigrams"),
+                 F.sum("_take").cast("bigint").alias("n_sel"),
+                 F.expr("sum(_take * q) DIV max(_c)").cast("bigint")
+                 .alias("mink_ubits")))

@@ -6699,6 +6699,66 @@ _register("data_tool_call_census", _q_tool_call_census,
           _tool_call_census_oracle())
 
 
+def _q_mink_prob(spark, sf):
+    """Min-K% prob membership scoring (``data/lm.py::
+    mink_prob_scores``): mean micro-bit NLL of each document's 20%
+    least-likely bigram occurrences under the self-trained add-one
+    bigram LM — the Shi-et-al pretraining-membership signal. All
+    selection arithmetic is integer (window cumsum + partial take),
+    so the oracle hash-matches bit-for-bit."""
+    from jena_spark.data.lm import mink_prob_scores
+
+    return mink_prob_scores(_docs(spark, sf), k_pct=20)
+
+
+def _mink_prob_oracle(k: int = 20) -> str:
+    return rf"""WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT w.doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM words w,
+       LATERAL (SELECT unnest(generate_series(1, len(w.ws)-1)) AS i) t
+), freq AS (
+  SELECT doc_id, w1, w2, count(*) AS m FROM grams GROUP BY doc_id, w1, w2
+), big AS (
+  SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, count(*) AS c1 FROM grams GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ws) AS w FROM words) u
+), scored AS (
+  SELECT f.doc_id, f.w1, f.w2, CAST(f.m AS BIGINT) AS m,
+         CAST(floor(-log2((coalesce(b.c2, 0) + 1) * 1.0
+                          / (coalesce(c.c1, 0) + v.v)) * 1e6 + 0.5)
+              AS BIGINT) AS q
+  FROM freq f
+  LEFT JOIN big b ON f.w1 = b.w1 AND f.w2 = b.w2
+  LEFT JOIN ctx c ON f.w1 = c.w1
+  CROSS JOIN vocab v
+), win AS (
+  SELECT doc_id, m, q,
+    CAST(sum(m) OVER (PARTITION BY doc_id) AS BIGINT) AS n_total,
+    CAST(sum(m) OVER (PARTITION BY doc_id ORDER BY q DESC, w1, w2
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM scored
+), sel AS (
+  SELECT doc_id, n_total, q,
+    greatest(CAST(1 AS BIGINT), n_total * {k} // 100) AS c,
+    greatest(CAST(0 AS BIGINT),
+             least(m, greatest(CAST(1 AS BIGINT), n_total * {k} // 100)
+                      - (cum - m))) AS take
+  FROM win)
+SELECT doc_id, CAST(max(n_total) AS BIGINT) AS n_bigrams,
+  CAST(sum(take) AS BIGINT) AS n_sel,
+  CAST(sum(take * q) // max(c) AS BIGINT) AS mink_ubits
+FROM sel GROUP BY doc_id"""
+
+
+_register("data_mink_prob", _q_mink_prob, _mink_prob_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6770,7 +6830,7 @@ _PRIORITY = [
     "data_rougel_dedup",
     "data_wimbd_topk", "data_wimbd_dup", "data_wimbd_domains",
     "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
-    "data_tool_call_census",
+    "data_tool_call_census", "data_mink_prob",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

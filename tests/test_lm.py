@@ -122,3 +122,31 @@ def test_derived_float_columns(spark):
     assert abs(row["perplexity"] - 2 ** avg) < 1e-3
     # repeated text is more predictable than one-off text
     assert r["d1"]["avg_logprob"] < r["d3"]["avg_logprob"]
+
+
+def test_mink_prob_scores(spark):
+    """Min-K% selection arithmetic on a hand-computable corpus."""
+    import math
+
+    import pytest
+
+    from jena_spark.data.lm import mink_prob_scores
+
+    d = spark.createDataFrame([(1, "a a a b")], "doc_id bigint, text string")
+    # self-LM: c2(a,a)=2 c2(a,b)=1 c1(a)=3 V=2
+    q_ab = math.floor(-math.log2(2 / 5) * 1e6 + 0.5)   # least likely
+    q_aa = math.floor(-math.log2(3 / 5) * 1e6 + 0.5)
+    r50 = mink_prob_scores(d, k_pct=50).collect()[0]
+    # n=3 bigram occurrences, c = max(1, 3*50 DIV 100) = 1 -> the one
+    # (a,b) occurrence
+    assert (r50["n_bigrams"], r50["n_sel"], r50["mink_ubits"]) \
+        == (3, 1, q_ab)
+    r100 = mink_prob_scores(d, k_pct=100).collect()[0]
+    assert r100["mink_ubits"] == (q_ab + 2 * q_aa) // 3
+    # partial take from a multiplicity-2 boundary bigram
+    d2 = spark.createDataFrame([(1, "x y x y x")],
+                               "doc_id bigint, text string")
+    r = mink_prob_scores(d2, k_pct=25).collect()[0]
+    assert (r["n_bigrams"], r["n_sel"]) == (4, 1)
+    with pytest.raises(ValueError):
+        mink_prob_scores(d, k_pct=0)
