@@ -143,3 +143,62 @@ ranked AS (
               ORDER BY overlap DESC, did ASC) AS INT) AS rank
   FROM scored)
 SELECT qid, did, overlap, rank FROM ranked WHERE rank <= {int(k)}"""
+
+
+def retrieval_eval(queries: DataFrame, corpus: DataFrame,
+                   gold: DataFrame, k: int = 10,
+                   min_overlap: int = 1, max_df: int | None = None,
+                   qid: str = "qid", qtext: str = "text",
+                   did: str = "did", dtext: str = "text",
+                   gold_col: str = "gold_did") -> DataFrame:
+    """Retrieval-quality eval over the lexical ranker — the
+    recall@k / MRR@k harness every retrieval-training pipeline runs
+    (BEIR/MTEB protocol, public convention) to sanity-check its
+    mining index before spending GPU time on the mined pairs.
+
+    ``gold`` maps each query to its relevant document
+    (``qid, gold_col``). Every query is ranked against the corpus
+    with the same inverted-index scorer as :func:`hard_negatives`
+    (no group exclusion — the gold document must be findable), and
+    the gold's rank is looked up. Returns one row per gold pair:
+    ``(qid, gold_did, rank, hit, rr_pm)`` with ``rank = 0`` on a miss
+    (gold outside top-``k`` or below ``min_overlap``), ``hit`` ∈
+    {0,1} (recall@k numerator) and ``rr_pm = 1000 DIV rank`` — the
+    integer-permille reciprocal rank (MRR@k numerator; exact, so the
+    oracle hash-matches). Aggregate means driver-side or with one
+    more tiny agg.
+
+    Scale: identical to the mining pass (one token-equality join
+    bounded by ``max_df``) plus a broadcast-sized join against gold.
+    """
+    ranked = hard_negatives(queries, corpus, k=k, min_overlap=min_overlap,
+                            max_df=max_df, qid=qid, qtext=qtext,
+                            did=did, dtext=dtext)
+    g = gold.select(qid, F.col(gold_col).alias("_gold"))
+    r = ranked.withColumnRenamed(did, "_gold")
+    j = g.join(r, [qid, "_gold"], "left")
+    return j.select(
+        qid, F.col("_gold").alias(gold_col),
+        F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank"),
+        F.when(F.col("rank").isNotNull(), 1).otherwise(0)
+         .cast("int").alias("hit"),
+        F.expr("CASE WHEN rank IS NOT NULL THEN 1000 DIV rank"
+               " ELSE 0 END").cast("int").alias("rr_pm"))
+
+
+def retrieval_eval_sql(queries_cte: str, corpus_cte: str, gold_cte: str,
+                       k: int = 10, min_overlap: int = 1,
+                       max_df: int | None = None) -> str:
+    """DuckDB twin of :func:`retrieval_eval`. ``gold_cte`` must yield
+    ``(qid, gold_did)``; the ranker twin is
+    :func:`hard_negatives_sql` verbatim."""
+    hn = hard_negatives_sql(queries_cte, corpus_cte, k=k,
+                            min_overlap=min_overlap, max_df=max_df)
+    return f"""WITH r AS ({hn}),
+g AS ({gold_cte})
+SELECT g.qid, g.gold_did,
+  CAST(coalesce(r.rank, 0) AS INT) AS rank,
+  CAST(CASE WHEN r.rank IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hit,
+  CAST(CASE WHEN r.rank IS NOT NULL THEN 1000 // r.rank ELSE 0 END
+       AS INT) AS rr_pm
+FROM g LEFT JOIN r ON r.qid = g.qid AND r.did = g.gold_did"""

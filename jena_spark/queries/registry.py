@@ -6759,6 +6759,41 @@ FROM sel GROUP BY doc_id"""
 _register("data_mink_prob", _q_mink_prob, _mink_prob_oracle())
 
 
+def _q_retrieval_eval(spark, sf):
+    """Retrieval recall@k / MRR harness (``data/retrieval.py::
+    retrieval_eval``): every 13th document's first 12 words form a
+    query whose gold document is its source; the lexical ranker must
+    find it back in the corpus. k=10, max_df=500 (the
+    data_hard_negatives stopword rationale), integer-permille
+    reciprocal rank."""
+    from jena_spark.data.retrieval import retrieval_eval
+
+    d = _docs(spark, sf)
+    qtext = F.array_join(
+        F.slice(F.split(F.trim("text"), "\\s+"), 1, 12), " ")
+    q = (d.where(F.col("doc_id") % 13 == 0)
+         .select(F.col("doc_id").alias("qid"), qtext.alias("text")))
+    g = q.select("qid", F.col("qid").alias("gold_did"))
+    c = d.select(F.col("doc_id").alias("did"), "text")
+    return retrieval_eval(q, c, g, k=10, min_overlap=2, max_df=500)
+
+
+def _retrieval_eval_oracle() -> str:
+    from jena_spark.data.retrieval import retrieval_eval_sql
+
+    qc = (r"SELECT doc_id AS qid, array_to_string(list_slice("
+          r"string_split_regex(trim(text), '\s+'), 1, 12), ' ') AS text"
+          r" FROM documents WHERE doc_id % 13 = 0")
+    cc = "SELECT doc_id AS did, text FROM documents"
+    gc = "SELECT doc_id AS qid, doc_id AS gold_did FROM documents" \
+         " WHERE doc_id % 13 = 0"
+    return retrieval_eval_sql(qc, cc, gc, k=10, min_overlap=2, max_df=500)
+
+
+_register("data_retrieval_eval", _q_retrieval_eval,
+          _retrieval_eval_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6830,7 +6865,7 @@ _PRIORITY = [
     "data_rougel_dedup",
     "data_wimbd_topk", "data_wimbd_dup", "data_wimbd_domains",
     "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
-    "data_tool_call_census", "data_mink_prob",
+    "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",

@@ -90,3 +90,39 @@ def test_hard_negatives_no_cartesian_plan(spark):
     # token-equality join only - never a nested-loop over all pairs
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retrieval_eval(spark):
+    import duckdb
+
+    from jena_spark.data.retrieval import retrieval_eval, retrieval_eval_sql
+
+    corpus = [(1, "alpha beta gamma delta"),
+              (2, "alpha beta gamma zeta"),
+              (3, "unrelated words entirely different")]
+    queries = [(10, "alpha beta gamma"),     # ties docs 1,2 -> doc 1 first
+               (11, "unrelated words"),      # doc 3
+               (12, "nothing matches here")]
+    gold = [(10, 2), (11, 3), (12, 1)]
+    c = spark.createDataFrame(corpus, "did bigint, text string")
+    q = spark.createDataFrame(queries, "qid bigint, text string")
+    g = spark.createDataFrame(gold, "qid bigint, gold_did bigint")
+    out = {r["qid"]: r for r in
+           retrieval_eval(q, c, g, k=2).collect()}
+    # q10: docs 1 and 2 both overlap 3; tie-break did asc -> gold(2)
+    # at rank 2 -> rr 500
+    assert (out[10]["rank"], out[10]["hit"], out[10]["rr_pm"]) == (2, 1, 500)
+    assert (out[11]["rank"], out[11]["rr_pm"]) == (1, 1000)
+    # q12 matches nothing: miss row with rank 0
+    assert (out[12]["rank"], out[12]["hit"], out[12]["rr_pm"]) == (0, 0, 0)
+
+    got = sorted(map(tuple, retrieval_eval(q, c, g, k=2).collect()))
+    qc = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{t}')" for i, t in queries) + ") AS v(qid, text)"
+    cc = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{t}')" for i, t in corpus) + ") AS v(did, text)"
+    gc = "SELECT * FROM (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in gold) + ") AS v(qid, gold_did)"
+    want = sorted(map(tuple, duckdb.sql(
+        retrieval_eval_sql(qc, cc, gc, k=2)).fetchall()))
+    assert got == want
