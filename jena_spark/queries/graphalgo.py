@@ -1,0 +1,110 @@
+"""Distributed graph analytics over the materialized KG.
+
+PageRank (Brin & Page 1998) over the IRI→IRI subgraph of the
+canonical triple table — the standard "which entities matter"
+centrality for a knowledge graph, and the op a downstream
+entity-salience or retrieval-boost pipeline asks for first. Jena
+itself ships no graph analytics (closest is jena-elephas' counting
+jobs); this is "beyond the reference" surface like the corpus
+operators, built on the same machinery as the repo's BFS shortest
+path (:mod:`jena_spark.queries.ontology`).
+
+Determinism contract (the repo-wide integer recipe): all mass is
+integer micro-micro-units (``total = 10^12`` distributed as
+``total div N`` per node), per-edge shares are floor divisions, and
+the damping multiply-then-divide is exact BIGINT arithmetic —
+``p'(v) = base + (d_num · Σ_{u→v} (p(u) div outdeg(u))) div d_den``
+with ``base = (total div N) · (d_den − d_num) div d_den``. Integer
+sums are order-independent, so Spark and the unrolled DuckDB twin
+agree bit-for-bit at any partitioning. Quantization loses <1e-10 of
+relative mass per round — never the ranking the op exists for.
+Dangling-node mass is dropped, not redistributed (the simplified
+variant; documented, mirrored in the oracle).
+
+Scale design: each iteration is ONE shuffle — an equi-join of the
+rank frame against the (src-partitioned, outdeg-annotated) edge
+frame followed by a ``dst`` hash aggregation with map-side partial
+sums; the node and edge frames are computed once and persisted.
+Iterations are a fixed small count (PageRank@3..10 — the driver loop
+adds no data-dependent fixpoint), each ``localCheckpoint``-ed so the
+lineage stays flat (the repo's >2-consumer replay rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total integer mass distributed across the graph
+TOTAL_MASS = 10**12
+#: damping d = d_num / d_den (the classic 0.85)
+D_NUM, D_DEN = 85, 100
+
+
+def pagerank(edges: DataFrame, iters: int = 3,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """``(node, rank_u)`` after ``iters`` exact-integer PageRank
+    rounds over the directed multigraph ``edges`` (parallel edges
+    contribute proportionally; pre-``distinct()`` for simple-graph
+    semantics). ``rank_u`` is BIGINT mass out of ``TOTAL_MASS``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(outdeg, "src").persist()
+    glob = nodes.agg(F.count("*").cast("long").alias("n"))
+    p = (nodes.crossJoin(F.broadcast(glob))
+         .select("node", F.expr(f"{TOTAL_MASS} div n").alias("rank_u"),
+                 F.expr(f"(({TOTAL_MASS} div n) * {D_DEN - D_NUM})"
+                        f" div {D_DEN}").alias("base")))
+    for _ in range(iters):
+        contrib = (p.join(ed, p["node"] == ed["src"])
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank_u div outdeg").alias("share"))
+                   .groupBy("node")
+                   .agg(F.sum("share").alias("inmass")))
+        p = (p.join(contrib, "node", "left")
+             .select("node",
+                     (F.col("base") + F.expr(
+                         f"({D_NUM} * coalesce(inmass, 0)) div {D_DEN}"))
+                     .cast("long").alias("rank_u"),
+                     "base")
+             .localCheckpoint(eager=False))
+    out = p.select("node", "rank_u")
+    nodes.unpersist()
+    ed.unpersist()
+    return out
+
+
+def pagerank_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`pagerank` — the iteration loop unrolled
+    into a CTE chain (the ``data_kmeans`` fully-unrolled precedent).
+    ``edges_cte`` must yield ``(src, dst)``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    parts = [f"""edges AS ({edges_cte}),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+p0 AS (SELECT node, {TOTAL_MASS} // n AS rank_u,
+              (({TOTAL_MASS} // n) * {D_DEN - D_NUM}) // {D_DEN} AS base
+       FROM nodes, g)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+  SELECT ed.dst AS node, sum(p.rank_u // ed.outdeg) AS inmass
+  FROM p{i - 1} p JOIN ed ON p.node = ed.src GROUP BY ed.dst),
+p{i} AS (
+  SELECT p.node,
+         CAST(p.base + ({D_NUM} * coalesce(c.inmass, 0)) // {D_DEN}
+              AS BIGINT) AS rank_u, p.base
+  FROM p{i - 1} p LEFT JOIN c{i} c USING (node))""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank_u FROM p{iters}")
