@@ -6794,6 +6794,124 @@ _register("data_retrieval_eval", _q_retrieval_eval,
           _retrieval_eval_oracle())
 
 
+def _q_bm25(spark, sf):
+    """BM25 ranked retrieval (``data/bm25.py::bm25_topk``): the
+    data_retrieval_eval query set (every 13th document's first 12
+    words) ranked against the full corpus by exact-integer BM25
+    (micro-nat idf x permille integer tf-norm, k1=1.2 b=0.75 cleared
+    to integer coefficients), k=10, corpus max_df=500. Ties break on
+    did ascending, so the frame is fully deterministic."""
+    from jena_spark.data.bm25 import bm25_topk
+
+    d = _docs(spark, sf)
+    qtext = F.array_join(
+        F.slice(F.split(F.trim("text"), "\\s+"), 1, 12), " ")
+    q = (d.where(F.col("doc_id") % 13 == 0)
+         .select(F.col("doc_id").alias("qid"), qtext.alias("text")))
+    c = d.select(F.col("doc_id").alias("did"), "text")
+    return bm25_topk(q, c, k=10, max_df=500)
+
+
+def _bm25_oracle() -> str:
+    from jena_spark.data.bm25 import bm25_sql
+
+    qc = (r"SELECT doc_id AS qid, array_to_string(list_slice("
+          r"string_split_regex(trim(text), '\s+'), 1, 12), ' ') AS text"
+          r" FROM documents WHERE doc_id % 13 = 0")
+    cc = "SELECT doc_id AS did, text FROM documents"
+    return bm25_sql(qc, cc, k=10, max_df=500)
+
+
+_register("data_bm25", _q_bm25, _bm25_oracle())
+
+
+def _q_leakage_split(spark, sf):
+    """Leakage-safe train/valid/test split (``data/splits.py::
+    leakage_safe_split``): near-dup clusters over the shared Jaccard
+    pair graph inherit one split (90/5/5 by md5-threshold on the
+    cluster representative), so a document and its near-copies never
+    straddle the train/eval boundary."""
+    from jena_spark.data.splits import leakage_safe_split
+
+    return leakage_safe_split(_docs(spark, sf),
+                              _jaccard_pairs_cached(spark, sf))
+
+
+def _leakage_split_oracle() -> str:
+    from jena_spark.data.splits import split_case_sql
+
+    return ("WITH RECURSIVE " + _JACCARD_CTES + ",\n    "
+            + _CLUSTER_CTES + f""",
+    cl AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, cluster, {split_case_sql()} AS split FROM cl""")
+
+
+_register("data_split_leakage", _q_leakage_split, _leakage_split_oracle())
+
+
+def _q_prefix_census(spark, sf):
+    """Shared-prefix family census (``data/prefixes.py::
+    prefix_families``): fingerprint each conversation's first 2 turns
+    (the ordered role|text md5 recipe of data_conv_dedup) and size the
+    families — a family of >= 2 is boilerplate (shared system prompt /
+    few-shot block)."""
+    from jena_spark.data.prefixes import prefix_families
+    from jena_spark.data.transcripts import transcripts_df
+
+    return prefix_families(transcripts_df(spark, sf), k=2, min_family=2)
+
+
+def _prefix_census_oracle() -> str:
+    from jena_spark.data.prefixes import prefix_families_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return prefix_families_sql(transcripts_cte(), k=2, min_family=2)
+
+
+_register("data_prefix_census", _q_prefix_census, _prefix_census_oracle())
+
+
+def _q_pagerank(spark, sf):
+    """Exact-integer PageRank (``queries/graphalgo.py::pagerank``)
+    over the entity co-mention digraph of the canonical KG (entities
+    A->B and B->A whenever one conversation mentions both — the
+    kg_bgp_comention derivation as an edge set), 3 rounds at d=0.85:
+    which entities matter, the first graph-analytics ask of a
+    downstream salience/retrieval pipeline. All mass is BIGINT
+    micro-micro-units (floor-division shares), so the unrolled DuckDB
+    CTE chain hash-matches bit-for-bit."""
+    from jena_spark.queries.graphalgo import pagerank
+
+    t = _triples(spark, sf)
+    ht = (t.where(F.col("p_val") == TM.P_HAS_TURN)
+          .select(F.col("s_val").alias("conv"), F.col("o_val").alias("turn")))
+    me = (t.where(F.col("p_val") == TM.P_MENTIONS)
+          .select(F.col("s_val").alias("turn"), F.col("o_val").alias("ent")))
+    ce = ht.join(me, "turn").select("conv", "ent").distinct()
+    e = (ce.alias("a").join(ce.alias("b"), "conv")
+         .where(F.col("a.ent") != F.col("b.ent"))
+         .select(F.col("a.ent").alias("src"), F.col("b.ent").alias("dst"))
+         .distinct())
+    return pagerank(e, iters=3)
+
+
+def _pagerank_oracle() -> str:
+    from jena_spark.queries.graphalgo import pagerank_sql
+
+    edges_cte = f"""WITH ce AS (
+      SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}')
+    SELECT DISTINCT a.ent AS src, b.ent AS dst
+    FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent <> b.ent"""
+    return _W.rstrip() + ",\n" + pagerank_sql(edges_cte, iters=3)[len("WITH "):]
+
+
+_register("kg_pagerank", _q_pagerank, _pagerank_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6866,6 +6984,7 @@ _PRIORITY = [
     "data_wimbd_topk", "data_wimbd_dup", "data_wimbd_domains",
     "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
     "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
+    "data_bm25", "data_split_leakage", "data_prefix_census", "kg_pagerank",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
