@@ -6912,6 +6912,52 @@ def _pagerank_oracle() -> str:
 _register("kg_pagerank", _q_pagerank, _pagerank_oracle())
 
 
+def _q_readability(spark, sf):
+    """Exact-integer Flesch Reading Ease / Flesch-Kincaid grade
+    (``data/readability.py::readability_scores``): the curriculum
+    difficulty signal in milli-units — coefficients cleared to BIGINT
+    (206835 - 1015*W div S - 84600*Y div W), vowel-group syllable
+    proxy, sentence count floored at 1. Map-only, zero shuffle."""
+    from jena_spark.data.readability import readability_scores
+
+    return readability_scores(_docs(spark, sf))
+
+
+def _readability_oracle() -> str:
+    from jena_spark.data.readability import readability_sql
+
+    return readability_sql()
+
+
+_register("data_readability", _q_readability, _readability_oracle())
+
+
+def _q_instruction_census(spark, sf):
+    """Self-Instruct verb-distribution census
+    (``data/instructions.py::instruction_census``): first-normalized-
+    token verb proxy, format/quantity constraint flags, exact-integer
+    ppm shares — the instruction-diversity report an SFT-mix selection
+    loop starts from. The gate runs it over the documents table as the
+    instruction pool (the synthetic transcripts' user turns are
+    single-template by construction — one verb row would exercise
+    nothing; the transcript path is pytest-covered)."""
+    from jena_spark.data.instructions import instruction_census
+
+    pool = _docs(spark, sf).select(F.lit("user").alias("role"), "text")
+    return instruction_census(pool)
+
+
+def _instruction_census_oracle() -> str:
+    from jena_spark.data.instructions import instruction_census_sql
+
+    return instruction_census_sql(
+        "SELECT 'user' AS role, text FROM documents")
+
+
+_register("data_instruction_census", _q_instruction_census,
+          _instruction_census_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6985,6 +7031,7 @@ _PRIORITY = [
     "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
     "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
     "data_bm25", "data_split_leakage", "data_prefix_census", "kg_pagerank",
+    "data_readability", "data_instruction_census",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
