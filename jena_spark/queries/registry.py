@@ -6958,6 +6958,29 @@ _register("data_instruction_census", _q_instruction_census,
           _instruction_census_oracle())
 
 
+def _q_release_gate(spark, sf):
+    """Composed conversation release gate (``data/release.py::
+    curate_conversations``): structural lint + exact dedup + loop
+    detection + refusal census + PII census rolled into one
+    drop/scrub/ship decision table with first-failing reasons — the
+    transcript twin of data_curate. Five co-partitioned conv_id
+    aggregations, one job."""
+    from jena_spark.data.release import curate_conversations
+    from jena_spark.data.transcripts import transcripts_df
+
+    return curate_conversations(transcripts_df(spark, sf))
+
+
+def _release_gate_oracle() -> str:
+    from jena_spark.data.release import curate_conversations_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return curate_conversations_sql(transcripts_cte())
+
+
+_register("data_release_gate", _q_release_gate, _release_gate_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7031,7 +7054,7 @@ _PRIORITY = [
     "data_conv_validate", "data_truncate_middle", "data_bt_ranking",
     "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
     "data_bm25", "data_split_leakage", "data_prefix_census", "kg_pagerank",
-    "data_readability", "data_instruction_census",
+    "data_readability", "data_instruction_census", "data_release_gate",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
