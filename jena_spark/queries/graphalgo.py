@@ -80,6 +80,105 @@ def pagerank(edges: DataFrame, iters: int = 3,
     return out
 
 
+def hits(edges: DataFrame, iters: int = 3,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """``(node, hub_u, auth_u)`` after ``iters`` exact-integer HITS
+    rounds (Kleinberg 1999) over the directed multigraph ``edges``.
+
+    Each round: ``auth(v) = Σ_{u→v} hub(u)``, then
+    ``hub(u) = Σ_{u→v} auth(v)``, each L1-renormalized to
+    :data:`TOTAL_MASS` by the exact floor scaling
+    ``x' = (x · TOTAL_MASS) div Σx`` (the repo-wide integer recipe —
+    sums are order-independent, so Spark and the unrolled DuckDB twin
+    agree bit-for-bit; the product rides DECIMAL(38,0) / HUGEINT so
+    raw·TOTAL_MASS never overflows 64 bits). Nodes with no in-edges
+    hold authority 0, no out-edges hub 0.
+
+    Scale design mirrors :func:`pagerank`: per round, two equi-joins
+    against the persisted edge frame and two dst/src hash
+    aggregations with map-side partial sums; the 1-row L1 total is a
+    broadcast; per-round ``localCheckpoint`` keeps lineage flat.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    glob = nodes.agg(F.count("*").cast("long").alias("n"))
+    h = (nodes.crossJoin(F.broadcast(glob))
+         .select("node", F.expr(f"{TOTAL_MASS} div n").alias("hub_u")))
+    for _ in range(iters):
+        a = (h.join(e, h["node"] == e["src"])
+             .select(F.col("dst").alias("node"), "hub_u")
+             .groupBy("node").agg(F.sum("hub_u").alias("raw")))
+        asum = a.agg(F.sum(F.col("raw").cast("decimal(38,0)"))
+                     .alias("s"))
+        a = (nodes.join(a, "node", "left")
+             .crossJoin(F.broadcast(asum))
+             .select("node", F.expr(
+                 f"CAST(coalesce(raw, 0) AS DECIMAL(38,0))"
+                 f" * {TOTAL_MASS} div s")
+                 .cast("long").alias("auth_u"))
+             .localCheckpoint(eager=False))
+        hh = (a.join(e, a["node"] == e["dst"])
+              .select(F.col("src").alias("node"), "auth_u")
+              .groupBy("node").agg(F.sum("auth_u").alias("raw")))
+        hsum = hh.agg(F.sum(F.col("raw").cast("decimal(38,0)"))
+                      .alias("s"))
+        h = (nodes.join(hh, "node", "left")
+             .crossJoin(F.broadcast(hsum))
+             .select("node", F.expr(
+                 f"CAST(coalesce(raw, 0) AS DECIMAL(38,0))"
+                 f" * {TOTAL_MASS} div s")
+                 .cast("long").alias("hub_u"))
+             .localCheckpoint(eager=False))
+        last_a = a
+    out = (h.join(last_a, "node")
+           .select("node", "hub_u", "auth_u"))
+    nodes.unpersist()
+    e.unpersist()
+    return out
+
+
+def hits_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`hits` — the iteration loop unrolled into
+    a CTE chain. ``edges_cte`` must yield ``(src, dst)``."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # MATERIALIZED: DuckDB inlines CTEs by default, so every round's
+    # reference would re-expand (and re-scan) the caller's whole edge
+    # derivation — materializing evaluates it once.
+    parts = [f"""edges AS MATERIALIZED ({edges_cte}),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+h0 AS (SELECT node, {TOTAL_MASS} // n AS hub_u FROM nodes, g)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""ar{i} AS (
+  SELECT e.dst AS node, sum(h.hub_u) AS raw
+  FROM h{i - 1} h JOIN edges e ON h.node = e.src GROUP BY e.dst),
+sa{i} AS (SELECT sum(CAST(raw AS HUGEINT)) AS s FROM ar{i}),
+a{i} AS (
+  SELECT n.node,
+         CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * {TOTAL_MASS}) // x.s
+              AS BIGINT) AS auth_u
+  FROM nodes n LEFT JOIN ar{i} r USING (node), sa{i} x),
+hr{i} AS (
+  SELECT e.src AS node, sum(a.auth_u) AS raw
+  FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY e.src),
+hs{i} AS (SELECT sum(CAST(raw AS HUGEINT)) AS s FROM hr{i}),
+h{i} AS (
+  SELECT n.node,
+         CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * {TOTAL_MASS}) // x.s
+              AS BIGINT) AS hub_u
+  FROM nodes n LEFT JOIN hr{i} r USING (node), hs{i} x)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h.node, h.hub_u, a.auth_u"
+              f"\nFROM h{iters} h JOIN a{iters} a USING (node)")
+
+
 def pagerank_sql(edges_cte: str, iters: int = 3) -> str:
     """DuckDB twin of :func:`pagerank` — the iteration loop unrolled
     into a CTE chain (the ``data_kmeans`` fully-unrolled precedent).
@@ -87,12 +186,15 @@ def pagerank_sql(edges_cte: str, iters: int = 3) -> str:
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    parts = [f"""edges AS ({edges_cte}),
+    # MATERIALIZED: see hits_sql — one evaluation of the caller's edge
+    # derivation instead of one per unrolled round.
+    parts = [f"""edges AS MATERIALIZED ({edges_cte}),
 nodes AS (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges),
 outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
            FROM edges GROUP BY src),
-ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+ed AS MATERIALIZED (SELECT e.src, e.dst, o.outdeg
+       FROM edges e JOIN outdeg o USING (src)),
 g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 p0 AS (SELECT node, {TOTAL_MASS} // n AS rank_u,
               (({TOTAL_MASS} // n) * {D_DEN - D_NUM}) // {D_DEN} AS base

@@ -6912,6 +6912,37 @@ def _pagerank_oracle() -> str:
 _register("kg_pagerank", _q_pagerank, _pagerank_oracle())
 
 
+def _q_hits(spark, sf):
+    """Exact-integer HITS (``queries/graphalgo.py::hits``) over the
+    conv->entity bipartite mention graph, 3 rounds: hub conversations
+    (mention many high-authority entities) vs authority entities (the
+    classic Kleinberg bipartite shape — a DIFFERENT graph than
+    kg_pagerank's co-mention digraph). DECIMAL/HUGEINT-guarded
+    floor normalization keeps both engines bit-identical."""
+    from jena_spark.queries.graphalgo import hits
+
+    t = _triples(spark, sf)
+    ht = (t.where(F.col("p_val") == TM.P_HAS_TURN)
+          .select(F.col("s_val").alias("conv"), F.col("o_val").alias("turn")))
+    me = (t.where(F.col("p_val") == TM.P_MENTIONS)
+          .select(F.col("s_val").alias("turn"), F.col("o_val").alias("ent")))
+    e = (ht.join(me, "turn").select("conv", "ent").distinct()
+         .select(F.col("conv").alias("src"), F.col("ent").alias("dst")))
+    return hits(e, iters=3)
+
+
+def _hits_oracle() -> str:
+    from jena_spark.queries.graphalgo import hits_sql
+
+    edges_cte = f"""SELECT DISTINCT ht.s_val AS src, me.o_val AS dst
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}'"""
+    return _W.rstrip() + ",\n" + hits_sql(edges_cte, iters=3)[len("WITH "):]
+
+
+_register("kg_hits", _q_hits, _hits_oracle())
+
+
 def _q_readability(spark, sf):
     """Exact-integer Flesch Reading Ease / Flesch-Kincaid grade
     (``data/readability.py::readability_scores``): the curriculum
@@ -7055,6 +7086,7 @@ _PRIORITY = [
     "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
     "data_bm25", "data_split_leakage", "data_prefix_census", "kg_pagerank",
     "data_readability", "data_instruction_census", "data_release_gate",
+    "kg_hits",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
