@@ -211,6 +211,20 @@ BENCH_QUERIES = [
     "data_unimax",
     "data_span_corruption",
     "data_fim",
+    # round 4 final wave: exact-integer BM25 top-k (corpus-stats aggs +
+    # df-capped inverted-index join + per-query window), PageRank over
+    # the co-mention digraph (one join+agg shuffle per round), the
+    # composed conversation release gate (five co-partitioned conv_id
+    # aggs in one job), readability scoring (map-only codegen regex
+    # battery). kg_hits (same iterative family as pagerank),
+    # data_split_leakage (re-prices the shared jaccard pair graph),
+    # data_prefix_census / data_instruction_census (per-key hash aggs
+    # already priced by conv_dedup-family entries) stay OUT — not
+    # distinct throughput shapes.
+    "data_bm25",
+    "kg_pagerank",
+    "data_release_gate",
+    "data_readability",
 ]
 
 

@@ -6894,6 +6894,10 @@ def _q_pagerank(spark, sf):
          .where(F.col("a.ent") != F.col("b.ent"))
          .select(F.col("a.ent").alias("src"), F.col("b.ent").alias("dst"))
          .distinct())
+    # per-round checkpoints (the default) beat a fully-unrolled plan
+    # here even though the entity dim is bounded: the unroll
+    # re-inlines the ce self-join derivation into a megaplan (1 MB
+    # task binaries, measured 37s vs 5s at sf0.1)
     return pagerank(e, iters=3)
 
 
