@@ -296,3 +296,73 @@ def gopher_repetition(
     drop = ["n_chars"] + [f"top_{n}" for n in (2, 3, 4)] + [
         f"dup_{n}" for n in range(5, 11)]
     return out.withColumn("rep_ok", checks).drop(*drop)
+
+
+#: Placeholder blocklist — MILD terms only. The C4 paper's actual
+#: filter uses the "List of Dirty, Naughty, Obscene or Otherwise Bad
+#: Words" (github.com/LDNOOBW); deployments supply that list via the
+#: ``words`` parameter. Kept tiny here so tests stay printable.
+DEFAULT_BADWORDS: tuple[str, ...] = (
+    "damn", "crap", "sucks", "stupid", "idiot", "shut up")
+
+_BADWORD_TOKEN = __import__("re").compile(r"^[a-z0-9]+( [a-z0-9]+)*$")
+
+
+def badwords_regex(words: tuple[str, ...]) -> str:
+    """One word-boundary alternation over the (validated) blocklist.
+    Every entry must be lowercase ``\\w+`` tokens optionally joined by
+    single spaces — the SAFE_SURFACES discipline, so the alternation
+    is regex-injection-proof and byte-identical across engines."""
+    if not words:
+        raise ValueError("blocklist must name at least one word")
+    for w in words:
+        if not _BADWORD_TOKEN.match(w):
+            raise ValueError(
+                f"blocklist entry {w!r} must be lowercase word tokens "
+                f"(optionally space-joined)")
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def badwords_filter(docs: DataFrame, words: tuple[str, ...] = DEFAULT_BADWORDS,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    max_hits: int = 0) -> DataFrame:
+    """C4's blocklist pass (Raffel et al. 2020 §2.2: "remove any page
+    that contains any word on the ... blocklist").
+
+    Returns ``(id_col, n_bad_hits, n_bad_distinct, bw_ok)`` — total
+    blocklist occurrences, distinct blocklist terms present, and the
+    verdict ``n_bad_hits <= max_hits`` (the paper's rule is
+    ``max_hits=0``; a small positive budget tolerates quoted or
+    clinical uses). Case-insensitive, word-boundary anchored — "crap"
+    never fires inside "scrapbook".
+
+    Map-only: one combined regex inside whole-stage codegen, zero
+    shuffle, zero Python — at 100 TB this fuses into the same scan as
+    the other C4/Gopher signals.
+    """
+    rx = badwords_regex(words)
+    low = F.lower(F.col(text_col))
+    hits = F.regexp_extract_all(low, F.lit(rx), F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_bad_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_bad_distinct"),
+        (F.size(hits) <= int(max_hits)).cast("int").alias("bw_ok"))
+
+
+def badwords_sql(words: tuple[str, ...] = DEFAULT_BADWORDS,
+                 docs_cte: str = "SELECT doc_id, text FROM documents",
+                 max_hits: int = 0) -> str:
+    """DuckDB twin of :func:`badwords_filter` — the identical
+    alternation, so the frame hash-matches."""
+    rx = badwords_regex(words).replace("'", "''")
+    return f"""WITH src AS ({docs_cte}),
+h AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{rx}', 1) AS hits
+  FROM src)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_bad_hits,
+       CAST(len(list_distinct(hits)) AS BIGINT) AS n_bad_distinct,
+       CAST(len(hits) <= {int(max_hits)} AS INT) AS bw_ok
+FROM h"""

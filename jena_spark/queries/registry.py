@@ -7016,6 +7016,25 @@ def _release_gate_oracle() -> str:
 _register("data_release_gate", _q_release_gate, _release_gate_oracle())
 
 
+def _q_badwords(spark, sf):
+    """C4 blocklist pass (``data/filters.py::badwords_filter``):
+    word-boundary case-insensitive hit/distinct census + verdict over
+    the shipped mild placeholder list (deployments supply LDNOOBW via
+    ``words``). Map-only codegen — fuses into the corpus scan."""
+    from jena_spark.data.filters import badwords_filter
+
+    return badwords_filter(_docs(spark, sf))
+
+
+def _badwords_oracle() -> str:
+    from jena_spark.data.filters import badwords_sql
+
+    return badwords_sql()
+
+
+_register("data_badwords", _q_badwords, _badwords_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7090,7 +7109,7 @@ _PRIORITY = [
     "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
     "data_bm25", "data_split_leakage", "data_prefix_census", "kg_pagerank",
     "data_readability", "data_instruction_census", "data_release_gate",
-    "kg_hits",
+    "kg_hits", "data_badwords",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
