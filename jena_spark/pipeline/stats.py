@@ -293,3 +293,175 @@ def quads_to_triples(quads: DataFrame) -> DataFrame:
     """QuadsToTriplesMapper: project the graph away (a straight map,
     like the reference — cross-graph dedup is the caller's call)."""
     return quads.drop("graph")
+
+
+# === VoID dataset description ==============================================
+
+#: W3C "Vocabulary of Interlinked Datasets" namespace (the vocabulary
+#: Jena ships as ``org.apache.jena.sparql.vocabulary.VOID``).
+VOID_NS = "http://rdfs.org/ns/void#"
+_SEP = "\x1e"
+
+
+def void_description(triples: DataFrame,
+                     dataset_iri: str = "urn:x-jena-spark:dataset"
+                     ) -> DataFrame:
+    """The dataset's W3C VoID description, AS TRIPLES (``TERM_COLS``
+    frame) — ``void:triples`` / ``distinctSubjects`` /
+    ``distinctObjects`` / ``properties`` / ``classes`` /
+    ``entities`` (distinct IRI subjects; VoID leaves "entity" open —
+    documented convention, mirrored in the oracle), plus one
+    ``void:propertyPartition`` bnode per predicate (``void:property``
+    + ``void:triples``) and one ``void:classPartition`` bnode per
+    ``rdf:type`` class (``void:class`` + ``void:entities`` = distinct
+    subjects of that class). Partition bnodes are content-addressed
+    (``_:void-p-md5(iri)``), so the description is deterministic and
+    re-emittable (the repo's skolem discipline).
+
+    Scale: one full-scan aggregation for the six dataset measures
+    (distinct counts over ``chr(30)``-joined term keys — Spark's
+    multi-column COUNT DISTINCT silently drops null-bearing rows),
+    plus two schema-sized groupBys (predicates / classes). Output is
+    vocabulary-sized, never data-sized.
+    """
+    from jena_spark import terms as TM
+
+    t = triples
+    ds = F.lit(dataset_iri)
+    subj_key = F.concat_ws(_SEP, F.col("s_kind"), F.col("s_val"))
+    obj_key = F.concat_ws(
+        _SEP, F.col("o_kind"), F.col("o_val"),
+        F.coalesce(F.col("o_datatype"), F.lit("")),
+        F.coalesce(F.col("o_lang"), F.lit("")))
+    g = t.agg(F.count("*").cast("long").alias("n_triples"),
+              F.countDistinct(subj_key).alias("n_subj"),
+              F.countDistinct(obj_key).alias("n_obj"),
+              F.countDistinct("p_val").alias("n_props"))
+    cls = t.where((F.col("p_val") == TM.RDF_TYPE)
+                  & (F.col("o_kind") == "iri"))
+    g = (g.crossJoin(F.broadcast(
+            cls.agg(F.countDistinct("o_val").alias("n_classes"))))
+         .crossJoin(F.broadcast(
+            t.where(F.col("s_kind") == "iri")
+            .agg(F.countDistinct("s_val").alias("n_entities")))))
+
+    def _lit_rows(frame, pairs):
+        exprs = ", ".join(f"'{name}', CAST({col} AS STRING)"
+                          for name, col in pairs)
+        return (frame.selectExpr(
+                    f"stack({len(pairs)}, {exprs}) AS (vp, vn)")
+                .select(F.lit("iri").alias("s_kind"), ds.alias("s_val"),
+                        F.concat(F.lit(VOID_NS), F.col("vp")).alias("p_val"),
+                        F.lit("literal").alias("o_kind"),
+                        F.col("vn").alias("o_val"),
+                        F.lit(TM.XSD_INTEGER).alias("o_datatype"),
+                        F.lit(None).cast("string").alias("o_lang")))
+
+    head = g.select(
+        F.lit("iri").alias("s_kind"), ds.alias("s_val"),
+        F.lit(TM.RDF_TYPE).alias("p_val"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(VOID_NS + "Dataset").alias("o_val"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"))
+    measures = _lit_rows(g, [
+        ("triples", "n_triples"), ("distinctSubjects", "n_subj"),
+        ("distinctObjects", "n_obj"), ("properties", "n_props"),
+        ("classes", "n_classes"), ("entities", "n_entities")])
+
+    pp = (t.groupBy("p_val").agg(F.count("*").cast("long").alias("n"))
+          .select(F.col("p_val").alias("part_iri"), "n",
+                  F.concat(F.lit("_:void-p-"), F.md5("p_val"))
+                  .alias("b")))
+    cp = (cls.groupBy("o_val")
+          .agg(F.countDistinct(subj_key).cast("long").alias("n"))
+          .select(F.col("o_val").alias("part_iri"), "n",
+                  F.concat(F.lit("_:void-c-"), F.md5("o_val"))
+                  .alias("b")))
+
+    def _partition(part, link, member, counter):
+        a = part.select(
+            F.lit("iri").alias("s_kind"), ds.alias("s_val"),
+            F.lit(VOID_NS + link).alias("p_val"),
+            F.lit("bnode").alias("o_kind"), F.col("b").alias("o_val"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"))
+        m = part.select(
+            F.lit("bnode").alias("s_kind"), F.col("b").alias("s_val"),
+            F.lit(VOID_NS + member).alias("p_val"),
+            F.lit("iri").alias("o_kind"), F.col("part_iri").alias("o_val"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"))
+        c = part.select(
+            F.lit("bnode").alias("s_kind"), F.col("b").alias("s_val"),
+            F.lit(VOID_NS + counter).alias("p_val"),
+            F.lit("literal").alias("o_kind"),
+            F.col("n").cast("string").alias("o_val"),
+            F.lit(TM.XSD_INTEGER).alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"))
+        return a.unionByName(m).unionByName(c)
+
+    return (head.unionByName(measures)
+            .unionByName(_partition(pp, "propertyPartition", "property",
+                                    "triples"))
+            .unionByName(_partition(cp, "classPartition", "class",
+                                    "entities")))
+
+
+def void_sql(dataset_iri: str = "urn:x-jena-spark:dataset") -> str:
+    """DuckDB twin of :func:`void_description` over a ``triples``
+    relation — identical term keys, md5 partition bnodes, and counts."""
+    from jena_spark import terms as TM
+
+    v, ds, xi = VOID_NS, dataset_iri, TM.XSD_INTEGER
+    sk = "s_kind || chr(30) || s_val"
+    ok = ("o_kind || chr(30) || o_val || chr(30) || "
+          "coalesce(o_datatype, '') || chr(30) || coalesce(o_lang, '')")
+    return f"""g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT {sk}) AS BIGINT) AS n_subj,
+         CAST(count(DISTINCT {ok}) AS BIGINT) AS n_obj,
+         CAST(count(DISTINCT p_val) AS BIGINT) AS n_props,
+         CAST((SELECT count(DISTINCT o_val) FROM triples
+               WHERE p_val = '{TM.RDF_TYPE}' AND o_kind = 'iri')
+              AS BIGINT) AS n_classes,
+         CAST((SELECT count(DISTINCT s_val) FROM triples
+               WHERE s_kind = 'iri') AS BIGINT) AS n_entities
+  FROM triples),
+pp AS (
+  SELECT p_val AS part_iri, CAST(count(*) AS BIGINT) AS n,
+         '_:void-p-' || md5(p_val) AS b
+  FROM triples GROUP BY p_val),
+cp AS (
+  SELECT o_val AS part_iri,
+         CAST(count(DISTINCT {sk}) AS BIGINT) AS n,
+         '_:void-c-' || md5(o_val) AS b
+  FROM triples WHERE p_val = '{TM.RDF_TYPE}' AND o_kind = 'iri'
+  GROUP BY o_val)
+SELECT * FROM (
+  SELECT 'iri' AS s_kind, '{ds}' AS s_val, '{TM.RDF_TYPE}' AS p_val,
+         'iri' AS o_kind, '{v}Dataset' AS o_val,
+         CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang
+  UNION ALL
+  SELECT 'iri', '{ds}', '{v}' || m.vp, 'literal', m.vn, '{xi}', NULL
+  FROM g, LATERAL (VALUES
+    ('triples', CAST(n_triples AS VARCHAR)),
+    ('distinctSubjects', CAST(n_subj AS VARCHAR)),
+    ('distinctObjects', CAST(n_obj AS VARCHAR)),
+    ('properties', CAST(n_props AS VARCHAR)),
+    ('classes', CAST(n_classes AS VARCHAR)),
+    ('entities', CAST(n_entities AS VARCHAR))) AS m(vp, vn)
+  UNION ALL
+  SELECT 'iri', '{ds}', '{v}propertyPartition', 'bnode', b, NULL, NULL FROM pp
+  UNION ALL
+  SELECT 'bnode', b, '{v}property', 'iri', part_iri, NULL, NULL FROM pp
+  UNION ALL
+  SELECT 'bnode', b, '{v}triples', 'literal', CAST(n AS VARCHAR),
+         '{xi}', NULL FROM pp
+  UNION ALL
+  SELECT 'iri', '{ds}', '{v}classPartition', 'bnode', b, NULL, NULL FROM cp
+  UNION ALL
+  SELECT 'bnode', b, '{v}class', 'iri', part_iri, NULL, NULL FROM cp
+  UNION ALL
+  SELECT 'bnode', b, '{v}entities', 'literal', CAST(n AS VARCHAR),
+         '{xi}', NULL FROM cp)"""

@@ -7035,6 +7035,28 @@ def _badwords_oracle() -> str:
 _register("data_badwords", _q_badwords, _badwords_oracle())
 
 
+def _q_void(spark, sf):
+    """W3C VoID dataset description AS TRIPLES (``pipeline/stats.py::
+    void_description``): six dataset measures + per-predicate
+    propertyPartitions + per-class classPartitions with
+    content-addressed bnodes — the self-describing stats card a
+    published KG snapshot ships (Jena's VOID vocabulary,
+    ``jena-arq/.../sparql/vocabulary/VOID.java``). Output is
+    vocabulary-sized, never data-sized."""
+    from jena_spark.pipeline.stats import void_description
+
+    return void_description(_triples(spark, sf))
+
+
+def _void_oracle() -> str:
+    from jena_spark.pipeline.stats import void_sql
+
+    return _W.rstrip() + ",\n" + void_sql()
+
+
+_register("kg_void", _q_void, _void_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7109,7 +7131,7 @@ _PRIORITY = [
     "data_tool_call_census", "data_mink_prob", "data_retrieval_eval",
     "data_bm25", "data_split_leakage", "data_prefix_census", "kg_pagerank",
     "data_readability", "data_instruction_census", "data_release_gate",
-    "kg_hits", "data_badwords",
+    "kg_hits", "data_badwords", "kg_void",
     "kg_raw_triples", "kg_find_pattern", "kg_find_by_subject", "kg_describe",
     "kg_ask", "kg_subjects", "kg_predicates", "kg_objects", "kg_slice",
     "kg_agg_stats", "kg_propfunc_split",
