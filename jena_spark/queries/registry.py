@@ -6873,6 +6873,27 @@ def _prefix_census_oracle() -> str:
 _register("data_prefix_census", _q_prefix_census, _prefix_census_oracle())
 
 
+def _comention_cached(spark, sf):
+    """The distinct (conversation, entity) mention frame, computed
+    once per corpus and persisted — shared by kg_pagerank (entity
+    co-mention self-join) and kg_hits (bipartite edges), the same
+    materialized-intermediate posture as ``_jaccard_pairs_cached``
+    (the hasTurn∘mentions join is the dominant derivation cost of
+    both graph queries)."""
+    key = (id(spark), sf, "comention")
+    if key not in _CACHE:
+        t = _triples(spark, sf)
+        ht = (t.where(F.col("p_val") == TM.P_HAS_TURN)
+              .select(F.col("s_val").alias("conv"),
+                      F.col("o_val").alias("turn")))
+        me = (t.where(F.col("p_val") == TM.P_MENTIONS)
+              .select(F.col("s_val").alias("turn"),
+                      F.col("o_val").alias("ent")))
+        _CACHE[key] = (ht.join(me, "turn").select("conv", "ent")
+                       .distinct().persist())
+    return _CACHE[key]
+
+
 def _q_pagerank(spark, sf):
     """Exact-integer PageRank (``queries/graphalgo.py::pagerank``)
     over the entity co-mention digraph of the canonical KG (entities
@@ -6884,12 +6905,7 @@ def _q_pagerank(spark, sf):
     CTE chain hash-matches bit-for-bit."""
     from jena_spark.queries.graphalgo import pagerank
 
-    t = _triples(spark, sf)
-    ht = (t.where(F.col("p_val") == TM.P_HAS_TURN)
-          .select(F.col("s_val").alias("conv"), F.col("o_val").alias("turn")))
-    me = (t.where(F.col("p_val") == TM.P_MENTIONS)
-          .select(F.col("s_val").alias("turn"), F.col("o_val").alias("ent")))
-    ce = ht.join(me, "turn").select("conv", "ent").distinct()
+    ce = _comention_cached(spark, sf)
     e = (ce.alias("a").join(ce.alias("b"), "conv")
          .where(F.col("a.ent") != F.col("b.ent"))
          .select(F.col("a.ent").alias("src"), F.col("b.ent").alias("dst"))
@@ -6925,13 +6941,8 @@ def _q_hits(spark, sf):
     floor normalization keeps both engines bit-identical."""
     from jena_spark.queries.graphalgo import hits
 
-    t = _triples(spark, sf)
-    ht = (t.where(F.col("p_val") == TM.P_HAS_TURN)
-          .select(F.col("s_val").alias("conv"), F.col("o_val").alias("turn")))
-    me = (t.where(F.col("p_val") == TM.P_MENTIONS)
-          .select(F.col("s_val").alias("turn"), F.col("o_val").alias("ent")))
-    e = (ht.join(me, "turn").select("conv", "ent").distinct()
-         .select(F.col("conv").alias("src"), F.col("ent").alias("dst")))
+    e = _comention_cached(spark, sf).select(
+        F.col("conv").alias("src"), F.col("ent").alias("dst"))
     return hits(e, iters=3)
 
 
