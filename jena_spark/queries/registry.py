@@ -7068,6 +7068,127 @@ def _void_oracle() -> str:
 _register("kg_void", _q_void, _void_oracle())
 
 
+def _q_render_chat(spark, sf):
+    """ChatML rendering + loss-mask spans (``data/chatml.py::
+    render_chat``): each conversation rendered once through the
+    ``<|im_start|>role\\ntext<|im_end|>`` template; every assistant
+    turn emits the exact character span of its text inside the
+    rendering (prefix-sum offsets, never string search) — the SFT
+    trainer's loss mask. One conv_id window, no joins, no Python."""
+    from jena_spark.data.chatml import render_chat
+    from jena_spark.data.transcripts import transcripts_df
+
+    return render_chat(transcripts_df(spark, sf))
+
+
+def _render_chat_oracle() -> str:
+    from jena_spark.data.chatml import render_chat_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return render_chat_sql(transcripts_cte())
+
+
+_register("data_render_chat", _q_render_chat, _render_chat_oracle())
+
+
+#: deterministic corruption planted over documents so the normalizer
+#: has real work at every scale factor — decomposed accents (NFC),
+#: mojibake (census-only), tab runs + a control char. Mirrored
+#: byte-for-byte in the oracle CTE.
+def _q_text_normalize(spark, sf):
+    """Unicode normalization + encoding-damage census
+    (``data/normalize.py::normalize_corpus``): control-char strip ->
+    whitespace collapse -> NFC (Arrow-batched ``unicodedata``; DuckDB
+    ``nfc_normalize`` — both UAX#15), with per-step touch counts and a
+    mojibake census. Map-only; corruption planted by ``doc_id % 5``."""
+    from jena_spark.data.normalize import normalize_corpus
+
+    d = _docs(spark, sf)
+    m = F.col("doc_id") % 5
+    planted = (
+        F.when(m == 0, F.concat("text", F.lit(" café")))
+        .when(m == 1, F.concat("text", F.lit(" bÃ© mark")))
+        .when(m == 2, F.concat("text", F.lit("\tx\t\ty")))
+        .otherwise(F.col("text")))
+    return normalize_corpus(d.select("doc_id", planted.alias("text")))
+
+
+def _text_normalize_oracle() -> str:
+    from jena_spark.data.normalize import normalize_corpus_sql
+
+    cte = """SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN text || ' cafe' || chr(769)
+         WHEN 1 THEN text || ' b' || chr(195) || chr(169) || ' mark'
+         WHEN 2 THEN text || chr(9) || 'x' || chr(9) || chr(9) || 'y'
+                   || chr(7)
+         ELSE text END AS text
+    FROM documents"""
+    return normalize_corpus_sql(cte)
+
+
+_register("data_text_normalize", _q_text_normalize,
+          _text_normalize_oracle())
+
+
+def _q_corpus_diff(spark, sf):
+    """Corpus snapshot diff (``data/versioning.py::snapshot_diff``):
+    two snapshots derived deterministically from ``documents`` by
+    ``md5(doc_id)`` nibbles (old drops one 1/16 slice, new drops
+    another and rewrites a third), then ONE hash-projected full outer
+    join classifies every doc_id added/removed/changed/unchanged —
+    the data-versioning census a corpus rebuild ships with."""
+    from jena_spark.data.versioning import snapshot_diff
+
+    d = _docs(spark, sf).select(
+        "doc_id", "text", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+    old = d.where(F.substring("_h", 1, 1) != "0").select("doc_id", "text")
+    new = (d.where(F.substring("_h", 2, 1) != "0")
+           .select("doc_id",
+                   F.when(F.substring("_h", 3, 1) == "0",
+                          F.concat("text", F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new)
+
+
+def _corpus_diff_oracle() -> str:
+    from jena_spark.data.versioning import snapshot_diff_sql
+
+    base = """SELECT doc_id, text,
+            md5(CAST(doc_id AS VARCHAR)) AS _h FROM documents"""
+    old = f"SELECT doc_id, text FROM ({base}) WHERE substr(_h, 1, 1) != '0'"
+    new = (f"SELECT doc_id, CASE WHEN substr(_h, 3, 1) = '0' "
+           f"THEN text || ' v2' ELSE text END AS text "
+           f"FROM ({base}) WHERE substr(_h, 2, 1) != '0'")
+    return snapshot_diff_sql(old, new)
+
+
+_register("data_corpus_diff", _q_corpus_diff, _corpus_diff_oracle())
+
+
+def _q_topic_segments(spark, sf):
+    """Lexical-cohesion topic segmentation (``data/segmentation.py::
+    topic_segments``): TextTiling-lite boundaries where adjacent-turn
+    token-set Jaccard (integer per-mille) dips below 150; segment ids
+    are per-conversation running sums. One conv_id window, array
+    builtins only."""
+    from jena_spark.data.segmentation import topic_segments
+    from jena_spark.data.transcripts import transcripts_df
+
+    return topic_segments(transcripts_df(spark, sf), 150)
+
+
+def _topic_segments_oracle() -> str:
+    from jena_spark.data.segmentation import topic_segments_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return topic_segments_sql(transcripts_cte(), 150)
+
+
+_register("data_topic_segments", _q_topic_segments,
+          _topic_segments_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
