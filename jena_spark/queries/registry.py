@@ -7189,6 +7189,29 @@ _register("data_topic_segments", _q_topic_segments,
           _topic_segments_oracle())
 
 
+def _q_textrank(spark, sf):
+    """Extractive conversation summarization (``data/summarize.py::
+    textrank_summary``): TextRank-lite — same-conv sentences sharing
+    >=2 content tokens form a graph (inverted-index join, never
+    all-pairs), exact-integer PageRank ranks them, top-2 per
+    conversation. Reuses ``queries/graphalgo.py``'s micro-mass
+    recipe, so Spark and the unrolled-SQL twin agree bit-for-bit."""
+    from jena_spark.data.summarize import textrank_summary
+    from jena_spark.data.transcripts import transcripts_df
+
+    return textrank_summary(transcripts_df(spark, sf), k=2)
+
+
+def _textrank_oracle() -> str:
+    from jena_spark.data.summarize import textrank_summary_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return textrank_summary_sql(transcripts_cte(), k=2)
+
+
+_register("data_textrank_summary", _q_textrank, _textrank_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
