@@ -7212,6 +7212,40 @@ def _textrank_oracle() -> str:
 _register("data_textrank_summary", _q_textrank, _textrank_oracle())
 
 
+def _q_triangles(spark, sf):
+    """Exact triangle counting (``queries/graphalgo.py::
+    triangle_count``) over the entity co-mention graph — the
+    clustering-coefficient numerator, the third classic KG analytic
+    next to kg_pagerank/kg_hits. Degree orientation (compact-forward)
+    bounds the wedge join to O(sqrt(|E|)) out-degree per node, so the
+    three-equi-join plan survives power-law co-mention hubs. Shares
+    the persisted (conv, entity) mention frame with the other two."""
+    from jena_spark.queries.graphalgo import triangle_count
+
+    ce = _comention_cached(spark, sf)
+    e = (ce.alias("a").join(ce.alias("b"), "conv")
+         .where(F.col("a.ent") != F.col("b.ent"))
+         .select(F.col("a.ent").alias("src"),
+                 F.col("b.ent").alias("dst"))
+         .distinct())
+    return triangle_count(e)
+
+
+def _triangles_oracle() -> str:
+    from jena_spark.queries.graphalgo import triangle_count_sql
+
+    edges_cte = f"""WITH ce AS (
+      SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}')
+    SELECT DISTINCT a.ent AS src, b.ent AS dst
+    FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent <> b.ent"""
+    return _W.rstrip() + ",\n" + triangle_count_sql(edges_cte)[len("WITH "):]
+
+
+_register("kg_triangles", _q_triangles, _triangles_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:

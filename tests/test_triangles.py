@@ -1,0 +1,41 @@
+"""Triangle counting: known graphs, orientation invariance, parity."""
+
+from __future__ import annotations
+
+import duckdb
+
+from jena_spark.queries.graphalgo import triangle_count, triangle_count_sql
+
+# K4 on {a,b,c,d} (4 triangles, 3 per node) + pendant e-a + a self
+# loop and duplicate/reversed edges that normalization must absorb
+EDGES = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+         ("b", "c"), ("c", "d"), ("b", "d"),
+         ("e", "a"), ("c", "c"), ("a", "b")]
+
+
+def _df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_k4_plus_pendant(spark):
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(_df(spark)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_free(spark):
+    path = spark.createDataFrame(
+        [("p", "q"), ("q", "r")], "src string, dst string")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(path).collect()}
+    assert got == {"p": 0, "q": 0, "r": 0}
+
+
+def test_duckdb_parity(spark):
+    got = sorted(tuple(r) for r in triangle_count(_df(spark)).collect())
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    cte = f"SELECT * FROM (VALUES {vals}) AS v(src, dst)"
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in
+                  con.sql(triangle_count_sql(cte)).fetchall())
+    assert got == want
