@@ -225,6 +225,18 @@ BENCH_QUERIES = [
     "kg_pagerank",
     "data_release_gate",
     "data_readability",
+    # r4 continuation wave: ChatML rendering (conv window + per-conv
+    # string assembly), Unicode normalization (the Arrow NFC boundary
+    # is the measured cost), snapshot diff (hash-projected full outer
+    # join), topic segmentation (lag + array intersections), TextRank
+    # summarization (sentence inverted-index graph + integer PageRank),
+    # exact triangles (degree-oriented wedge join)
+    "data_render_chat",
+    "data_text_normalize",
+    "data_corpus_diff",
+    "data_topic_segments",
+    "data_textrank_summary",
+    "kg_triangles",
 ]
 
 

@@ -32,7 +32,11 @@ Jetty; here a ``ThreadingHTTPServer`` fronts the engine:
   Requests/RequestsGood/RequestsBad counters — ``CounterName.java``
   key spellings), plus dataset lifecycle ``POST $/datasets?dbName=``
   / ``DELETE $/datasets/name`` (writes gated behind
-  ``enable_update``, the admin-area security split);
+  ``enable_update``, the admin-area security split), and ``GET
+  $/metrics`` (``ActionMetrics.java`` + ``PrometheusMetricsProvider``:
+  the request counters as Prometheus text exposition, gauges named
+  ``fuseki_requests[_good|_bad]`` tagged dataset/endpoint/operation/
+  description per ``FusekiRequestsMetrics.bindTo``);
 * Graph Store Protocol on ``/<dataset>/data`` (``GSP_R.java`` /
   ``GSP_RW.java``): ``?default`` / ``?graph=<iri>`` select the target
   graph, no query string is the whole-dataset quads mode
@@ -383,6 +387,41 @@ class FusekiLite:
                             "RequestsBad": tot[2], "endpoints": eps}
         return {"datasets": out}
 
+    #: Prometheus exposition families, in FusekiRequestsMetrics'
+    #: counter order (``CounterName`` full names "requests"/
+    #: "requests.good"/"requests.bad", dots sanitized the way
+    #: micrometer's Prometheus naming convention does).
+    _METRIC_FAMILIES = ("fuseki_requests", "fuseki_requests_good",
+                        "fuseki_requests_bad")
+
+    def admin_metrics(self) -> str:
+        """``GET $/metrics`` body (``ActionMetrics.java`` +
+        ``PrometheusMetricsProvider``/``FusekiRequestsMetrics.java``):
+        one gauge sample per (dataset, endpoint) counter, tagged
+        ``dataset``/``endpoint``/``operation``/``description`` exactly
+        as ``FusekiRequestsMetrics.bindTo`` registers them; samples
+        grouped under one ``# HELP``/``# TYPE`` header per family,
+        values rendered as floats (micrometer gauges)."""
+        samples: dict[str, list[str]] = {f: [] for f in
+                                         self._METRIC_FAMILIES}
+        for n in sorted(self.datasets):
+            with self._lock:
+                snap = {ep: list(c) for ep, c in
+                        self._counters.get(n, {}).items()}
+            for op, desc, ep in self._services(n):
+                c = snap.get(ep, [0, 0, 0])
+                tags = (f'dataset="/{n}",description="{desc}",'
+                        f'endpoint="{ep}",operation="{op}",')
+                for fam, val in zip(self._METRIC_FAMILIES, c):
+                    samples[fam].append(
+                        "%s{%s} %s" % (fam, tags.rstrip(","), float(val)))
+        lines = []
+        for fam in self._METRIC_FAMILIES:
+            lines.append(f"# HELP {fam}  ")
+            lines.append(f"# TYPE {fam} gauge")
+            lines.extend(samples[fam])
+        return "\n".join(lines) + "\n"
+
     def add_dataset(self, name: str) -> None:
         """``POST $/datasets?dbName=&dbType=mem`` analog: register an
         empty in-memory dataset (``ActionDatasets.execPostContainer``;
@@ -508,6 +547,13 @@ class FusekiLite:
                         self._json(outer.admin_stats(item))
                     except KeyError:
                         self._error(404, f"no dataset {item!r}")
+                    return True
+                if op == "metrics" and item is None and verb == "GET":
+                    # ActionMetrics: Prometheus text exposition
+                    self._send(
+                        200,
+                        "text/plain; version=0.0.4; charset=utf-8",
+                        [outer.admin_metrics()])
                     return True
                 self._error(404, f"no admin action {parts.path!r}")
                 return True
