@@ -102,8 +102,11 @@ def textrank_summary(turns: DataFrame, k: int = 2, iters: int = 3,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sents = sentences(turns).persist()
-    ranks = pagerank(sentence_edges(sents, min_shared), iters=iters,
-                     checkpoint_every=iters)
+    # per-round checkpoints (the pagerank default): the sentence edge
+    # frame carries the inverted-index join lineage, and the unrolled
+    # megaplan re-inlines it — measured 32.6 s vs 7.8 s at sf0.1
+    # (BENCH/BASELINE.md's iterative-graph lesson #1 holds here too)
+    ranks = pagerank(sentence_edges(sents, min_shared), iters=iters)
     joined = (sents.withColumn(
         "_node", _node(F.col("conv_id"), F.col("turn_idx"),
                        F.col("sent_idx")))

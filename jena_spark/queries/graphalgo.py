@@ -316,3 +316,46 @@ per AS (SELECT node, CAST(count(*) AS BIGINT) AS n FROM (
         GROUP BY node)
 SELECT deg.node, CAST(coalesce(per.n, 0) AS BIGINT) AS n_triangles
 FROM deg LEFT JOIN per ON deg.node = per.node"""
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """``(node, deg, n_triangles, lcc_ppm)`` — the local clustering
+    coefficient ``2*T(v) / (deg(v) * (deg(v)-1))`` in exact integer
+    ppm (floor; 0 for degree < 2), over the same normalized
+    undirected simple graph as :func:`triangle_count`. The classic
+    "how clique-like is this node's neighborhood" analytic — for a KG,
+    high-coefficient entities live in tight co-mention communities,
+    low-coefficient high-degree ones are bridges/hubs."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    tri = triangle_count(edges, src, dst)
+    j = deg.join(tri, "node")
+    return j.select(
+        "node", "deg", "n_triangles",
+        F.when(F.col("deg") < 2, F.lit(0)).otherwise(
+            F.expr("(2000000 * n_triangles) div (deg * (deg - 1))"))
+        .cast("long").alias("lcc_ppm"))
+
+
+def clustering_coefficient_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficient` (wraps the
+    :func:`triangle_count_sql` chain; identical integer arithmetic)."""
+    tri = triangle_count_sql(edges_cte)
+    return f"""WITH tri AS MATERIALIZED ({tri}),
+e2 AS ({edges_cte}),
+und2 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM e2 WHERE src != dst),
+deg2 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT u AS node FROM und2 UNION ALL SELECT v FROM und2)
+         GROUP BY node)
+SELECT d.node, d.deg, t.n_triangles,
+       CASE WHEN d.deg < 2 THEN 0
+            ELSE (2000000 * t.n_triangles) // (d.deg * (d.deg - 1))
+       END AS lcc_ppm
+FROM deg2 d JOIN tri t ON d.node = t.node"""

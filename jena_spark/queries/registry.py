@@ -7246,6 +7246,85 @@ def _triangles_oracle() -> str:
 _register("kg_triangles", _q_triangles, _triangles_oracle())
 
 
+def _q_timing_census(spark, sf):
+    """Turn-timing census (``data/timing.py::timing_census``): per-
+    conversation span / inter-turn gap stats / glued-session long-gap
+    count / assistant response latency, all exact integer seconds
+    (guarded floor-division means). One lag window + one rollup on
+    the conv_id shuffle every transcript op pays."""
+    from jena_spark.data.timing import timing_census
+    from jena_spark.data.transcripts import transcripts_df
+
+    return timing_census(transcripts_df(spark, sf), long_gap_s=3600)
+
+
+def _timing_census_oracle() -> str:
+    from jena_spark.data.timing import timing_census_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return timing_census_sql(transcripts_cte(), long_gap_s=3600)
+
+
+_register("data_timing_census", _q_timing_census,
+          _timing_census_oracle())
+
+
+def _q_length_batching(spark, sf):
+    """Length-sorted batching (``data/batching.py::batch_stats``):
+    documents ordered by (token length, doc_id), cut into batches of
+    16, per-batch padded-rectangle waste in integer ppm — the
+    group_by_length trainer strategy priced next to data_pack's
+    concat-and-chunk. One global sort (the op's honest cost) + one
+    bounded rollup."""
+    from jena_spark.data.batching import batch_stats
+
+    return batch_stats(_docs(spark, sf), batch_size=16)
+
+
+def _length_batching_oracle() -> str:
+    from jena_spark.data.batching import batch_stats_sql
+
+    return batch_stats_sql("SELECT doc_id, text FROM documents",
+                           batch_size=16)
+
+
+_register("data_length_batching", _q_length_batching,
+          _length_batching_oracle())
+
+
+def _q_clustering(spark, sf):
+    """Local clustering coefficient (``queries/graphalgo.py::
+    clustering_coefficient``): 2T(v)/(deg(v)(deg(v)-1)) in exact
+    integer ppm over the entity co-mention graph — tight-community
+    entities vs bridge hubs, completing the centrality trio
+    (kg_pagerank / kg_hits / kg_triangles)."""
+    from jena_spark.queries.graphalgo import clustering_coefficient
+
+    ce = _comention_cached(spark, sf)
+    e = (ce.alias("a").join(ce.alias("b"), "conv")
+         .where(F.col("a.ent") != F.col("b.ent"))
+         .select(F.col("a.ent").alias("src"),
+                 F.col("b.ent").alias("dst"))
+         .distinct())
+    return clustering_coefficient(e)
+
+
+def _clustering_oracle() -> str:
+    from jena_spark.queries.graphalgo import clustering_coefficient_sql
+
+    edges_cte = f"""WITH ce AS (
+      SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}')
+    SELECT DISTINCT a.ent AS src, b.ent AS dst
+    FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent <> b.ent"""
+    return (_W.rstrip() + ",\n"
+            + clustering_coefficient_sql(edges_cte)[len("WITH "):])
+
+
+_register("kg_clustering", _q_clustering, _clustering_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:

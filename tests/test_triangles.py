@@ -39,3 +39,32 @@ def test_duckdb_parity(spark):
     want = sorted(tuple(r) for r in
                   con.sql(triangle_count_sql(cte)).fetchall())
     assert got == want
+
+
+def test_clustering_coefficient(spark):
+    from jena_spark.queries.graphalgo import clustering_coefficient
+
+    got = {r["node"]: r for r in
+           clustering_coefficient(_df(spark)).collect()}
+    # K4 members that also touch e: a has deg 4 (b,c,d,e), 3 triangles
+    # -> 2*3/(4*3) = 0.5
+    assert (got["a"]["deg"], got["a"]["lcc_ppm"]) == (4, 500_000)
+    # b,c,d: deg 3, 3 triangles -> 2*3/(3*2) = 1.0
+    for n in ("b", "c", "d"):
+        assert (got[n]["deg"], got[n]["lcc_ppm"]) == (3, 1_000_000)
+    # pendant e: deg 1 -> 0 by convention
+    assert (got["e"]["deg"], got["e"]["lcc_ppm"]) == (1, 0)
+
+
+def test_clustering_duckdb_parity(spark):
+    from jena_spark.queries.graphalgo import (clustering_coefficient,
+                                              clustering_coefficient_sql)
+
+    got = sorted(tuple(r) for r in
+                 clustering_coefficient(_df(spark)).collect())
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    cte = f"SELECT * FROM (VALUES {vals}) AS v(src, dst)"
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in
+                  con.sql(clustering_coefficient_sql(cte)).fetchall())
+    assert got == want
