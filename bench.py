@@ -237,6 +237,11 @@ BENCH_QUERIES = [
     "data_topic_segments",
     "data_textrank_summary",
     "kg_triangles",
+    # turn-timing census (lag-over-timestamps window + rollup) and
+    # length-sorted batching (histogram-offset distributed rank).
+    # kg_clustering stays OUT: it re-prices kg_triangles' wedge join.
+    "data_timing_census",
+    "data_length_batching",
 ]
 
 

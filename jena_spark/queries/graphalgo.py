@@ -251,14 +251,19 @@ def triangle_count(edges: DataFrame, src: str = "src",
     lowest-id orientation explodes on hub nodes. Three equi-joins,
     one aggregation; no Python, no iteration, deterministic.
     """
+    # EAGER localCheckpoints, not lazy persist: every one of these
+    # frames fans out to 2-3 consumers, and concurrent consumers of a
+    # not-yet-materialized cached frame each recompute its lineage
+    # (the caller's edge derivation — measured 18.7s -> ~2s at sf0.1
+    # on the co-mention graph when the fills were racing)
     und = (edges.select(F.least(src, dst).alias("u"),
                         F.greatest(src, dst).alias("v"))
            .where(F.col("u") != F.col("v"))
-           .distinct().persist())
+           .distinct().localCheckpoint())
     deg = (und.select(F.col("u").alias("node"))
            .unionByName(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").cast("long").alias("deg"))
-           .persist())
+           .localCheckpoint())
     # rank = (deg, node); orient u->v iff rank(u) < rank(v)
     ranked = (und
               .join(deg.select(F.col("node").alias("u"),
@@ -270,7 +275,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
     o = (ranked.select(
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"))
-        .persist())
+        .localCheckpoint())
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
            .join(e3, (F.col("e3.a") == F.col("e1.a"))

@@ -54,6 +54,11 @@ def run_once(cores: int, sf_dir: str, replicate: int, workdir: str,
         "--out", out,
         "--replicate", str(replicate),
     ]
+    # experiment knob: extra --conf pairs, ';'-separated (e.g.
+    # JENA_SPARK_EXTRA_CONF="spark.io.compression.codec=zstd")
+    for kv in os.environ.get("JENA_SPARK_EXTRA_CONF", "").split(";"):
+        if kv.strip():
+            cmd += ["--conf", kv.strip()]
     if noop:
         cmd.append("--noop-sink")
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
