@@ -60,6 +60,11 @@ def get_spark(
         # powers filter inference we already write explicitly.
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd shuffle/spill compression: -40% shuffle bytes on the
+        # construction job, -16..19% wall at BOTH measured parallelism
+        # levels (BENCH/BASELINE.md zstd experiment) — on a real
+        # cluster this is also 40% less shuffle network traffic
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("JENA_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

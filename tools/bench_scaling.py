@@ -48,17 +48,19 @@ def run_once(cores: int, sf_dir: str, replicate: int, workdir: str,
         "--driver-memory", os.environ.get("JENA_SPARK_DRIVER_MEM", "16g"),
         "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 8)}",
         "--conf", "spark.default.parallelism=%d" % cores,
+        # experiment knob: extra --conf pairs, ';'-separated (e.g.
+        # JENA_SPARK_EXTRA_CONF="spark.io.compression.codec=zstd") —
+        # must precede the script path or spark-submit hands them to
+        # the app
+        *[a for kv in os.environ.get(
+            "JENA_SPARK_EXTRA_CONF", "").split(";") if kv.strip()
+          for a in ("--conf", kv.strip())],
         "--py-files", pyz,
         str(REPO / "tools" / "pipeline_job.py"),
         "--sf-dir", sf_dir,
         "--out", out,
         "--replicate", str(replicate),
     ]
-    # experiment knob: extra --conf pairs, ';'-separated (e.g.
-    # JENA_SPARK_EXTRA_CONF="spark.io.compression.codec=zstd")
-    for kv in os.environ.get("JENA_SPARK_EXTRA_CONF", "").split(";"):
-        if kv.strip():
-            cmd += ["--conf", kv.strip()]
     if noop:
         cmd.append("--noop-sink")
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)

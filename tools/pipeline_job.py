@@ -118,6 +118,7 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # UI on: its REST API is the per-stage byte census the scaling
         # report needs (_job_bytes); the web server itself costs ~0
