@@ -7325,6 +7325,76 @@ def _clustering_oracle() -> str:
 _register("kg_clustering", _q_clustering, _clustering_oracle())
 
 
+def _q_communities(spark, sf):
+    """Community detection (``queries/graphalgo.py::
+    label_propagation``): 3 rounds of synchronous LPA with
+    deterministic min-label tie-breaks over the entity co-mention
+    graph — which entities cluster into topics. The argmax is one
+    ``min(struct(-count, label))`` aggregation per round (no window,
+    no randomness), so the unrolled DuckDB chain hash-matches."""
+    from jena_spark.queries.graphalgo import label_propagation
+
+    ce = _comention_cached(spark, sf)
+    e = (ce.alias("a").join(ce.alias("b"), "conv")
+         .where(F.col("a.ent") != F.col("b.ent"))
+         .select(F.col("a.ent").alias("src"),
+                 F.col("b.ent").alias("dst"))
+         .distinct())
+    return label_propagation(e, iters=3)
+
+
+def _communities_oracle() -> str:
+    from jena_spark.queries.graphalgo import label_propagation_sql
+
+    edges_cte = f"""WITH ce AS (
+      SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}')
+    SELECT DISTINCT a.ent AS src, b.ent AS dst
+    FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent <> b.ent"""
+    return (_W.rstrip() + ",\n"
+            + label_propagation_sql(edges_cte, 3)[len("WITH "):])
+
+
+_register("kg_communities", _q_communities, _communities_oracle())
+
+
+def _q_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion (``data/fusion.py::rrf_fuse``): the
+    data_bm25 query set retrieved under TWO lexical configurations
+    (max_df=500 vs the stricter max_df=50 — a retriever ensemble with
+    real rank disagreement) and merged by exact-integer RRF
+    (floor(1e6/(60+rank)) micro-units, SIGIR'09 constant)."""
+    from jena_spark.data.bm25 import bm25_topk
+    from jena_spark.data.fusion import rrf_fuse
+
+    d = _docs(spark, sf)
+    qtext = F.array_join(
+        F.slice(F.split(F.trim("text"), "\\s+"), 1, 12), " ")
+    q = (d.where(F.col("doc_id") % 13 == 0)
+         .select(F.col("doc_id").alias("qid"), qtext.alias("text")))
+    c = d.select(F.col("doc_id").alias("did"), "text")
+    wide = bm25_topk(q, c, k=10, max_df=500)
+    strict = bm25_topk(q, c, k=10, max_df=50)
+    return rrf_fuse({"wide": wide, "strict": strict}, k=10)
+
+
+def _rrf_fusion_oracle() -> str:
+    from jena_spark.data.bm25 import bm25_sql
+    from jena_spark.data.fusion import rrf_fuse_sql
+
+    qc = (r"SELECT doc_id AS qid, array_to_string(list_slice("
+          r"string_split_regex(trim(text), '\s+'), 1, 12), ' ') AS text"
+          r" FROM documents WHERE doc_id % 13 = 0")
+    cc = "SELECT doc_id AS did, text FROM documents"
+    return rrf_fuse_sql(
+        {"wide": bm25_sql(qc, cc, k=10, max_df=500),
+         "strict": bm25_sql(qc, cc, k=10, max_df=50)}, k=10)
+
+
+_register("data_rrf_fusion", _q_rrf_fusion, _rrf_fusion_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
