@@ -242,6 +242,10 @@ BENCH_QUERIES = [
     # kg_clustering stays OUT: it re-prices kg_triangles' wedge join.
     "data_timing_census",
     "data_length_batching",
+    # sync-LPA communities (per-round join+argmax agg) and the RRF
+    # BM25-ensemble (prices TWO bm25 runs + the fusion agg)
+    "kg_communities",
+    "data_rrf_fusion",
 ]
 
 

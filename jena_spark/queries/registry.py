@@ -7395,6 +7395,64 @@ def _rrf_fusion_oracle() -> str:
 _register("data_rrf_fusion", _q_rrf_fusion, _rrf_fusion_oracle())
 
 
+def _q_conv_repair(spark, sf):
+    """Conversation repair (``data/convrepair.py::merge_role_runs``):
+    every maximal run of consecutive same-role turns folds into one
+    turn (texts joined by newline, first ts, min non-null tool,
+    densely re-indexed) — the alternating-form canonicalization a
+    trainer expects; gaps-and-islands on the conv_id window."""
+    from jena_spark.data.convrepair import merge_role_runs
+    from jena_spark.data.transcripts import transcripts_df
+
+    return merge_role_runs(transcripts_df(spark, sf))
+
+
+def _conv_repair_oracle() -> str:
+    from jena_spark.data.convrepair import merge_role_runs_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return merge_role_runs_sql(transcripts_cte())
+
+
+_register("data_conv_repair", _q_conv_repair, _conv_repair_oracle())
+
+
+def _q_rater_agreement(spark, sf):
+    """Inter-classifier agreement (``data/agreement.py::
+    cohens_kappa``): Cohen's kappa in exact integer ppm between the
+    NB quality classifier's keep prediction and the Gopher rule
+    battery's conjunctive verdict over the same corpus — the
+    annotation-QA statistic for two automated gates, sign-split
+    floors so negative kappas match across engines."""
+    from jena_spark.data.agreement import cohens_kappa
+    from jena_spark.data.classifier import nb_quality_scores
+    from jena_spark.data.filters import gopher_rules
+
+    d = _docs(spark, sf)
+    labeled = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("int").alias("label"))
+    nb = nb_quality_scores(d, labeled, buckets=256).select(
+        "doc_id", (F.col("pred") == 1).alias("flag"))
+    gr = gopher_rules(d, min_words=50, min_required_stops=1).select(
+        "doc_id", F.col("gopher_ok").alias("flag"))
+    return cohens_kappa(nb, gr)
+
+
+def _rater_agreement_oracle() -> str:
+    from jena_spark.data.agreement import cohens_kappa_sql
+
+    left = (f"SELECT doc_id, pred = 1 AS flag FROM "
+            f"({ORACLES['data_nb_classifier']})")
+    right = (f"SELECT doc_id, gopher_ok AS flag FROM "
+             f"({ORACLES['data_gopher_rules']})")
+    return cohens_kappa_sql(left, right)
+
+
+_register("data_rater_agreement", _q_rater_agreement,
+          _rater_agreement_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
