@@ -19,7 +19,7 @@ else in the engine).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jena_spark.data.dedup import cosine
@@ -337,3 +337,120 @@ def kmeans(
          / 10000.0).alias("cos_r"),
     )
     return out, cents
+
+
+def dim_truncation_eval(
+    embeddings: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 10, n_queries: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation QA: how much of the
+    exact cosine top-``k`` survives when vectors are cut to their
+    first ``d`` coordinates — the retrieval-quality check run before
+    shipping truncated embeddings (MRL, Kusupati et al. 2022) or
+    choosing an IVF coarse dim.
+
+    Returns ``(d, query_id, n_common, overlap_ppm)``: per query
+    (``vec_id < n_queries``, the data_ann_topk query-set convention)
+    and per ``d``, the size of the intersection between the top-``k``
+    under full-dimension cosine and under ``d``-dim cosine over the
+    corpus (``vec_id >= n_queries``), and its integer-ppm share of
+    ``k``. Ranks break ties by neighbor id, so membership is
+    deterministic (the ann-oracle precedent).
+
+    Distributed shape: ONE broadcast of the bounded query set against
+    a corpus scan computes every cosine (full + each d) in a single
+    projection; per-(d, query) top-k is a window over k-bounded
+    groups. This is the exact-baseline QA pass — the serving path at
+    scale stays LSH/IVF.
+    """
+    if k <= 0 or n_queries <= 0:
+        raise ValueError(f"bad k={k} / n_queries={n_queries}")
+    if not dims or any(d <= 0 for d in dims):
+        raise ValueError(f"dims must be positive, got {dims}")
+    e = embeddings.select(id_col, _as_double(vec_col).alias("_v"))
+    q = (e.where(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("_qid"), F.col("_v").alias("_qv")))
+    c = (e.where(F.col(id_col) >= n_queries)
+         .select(F.col(id_col).alias("_nid"), F.col("_v").alias("_cv")))
+    proj = [cosine(F.col("_qv"), F.col("_cv")).alias("_cos_full")]
+    for d in dims:
+        proj.append(cosine(F.slice("_qv", 1, d),
+                           F.slice("_cv", 1, d)).alias(f"_cos_{d}"))
+    pairs = c.crossJoin(F.broadcast(q)).select("_qid", "_nid", *proj) \
+        .localCheckpoint()
+
+    def topk(col, label):
+        w = Window.partitionBy("_qid").orderBy(
+            F.col(col).desc(), F.col("_nid").asc())
+        return (pairs.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= k)
+                .select(F.lit(label).alias("d"), "_qid", "_nid"))
+
+    full = topk("_cos_full", 0).select(
+        F.col("_qid").alias("_fq"), F.col("_nid").alias("_fn"))
+    out = None
+    for d in dims:
+        t = topk(f"_cos_{d}", d)
+        out = t if out is None else out.unionByName(t)
+    common = (out.join(full, (F.col("_qid") == F.col("_fq"))
+                       & (F.col("_nid") == F.col("_fn")))
+              .groupBy("d", "_qid")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    # every (d, query) gets a row even at zero overlap
+    base = None
+    for d in dims:
+        b = q.select(F.lit(d).alias("d"), F.col("_qid"))
+        base = b if base is None else base.unionByName(b)
+    return (base.join(common, ["d", "_qid"], "left")
+            .select(F.col("d").cast("int"),
+                    F.col("_qid").alias("query_id"),
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.expr(f"(1000000 * coalesce(n_common, 0)) div {k}")
+                    .cast("long").alias("overlap_ppm")))
+
+
+def dim_truncation_eval_sql(dims: tuple[int, ...] = (8, 16, 32),
+                            k: int = 10, n_queries: int = 8) -> str:
+    """DuckDB twin of :func:`dim_truncation_eval` over the
+    ``embeddings`` view (``list_slice`` + ``list_cosine_similarity``,
+    same deterministic tie-breaks)."""
+    cos_cols = ",\n         ".join(
+        f"list_cosine_similarity(list_slice(q.v, 1, {d}),"
+        f" list_slice(c.v, 1, {d})) AS cos_{d}" for d in dims)
+    tops = []
+    for d in dims:
+        tops.append(f"""t_{d} AS (
+  SELECT {d} AS d, qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           ORDER BY cos_{d} DESC, nid) AS r FROM pairs)
+  WHERE r <= {k})""")
+    unions = "\nUNION ALL\n".join(f"SELECT * FROM t_{d}" for d in dims)
+    return f"""WITH e AS (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS MATERIALIZED (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_cosine_similarity(q.v, c.v) AS cos_full,
+         {cos_cols}
+  FROM e q, e c WHERE q.vec_id < {n_queries} AND c.vec_id >= {n_queries}),
+full_t AS (
+  SELECT qid AS fq, nid AS fn FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           ORDER BY cos_full DESC, nid) AS r FROM pairs)
+  WHERE r <= {k}),
+{",".join(tops)},
+allt AS ({unions}),
+common AS (
+  SELECT d, qid, CAST(count(*) AS BIGINT) AS n_common
+  FROM allt JOIN full_t ON allt.qid = full_t.fq AND allt.nid = full_t.fn
+  GROUP BY d, qid),
+base AS (
+  SELECT d, vec_id AS qid
+  FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < {n_queries}),
+       (SELECT unnest(ARRAY[{", ".join(str(d) for d in dims)}]) AS d))
+SELECT CAST(base.d AS INT) AS d, base.qid AS query_id,
+       CAST(coalesce(common.n_common, 0) AS BIGINT) AS n_common,
+       (1000000 * coalesce(common.n_common, 0)) // {k} AS overlap_ppm
+FROM base LEFT JOIN common
+  ON base.d = common.d AND base.qid = common.qid"""

@@ -7453,6 +7453,49 @@ _register("data_rater_agreement", _q_rater_agreement,
           _rater_agreement_oracle())
 
 
+def _q_k_anonymity(spark, sf):
+    """k-anonymity release gate (``data/privacy.py``): per-document
+    group size and k>=5 verdict over the (lang, source)
+    quasi-identifier tuple — NULL-safe grouping (a NULL source still
+    isolates), census side broadcast by construction."""
+    from jena_spark.data.privacy import k_anonymity_flags
+
+    return k_anonymity_flags(_docs(spark, sf), ["lang", "source"], k=5)
+
+
+def _k_anonymity_oracle() -> str:
+    from jena_spark.data.privacy import k_anonymity_flags_sql
+
+    return k_anonymity_flags_sql(
+        "SELECT doc_id, lang, source FROM documents",
+        ["lang", "source"], k=5)
+
+
+_register("data_k_anonymity", _q_k_anonymity, _k_anonymity_oracle())
+
+
+def _q_dim_truncation(spark, sf):
+    """Embedding-truncation QA (``data/similarity.py::
+    dim_truncation_eval``): overlap@10 between full-dimension cosine
+    top-k and first-8/16/32-coordinate top-k for the data_ann_topk
+    query set — the Matryoshka/IVF-coarse-dim shipping check; one
+    broadcast query pass computes every cosine."""
+    from jena_spark.data.similarity import dim_truncation_eval
+
+    return dim_truncation_eval(_embs(spark, sf), dims=(8, 16, 32),
+                               k=10, n_queries=8)
+
+
+def _dim_truncation_oracle() -> str:
+    from jena_spark.data.similarity import dim_truncation_eval_sql
+
+    return dim_truncation_eval_sql(dims=(8, 16, 32), k=10, n_queries=8)
+
+
+_register("data_dim_truncation", _q_dim_truncation,
+          _dim_truncation_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
