@@ -438,3 +438,91 @@ l{i} AS (
   FROM c{i} GROUP BY node)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, community FROM l{iters}")
+
+
+def link_prediction(edges: DataFrame, top_m: int = 20,
+                    max_center_degree: int | None = 1000,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """``(u, v, common_neighbors, jaccard_ppm)`` — the top-``top_m``
+    NON-adjacent node pairs of the undirected simple graph by
+    common-neighbor count, with neighborhood Jaccard
+    ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` in integer ppm as the
+    tie-refiner — the classic link-prediction baselines (common
+    neighbors and Jaccard, Liben-Nowell & Kleinberg 2003), i.e. the
+    "entities that should probably be related" suggestion list for a
+    KG-completion review queue.
+
+    Candidates come from wedge enumeration (two-hop paths), so only
+    pairs with >= 1 common neighbor are ever materialized — never an
+    all-pairs product. ``max_center_degree`` drops wedge CENTERS
+    hotter than the cap (the standard hub guard: a degree-h center
+    alone contributes h(h-1)/2 wedges; at 100 TB an uncapped
+    celebrity node dominates cost while adding near-zero signal —
+    same posture as the dedup ``max_df`` caps). Ordering is total:
+    (common desc, jaccard desc, u, v).
+    """
+    if top_m < 1:
+        raise ValueError(f"top_m must be >= 1, got {top_m}")
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint())
+    nb = (und.select(F.col("u").alias("w"), F.col("v").alias("x"))
+          .unionByName(und.select(F.col("v").alias("w"),
+                                  F.col("u").alias("x"))))
+    deg = (nb.groupBy("w").agg(F.count("*").cast("long").alias("deg"))
+           .localCheckpoint())
+    centers = nb.join(deg, "w")
+    if max_center_degree is not None:
+        centers = centers.where(F.col("deg") <= max_center_degree)
+    centers = centers.select("w", "x").localCheckpoint()
+    a, b = centers.alias("a"), centers.alias("b")
+    wedges = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                     & (F.col("a.x") < F.col("b.x")))
+              .groupBy(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+              .agg(F.count("*").cast("long").alias("common_neighbors")))
+    cand = wedges.join(und, ["u", "v"], "left_anti")
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
+    scored = (cand.join(du, "u").join(dv, "v")
+              .select("u", "v", "common_neighbors",
+                      F.expr("(1000000 * common_neighbors) div"
+                             " (_du + _dv - common_neighbors)")
+                      .cast("long").alias("jaccard_ppm")))
+    return (scored.orderBy(F.col("common_neighbors").desc(),
+                           F.col("jaccard_ppm").desc(), "u", "v")
+            .limit(top_m))
+
+
+def link_prediction_sql(edges_cte: str, top_m: int = 20,
+                        max_center_degree: int | None = 1000) -> str:
+    """DuckDB twin of :func:`link_prediction`."""
+    cap = (f"WHERE deg <= {max_center_degree}"
+           if max_center_degree is not None else "")
+    return f"""WITH raw AS MATERIALIZED ({edges_cte}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src != dst),
+nb AS (SELECT u AS w, v AS x FROM und
+       UNION ALL SELECT v, u FROM und),
+deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY w),
+centers AS MATERIALIZED (
+  SELECT nb.w, nb.x FROM nb JOIN deg USING (w) {cap}),
+wedges AS (
+  SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT)
+           AS common_neighbors
+  FROM centers a JOIN centers b ON a.w = b.w AND a.x < b.x
+  GROUP BY a.x, b.x),
+cand AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.u = w.u AND und.v = w.v)),
+scored AS (
+  SELECT c.u, c.v, c.common_neighbors,
+         (1000000 * c.common_neighbors)
+           // (du.deg + dv.deg - c.common_neighbors) AS jaccard_ppm
+  FROM cand c JOIN deg du ON du.w = c.u JOIN deg dv ON dv.w = c.v)
+SELECT u, v, common_neighbors, jaccard_ppm
+FROM scored
+ORDER BY common_neighbors DESC, jaccard_ppm DESC, u, v
+LIMIT {top_m}"""

@@ -7496,6 +7496,77 @@ _register("data_dim_truncation", _q_dim_truncation,
           _dim_truncation_oracle())
 
 
+def _q_diversity(spark, sf):
+    """Lexical diversity census (``data/diversity.py::
+    distinct_ngrams``): distinct-1/2/3 type/occurrence ratios in
+    integer ppm per source slice — the corpus-level mode-collapse /
+    boilerplate-flood signal next to the per-document repetition
+    battery."""
+    from jena_spark.data.diversity import distinct_ngrams
+
+    return distinct_ngrams(_docs(spark, sf), (1, 2, 3), "source")
+
+
+def _diversity_oracle() -> str:
+    from jena_spark.data.diversity import distinct_ngrams_sql
+
+    return distinct_ngrams_sql("SELECT source, text FROM documents",
+                               (1, 2, 3), "source")
+
+
+_register("data_diversity", _q_diversity, _diversity_oracle())
+
+
+def _q_link_prediction(spark, sf):
+    """Link prediction (``queries/graphalgo.py::link_prediction``):
+    top-20 non-adjacent entity pairs by common-neighbor count with
+    integer-ppm neighborhood Jaccard — the KG-completion review queue
+    (Liben-Nowell & Kleinberg 2003 baselines). The raw co-mention
+    graph is near-complete over the bounded entity dim (every pair
+    sharing one conversation is adjacent — zero candidates), so the
+    entry runs on its STRONGEST-30-edges backbone: pairs ranked by
+    distinct-conversation co-mention count (desc, pair tie-break) —
+    the standard weighted-graph sparsification, deterministic at any
+    scale factor. The backbone window runs over an entity-dim-bounded
+    30-row frame, never corpus data."""
+    from jena_spark.queries.graphalgo import link_prediction
+
+    ce = _comention_cached(spark, sf)
+    pairs = (ce.alias("a").join(ce.alias("b"), "conv")
+             .where(F.col("a.ent") < F.col("b.ent"))
+             .groupBy(F.col("a.ent").alias("u"),
+                      F.col("b.ent").alias("v"))
+             .agg(F.count("*").alias("w")))
+    wr = Window.orderBy(F.col("w").desc(), "u", "v")
+    e = (pairs.withColumn("_r", F.row_number().over(wr))
+         .where(F.col("_r") <= 30)
+         .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    return link_prediction(e, top_m=20)
+
+
+def _link_prediction_oracle() -> str:
+    from jena_spark.queries.graphalgo import link_prediction_sql
+
+    edges_cte = f"""WITH ce AS (
+      SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}'),
+    pw AS (
+      SELECT a.ent AS u, b.ent AS v, count(*) AS w
+      FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent < b.ent
+      GROUP BY a.ent, b.ent),
+    ranked AS (
+      SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS r
+      FROM pw)
+    SELECT u AS src, v AS dst FROM ranked WHERE r <= 30"""
+    return (_W.rstrip() + ",\n"
+            + link_prediction_sql(edges_cte, top_m=20)[len("WITH "):])
+
+
+_register("kg_link_prediction", _q_link_prediction,
+          _link_prediction_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
