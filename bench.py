@@ -246,6 +246,16 @@ BENCH_QUERIES = [
     # BM25-ensemble (prices TWO bm25 runs + the fusion agg)
     "kg_communities",
     "data_rrf_fusion",
+    # conversation repair (double-window islands + ordered re-assembly),
+    # distinct-n diversity (three gram censuses over one corpus scan),
+    # embedding-truncation QA (broadcast query pass, 4 cosine columns),
+    # link prediction (backbone ranking + wedge join).
+    # data_k_anonymity (one tiny group-by) and data_rater_agreement
+    # (re-prices the NB + Gopher passes) stay OUT — not distinct shapes.
+    "data_conv_repair",
+    "data_diversity",
+    "data_dim_truncation",
+    "kg_link_prediction",
 ]
 
 

@@ -40,10 +40,11 @@ def k_anonymity_flags(docs: DataFrame, quasi: list[str], k: int = 5,
     """Per-document verdicts ``(id_col, n_group, k_anonymous)`` via a
     null-safe join against the census (the census side is
     domain-bounded, so Catalyst broadcasts it)."""
-    census = k_anonymity_census(docs, quasi, k)
+    census = k_anonymity_census(docs, quasi, k).select(
+        *[F.col(c).alias(f"_g_{c}") for c in quasi], "n", "k_anonymous")
     cond = None
     for c in quasi:
-        e = docs[c].eqNullSafe(census[c])
+        e = docs[c].eqNullSafe(census[f"_g_{c}"])
         cond = e if cond is None else cond & e
     return (docs.join(F.broadcast(census), cond)
             .select(docs[id_col],
