@@ -7567,6 +7567,40 @@ _register("kg_link_prediction", _q_link_prediction,
           _link_prediction_oracle())
 
 
+def _q_classifier_eval(spark, sf):
+    """Classifier evaluation (``data/evaluation.py::
+    classifier_eval``): the NB quality classifier's keep prediction
+    scored against the gold (lang='en') label it was trained toward —
+    confusion counts + accuracy/precision/recall/F1 in exact integer
+    ppm (single-floor harmonic mean; NULL, not 0, on empty
+    denominators). Completes the classifier story: train
+    (data_nb_classifier) -> agree (data_rater_agreement) -> eval."""
+    from jena_spark.data.classifier import nb_quality_scores
+    from jena_spark.data.evaluation import classifier_eval
+
+    d = _docs(spark, sf)
+    labeled = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("int").alias("label"))
+    preds = nb_quality_scores(d, labeled, buckets=256).select(
+        "doc_id", (F.col("pred") == 1).alias("pred"))
+    gold = d.select("doc_id", (F.col("lang") == "en").alias("label"))
+    return classifier_eval(preds, gold)
+
+
+def _classifier_eval_oracle() -> str:
+    from jena_spark.data.evaluation import classifier_eval_sql
+
+    pred = (f"SELECT doc_id, pred = 1 AS pred FROM "
+            f"({ORACLES['data_nb_classifier']})")
+    gold = "SELECT doc_id, lang = 'en' AS label FROM documents"
+    return classifier_eval_sql(pred, gold)
+
+
+_register("data_classifier_eval", _q_classifier_eval,
+          _classifier_eval_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
