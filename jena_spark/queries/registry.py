@@ -7601,6 +7601,30 @@ _register("data_classifier_eval", _q_classifier_eval,
           _classifier_eval_oracle())
 
 
+def _q_corpus_manifest(spark, sf):
+    """Corpus release manifest (``data/datacard.py::
+    corpus_manifest``): the per-source datasheet rollup — doc/token
+    counts, language mix, within-source exact-dup rate, Gopher
+    pass rate, all exact integer ppm — the document-corpus twin of
+    the conversation release gate. Same battery parameters as
+    data_gopher_rules; the oracle composes that REGISTERED oracle
+    verbatim so the batteries cannot drift."""
+    from jena_spark.data.datacard import corpus_manifest
+
+    return corpus_manifest(_docs(spark, sf), min_words=50,
+                           min_required_stops=1)
+
+
+def _corpus_manifest_oracle() -> str:
+    from jena_spark.data.datacard import corpus_manifest_sql
+
+    return corpus_manifest_sql(ORACLES["data_gopher_rules"])
+
+
+_register("data_corpus_manifest", _q_corpus_manifest,
+          _corpus_manifest_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
