@@ -153,3 +153,57 @@ SELECT {conv_id},
   CAST(CASE WHEN sum(c) = sum(c - b - m) THEN 1 ELSE 0 END AS INT)
     AS all_ok
 FROM d GROUP BY {conv_id}"""
+
+
+def tool_chain_census(turns: DataFrame, n: int = 2,
+                      conv_id: str = "conv_id",
+                      turn_idx: str = "turn_idx", role: str = "role",
+                      tool: str = "tool") -> DataFrame:
+    """``(chain, n_convs, n_occurrences)`` — census of length-``n``
+    tool CHAINS: consecutive tool invocations inside one conversation
+    (tool turns in turn order, non-tool turns skipped), joined with
+    ``>``. The "which tool sequences actually happen" question an
+    agent-harness redesign starts from — e.g. a dominant
+    ``search>search`` chain means the retriever needs multi-query
+    support, not the agent more turns.
+
+    One conv_id window (the transcript shuffle) + a lead-window chain
+    derivation + one partial-agg census; chains bounded by per-conv
+    tool-turn counts, which day-bucketed conv_ids bound.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(conv_id).orderBy(turn_idx)
+    t = (turns.where((F.col(role) == "tool") & F.col(tool).isNotNull())
+         .select(conv_id, turn_idx, tool))
+    cols = [F.col(tool)] + [F.lead(tool, i).over(w)
+                            for i in range(1, n)]
+    # chain and the completeness witness materialize BEFORE the
+    # filter: a window referenced after .where() would recompute its
+    # leads over the FILTERED rows and silently shorten chains
+    t = (t.withColumn("chain", F.concat_ws(">", *cols))
+         .withColumn("_last", F.lead(tool, n - 1).over(w))
+         .where(F.col("_last").isNotNull())
+         .select(conv_id, "chain"))
+    return (t.groupBy("chain")
+            .agg(F.count_distinct(conv_id).cast("long").alias("n_convs"),
+                 F.count("*").cast("long").alias("n_occurrences")))
+
+
+def tool_chain_census_sql(transcripts_cte: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`tool_chain_census`."""
+    leads = ["tool"] + [
+        f"lead(tool, {i}) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        for i in range(1, n)]
+    concat = " || '>' || ".join(leads)
+    last = (f"lead(tool, {n - 1}) OVER (PARTITION BY conv_id"
+            f" ORDER BY turn_idx)")
+    return f"""WITH transcripts AS ({transcripts_cte}),
+t AS (SELECT conv_id, turn_idx, tool FROM transcripts
+      WHERE role = 'tool' AND tool IS NOT NULL),
+c AS (SELECT conv_id, {concat} AS chain, {last} AS last_t FROM t)
+SELECT chain,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM c WHERE last_t IS NOT NULL
+GROUP BY chain"""

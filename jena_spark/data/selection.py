@@ -416,3 +416,55 @@ def unimax_mixture(docs: DataFrame, budget: int, max_epochs: int = 4,
                     F.floor(F.col("alloc_tokens").cast("decimal(38,0)")
                             * 1000000 / F.col("tokens"))
                     .cast("bigint").alias("epochs_micro")))
+
+
+def temperature_mixture(docs: DataFrame, source: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """``(source, n_docs, raw_share_ppm, temp_share_ppm)`` —
+    temperature-scaled source sampling weights at τ=2, i.e.
+    ``p_s ∝ sqrt(n_s)`` (the multilingual-sampling family of
+    mT5/XLM-R, the knob between proportional and uniform;
+    :func:`unimax` solves the budget-capped variant, this the
+    smooth one).
+
+    τ is FIXED at 2 because that is the exactly-computable special
+    case: IEEE ``sqrt`` is correctly rounded in both engines, so
+    ``w_s = floor(sqrt(n_s)·10^6 + 0.5)`` is bit-identical, and the
+    shares are integer ratios of integer sums — a fractional
+    ``pow(x, 1/τ)`` would hang cross-engine parity on libm rounding
+    (the determinism contract every operator here keeps).
+
+    One partial-agg census + scalar arithmetic against a broadcast
+    1-row total; source cardinality bounds everything downstream.
+    """
+    cnt = docs.groupBy(source).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    w_u = F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000"
+                 " + 0.5) AS BIGINT)")
+    cnt = cnt.withColumn("_w", w_u)
+    tot = cnt.agg(F.sum("n_docs").alias("_n"),
+                  F.sum("_w").alias("_wsum"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select(source, "n_docs",
+                    F.expr("(1000000 * n_docs) div _n").cast("long")
+                    .alias("raw_share_ppm"),
+                    F.expr("(1000000 * _w) div _wsum").cast("long")
+                    .alias("temp_share_ppm")))
+
+
+def temperature_mixture_sql(docs_cte: str,
+                            source: str = "source") -> str:
+    """DuckDB twin of :func:`temperature_mixture` (identical sqrt
+    quantization)."""
+    return f"""WITH docs AS ({docs_cte}),
+cnt AS (
+  SELECT {source} AS src, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS w
+  FROM docs GROUP BY {source}),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+               CAST(sum(w) AS BIGINT) AS wsum FROM cnt)
+SELECT src AS {source}, n_docs,
+       (1000000 * n_docs) // n AS raw_share_ppm,
+       (1000000 * w) // wsum AS temp_share_ppm
+FROM cnt, tot"""

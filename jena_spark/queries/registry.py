@@ -7625,6 +7625,51 @@ _register("data_corpus_manifest", _q_corpus_manifest,
           _corpus_manifest_oracle())
 
 
+def _q_tool_chains(spark, sf):
+    """Tool-chain census (``data/agentic.py::tool_chain_census``):
+    which length-2 tool sequences agents actually run (consecutive
+    tool turns per conversation, non-tool turns skipped) — the
+    harness-redesign signal next to the per-call census. Chain
+    windows materialize BEFORE the completeness filter (a window
+    referenced after .where() silently recomputes over filtered
+    rows — the bug this entry's DuckDB twin caught)."""
+    from jena_spark.data.agentic import tool_chain_census
+    from jena_spark.data.transcripts import transcripts_df
+
+    return tool_chain_census(transcripts_df(spark, sf), 2)
+
+
+def _tool_chains_oracle() -> str:
+    from jena_spark.data.agentic import tool_chain_census_sql
+    from jena_spark.data.transcripts import transcripts_cte
+
+    return tool_chain_census_sql(transcripts_cte(), 2)
+
+
+_register("data_tool_chains", _q_tool_chains, _tool_chains_oracle())
+
+
+def _q_temperature_mix(spark, sf):
+    """Temperature-scaled source mixing (``data/selection.py::
+    temperature_mixture``): per-source sampling shares at τ=2
+    (p ∝ sqrt(n) — the mT5/XLM-R multilingual-sampling family's
+    exactly-computable special case: IEEE sqrt is correctly rounded
+    in both engines, so the quantized weights are bit-identical)."""
+    from jena_spark.data.selection import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf))
+
+
+def _temperature_mix_oracle() -> str:
+    from jena_spark.data.selection import temperature_mixture_sql
+
+    return temperature_mixture_sql("SELECT doc_id, source FROM documents")
+
+
+_register("data_temperature_mix", _q_temperature_mix,
+          _temperature_mix_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
