@@ -7670,6 +7670,41 @@ _register("data_temperature_mix", _q_temperature_mix,
           _temperature_mix_oracle())
 
 
+def _q_split_check(spark, sf):
+    """Split-leakage validation (``data/splitcheck.py::
+    split_leakage``): cross-split exact-hash collisions + token-set
+    Jaccard >= 500pm near-pairs (inverted-index join under
+    max_df=500) for a deterministic md5-nibble 3-way split of the
+    documents — the release check that PROVES a split is clean, the
+    verifier dual of data_split_leakage's constructor."""
+    from jena_spark.data.splitcheck import split_leakage
+
+    d = _docs(spark, sf)
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sp = (F.when(nib.isin("c", "d"), F.lit("valid"))
+          .when(nib.isin("e", "f"), F.lit("test"))
+          .otherwise(F.lit("train")))
+    return split_leakage(
+        d.select("doc_id", "text", sp.alias("split")),
+        threshold_pm=500, max_df=500)
+
+
+def _split_check_oracle() -> str:
+    from jena_spark.data.splitcheck import split_leakage_sql
+
+    cte = """SELECT doc_id, text,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+           THEN 'valid'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+           THEN 'test'
+           ELSE 'train' END AS split
+    FROM documents"""
+    return split_leakage_sql(cte, threshold_pm=500, max_df=500)
+
+
+_register("data_split_check", _q_split_check, _split_check_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
