@@ -526,3 +526,41 @@ SELECT u, v, common_neighbors, jaccard_ppm
 FROM scored
 ORDER BY common_neighbors DESC, jaccard_ppm DESC, u, v
 LIMIT {top_m}"""
+
+
+def degree_census(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """``(deg, n_nodes, share_ppm)`` — the degree distribution of the
+    undirected simple graph underlying ``edges`` (the first
+    diagnostic of graph shape: a heavy tail says salt your joins, a
+    spike at 1 says the graph is mostly pendants). Two partial-agg
+    aggregations; output bounded by the number of DISTINCT degrees."""
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    hist = deg.groupBy("deg").agg(
+        F.count("*").cast("long").alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").alias("_n"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("deg", "n_nodes",
+                    F.expr("(1000000 * n_nodes) div _n").cast("long")
+                    .alias("share_ppm")))
+
+
+def degree_census_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_census`."""
+    return f"""WITH raw AS ({edges_cte}),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src != dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY deg),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM hist)
+SELECT deg, n_nodes, (1000000 * n_nodes) // n AS share_ppm
+FROM hist, tot"""

@@ -7705,6 +7705,51 @@ def _split_check_oracle() -> str:
 _register("data_split_check", _q_split_check, _split_check_oracle())
 
 
+def _q_degree_census(spark, sf):
+    """Degree-distribution census (``queries/graphalgo.py::
+    degree_census``) over the strongest-30-edges co-mention backbone
+    (the kg_link_prediction sparsification — the RAW graph is
+    complete over the bounded entity dim, a one-row histogram) — the
+    graph-shape diagnostic that motivates every skew decision (a
+    heavy tail says salt the joins). Output bounded by distinct
+    degrees; shares in integer ppm."""
+    from jena_spark.queries.graphalgo import degree_census
+
+    ce = _comention_cached(spark, sf)
+    pairs = (ce.alias("a").join(ce.alias("b"), "conv")
+             .where(F.col("a.ent") < F.col("b.ent"))
+             .groupBy(F.col("a.ent").alias("u"),
+                      F.col("b.ent").alias("v"))
+             .agg(F.count("*").alias("w")))
+    wr = Window.orderBy(F.col("w").desc(), "u", "v")
+    e = (pairs.withColumn("_r", F.row_number().over(wr))
+         .where(F.col("_r") <= 30)
+         .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    return degree_census(e)
+
+
+def _degree_census_oracle() -> str:
+    from jena_spark.queries.graphalgo import degree_census_sql
+
+    edges_cte = f"""WITH ce AS (
+      SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+      FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+      WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}'),
+    pw AS (
+      SELECT a.ent AS u, b.ent AS v, count(*) AS w
+      FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent < b.ent
+      GROUP BY a.ent, b.ent),
+    ranked AS (
+      SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS r
+      FROM pw)
+    SELECT u AS src, v AS dst FROM ranked WHERE r <= 30"""
+    return (_W.rstrip() + ",\n"
+            + degree_census_sql(edges_cte)[len("WITH "):])
+
+
+_register("kg_degree_census", _q_degree_census, _degree_census_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:

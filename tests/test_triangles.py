@@ -68,3 +68,19 @@ def test_clustering_duckdb_parity(spark):
     want = sorted(tuple(r) for r in
                   con.sql(clustering_coefficient_sql(cte)).fetchall())
     assert got == want
+
+
+def test_degree_census(spark):
+    from jena_spark.queries.graphalgo import (degree_census,
+                                              degree_census_sql)
+
+    got = {r["deg"]: (r["n_nodes"], r["share_ppm"]) for r in
+           degree_census(_df(spark)).collect()}
+    # K4+pendant: a has deg 4, b/c/d deg 3, e deg 1
+    assert got == {4: (1, 200_000), 3: (3, 600_000), 1: (1, 200_000)}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    cte = f"SELECT * FROM (VALUES {vals}) AS v(src, dst)"
+    con = duckdb.connect()
+    want = {r[0]: (r[1], r[2]) for r in
+            con.sql(degree_census_sql(cte)).fetchall()}
+    assert got == want
