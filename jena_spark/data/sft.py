@@ -106,7 +106,8 @@ a AS (SELECT conv_id, turn_idx, text AS target, tok AS n_tgt_tokens,
 ctx AS (
   SELECT a.conv_id, a.turn_idx,
          count(j.turn_idx) AS n_ctx_turns,
-         coalesce(a.pre_i - min(j.pre), 0) AS n_ctx_tokens,
+         CAST(coalesce(a.pre_i - min(j.pre), 0) AS BIGINT)
+           AS n_ctx_tokens,
          coalesce(string_agg(j.role || '|' || j.text, chr(30)
                              ORDER BY j.turn_idx), '') AS context
   FROM a LEFT JOIN c j

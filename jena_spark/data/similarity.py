@@ -373,10 +373,16 @@ def dim_truncation_eval(
          .select(F.col(id_col).alias("_qid"), F.col("_v").alias("_qv")))
     c = (e.where(F.col(id_col) >= n_queries)
          .select(F.col(id_col).alias("_nid"), F.col("_v").alias("_cv")))
-    proj = [cosine(F.col("_qv"), F.col("_cv")).alias("_cos_full")]
+    # round to 6 dp BEFORE the rank tie-break: Spark's fold-sum dot
+    # product and DuckDB's list_cosine_similarity can differ in the
+    # last ulp on near-equal cosines, flipping top-k membership — the
+    # embedding_near_dups / decontaminate_semantic rounding precedent
+    proj = [F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+            .alias("_cos_full")]
     for d in dims:
-        proj.append(cosine(F.slice("_qv", 1, d),
-                           F.slice("_cv", 1, d)).alias(f"_cos_{d}"))
+        proj.append(F.round(cosine(F.slice("_qv", 1, d),
+                                   F.slice("_cv", 1, d)), 6)
+                    .alias(f"_cos_{d}"))
     pairs = c.crossJoin(F.broadcast(q)).select("_qid", "_nid", *proj) \
         .localCheckpoint()
 
@@ -417,8 +423,8 @@ def dim_truncation_eval_sql(dims: tuple[int, ...] = (8, 16, 32),
     ``embeddings`` view (``list_slice`` + ``list_cosine_similarity``,
     same deterministic tie-breaks)."""
     cos_cols = ",\n         ".join(
-        f"list_cosine_similarity(list_slice(q.v, 1, {d}),"
-        f" list_slice(c.v, 1, {d})) AS cos_{d}" for d in dims)
+        f"round(list_cosine_similarity(list_slice(q.v, 1, {d}),"
+        f" list_slice(c.v, 1, {d})), 6) AS cos_{d}" for d in dims)
     tops = []
     for d in dims:
         tops.append(f"""t_{d} AS (
@@ -431,7 +437,7 @@ def dim_truncation_eval_sql(dims: tuple[int, ...] = (8, 16, 32),
           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pairs AS MATERIALIZED (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
-         list_cosine_similarity(q.v, c.v) AS cos_full,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos_full,
          {cos_cols}
   FROM e q, e c WHERE q.vec_id < {n_queries} AND c.vec_id >= {n_queries}),
 full_t AS (

@@ -8,9 +8,13 @@ and a curation signal (instant multi-kiloword answers in scraped data
 are copy-paste, not dialogue). The structural lint lives in
 ``data/convqc.py``; this module covers what only timestamps can say.
 
-All outputs are exact integer seconds (floor means via BIGINT ``div``)
-— the repo's determinism recipe; no float crosses the comparison with
-the DuckDB twin.
+All outputs are exact integer seconds; means are true FLOOR divisions
+via the repo's sign-split recipe (Spark ``div`` truncates toward zero
+while DuckDB ``//`` floors, so a negative ``sum(gap_s)`` — possible
+with out-of-order timestamps — needs the explicit
+``-((-s + c - 1) div c)`` branch, exactly as ``agreement.py`` does
+for negative kappas). No float crosses the comparison with the DuckDB
+twin.
 
 Distributed shape: one window over ``conv_id`` (lag) + one partial-agg
 rollup — the same single shuffle every transcript op pays; at 100 TB
@@ -62,8 +66,13 @@ def timing_census(turns: DataFrame, long_gap_s: int = 3600,
         F.count("*").cast("bigint").alias("n_turns"),
         F.coalesce(F.sum("gap_s"), F.lit(0)).cast("bigint")
          .alias("span_s"),
-        F.expr("case when count(gap_s) = 0 then null else "
-               "sum(gap_s) div count(gap_s) end").alias("mean_gap_s"),
+        # sign-split floor: `div` truncates toward zero, DuckDB `//`
+        # floors — out-of-order timestamps can make sum(gap_s) < 0
+        F.expr("case when count(gap_s) = 0 then null "
+               "when sum(gap_s) >= 0 then "
+               "sum(gap_s) div count(gap_s) else "
+               "-((-sum(gap_s) + count(gap_s) - 1) div count(gap_s)) "
+               "end").alias("mean_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
         F.sum(F.when(F.col("gap_s") > long_gap_s, 1).otherwise(0))
          .cast("bigint").alias("n_long_gaps"),
@@ -72,9 +81,13 @@ def timing_census(turns: DataFrame, long_gap_s: int = 3600,
         F.sum(F.when(F.col("is_response"), 1).otherwise(0))
          .cast("bigint").alias("n_responses"),
         F.expr("case when count(case when is_response then gap_s end)"
-               " = 0 then null else "
-               "sum(case when is_response then gap_s end) div "
-               "count(case when is_response then gap_s end) end")
+               " = 0 then null "
+               "when sum(case when is_response then gap_s end) >= 0 "
+               "then sum(case when is_response then gap_s end) div "
+               "count(case when is_response then gap_s end) else "
+               "-((-sum(case when is_response then gap_s end) + "
+               "count(case when is_response then gap_s end) - 1) div "
+               "count(case when is_response then gap_s end)) end")
          .alias("mean_latency_s"),
     )
 
