@@ -54,13 +54,19 @@ class RemoteConnection:
                  query_service: str = "sparql",
                  update_service: str = "update",
                  gsp_service: str = "data",
-                 timeout: float = 30.0):
+                 timeout: float = 30.0,
+                 user: str | None = None):
         self.spark = spark
         base = destination.rstrip("/")
         self.svc_query = f"{base}/{query_service}"
         self.svc_update = f"{base}/{update_service}"
         self.svc_gsp = f"{base}/{gsp_service}"
         self.timeout = timeout
+        #: actor sent as ``X-User`` on every request — the client
+        #: half of the server's fuseki-access user determination
+        #: (the reference authenticates via ``HttpClient`` on
+        #: ``RDFConnectionRemoteBuilder.httpClient``).
+        self.user = user
 
     # --- plumbing -------------------------------------------------------
 
@@ -71,6 +77,8 @@ class RemoteConnection:
             headers["Content-Type"] = ct
         if accept:
             headers["Accept"] = accept
+        if self.user:
+            headers["X-User"] = self.user
         req = urllib.request.Request(url, data=body, headers=headers,
                                      method=method)
         try:

@@ -37,6 +37,15 @@ Jetty; here a ``ThreadingHTTPServer`` fronts the engine:
   the request counters as Prometheus text exposition, gauges named
   ``fuseki_requests[_good|_bad]`` tagged dataset/endpoint/operation/
   description per ``FusekiRequestsMetrics.bindTo``);
+* Dataset access control (``jena-fuseki2/jena-fuseki-access``,
+  ``DataAccessCtl.java`` / ``AccessCtl_SPARQL_QueryDataset.java``):
+  pass ``access={name: SecurityRegistry}`` — those datasets are
+  access-controlled: each read request resolves its actor
+  (Basic-auth username / ``X-User`` header / ``?user=`` param — the
+  ``requestUserServlet`` + ``paramUserServlet`` determinations) to a
+  per-user visible-graph view (unknown user -> empty dataset, 200),
+  and every write verb is rejected with 400
+  (``AccessCtl_DenyUpdate``: controlled datasets are read-only);
 * Graph Store Protocol on ``/<dataset>/data`` (``GSP_R.java`` /
   ``GSP_RW.java``): ``?default`` / ``?graph=<iri>`` select the target
   graph, no query string is the whole-dataset quads mode
@@ -105,9 +114,16 @@ class FusekiLite:
 
     def __init__(self, datasets: dict[str, DataFrame],
                  enable_update: bool = False,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 access: dict[str, "object"] | None = None):
         self.datasets = dict(datasets)
         self.enable_update = enable_update
+        #: dataset name -> SecurityRegistry (jena-fuseki-access:
+        #: a dataset with an entry here is access-controlled —
+        #: ``DataAccessCtl.isAccessControlled`` — reads are filtered
+        #: per-user and every write verb is rejected,
+        #: ``AccessCtl_DenyUpdate``).
+        self.access = dict(access or {})
         self._host, self._port = host, port
         self._srv: ThreadingHTTPServer | None = None
         self._lock = threading.Lock()
@@ -117,6 +133,20 @@ class FusekiLite:
         self._started: float | None = None
 
     # --- engine calls ---------------------------------------------------
+
+    def _dataset_view(self, name: str, user: str | None) -> DataFrame:
+        """The request's dataset view (``DataAccessLib.decideDataset``):
+        the raw frame for uncontrolled datasets, else the per-user
+        graph-filtered view — unknown/anonymous users resolve to
+        ``SecurityContext.NONE`` and see an empty dataset (200, not
+        403, matching ``SecurityRegistry.get``)."""
+        df = self.datasets[name]
+        reg = self.access.get(name)
+        if reg is None:
+            return df
+        from jena_spark.queries.permissions import secured_dataset_frame
+
+        return secured_dataset_frame(df, reg.get(user))
 
     @staticmethod
     def _negotiate(accept: str) -> str:
@@ -130,12 +160,13 @@ class FusekiLite:
         return SRJ_CT
 
     def _run_query(self, name: str, query: str,
-                   accept: str = "") -> tuple[str, "object"]:
+                   accept: str = "",
+                   user: str | None = None) -> tuple[str, "object"]:
         """-> (content_type, line_iterator) — lines stream from the
         cluster; the envelope is O(#vars) driver-side."""
         from jena_spark.queries.sparql import Parser, sparql_query
 
-        df = self.datasets[name]
+        df = self._dataset_view(name, user)
         form = Parser(query).parse().form
         if form in ("construct", "describe"):
             from jena_spark.sources.ntriples import format_ntriples
@@ -265,10 +296,11 @@ class FusekiLite:
 
         return read_rdf_bytes(self.datasets[name].sparkSession, body, lang)
 
-    def _gsp_get(self, name: str, mode: str, iri: str | None):
+    def _gsp_get(self, name: str, mode: str, iri: str | None,
+                 user: str | None = None):
         from jena_spark.sources.ntriples import format_ntriples
 
-        q = self._quads(self.datasets[name])
+        q = self._quads(self._dataset_view(name, user))
         if mode == "quads":
             lines = format_ntriples(q, quads=True)
             return NQ_CT, (r[0] + "\n" for r in lines.toLocalIterator())
@@ -330,7 +362,10 @@ class FusekiLite:
         """(operation json-name, description, endpoint) per
         ``Operation.java:85-89`` registrations."""
         svcs = [("query", "SPARQL Query", "sparql")]
-        if self.enable_update:
+        # access-controlled datasets only support read — query and GSP
+        # GET (AccessCtl_DenyUpdate class javadoc) — whatever
+        # enable_update says
+        if self.enable_update and name not in self.access:
             svcs.append(("update", "SPARQL Update", "update"))
             svcs.append(("gsp-rw", "Graph Store Protocol", "data"))
         else:
@@ -466,6 +501,36 @@ class FusekiLite:
             def _error(self, code: int, msg: str) -> None:
                 self._send(code, "text/plain; charset=utf-8", [msg])
 
+            def _user(self) -> str | None:
+                """Request actor (``DataAccessCtl.requestUserServlet``
+                = the servlet's authenticated remote user; the
+                ``paramUserServlet`` ``?user=`` variant is the
+                reference's own test hook). Order: Basic-auth
+                username, ``X-User`` header, ``?user=`` param."""
+                auth = self.headers.get("Authorization") or ""
+                if auth.startswith("Basic "):
+                    import base64
+                    try:
+                        cred = base64.b64decode(auth[6:]).decode("utf-8")
+                        return cred.split(":", 1)[0] or None
+                    except Exception:  # noqa: BLE001 — malformed header
+                        return None
+                xu = self.headers.get("X-User")
+                if xu:
+                    return xu
+                qs = parse_qs(urlparse(self.path).query)
+                return (qs.get("user") or [None])[0]
+
+            def _deny_write(self, name: str) -> bool:
+                """AccessCtl_DenyUpdate: every write verb on an
+                access-controlled dataset is rejected with 400
+                (``ServletOps.errorBadRequest``), for every user."""
+                if name in outer.access:
+                    self._error(
+                        400, "SPARQL update / GSP write : not supported")
+                    return True
+                return False
+
             def _route(self) -> tuple[str, str] | None:
                 parts = urlparse(self.path)
                 seg = [p for p in parts.path.split("/") if p]
@@ -579,7 +644,8 @@ class FusekiLite:
                         outer._count(name, "data", good=False)
                         return
                     try:
-                        ct, chunks = outer._gsp_get(name, *tgt)
+                        ct, chunks = outer._gsp_get(
+                            name, *tgt, user=self._user())
                     except KeyError as e:
                         outer._count(name, "data", good=False)
                         return self._error(404, str(e.args[0]))
@@ -600,6 +666,8 @@ class FusekiLite:
                 return (self.headers.get("Content-Type") or "").split(";")[0]
 
             def _dispatch_gsp_write(self, name: str, replace: bool) -> None:
+                if self._deny_write(name):
+                    return
                 if not outer.enable_update:
                     return self._error(405, "graph store write disabled")
                 tgt = self._gsp_route(name)
@@ -632,7 +700,7 @@ class FusekiLite:
                 if tgt is None:
                     return
                 mode, iri = tgt
-                q = outer._quads(outer.datasets[name])
+                q = outer._quads(outer._dataset_view(name, self._user()))
                 if mode == "graph" and not q.where(
                         outer._gsp_cond(mode, iri)).take(1):
                     return self._error(404, f"No such graph: <{iri}>")
@@ -661,6 +729,8 @@ class FusekiLite:
                 name, svc = route
                 if svc != "data":
                     return self._error(404, "DELETE serves /<ds>/data")
+                if self._deny_write(name):
+                    return
                 if not outer.enable_update:
                     return self._error(405, "graph store write disabled")
                 tgt = self._gsp_route(name)
@@ -696,6 +766,8 @@ class FusekiLite:
                         return self._dispatch_query(name, qs["query"][0])
                     return self._error(415, f"unsupported {ct!r}")
                 if svc == "update":
+                    if self._deny_write(name):
+                        return
                     if not outer.enable_update:
                         return self._error(405, "update service disabled")
                     if ct == "application/x-www-form-urlencoded":
@@ -715,7 +787,8 @@ class FusekiLite:
             def _dispatch_query(self, name: str, query: str) -> None:
                 try:
                     ct, chunks = outer._run_query(
-                        name, query, self.headers.get("Accept") or "")
+                        name, query, self.headers.get("Accept") or "",
+                        user=self._user())
                 except Exception as e:  # noqa: BLE001 — protocol 400
                     outer._count(name, "sparql", good=False)
                     return self._error(400, f"query failed: {e}")

@@ -146,3 +146,102 @@ class SecuredGraph:
             if n_bad:
                 raise PermissionDeniedError(
                     f"{self._principal}: {action} denied for {n_bad} triple(s)")
+
+
+# --- dataset-level access control (jena-fuseki-access) -------------------
+#
+# The reference's server-side security layer (``jena-fuseki2/
+# jena-fuseki-access``): a ``SecurityRegistry`` maps an actor (user
+# name) to a ``SecurityContext`` — the set of graph names that actor
+# may see plus a default-graph flag (``SecurityContext.java:39-52``,
+# ``SecurityContextView.java``); an unknown/absent actor resolves to
+# ``SecurityContext.NONE`` (deny — ``SecurityRegistry.get``,
+# ``DataAccessLib.noSecurityPolicy -> errorForbidden``). The filter
+# itself is a predicate on the quad's graph slot
+# (``GraphFilter.java:41-50`` for TDB tuples) — in this engine, a
+# Column predicate on the ``graph`` column, so a secured scan stays a
+# pushed filtered scan.
+
+#: ``SecurityContext.allGraphs`` / ``allNamedGraphs`` wildcard IRIs
+#: (``SecurityContext.java:48-49``).
+ALL_GRAPHS = "urn:jena:accessAllGraphs"
+ALL_NAMED_GRAPHS = "urn:jena:accessAllNamedGraphs"
+
+
+class SecurityContextView:
+    """``SecurityContextView.java`` analog: visible graph names +
+    default-graph visibility. ``graphs`` may contain the wildcard
+    IRIs; ``ALL_GRAPHS`` implies the default graph too (the
+    assembler's ``"**"`` spelling)."""
+
+    def __init__(self, graphs: list[str] | tuple[str, ...] = (),
+                 default_graph: bool = False):
+        gs = set(graphs)
+        self.all_graphs = ALL_GRAPHS in gs
+        self.all_named = self.all_graphs or ALL_NAMED_GRAPHS in gs
+        self.graphs = gs - {ALL_GRAPHS, ALL_NAMED_GRAPHS}
+        self.default_graph = default_graph or self.all_graphs
+
+    @property
+    def allows_anything(self) -> bool:
+        return self.default_graph or self.all_named or bool(self.graphs)
+
+    def quad_filter(self) -> Column:
+        """Visible-quad predicate over a frame with a ``graph`` column
+        (NULL graph = default graph) — the ``GraphFilter.test``
+        analog, vectorized."""
+        g = F.col("graph")
+        pred = F.lit(False)
+        if self.default_graph:
+            pred = pred | g.isNull()
+        if self.all_named:
+            pred = pred | g.isNotNull()
+        elif self.graphs:
+            pred = pred | g.isin(*sorted(self.graphs))
+        return pred
+
+
+#: ``SecurityContext.NONE`` / ``ALL`` (``SecurityContextAllowNone`` /
+#: ``SecurityContextAllowAll``).
+CTX_NONE = SecurityContextView()
+CTX_ALL = SecurityContextView([ALL_GRAPHS], default_graph=True)
+
+
+class SecurityRegistry:
+    """``SecurityRegistry.java`` analog: actor -> SecurityContextView,
+    deny (``CTX_NONE``) for unknown or anonymous actors."""
+
+    def __init__(self,
+                 contexts: dict[str, SecurityContextView] | None = None):
+        self._map = dict(contexts or {})
+
+    def put(self, actor: str, ctx: SecurityContextView) -> None:
+        self._map[actor] = ctx
+
+    def get(self, actor: str | None) -> SecurityContextView:
+        if actor is None:
+            return CTX_NONE
+        return self._map.get(actor, CTX_NONE)
+
+    def keys(self) -> list[str]:
+        return sorted(self._map)
+
+    def __repr__(self) -> str:  # SecurityRegistry.toString shape
+        return f"SecurityRegistry{self.keys()}"
+
+
+def secured_dataset_frame(df: DataFrame, ctx: SecurityContextView
+                          ) -> DataFrame:
+    """The per-request filtered dataset view
+    (``DatasetGraphFiltered`` / ``SecurityContext.filterTDB``): quads
+    keep only visible graphs; a triple-only frame IS the default
+    graph, so it is all-or-nothing by ``default_graph``. An actor
+    with no visible graphs (``SecurityContext.NONE`` — the unknown/
+    anonymous-user resolution in ``SecurityRegistry.get``) sees an
+    EMPTY dataset, not an error: the reference answers such queries
+    with 200 over the empty view."""
+    if "graph" in df.columns:
+        return df.where(ctx.quad_filter())
+    if not ctx.default_graph:
+        return df.limit(0)
+    return df

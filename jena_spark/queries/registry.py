@@ -7750,6 +7750,54 @@ def _degree_census_oracle() -> str:
 _register("kg_degree_census", _q_degree_census, _degree_census_oracle())
 
 
+# === round 5: server-side access control ===================================
+
+def _q_secured_service(spark, sf):
+    """Fuseki access-control round-trip (``jena-fuseki2/
+    jena-fuseki-access`` — ``DataAccessCtl.java``,
+    ``AccessCtl_SPARQL_QueryDataset.java``, ``SecurityRegistry``):
+    the mention edges are asserted in BOTH named graphs a and b (the
+    kg_quads_union_graph overlap), the dataset is served by FusekiLite
+    under a SecurityRegistry where user ``analyst`` may see ONLY graph
+    a, and the per-entity mention counts are fetched over real HTTP as
+    that user. The values prove the filter: an unfiltered view would
+    double every count (the edge exists in two graphs and the query
+    does not deduplicate across GRAPH bindings)."""
+    from jena_spark.pipeline.remote import RemoteConnection
+    from jena_spark.pipeline.server import FusekiLite
+    from jena_spark.queries import graph as G
+    from jena_spark.queries.permissions import (
+        SecurityContextView, SecurityRegistry)
+
+    t = _triples(spark, sf)
+    g_a, g_b = TM.NS + "graph/a", TM.NS + "graph/b"
+    mentions = t.where(F.col("p_val") == TM.P_MENTIONS)
+    quads = G.triples_to_quads(mentions, g_a).unionByName(
+        G.triples_to_quads(mentions, g_b))
+    reg = SecurityRegistry({"analyst": SecurityContextView([g_a])})
+    srv = FusekiLite({"kg": quads}, access={"kg": reg})
+    base = srv.start()
+    try:
+        conn = RemoteConnection(spark, f"{base}/kg", user="analyst")
+        out = conn.query_select(f"""
+            PREFIX v: <{TM.NS_VOCAB}>
+            SELECT ?e (COUNT(?t) AS ?n) WHERE {{
+              GRAPH ?g {{ ?t v:mentions ?e }}
+            }} GROUP BY ?e""")
+    finally:
+        srv.stop()
+    return out.select(F.col("e"), F.col("n").cast("long").alias("n"))
+
+
+_register(
+    "kg_secured_service",
+    _q_secured_service,
+    _W + f"""SELECT o_val AS e, CAST(count(*) AS BIGINT) AS n
+    FROM triples WHERE p_val = '{TM.P_MENTIONS}'
+    GROUP BY o_val""",
+)
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -302,3 +302,145 @@ def test_admin_protocol(data):
         svc_types = {s["srv.type"]
                      for s in json.loads(body)["datasets"][0]["ds.services"]}
         assert svc_types == {"query", "gsp-r"}
+
+
+# --- dataset access control (jena-fuseki-access analog) -----------------
+
+
+@pytest.fixture(scope="module")
+def quad_data(spark):
+    """Default graph + two named graphs."""
+    rows = [
+        ("iri", EX + "d1", EX + "name", "literal", "dft", None, None, None),
+        ("iri", EX + "a1", EX + "name", "literal", "in-g1", None, None,
+         EX + "g1"),
+        ("iri", EX + "a2", EX + "name", "literal", "also-g1", None, None,
+         EX + "g1"),
+        ("iri", EX + "b1", EX + "name", "literal", "in-g2", None, None,
+         EX + "g2"),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA + ", graph string")
+
+
+def _select_names(base, user=None):
+    # plain BGP = default graph only; the GRAPH branch covers the
+    # named graphs, so together the query sees the whole visible view
+    q = urllib.parse.quote(
+        "SELECT ?o WHERE { { ?s <" + EX + "name> ?o } UNION "
+        "{ GRAPH ?g { ?s <" + EX + "name> ?o } } }")
+    url = f"{base}/ds/sparql?query={q}"
+    if user:
+        url += f"&user={user}"
+    st, _, body = _get(url)
+    assert st == 200
+    return sorted(b["o"]["value"]
+                  for b in json.loads(body)["results"]["bindings"])
+
+
+def test_access_control_query_filtering(quad_data):
+    from jena_spark.queries.permissions import (
+        ALL_NAMED_GRAPHS, SecurityContextView, SecurityRegistry)
+
+    reg = SecurityRegistry({
+        "alice": SecurityContextView([EX + "g1"], default_graph=True),
+        "bob": SecurityContextView([EX + "g2"]),
+        "carol": SecurityContextView([ALL_NAMED_GRAPHS]),
+    })
+    with FusekiLite({"ds": quad_data}, enable_update=True,
+                    access={"ds": reg}) as base:
+        # alice: default graph + g1
+        assert _select_names(base, "alice") == ["also-g1", "dft", "in-g1"]
+        # bob: only g2
+        assert _select_names(base, "bob") == ["in-g2"]
+        # carol: all named graphs, no default
+        assert _select_names(base, "carol") == [
+            "also-g1", "in-g1", "in-g2"]
+        # unknown / anonymous actor -> SecurityContext.NONE -> empty
+        # view, 200 (SecurityRegistry.get)
+        assert _select_names(base, "mallory") == []
+        assert _select_names(base, None) == []
+
+        # X-User header form (requestUserServlet analog)
+        q = urllib.parse.quote(
+            "SELECT ?o WHERE { GRAPH ?g { ?s <" + EX + "name> ?o } }")
+        req = urllib.request.Request(f"{base}/ds/sparql?query={q}",
+                                     headers={"X-User": "bob"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            got = json.loads(r.read().decode("utf-8"))
+        assert [b["o"]["value"]
+                for b in got["results"]["bindings"]] == ["in-g2"]
+
+        # GSP GET is filtered the same way (AccessCtl_GSP_R); the GSP
+        # query string only admits ?default/?graph, so the actor rides
+        # the X-User header here
+        def _gsp_as(user, graph):
+            req = urllib.request.Request(
+                f"{base}/ds/data?graph={graph}",
+                headers={"X-User": user})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    return r.status, r.read().decode("utf-8")
+            except urllib.error.HTTPError as e:
+                return e.code, e.read().decode("utf-8")
+
+        st, body = _gsp_as("bob", EX + "g2")
+        assert st == 200 and "in-g2" in body
+        # bob cannot see g1: the filtered view has no such graph -> 404
+        assert _gsp_as("bob", EX + "g1")[0] == 404
+
+        # every write verb is rejected on a controlled dataset even
+        # with enable_update=True (AccessCtl_DenyUpdate -> 400)
+        st, _ = _post(f"{base}/ds/update",
+                      "INSERT DATA { <urn:x> <urn:p> 1 }",
+                      "application/sparql-update")
+        assert st == 400
+        req = urllib.request.Request(
+            f"{base}/ds/data?default",
+            data=b"<urn:x> <urn:p> \"v\" .\n",
+            headers={"Content-Type": "application/n-triples"},
+            method="PUT")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                st = r.status
+        except urllib.error.HTTPError as e:
+            st = e.code
+        assert st == 400
+        assert _delete(f"{base}/ds/data?default") == 400
+
+        # services listing shows the dataset as read-only
+        st, _, body = _get(f"{base}/$/datasets/ds")
+        svc_types = {s["srv.type"]
+                     for s in json.loads(body)["ds.services"]}
+        assert svc_types == {"query", "gsp-r"}
+
+
+def test_access_control_remote_connection(spark, quad_data):
+    from jena_spark.pipeline.remote import RemoteConnection
+    from jena_spark.queries.permissions import (
+        SecurityContextView, SecurityRegistry)
+
+    reg = SecurityRegistry({
+        "alice": SecurityContextView([EX + "g1"], default_graph=True)})
+    with FusekiLite({"ds": quad_data}, access={"ds": reg}) as base:
+        got = RemoteConnection(spark, f"{base}/ds", user="alice") \
+            .query_select(
+                "SELECT ?o WHERE { { ?s <" + EX + "name> ?o } UNION "
+                "{ GRAPH ?g { ?s <" + EX + "name> ?o } } }")
+        assert sorted(r["o"] for r in got.collect()) == [
+            "also-g1", "dft", "in-g1"]
+        got = RemoteConnection(spark, f"{base}/ds", user="nobody") \
+            .query_select(
+                "SELECT ?o WHERE { { ?s ?p ?o } UNION "
+                "{ GRAPH ?g { ?s ?p ?o } } }")
+        assert got.count() == 0
+
+
+def test_secured_dataset_frame_triples_only(spark, data):
+    """A triple-only frame IS the default graph: all-or-nothing."""
+    from jena_spark.queries.permissions import (
+        CTX_ALL, CTX_NONE, SecurityContextView, secured_dataset_frame)
+
+    assert secured_dataset_frame(data, CTX_ALL).count() == data.count()
+    assert secured_dataset_frame(data, CTX_NONE).count() == 0
+    only_named = SecurityContextView([EX + "g1"])
+    assert secured_dataset_frame(data, only_named).count() == 0
