@@ -26,11 +26,20 @@ the solver actually hits, ``solver/StageMatchTuple.java``):
   (the dominant BGP shape), S?? lookups.
 * ``<prefix>_osp`` — bucketed+sorted by ``o_id``: object-position
   joins (s-o chains), ??O lookups.
-
-POS is intentionally NOT materialized: predicates are few and the
-P-bound scan is served by parquet row-group min/max + dictionary
-pruning on ``p_id`` within either table (measured good enough; a
-third copy buys little for 50% more storage).
+* ``<prefix>_pos`` — OPT-IN predicate-led layout (``Names.java:24``'s
+  POS order), bucketed+sorted by the composite ``(p_id, o_id)``.
+  The skew caveat that kept this path out by default: predicates are
+  FEW and HOT (one mention predicate can be >⅓ of all rows), so a
+  pure-``p_id`` bucket key would hash the whole hot predicate into
+  one bucket — a single straggler task at 100 TB. The composite key
+  is the salt: ``o_id`` spreads each hot predicate across all
+  buckets while keeping every (P,O)-scoped operation co-located, so
+  the predicate-led join shape — subjects sharing the same object
+  under the same predicate, the co-mention/entity-sharing workload —
+  plans with zero Exchange (:func:`po_join_bucketed`); pure-P scans
+  still prune on the sorted leading ``p_id`` via row-group min/max.
+  Not in the default ``paths`` tuple: a third copy costs 50% more
+  storage and only predicate-heavy workloads buy it back.
 
 Quad (dataset) workloads get a third layout, ``<prefix>_gspo``,
 bucketed+sorted by the composite (g_id, s_id) — see the quad section
@@ -47,7 +56,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ACCESS_PATHS = {"spo": "s_id", "osp": "o_id"}
+#: access path -> bucket/sort key columns. POS uses the composite
+#: (p_id, o_id): o_id is the anti-skew salt for hot predicates (see
+#: module docstring).
+ACCESS_PATHS = {"spo": ("s_id",), "osp": ("o_id",),
+                "pos": ("p_id", "o_id")}
 
 
 def write_bucketed_store(
@@ -68,15 +81,15 @@ def write_bucketed_store(
     spark = triples_enc.sparkSession
     out: dict[str, str] = {}
     for ap in paths:
-        key = ACCESS_PATHS[ap]
+        keys = ACCESS_PATHS[ap]
         table = f"{prefix}_{ap}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         (
-            triples_enc.repartition(n_buckets, F.col(key))
+            triples_enc.repartition(n_buckets, *[F.col(k) for k in keys])
             .write.mode("overwrite")
             .option("path", f"{path}/{ap}")
-            .bucketBy(n_buckets, key)
-            .sortBy(key)
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
             .saveAsTable(table)
         )
         out[ap] = table
@@ -103,14 +116,14 @@ def register_bucketed_store(
     Spark validates file names against it at read time."""
     out: dict[str, str] = {}
     for ap in paths:
-        key = ACCESS_PATHS[ap]
+        keys = ", ".join(ACCESS_PATHS[ap])
         table = f"{prefix}_{ap}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"""
             CREATE TABLE {table}
             (s_id BIGINT, p_id BIGINT, o_id BIGINT, conv_id STRING)
             USING parquet
-            CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS
+            CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {n_buckets} BUCKETS
             LOCATION '{path}/{ap}'
         """)
         out[ap] = table
@@ -228,6 +241,29 @@ def star_join_bucketed_quads(
         out = branch if out is None else out.join(branch, ["g_id", "s_id"])
     assert out is not None
     return out
+
+
+def po_join_bucketed(
+    spark: SparkSession, prefix: str, p_id: int | None = None,
+) -> DataFrame:
+    """Predicate-led object join over the POS table: subject pairs
+    sharing the SAME object under the SAME predicate — the
+    co-mention / entity-sharing shape (``?a p ?o . ?b p ?o``,
+    TDB's POS-index merge join, ``solver/StageMatchTuple.java``'s
+    P??-bound path). Both sides key on the composite bucket key
+    ``(p_id, o_id)``, so the self-join plans with zero Exchange;
+    a bound ``p_id`` additionally prunes both scans on the sorted
+    leading column.
+
+    Returns ``(p_id, o_id, s_a, s_b)`` with ``s_a < s_b`` (each
+    unordered pair once, no self-pairs).
+    """
+    t = bucketed_table(spark, prefix, "pos")
+    if p_id is not None:
+        t = t.where(F.col("p_id") == p_id)
+    a = t.select("p_id", "o_id", F.col("s_id").alias("s_a"))
+    b = t.select("p_id", "o_id", F.col("s_id").alias("s_b"))
+    return a.join(b, ["p_id", "o_id"]).where(F.col("s_a") < F.col("s_b"))
 
 
 def star_join_bucketed(

@@ -27,7 +27,8 @@ from jena_spark.pipeline.encoded import construct_canonical_encoded  # noqa: E40
 def store(spark, transcripts_df, tmp_path_factory):
     triples_enc, node_dict = construct_canonical_encoded(transcripts_df)
     base = str(tmp_path_factory.mktemp("bstore"))
-    tables = write_bucketed_store(triples_enc, "kg_test", base, n_buckets=8)
+    tables = write_bucketed_store(triples_enc, "kg_test", base, n_buckets=8,
+                                  paths=("spo", "osp", "pos"))
     return triples_enc, tables
 
 
@@ -131,6 +132,73 @@ def test_reregister_store_keeps_no_exchange(spark, store, tmp_path, no_broadcast
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert joined.count() > 0
+
+
+# --- POS predicate-led access path (Names.java:24) ---------------------------
+
+
+def test_pos_roundtrip(spark, store):
+    triples_enc, _ = store
+    want = {tuple(r) for r in
+            triples_enc.select("s_id", "p_id", "o_id").collect()}
+    got = {tuple(r) for r in
+           bucketed_table(spark, "kg_test", "pos")
+           .select("s_id", "p_id", "o_id").collect()}
+    assert got == want
+
+
+def test_po_join_no_exchange(spark, store, no_broadcast):
+    """Predicate-led object self-join (subjects sharing an object
+    under one predicate — the co-mention shape) over the POS table:
+    zero Exchange, and the composite (p_id, o_id) bucket key means
+    the hot predicate is spread across ALL buckets (the salt)."""
+    from jena_spark.pipeline.bucketed import po_join_bucketed
+
+    pid = _pid(spark, TM.P_MENTIONS)
+    out = po_join_bucketed(spark, "kg_test", pid)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # correctness: sum over objects of C(n_subjects, 2)
+    triples_enc, _ = store
+    per_o = (triples_enc.where(F.col("p_id") == pid)
+             .select("s_id", "o_id").distinct()
+             .groupBy("o_id").count().collect())
+    want = sum(r["count"] * (r["count"] - 1) // 2 for r in per_o)
+    # distinct (s,o) pairs in the data (raw_triples is dedup-free by
+    # construction so the table IS distinct already)
+    assert out.count() == want
+
+
+def test_pos_unbucketed_baseline_shuffles(spark, store, no_broadcast):
+    triples_enc, _ = store
+    pid = _pid(spark, TM.P_MENTIONS)
+    t = triples_enc.where(F.col("p_id") == pid)
+    a = t.select("p_id", "o_id", F.col("s_id").alias("s_a"))
+    b = t.select("p_id", "o_id", F.col("s_id").alias("s_b"))
+    plan = (a.join(b, ["p_id", "o_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" in plan
+
+
+def test_pos_reregister_keeps_no_exchange(spark, store, no_broadcast):
+    """Restart path for the POS layout: re-declare the composite
+    bucket spec and the zero-Exchange property survives."""
+    import re
+
+    from jena_spark.pipeline.bucketed import (
+        po_join_bucketed, register_bucketed_store)
+
+    loc = spark.sql("DESCRIBE TABLE EXTENDED kg_test_pos").collect()
+    path = next(r["data_type"] for r in loc if r["col_name"] == "Location")
+    base = re.sub(r"/pos$", "", path.replace("file:", ""))
+    spark.sql("DROP TABLE kg_test_pos")
+    register_bucketed_store(spark, "kg_test", base, n_buckets=8,
+                            paths=("pos",))
+    pid = _pid(spark, TM.P_MENTIONS)
+    out = po_join_bucketed(spark, "kg_test", pid)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert out.count() > 0
 
 
 # --- GSPO quad access path (Names.java:27-28) --------------------------------
