@@ -183,3 +183,55 @@ def test_text_query_pf_from_sparql_string(spark):
     q3 = ('SELECT ?lbl WHERE { ?s <http://jena.apache.org/text#query> '
           '("grace") . ?s <' + TM.RDFS_LABEL + '> ?lbl }')
     assert [r["lbl"] for r in sparql_query(t, q3).collect()] == ["Grace Hopper"]
+
+
+# --- external text-index binding (jena-text-es seam) ---------------------
+
+
+def test_remote_binding_matches_local(spark):
+    """The TextIndexES contract: the same documents pushed through the
+    external HTTP binding answer every query row-identically to the
+    local posting-table path."""
+    from jena_spark.queries.textremote import (
+        TextIndexRemote, TextIndexService)
+
+    g = _g(spark)
+    local_idx = TI.build_text_index(g)
+    with TextIndexService(spark) as base:
+        remote = TextIndexRemote(spark, base, batch_size=2)
+        n = remote.add_entities(g)
+        assert n == 5  # the five indexed-property literals
+
+        for q in ("turing", "grace OR discussed", "+turing -alan",
+                  '"alan turing"'):
+            want = sorted(
+                tuple(r) for r in
+                TI.query_text(local_idx, q)
+                .select("s_kind", "s_val", "property", "score_bp")
+                .collect())
+            got = sorted(tuple(r) for r in remote.query(q).collect())
+            assert got == want, q
+
+        # property-scoped + limited query
+        got = remote.query("turing", property=TM.RDFS_LABEL, limit=1)
+        assert [r["s_val"] for r in got.collect()] == ["e1"]
+
+
+def test_remote_binding_entity_lifecycle(spark):
+    """get / deleteEntity analogs: stored-field fetch and per-entity
+    deletion re-index on the service side."""
+    from jena_spark.queries.textremote import (
+        TextIndexRemote, TextIndexService)
+
+    g = _g(spark)
+    with TextIndexService(spark) as base:
+        remote = TextIndexRemote(spark, base)
+        remote.add_entities(g)
+        fields = remote.get("e1")
+        assert sorted(f["text"] for f in fields) == ["Alan Turing", "Turing"]
+
+        assert remote.delete_entity("e1") == 2
+        assert remote.get("e1") == []
+        # e1 no longer matches; t1's text doc still does
+        got = {r["s_val"] for r in remote.query("turing").collect()}
+        assert got == {"t1"}
