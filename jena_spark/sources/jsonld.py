@@ -31,8 +31,10 @@ Supported profile (documented, errors loudly outside it):
   linked from the subject — expansion §13.9 semantics; the triple API
   merges them into the default graph, the quads API keeps them)
 * remote ``@context`` URLs resolve OFFLINE through a caller-supplied
-  ``context_map={url: context-or-document}`` (the engine never
-  fetches; a URL absent from the map errors loudly)
+  ``context_map={url: context-or-document}`` by default, with an
+  opt-in ``fetch=True`` HTTP path (process-cached,
+  :func:`fetch_remote_context`) for deployments that allow network
+  (the engine otherwise never fetches; a URL absent from the map errors loudly)
 * framing-LITE via :func:`frame_jsonld` — @type / property-presence
   matchers, @context compaction, recursive embed-once; @default /
   @explicit / @omitDefault / @embed overrides are out of profile
@@ -63,9 +65,38 @@ TERM_COLS7 = ["s_kind", "s_val", "p_val", "o_kind", "o_val", "o_datatype", "o_la
 _ABS = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 
+#: process-level cache for opt-in remote @context fetches: each
+#: driver/executor process resolves a given context URL once (the
+#: reference's jsonld-java ``DocumentLoader`` caches the same way).
+_FETCH_CACHE: dict[str, object] = {}
+
+
+def fetch_remote_context(url: str, timeout: float = 30.0) -> object:
+    """Opt-in HTTP resolution of a remote ``@context`` URL (the
+    reference's ``riot/lang/JsonLDReader.java`` path through
+    jsonld-java's ``DocumentLoader.loadDocument``). http(s) only;
+    the JSON document is cached per process. The OFFLINE
+    ``context_map`` profile stays the default everywhere — this
+    function only runs when a caller passes ``fetch=True``."""
+    if url in _FETCH_CACHE:
+        return _FETCH_CACHE[url]
+    if not url.startswith(("http://", "https://")):
+        raise ValueError(
+            f"JSON-LD: refusing non-http(s) @context fetch {url!r}")
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"Accept": "application/ld+json, application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        doc = json.loads(r.read().decode("utf-8"))
+    _FETCH_CACHE[url] = doc
+    return doc
+
+
 class JsonLdParser:
     def __init__(self, text: str,
-                 context_map: dict[str, object] | None = None):
+                 context_map: dict[str, object] | None = None,
+                 fetch: bool = False):
         self.doc = json.loads(text)
         self.scope = hashlib.md5(text.encode("utf-8")).hexdigest()
         self.anon = 0
@@ -77,9 +108,11 @@ class JsonLdParser:
         self.default_lang: str | None = None
         # offline remote-@context resolution: url -> context (either
         # the context value itself or a full remote document carrying
-        # "@context"). The engine NEVER fetches — documents whose
-        # @context URL is absent from the map error loudly.
+        # "@context"). By default the engine NEVER fetches — documents
+        # whose @context URL is absent from the map error loudly;
+        # fetch=True opts into HTTP resolution for absent URLs.
         self.context_map = context_map or {}
+        self.fetch = fetch
 
     def _fresh(self) -> str:
         self.anon += 1
@@ -94,15 +127,18 @@ class JsonLdParser:
                 self._load_context(c)
             return
         if isinstance(ctx, str):
-            if ctx in self.context_map:
-                mapped = self.context_map[ctx]
+            mapped = self.context_map.get(ctx)
+            if mapped is None and self.fetch:
+                mapped = fetch_remote_context(ctx)
+            if mapped is not None:
                 if isinstance(mapped, dict) and "@context" in mapped:
                     mapped = mapped["@context"]  # full remote document
                 self._load_context(mapped)
                 return
             raise ValueError(
                 f"JSON-LD: remote @context {ctx!r} — refusing to fetch "
-                "(no network by design); supply context_map={url: context}")
+                "(offline by default); supply context_map={url: context} "
+                "or opt in with fetch=True")
         if not isinstance(ctx, dict):
             raise ValueError("JSON-LD: bad @context")
         for term, defn in ctx.items():
@@ -357,24 +393,27 @@ class JsonLdParser:
 
 
 def parse_jsonld(text: str,
-                 context_map: dict[str, object] | None = None) -> list[tuple]:
+                 context_map: dict[str, object] | None = None,
+                 fetch: bool = False) -> list[tuple]:
     """One JSON-LD document -> list of 7-tuples (TERM_COLS order);
     named-graph membership is dropped (default-graph merge view). Use
     :func:`parse_jsonld_quads` to keep it. ``context_map`` resolves
     remote ``@context`` URLs offline (url -> context value or full
-    remote context document)."""
-    return [r[:7] for r in JsonLdParser(text, context_map).parse()]
+    remote context document); ``fetch=True`` opts into HTTP
+    resolution for URLs absent from the map."""
+    return [r[:7] for r in JsonLdParser(text, context_map, fetch).parse()]
 
 
 def parse_jsonld_quads(
     text: str, context_map: dict[str, object] | None = None,
+    fetch: bool = False,
 ) -> list[tuple]:
     """One JSON-LD document -> list of 8-tuples (TERM_COLS + graph):
     a node object carrying ``@graph`` names a graph with its own
     ``@id`` (JSON-LD 1.1 named graph node objects, json-ld-api toRdf);
     top-level ``@graph`` arrays and plain nodes land in the default
     graph (graph = None). The TriG twin of this reader's quad view."""
-    return JsonLdParser(text, context_map).parse()
+    return JsonLdParser(text, context_map, fetch).parse()
 
 
 def format_jsonld(rows: list[tuple]) -> str:
@@ -405,11 +444,15 @@ def format_jsonld(rows: list[tuple]) -> str:
 def read_jsonld(
     spark: SparkSession, path: str, quads: bool = False,
     context_map: dict[str, object] | None = None,
+    fetch: bool = False,
 ) -> DataFrame:
     """Read .jsonld file(s) into the triple-table schema
     (``quads=True``: + graph column from named-graph node objects).
     ``context_map`` ships with the task closure, so remote-@context
-    documents parse on executors without any network."""
+    documents parse on executors without any network; ``fetch=True``
+    lets executors resolve absent context URLs over HTTP instead
+    (cached once per executor process — the jsonld-java
+    ``DocumentLoader`` posture)."""
     import pandas as pd
 
     files = spark.read.text(path, wholetext=True)
@@ -419,7 +462,7 @@ def read_jsonld(
             out = []
             for txt in pdf["value"]:
                 if txt.strip():
-                    out.extend(parse_jsonld_quads(txt, context_map))
+                    out.extend(parse_jsonld_quads(txt, context_map, fetch))
             yield pd.DataFrame(out, columns=TERM_COLS7 + ["graph"])
 
     schema = ("s_kind string, s_val string, p_val string, o_kind string, "

@@ -456,3 +456,82 @@ def test_frame_jsonld():
     # unsupported keywords refuse loudly
     with pytest.raises(ValueError, match="unsupported"):
         frame_jsonld(rows, {"@explicit": True})
+
+
+def _ctx_server(ctx_doc: dict):
+    """Tiny HTTP server serving one JSON context document (the
+    reference fetches remote contexts through jsonld-java's
+    DocumentLoader; FusekiLite serves SPARQL, not static docs, so the
+    stub here plays the remote host)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def do_GET(self):  # noqa: N802
+            body = _json.dumps(ctx_doc).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/ld+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address[:2]
+    return srv, f"http://{host}:{port}/ctx.jsonld"
+
+
+def test_remote_context_http_fetch(spark, tmp_path):
+    """Opt-in fetch=True resolves an absent @context URL over real
+    HTTP (process-cached); offline default is unchanged."""
+    import json
+
+    from jena_spark.sources.jsonld import _FETCH_CACHE
+
+    srv, url = _ctx_server(
+        {"@context": {"name": "http://e/name",
+                      "knows": {"@id": "http://e/knows",
+                                "@type": "@id"}}})
+    try:
+        doc = json.dumps({
+            "@context": url, "@id": "http://e/s",
+            "name": "Ada", "knows": {"@id": "http://e/o"},
+        })
+        # offline default still refuses
+        with pytest.raises(ValueError, match="refusing to fetch"):
+            parse_jsonld(doc)
+        got = set(parse_jsonld(doc, fetch=True))
+        assert got == {
+            ("iri", "http://e/s", "http://e/name", "literal", "Ada",
+             None, None),
+            ("iri", "http://e/s", "http://e/knows", "iri", "http://e/o",
+             None, None),
+        }
+        assert url in _FETCH_CACHE  # resolved once per process
+        # a supplied context_map entry wins over the network
+        got2 = set(parse_jsonld(
+            doc, context_map={url: {"name": "http://e/other"}}))
+        assert ("iri", "http://e/s", "http://e/other", "literal", "Ada",
+                None, None) in got2
+
+        # distributed read: executors fetch (local mode shares the
+        # process, so this also exercises the executor path shape)
+        d = tmp_path / "fdocs"
+        d.mkdir()
+        for i in range(2):
+            (d / f"doc{i}.jsonld").write_text(json.dumps({
+                "@context": url, "@id": f"http://e/s{i}",
+                "name": f"n{i}"}))
+        out = read_jsonld(spark, str(d), fetch=True)
+        got3 = {(r["s_val"], r["o_val"]) for r in out.collect()}
+        assert got3 == {(f"http://e/s{i}", f"n{i}") for i in range(2)}
+    finally:
+        srv.shutdown()
+    # non-http scheme refused even with fetch=True
+    from jena_spark.sources.jsonld import fetch_remote_context
+    with pytest.raises(ValueError, match="non-http"):
+        fetch_remote_context("file:///etc/passwd")
