@@ -296,6 +296,39 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame | None = None) -
     return untouched.unionByName(touched)
 
 
+def _dedup_canon_mentions(mentions: DataFrame,
+                          rep_dim: DataFrame) -> DataFrame:
+    """``distinct(conv_id, turn_idx, rep)`` with the rep IRI STRING
+    replaced by its 8-byte node id DURING the shuffle — the widest
+    shuffle of the whole construction moves ``(conv_id, turn_idx,
+    rep_id:long)`` instead of carrying a ~50-70 B entity IRI per row,
+    and the string rematerializes from a broadcast dim AFTER the
+    exchange (BroadcastHashJoin — map-side, no second shuffle).
+
+    The id is :func:`jena_spark.pipeline.encode.term_id_col` over the
+    iri term — the SAME function that assigns ``o_id`` in the encoded
+    store, so the collision policy is the node-dictionary policy
+    (xxhash64 content ids, ``encode.assert_injective``) and the
+    encoded path's dedup key and this one are the same value.
+    Output is row-identical to the direct string distinct (the dim is
+    a bijection), preserving the fused==generic invariant."""
+    from jena_spark.pipeline.encode import term_id_col
+
+    rep_ids = rep_dim.select("rep").distinct().withColumn(
+        "rep_id", term_id_col(F.lit("iri"), F.col("rep"),
+                              F.lit(None).cast("string"),
+                              F.lit(None).cast("string")))
+    surf_dim = rep_dim.join(F.broadcast(rep_ids), "rep") \
+        .select("surface", "rep_id")
+    return (
+        mentions.join(F.broadcast(surf_dim), "surface")
+        .select("conv_id", "turn_idx", "rep_id")
+        .distinct()
+        .join(F.broadcast(rep_ids), "rep_id")
+        .select("conv_id", "turn_idx", "rep")
+    )
+
+
 def construct_canonical(
     transcripts: DataFrame, gazetteer: dict | None = None,
     mentions: DataFrame | None = None,
@@ -352,11 +385,7 @@ def construct_canonical(
         # raw_triples so the extraction UDF runs once per corpus).
         mentions = extract_mentions(transcripts, gaz).persist()
     rep_dim = present_rep_dim(mentions, gaz)
-    canon_mentions = (
-        mentions.join(F.broadcast(rep_dim), "surface")
-        .select("conv_id", "turn_idx", "rep")
-        .distinct()
-    )
+    canon_mentions = _dedup_canon_mentions(mentions, rep_dim)
     turn_bnode = TM.skolem_col(
         F.col("conv_id"), F.concat(F.lit("turn-"), F.col("turn_idx").cast("string"))
     )
@@ -485,11 +514,7 @@ def construct_incremental(
 
     structure = turn_structure_triples(new_transcripts)
     rep_dim = spark.createDataFrame(rep_rows, "surface string, rep string")
-    canon_mentions = (
-        mentions.join(F.broadcast(rep_dim), "surface")
-        .select("conv_id", "turn_idx", "rep")
-        .distinct()
-    )
+    canon_mentions = _dedup_canon_mentions(mentions, rep_dim)
     turn_bnode = TM.skolem_col(
         F.col("conv_id"),
         F.concat(F.lit("turn-"), F.col("turn_idx").cast("string")),

@@ -193,9 +193,16 @@ def _mention_slices(
     for the batch under ``rep_dim``'s election; label triples and
     entity-node rows for exactly ``label_surfaces`` (the full present
     set in the one-shot builder, only the NEW surfaces incrementally)."""
+    # the widest shuffle runs FULLY on encoded ids: the broadcast dim
+    # assigns the final o_id (node id of the rep IRI) BEFORE the
+    # distinct, so the exchange moves (conv_id, turn_idx, long)
+    # instead of carrying the entity IRI string — and no join-back is
+    # needed at all, o_id IS the output column.
+    rep_oid = rep_dim.select(
+        "surface", _nid("iri", F.col("rep")).alias("o_id"))
     canon_mentions = (
-        mentions.join(F.broadcast(rep_dim), "surface")
-        .select("conv_id", "turn_idx", "rep")
+        mentions.join(F.broadcast(rep_oid), "surface")
+        .select("conv_id", "turn_idx", "o_id")
         .distinct()
     )
     m_bnode = TM.skolem_col(
@@ -204,7 +211,7 @@ def _mention_slices(
     edges_enc = canon_mentions.select(
         _nid("bnode", m_bnode).alias("s_id"),
         _p(TM.P_MENTIONS).alias("p_id"),
-        _nid("iri", F.col("rep")).alias("o_id"),
+        F.col("o_id"),
         F.col("conv_id"),
     )
     labels_enc = label_surfaces.select(
