@@ -564,3 +564,139 @@ hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
 tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n FROM hist)
 SELECT deg, n_nodes, (1000000 * n_nodes) // n AS share_ppm
 FROM hist, tot"""
+# --- k-core + connected components (round 5) -------------------------------
+
+
+def k_core(edges: DataFrame, k: int, rounds: int = 10,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """``(node, degree)`` membership of the ``k``-core of the
+    undirected simple graph underlying ``edges`` — the maximal
+    subgraph where every vertex keeps degree >= ``k`` (Seidman 1983;
+    the standard dense-region extractor a KG-curation pass runs
+    before expensive per-entity work). ``degree`` is the node's
+    degree WITHIN the core.
+
+    Peeling is run for a FIXED ``rounds`` count on both engines (the
+    repo's unrolled-oracle discipline): each round drops every vertex
+    whose degree in the remaining subgraph is < k, then the edges
+    touching it. A fixed unroll equals the true k-core iff the
+    peeling has converged by round ``rounds`` — adversarial chains
+    peel one layer per round, so callers assert convergence where it
+    matters (the registry entry's pytest does; compare round R-1 to
+    R). One degree aggregation + two semi-joins per round, per-round
+    eager ``localCheckpoint`` (the >2-consumer replay rule).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    e = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+         .unionByName(und.select(F.col("v").alias("a"),
+                                 F.col("u").alias("b")))
+         .localCheckpoint())
+    for _ in range(rounds):
+        keep = (e.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("a"))
+        e = (e.join(keep, "a", "left_semi")
+             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+             .select("a", "b")
+             .localCheckpoint())
+    return (e.groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree"))
+            .where(F.col("degree") >= k))
+
+
+def k_core_sql(edges_cte: str, k: int, rounds: int = 10) -> str:
+    """DuckDB twin of :func:`k_core` — the peel loop unrolled."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"bad k={k} / rounds={rounds}")
+    # every e{i} is referenced TWICE (by k{i+1} and e{i+1}): without
+    # AS MATERIALIZED DuckDB inlines the chain and the base derivation
+    # re-evaluates 2^rounds times (the repo's documented graph-oracle
+    # CTE quirk) — materialize each round
+    parts = [f"""raw AS MATERIALIZED ({edges_cte}),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src != dst),
+e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+       UNION ALL SELECT v, u FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+  SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} ka ON e.a = ka.a JOIN k{i} kb ON e.b = kb.a)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY a HAVING count(*) >= {k}""")
+
+
+def components_census(edges: DataFrame,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """``(component, n_nodes)`` — connected components of the
+    undirected graph under min-label propagation run to FIXPOINT
+    (component id = the component's smallest node), then the size
+    census. The graph-shape diagnostic that decides whether a
+    downstream per-component pass (e.g. the sameAs closure's
+    union-find) needs the distributed path or the driver fast path.
+
+    Fixpoint on BOTH engines: Spark loops until no label changes
+    (O(diameter) rounds, one join + one min-agg each, per-round eager
+    checkpoint), the DuckDB twin is a recursive reachability closure
+    — so the results agree regardless of round counts, unlike the
+    fixed-unroll ops. At 100 TB the O(diameter) schedule is the
+    documented trade vs hop-doubling (diameter is small in entity
+    graphs; hop-doubling doubles edge storage per round).
+    """
+    und = (edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    e = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+         .unionByName(und.select(F.col("v").alias("a"),
+                                 F.col("u").alias("b")))
+         .localCheckpoint())
+    labels = (e.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())
+    while True:
+        neigh_min = (e.join(labels.withColumnRenamed("node", "b")
+                            .withColumnRenamed("component", "nc"), "b")
+                     .groupBy(F.col("a").alias("node"))
+                     .agg(F.min("nc").alias("nc")))
+        new = (labels.join(neigh_min, "node", "left")
+               .select("node",
+                       F.least("component", F.coalesce("nc", "component"))
+                       .alias("component"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return (labels.groupBy("component")
+            .agg(F.count("*").cast("long").alias("n_nodes")))
+
+
+def components_census_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`components_census` — recursive
+    reachability closure, min reachable node per vertex, size census
+    (exact fixpoint, mirroring the Spark loop's convergence)."""
+    return f"""WITH RECURSIVE raw AS MATERIALIZED ({edges_cte}),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src != dst),
+e AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+     UNION ALL SELECT v, u FROM und),
+reach(n, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
+lab AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+FROM lab GROUP BY component"""

@@ -7798,6 +7798,82 @@ _register(
 )
 
 
+# === round 5: k-core + connected components ================================
+
+_BACKBONE_EDGES_SQL = f"""WITH ce AS (
+  SELECT DISTINCT ht.s_val AS conv, me.o_val AS ent
+  FROM triples ht JOIN triples me ON ht.o_val = me.s_val
+  WHERE ht.p_val = '{TM.P_HAS_TURN}' AND me.p_val = '{TM.P_MENTIONS}'),
+pw AS (
+  SELECT a.ent AS u, b.ent AS v, count(*) AS w
+  FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent < b.ent
+  GROUP BY a.ent, b.ent),
+ranked AS (
+  SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS r
+  FROM pw)
+SELECT u AS src, v AS dst FROM ranked WHERE r <= 30"""
+
+
+def _backbone_edges(spark, sf):
+    """The strongest-30-edges co-mention backbone (the
+    kg_link_prediction / kg_degree_census sparsification — the RAW
+    co-mention graph is near-complete over the bounded entity dim)."""
+    ce = _comention_cached(spark, sf)
+    pairs = (ce.alias("a").join(ce.alias("b"), "conv")
+             .where(F.col("a.ent") < F.col("b.ent"))
+             .groupBy(F.col("a.ent").alias("u"),
+                      F.col("b.ent").alias("v"))
+             .agg(F.count("*").alias("w")))
+    wr = Window.orderBy(F.col("w").desc(), "u", "v")
+    return (pairs.withColumn("_r", F.row_number().over(wr))
+            .where(F.col("_r") <= 30)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+
+
+def _q_kcore(spark, sf):
+    """3-core of the co-mention backbone (``queries/graphalgo.py::
+    k_core``, Seidman 1983): the dense-region extractor a KG-curation
+    pass runs before expensive per-entity work. 10 peel rounds on
+    both engines; convergence well inside the unroll is asserted by
+    ``tests/test_graphalgo.py`` (rounds R-1 == R), so the fixed
+    unroll IS the true 3-core here."""
+    from jena_spark.queries.graphalgo import k_core
+
+    return k_core(_backbone_edges(spark, sf), k=3, rounds=10)
+
+
+def _kcore_oracle() -> str:
+    from jena_spark.queries.graphalgo import k_core_sql
+
+    return (_W.rstrip() + ",\n"
+            + k_core_sql(_BACKBONE_EDGES_SQL, k=3, rounds=10)[len("WITH "):])
+
+
+_register("kg_kcore", _q_kcore, _kcore_oracle())
+
+
+def _q_components(spark, sf):
+    """Connected-component size census of the backbone
+    (``graphalgo.py::components_census``): min-label propagation run
+    to FIXPOINT on the Spark side (exact at any diameter, unlike the
+    fixed-unroll family) vs a recursive reachability closure in the
+    oracle — the graph-shape diagnostic that decides whether a
+    per-component pass needs the distributed CC path."""
+    from jena_spark.queries.graphalgo import components_census
+
+    return components_census(_backbone_edges(spark, sf))
+
+
+def _components_oracle() -> str:
+    from jena_spark.queries.graphalgo import components_census_sql
+
+    sql = components_census_sql(_BACKBONE_EDGES_SQL)
+    return (_WR.rstrip() + ",\n" + sql[len("WITH RECURSIVE "):])
+
+
+_register("kg_components", _q_components, _components_oracle())
+
+
 # === entry ==================================================================
 
 def entry(spark: SparkSession) -> DataFrame:

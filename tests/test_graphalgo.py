@@ -113,3 +113,70 @@ def test_hits_bad_iters(spark):
         hits(e, iters=0)
     with pytest.raises(ValueError):
         hits_sql("SELECT 1 AS src, 2 AS dst", iters=0)
+
+
+# --- k-core + connected components (round 5) ---
+
+
+def test_k_core_known_graph(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle;
+    the chain peels away layer by layer (convergence needs >1 round)."""
+    from jena_spark.queries.graphalgo import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),       # triangle
+         ("c", "d"), ("d", "e"), ("e", "f")],      # pendant chain
+        "src string, dst string")
+    core = {(r["node"], r["degree"])
+            for r in k_core(edges, k=2, rounds=5).collect()}
+    assert core == {("a", 2), ("b", 2), ("c", 2)}
+    # k=3: no 3-core in this graph
+    assert k_core(edges, k=3, rounds=5).count() == 0
+
+
+def test_k_core_convergence_and_oracle(spark):
+    from jena_spark.queries.graphalgo import k_core, k_core_sql
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+         ("d", "e"), ("e", "f"), ("f", "g"), ("g", "e")],
+        "src string, dst string")
+    # fixed-unroll == fixpoint here (R-1 vs R identical)
+    import duckdb
+
+    duck = duckdb.connect()
+    r4 = sorted(map(tuple, k_core(edges, 2, rounds=4).collect()))
+    r5 = sorted(map(tuple, k_core(edges, 2, rounds=5).collect()))
+    assert r4 == r5
+    duck.execute("CREATE OR REPLACE VIEW gedges AS SELECT * FROM "
+                 "(VALUES ('a','b'),('b','c'),('c','a'),('c','d'),"
+                 "('d','a'),('d','e'),('e','f'),('f','g'),('g','e'))"
+                 " t(src, dst)")
+    want = sorted(map(tuple, duck.sql(
+        k_core_sql("SELECT src, dst FROM gedges", 2, rounds=5))
+        .fetchall()))
+    assert r5 == want
+
+
+def test_components_census_fixpoint(spark):
+    """Two components incl. a 5-path (diameter forces >2 rounds);
+    Spark fixpoint == recursive-SQL closure."""
+    from jena_spark.queries.graphalgo import (
+        components_census, components_census_sql)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),   # path of 5
+         ("x", "y"), ("y", "z"), ("z", "x")],              # triangle
+        "src string, dst string")
+    import duckdb
+
+    duck = duckdb.connect()
+    got = sorted(map(tuple, components_census(edges).collect()))
+    assert got == [("a", 5), ("x", 3)]
+    duck.execute("CREATE OR REPLACE VIEW cedges AS SELECT * FROM "
+                 "(VALUES ('a','b'),('b','c'),('c','d'),('d','e'),"
+                 "('x','y'),('y','z'),('z','x')) t(src, dst)")
+    want = sorted(map(tuple, duck.sql(
+        components_census_sql("SELECT src, dst FROM cedges"))
+        .fetchall()))
+    assert got == want
