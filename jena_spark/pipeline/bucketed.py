@@ -143,7 +143,13 @@ def register_bucketed_store(
 # within GSPO (same argument as POS above), and object-position chains
 # keep using the triple-level OSP table.
 
-QUAD_ACCESS_PATHS = {"gspo": ("g_id", "s_id")}
+#: GSPO (graph-scoped subject stars) is the default; GPOS — the
+#: graph-scoped predicate-led order (``Names.java:27``) — is opt-in
+#: with the same composite-salt rationale as the triple POS: a hot
+#: (graph, predicate) pair would collapse a (g_id, p_id) bucket key
+#: into one straggler, so ``o_id`` joins the key and spreads it.
+QUAD_ACCESS_PATHS = {"gspo": ("g_id", "s_id"),
+                     "gpos": ("g_id", "p_id", "o_id")}
 
 #: the reference's default-graph marker (``Quad.defaultGraphIRI``) —
 #: null graph columns encode as this IRI so default-graph quads share
@@ -215,6 +221,32 @@ def register_bucketed_quads(
         """)
         out[ap] = table
     return out
+
+
+def gpo_join_bucketed_quads(
+    spark: SparkSession, prefix: str, p_id: int | None = None,
+    g_id: int | None = None,
+) -> DataFrame:
+    """Graph-scoped predicate-led object join over the GPOS table:
+    subject pairs sharing the SAME object under the SAME predicate
+    WITHIN the same graph — the quad twin of
+    :func:`po_join_bucketed` (TDB's GPOS index order,
+    ``Names.java:27``). Both sides key on the composite bucket key
+    ``(g_id, p_id, o_id)``, so the self-join plans with zero
+    Exchange; bound ``g_id``/``p_id`` prune the sorted leading
+    columns.
+
+    Returns ``(g_id, p_id, o_id, s_a, s_b)`` with ``s_a < s_b``.
+    """
+    t = bucketed_table(spark, prefix, "gpos")
+    if g_id is not None:
+        t = t.where(F.col("g_id") == g_id)
+    if p_id is not None:
+        t = t.where(F.col("p_id") == p_id)
+    a = t.select("g_id", "p_id", "o_id", F.col("s_id").alias("s_a"))
+    b = t.select("g_id", "p_id", "o_id", F.col("s_id").alias("s_b"))
+    return a.join(b, ["g_id", "p_id", "o_id"]) \
+        .where(F.col("s_a") < F.col("s_b"))
 
 
 def star_join_bucketed_quads(

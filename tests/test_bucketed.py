@@ -304,3 +304,52 @@ def test_default_graph_sentinel(spark):
     ).collect()[0]["g"]
     gids = {r["g_id"] for r in enc}
     assert want_default in gids and len(gids) == 2
+
+
+# --- GPOS quad access path (Names.java:27, predicate-led) --------------------
+
+
+@pytest.fixture(scope="module")
+def gpos_store(spark, quad_store, tmp_path_factory):
+    from jena_spark.pipeline.bucketed import write_bucketed_quads
+
+    quads_enc, _ = quad_store
+    base = str(tmp_path_factory.mktemp("gposstore"))
+    write_bucketed_quads(quads_enc, "kgp_test", base, n_buckets=8,
+                         paths=("gpos",))
+    return quads_enc
+
+
+def test_gpos_roundtrip(spark, gpos_store):
+    want = {tuple(r) for r in
+            gpos_store.select("g_id", "s_id", "p_id", "o_id").collect()}
+    got = {tuple(r) for r in
+           bucketed_table(spark, "kgp_test", "gpos")
+           .select("g_id", "s_id", "p_id", "o_id").collect()}
+    assert got == want
+
+
+def test_gpo_join_no_exchange(spark, gpos_store, no_broadcast):
+    """Graph-scoped predicate-led self-join over GPOS: zero Exchange,
+    correct pair counts per (graph, predicate, object) group."""
+    from jena_spark.pipeline.bucketed import gpo_join_bucketed_quads
+
+    pid = _pid(spark, TM.P_MENTIONS)
+    out = gpo_join_bucketed_quads(spark, "kgp_test", p_id=pid)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    per_go = (gpos_store.where(F.col("p_id") == pid)
+              .select("g_id", "s_id", "o_id").distinct()
+              .groupBy("g_id", "o_id").count().collect())
+    want = sum(r["count"] * (r["count"] - 1) // 2 for r in per_go)
+    assert out.count() == want
+
+
+def test_gpos_unbucketed_baseline_shuffles(spark, gpos_store, no_broadcast):
+    pid = _pid(spark, TM.P_MENTIONS)
+    t = gpos_store.where(F.col("p_id") == pid)
+    a = t.select("g_id", "p_id", "o_id", F.col("s_id").alias("s_a"))
+    b = t.select("g_id", "p_id", "o_id", F.col("s_id").alias("s_b"))
+    plan = (a.join(b, ["g_id", "p_id", "o_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" in plan
