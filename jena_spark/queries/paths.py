@@ -126,7 +126,12 @@ def one_or_more(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             term_id_col(F.col("kind"), F.col("val"), null_s, null_s).alias("node_id"),
             "kind", "val",
         )
-        # no checkpoint: consumed once, in the final decode joins
+        # eager checkpoint: the final decode consumes this frame TWICE
+        # (src join + dst join) and Spark replays a subtree once per
+        # consumer — uncheckpointed, the string-distinct node
+        # derivation ran twice (measured 3.4 s × 2 of a 10.5 s query
+        # at sf0.1; the repo's ≥2-consumer replay rule)
+        .localCheckpoint(eager=True)
     )
     edges = (
         edges_t.select(
