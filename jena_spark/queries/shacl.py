@@ -483,6 +483,10 @@ def _closure_pairs(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .select(term_id_col(F.col("kind"), F.col("val"),
                             F.col("dt"), F.col("lang")).alias("node_id"),
                 "kind", "val", "dt", "lang")
+        # eager checkpoint: the decode at the end consumes this frame
+        # TWICE (src + dst joins) — uncheckpointed, the distinct node
+        # derivation replays per consumer (the paths.py lesson)
+        .localCheckpoint(eager=True)
     )
     edges = p.select(
         term_id_col(F.col("n_kind"), F.col("n_val"),
