@@ -65,6 +65,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/kg_out")
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--bucket-paths", default="spo,osp",
+                    help="comma list of bucketed access paths for "
+                         "--format bucketed (spo, osp, pos — pos is "
+                         "the predicate-led composite (p_id,o_id) "
+                         "layout, opt-in per its storage cost)")
     ap.add_argument("--resume", action="store_true",
                     help="keep existing output; compute only missing buckets")
     ap.add_argument("--noop-sink", action="store_true",
@@ -260,15 +265,17 @@ def main() -> None:
         triples_enc = triples_enc.persist()
         t1 = _t.perf_counter()
         tables = write_bucketed_store(
-            triples_enc, "kg", f"{args.out}/bucketed", args.n_buckets)
+            triples_enc, "kg", f"{args.out}/bucketed", args.n_buckets,
+            paths=tuple(p.strip() for p in args.bucket_paths.split(",")
+                        if p.strip()))
         w_bucketed = _t.perf_counter() - t1
         r_n = resume_or_write(
             node_dict, f"{args.out}/node_dict", "node_dict",
             args.n_buckets, key="val")
-        n_triples = spark.table(tables["spo"]).count()
+        n_triples = spark.table(next(iter(tables.values()))).count()
         stages = {
-            "bucketed_spo_osp": {"rows_out": n_triples,
-                                 "wall_sec": w_bucketed},
+            "bucketed_" + "_".join(tables): {"rows_out": n_triples,
+                                             "wall_sec": w_bucketed},
             "node_dict": r_n.counters,
         }
     elif args.format == "encoded":
